@@ -1,0 +1,70 @@
+"""Engine configuration.
+
+Mirrors the reference's env-var settings surface (reference:
+settings.py:32-46 — ``ER_LSH_THRESHOLD`` 0.7, ``ER_LSH_NUM_PERM`` 128,
+"LSH parameters must be consistent across preprocessing/batch/api") and
+adds the scale knobs a distributed pipeline needs: block-size caps for
+skew handling, batch sizes, actor-pool sizing, checkpoint root.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field, asdict
+
+
+def _env_float(name: str, default: float) -> float:
+    raw = os.getenv(name)
+    if raw in (None, ""):
+        return default
+    try:
+        return float(raw)
+    except ValueError:
+        return default
+
+
+def _env_int(name: str, default: int) -> int:
+    raw = os.getenv(name)
+    if raw in (None, ""):
+        return default
+    try:
+        return int(raw)
+    except ValueError:
+        return default
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # --- LSH / MinHash (reference: settings.py:41-42) ---
+    lsh_threshold: float = field(default_factory=lambda: _env_float("ER_LSH_THRESHOLD", 0.7))
+    lsh_num_perm: int = field(default_factory=lambda: _env_int("ER_LSH_NUM_PERM", 128))
+
+    # --- skew handling (explicit per north_rule; reference only *monitors*
+    # block sizes, matching.py:51-74 warns at >50 / danger >1000 @50M) ---
+    # Blocks larger than max_block_records are truncated-and-logged before
+    # pair emission (bounds the per-key O(m^2) pair explosion).
+    max_block_records: int = field(default_factory=lambda: _env_int("ER_MAX_BLOCK_RECORDS", 1000))
+
+    # --- physical execution ---
+    batch_size: int = 8192            # rows per map_batches batch in scoring
+    scorer_concurrency: int = 0       # 0 = let Ray size the pool from resources
+    groupby_num_partitions: int = 0   # 0 = DataContext default
+
+    # --- model ---
+    model_path: str = field(
+        default_factory=lambda: os.getenv(
+            "ER_MODEL_PATH",
+            os.path.join(os.path.dirname(__file__), "models", "default_model.json"),
+        )
+    )
+
+    # --- checkpointing ---
+    checkpoint_root: str = field(
+        default_factory=lambda: os.getenv("ER_CHECKPOINT_ROOT", "/tmp/er_checkpoints")
+    )
+
+    def to_dict(self) -> dict:
+        return asdict(self)
+
+
+DEFAULT_CONFIG = EngineConfig()

@@ -1,0 +1,209 @@
+"""MinHash signatures + LSH banding, numpy-vectorized.
+
+Reimplements the *behavior* of the reference's datasketch usage
+(reference: preprocessing.py:138-164 builds a 128-perm MinHash over 3-char
+shingles; preprocessing.py:274 / matching.py:111 build a
+``MinHashLSH(threshold=0.7, num_perm=128)`` index and query it per record)
+without the datasketch dependency and without any central mutable index:
+
+* signatures are computed per batch with a universal-hash family
+  ``h_i(x) = ((a_i * x + b_i) mod p) & 0xFFFFFFFF`` over shingle hashes
+  (p = 2^61 - 1, the same public scheme datasketch uses), seeded
+  deterministically so two runs and two processes agree;
+* "querying the LSH index" becomes banding: each signature is split into
+  ``b`` bands of ``r`` rows, each band hashed to a key string — records
+  sharing any band key become candidates via an ordinary hash-shuffle
+  groupby, which is exactly the candidate set datasketch's index returns;
+* (b, r) are chosen by the same published optimization datasketch uses:
+  minimize ``0.5*FP_integral + 0.5*FN_integral`` over b*r <= num_perm.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+_MAX_HASH = np.uint64((1 << 32) - 1)
+_PERM_SEED = 1  # fixed: signatures must agree across processes and runs
+_SHINGLE_P = np.uint64(1_000_003)
+
+
+def permutations(num_perm: int, seed: int = _PERM_SEED) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic universal-hash coefficients.
+
+    Coefficients are kept below 2^32 so that ``a * x + b`` (with shingle
+    hashes x < 2^32) never overflows uint64 and the Mersenne reduction is
+    two cheap shift-add folds instead of a hardware modulo.
+    """
+    gen = np.random.RandomState(seed)
+    a = gen.randint(1, 1 << 32, size=num_perm, dtype=np.uint64)
+    b = gen.randint(0, 1 << 32, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def _universal_hash(a: np.ndarray, b: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """((a*x + b) mod (2^61-1)) & 0xFFFFFFFF, all operands < 2^32."""
+    p = _MERSENNE
+    v = a * x + b                          # < 2^64, no overflow
+    v = (v & p) + (v >> np.uint64(61))    # Mersenne fold
+    v = (v & p) + (v >> np.uint64(61))
+    return v & _MAX_HASH
+
+
+def shingle_hashes(text: str) -> np.ndarray:
+    """3-char shingle hashes of one lowercased/stripped string; whole-string
+    hash when len < 3 (reference: preprocessing.py:152-161 semantics)."""
+    text = str(text).lower().strip()
+    codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    if len(codes) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    if len(codes) < 3:
+        h = np.uint64(0)
+        for c in codes:
+            h = (h * _SHINGLE_P + c) & _MAX_HASH
+        return np.array([h], dtype=np.uint64)
+    h = (codes[:-2] * _SHINGLE_P * _SHINGLE_P + codes[1:-1] * _SHINGLE_P + codes[2:]) & _MAX_HASH
+    return h
+
+
+def batch_shingle_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
+    """3-char shingle hashes for a whole batch at once.
+
+    Returns (flat_hashes, counts) where ``flat_hashes`` is the row-major
+    concatenation of each string's shingle hashes and ``counts[i]`` is the
+    number of shingles of string i (0 for empty strings; 1 whole-string
+    hash for strings shorter than 3 chars, mirroring
+    preprocessing.py:157-161).
+    """
+    texts = ["" if t is None else str(t).lower().strip() for t in texts]
+    n = len(texts)
+    lens = np.fromiter((len(t) for t in texts), count=n, dtype=np.int64)
+    lmax = int(lens.max()) if n else 0
+    counts = np.where(lens == 0, 0, np.where(lens < 3, 1, lens - 2))
+    if lmax == 0:
+        return np.zeros(0, dtype=np.uint64), counts
+    flat_codes = np.frombuffer("".join(texts).encode("utf-32-le"), dtype=np.uint32)
+    mat = np.zeros((n, lmax), dtype=np.uint64)
+    valid = np.arange(lmax)[None, :] < lens[:, None]
+    mat[valid] = flat_codes
+    if lmax >= 3:
+        tri = (mat[:, :-2] * _SHINGLE_P * _SHINGLE_P + mat[:, 1:-1] * _SHINGLE_P + mat[:, 2:]) & _MAX_HASH
+        tri_valid = np.arange(lmax - 2)[None, :] < (lens - 2)[:, None]
+    else:
+        tri = np.zeros((n, 0), dtype=np.uint64)
+        tri_valid = np.zeros((n, 0), dtype=bool)
+    out_parts = tri[tri_valid]  # row-major flatten of per-string shingles
+    short = (lens > 0) & (lens < 3)
+    if short.any():
+        # whole-string polynomial hash for the short strings
+        h = np.zeros(n, dtype=np.uint64)
+        for c in range(lmax):
+            active = c < lens
+            h = np.where(active, (h * _SHINGLE_P + mat[:, c]) & _MAX_HASH, h)
+        # interleave: rebuild flat in row order with short-string singletons
+        flat = np.empty(int(counts.sum()), dtype=np.uint64)
+        ends = np.cumsum(counts)
+        starts = ends - counts
+        pos_mask = np.zeros(len(flat), dtype=bool)
+        pos_mask_idx = starts[short]
+        pos_mask[pos_mask_idx] = True
+        flat[pos_mask] = h[short]
+        flat[~pos_mask] = out_parts
+        return flat, counts
+    return out_parts, counts
+
+
+def minhash_batch(texts, num_perm: int, chunk_shingles: int = 65_536) -> np.ndarray:
+    """MinHash signatures for a batch of strings -> (N, num_perm) uint64.
+
+    Empty strings yield an all-``_MAX_HASH`` signature (callers should
+    null them out, mirroring preprocessing.py:143-144 returning None).
+    Fully vectorized: batch shingle extraction, universal hashing and
+    ``np.minimum.reduceat`` segment-mins; chunked so the
+    (num_perm x shingles) matrix stays bounded in memory.
+    """
+    a, b = permutations(num_perm)
+    n = len(texts)
+    out = np.full((n, num_perm), int(_MAX_HASH), dtype=np.uint64)
+    if n == 0:
+        return out
+    flat_all, counts = batch_shingle_hashes(texts)
+    nonempty = np.where(counts > 0)[0]
+    if len(nonempty) == 0:
+        return out
+    ends_all = np.cumsum(counts)
+    starts_all = ends_all - counts
+    ne_counts = counts[nonempty]
+    csum = np.cumsum(ne_counts)
+    start = 0
+    while start < len(nonempty):
+        base = csum[start - 1] if start > 0 else 0
+        stop = int(np.searchsorted(csum, base + chunk_shingles, side="left")) + 1
+        stop = min(max(stop, start + 1), len(nonempty))
+        sel = nonempty[start:stop]
+        flat = flat_all[starts_all[sel[0]] : ends_all[sel[-1]]]
+        seg = (starts_all[sel] - starts_all[sel[0]]).astype(np.int64)
+        phv = _universal_hash(a[:, None], b[:, None], flat[None, :])
+        sig = np.minimum.reduceat(phv, seg, axis=1)    # (num_perm, len(sel))
+        out[sel] = sig.T
+        start = stop
+    return out
+
+
+# ---- LSH banding ----
+
+def _integrate(f, x0: float, x1: float, steps: int = 2000) -> float:
+    xs = np.linspace(x0, x1, steps + 1)
+    ys = f(xs)
+    return float(np.trapz(ys, xs))
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def optimal_param(threshold: float, num_perm: int,
+                  fp_weight: float = 0.5, fn_weight: float = 0.5) -> tuple[int, int]:
+    """Choose (bands, rows) minimizing weighted FP/FN integrals — the same
+    public optimization datasketch's MinHashLSH performs, so the banded
+    self-join yields the identical candidate semantics as the reference's
+    ``lsh.query`` loop (matching.py:126-131)."""
+    best, opt = (1, 1), float("inf")
+    for b in range(1, num_perm + 1):
+        max_r = num_perm // b
+        for r in range(1, max_r + 1):
+            fp = _integrate(lambda s: 1 - (1 - s ** r) ** b, 0.0, threshold)
+            fn = _integrate(lambda s: 1 - (1 - (1 - s ** r) ** b), threshold, 1.0)
+            err = fp_weight * fp + fn_weight * fn
+            if err < opt:
+                opt = err
+                best = (b, r)
+    return best
+
+
+_FNV_OFF = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def band_keys(sigs: np.ndarray, bands: int, rows: int) -> np.ndarray:
+    """Hash each of ``bands`` r-row slices of each signature to a uint64 key.
+
+    Input (N, num_perm) uint64 -> output (N, bands) uint64. Deterministic
+    FNV-1a-style fold (no PYTHONHASHSEED dependence).
+    """
+    n = sigs.shape[0]
+    out = np.empty((n, bands), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for bi in range(bands):
+            h = _FNV_OFF ^ np.uint64(bi)
+            acc = np.full(n, h, dtype=np.uint64)
+            block = sigs[:, bi * rows : (bi + 1) * rows]
+            for c in range(block.shape[1]):
+                acc = (acc ^ block[:, c]) * _FNV_PRIME
+            out[:, bi] = acc
+    return out
+
+
+def jaccard_from_sigs(sig_a: np.ndarray, sig_b: np.ndarray) -> np.ndarray:
+    """Estimated Jaccard from two (N, num_perm) signature matrices."""
+    return (sig_a == sig_b).mean(axis=1)
