@@ -310,6 +310,8 @@ def _conversation_turns(rec: dict) -> list[tuple[str, str, str | None]]:
     turns.append(("tool", "kyc result: " + " ; ".join(kyc), "kyc_lookup"))
     if rec["address"]:
         turns.append(("user", f"my address is {rec['address']}, {rec['city']}", None))
+    else:
+        turns.append(("user", f"i currently live in {rec['city']}", None))
     turns.append(("assistant", "thank you, your identity has been verified.", None))
     return turns
 
