@@ -50,6 +50,39 @@ class EngineConfig:
     scorer_concurrency: int = 0       # 0 = let Ray size the pool from resources
     groupby_num_partitions: int = 0   # 0 = DataContext default
 
+    # --- pair hydration (reference matching.py:198-219 two merges) ---
+    # "auto": broadcast the profile lookup when it has <= broadcast_max_rows
+    # rows (one ray.put, fetched once per actor), else two hash-shuffle joins.
+    hydrate_strategy: str = field(
+        default_factory=lambda: os.getenv("ER_HYDRATE_STRATEGY", "auto")
+    )
+    broadcast_max_rows: int = field(
+        default_factory=lambda: _env_int("ER_BROADCAST_MAX_ROWS", 2_000_000)
+    )
+    # 0 = auto: ~2 partitions per cluster CPU, clamped to [4, 256]. Fixed
+    # values >0 override (a real multi-node run should set this to a few
+    # x total cores).
+    join_num_partitions: int = field(
+        default_factory=lambda: _env_int("ER_JOIN_NUM_PARTITIONS", 0)
+    )
+
+    def resolve_join_partitions(self) -> int:
+        if self.join_num_partitions > 0:
+            return self.join_num_partitions
+        try:
+            import ray
+
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        return max(4, min(256, cpus * 2))
+
+    def actor_pool_range(self) -> tuple[int, int]:
+        """(min, max) actor-pool size for stateful map_batches stages."""
+        if self.scorer_concurrency > 0:
+            return (1, self.scorer_concurrency)
+        return (1, 8)
+
     # --- model ---
     model_path: str = field(
         default_factory=lambda: os.getenv(

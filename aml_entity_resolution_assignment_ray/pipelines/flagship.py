@@ -1,0 +1,55 @@
+"""Flagship entity-resolution pipeline (reference run_matching,
+matching.py:681-715, re-expressed as a lazy Ray Data DAG):
+
+transcripts -> assemble -> normalize -> keys -> candidate pairs ->
+hydrate -> score (actor pool) -> cluster -> (optional) evaluate.
+
+Each stage is Dataset -> Dataset; the driver decides what to consume
+(write_parquet / aggregates).  Nothing here materializes the full input;
+only the small pair/label tables are ever aggregated.
+"""
+
+from __future__ import annotations
+
+from ..config import DEFAULT_CONFIG, EngineConfig
+from ..stages.assemble import assemble_profiles
+from ..stages.block import blocking_stats, emit_keys, normalize_profiles
+from ..stages.cluster import resolve_entities
+from ..stages.evaluate import labeled_pair_eval, pairwise_eval
+from ..stages.hydrate import hydrate_pairs
+from ..stages.pairs import generate_pairs
+from ..stages.score import score_pairs
+
+
+def build_profiles(transcripts, cfg: EngineConfig = DEFAULT_CONFIG):
+    """transcripts -> normalized profiles (one row per conv_id)."""
+    return normalize_profiles(assemble_profiles(transcripts, cfg), cfg)
+
+
+def run_flagship(transcripts, cfg: EngineConfig = DEFAULT_CONFIG,
+                 truth=None, with_stats: bool = False) -> dict:
+    """Full pipeline. Returns a dict of named Datasets (lazy where
+    possible) plus metric dicts when ``truth`` / ``with_stats`` ask for
+    them."""
+    norm = build_profiles(transcripts, cfg).materialize()
+    n_profiles = norm.count()
+    keys = emit_keys(norm, cfg)
+    pairs = generate_pairs(keys, cfg).materialize()
+    hydrated = hydrate_pairs(pairs, norm, cfg, n_profiles=n_profiles)
+    classified = score_pairs(hydrated, cfg).materialize()
+    predictions = resolve_entities(
+        classified, norm.select_columns(["conv_id"]), cfg).materialize()
+
+    out = {
+        "profiles": norm,
+        "pairs": pairs,
+        "classified": classified,
+        "predictions": predictions,
+    }
+    if with_stats:
+        out["blocking_stats"] = blocking_stats(
+            keys, n_profiles, pairs.count(), cfg)
+    if truth is not None:
+        out["pair_eval"] = labeled_pair_eval(classified, truth, cfg)
+        out["cluster_eval"] = pairwise_eval(predictions, truth, classified, cfg)
+    return out

@@ -1,0 +1,91 @@
+"""Model training pipeline (reference train_model.py re-expressed).
+
+Runs the same blocking + feature stages as the flagship (reference
+train_model.py:35-39 reuses get_candidates + calculate_features), labels
+candidate pairs by ground-truth entity equality (:43-49), and fits the
+in-repo logistic model (functions/model.py; xgboost is absent from this
+environment — the cascade only consumes ``ml_prob`` through threshold
+cuts, so any well-calibrated classifier of the same 7 features is
+threshold-compatible, SURVEY §7.2 M4).
+
+The feature table is many orders of magnitude smaller than the input
+(candidate pairs only), so the final fit is driver-local numpy on the
+collected features — the distributed part is everything upstream.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..config import DEFAULT_CONFIG, EngineConfig
+from ..functions.model import FEATURE_COLS, LogisticModel, train_logistic
+from ..stages.block import emit_keys
+from ..stages.evaluate import label_pairs
+from ..stages.hydrate import hydrate_pairs
+from ..stages.pairs import generate_pairs
+from ..stages.score import compute_pair_features
+from .flagship import build_profiles
+
+
+def build_training_frame(transcripts, truth,
+                         cfg: EngineConfig = DEFAULT_CONFIG) -> pd.DataFrame:
+    """transcripts + truth -> labeled feature DataFrame (driver-small)."""
+    norm = build_profiles(transcripts, cfg).materialize()
+    pairs = generate_pairs(emit_keys(norm, cfg), cfg).materialize()
+    hydrated = hydrate_pairs(pairs, norm, cfg, n_profiles=norm.count())
+    feats = hydrated.map_batches(compute_pair_features, batch_format="pandas")
+    # dummy classification columns so label_pairs' schema passes through
+    labeled = label_pairs(
+        feats.map_batches(lambda df: df.assign(is_match=0, match_type="no_match"),
+                          batch_format="pandas"),
+        truth, cfg,
+    )
+    drop = ["is_match", "match_type"]
+    return labeled.to_pandas().drop(columns=drop)
+
+
+def train_from_frame(frame: pd.DataFrame, kind: str = "gbdt"):
+    """Fit + report (reference train_model.py:70-119: deterministic
+    hash-based 80/20 split instead of sklearn's seeded shuffle).
+
+    kind="gbdt" mirrors the reference's XGBoost (nonlinear — needed for
+    the email+dob-but-initials-only positives Rule 5 must catch);
+    kind="logistic" is the cheap fallback."""
+    import zlib
+
+    from ..functions.gbdt import train_gbdt
+
+    key = (frame["id_a"].astype(str) + "|" + frame["id_b"].astype(str))
+    bucket = key.map(lambda s: zlib.crc32(s.encode()) % 100)
+    test = (bucket < 20).to_numpy()
+    X = frame[FEATURE_COLS].fillna(0).to_numpy(dtype=np.float64)
+    y = frame["label"].to_numpy(dtype=np.float64)
+    if kind == "gbdt":
+        model = train_gbdt(X[~test], y[~test])
+    else:
+        model = train_logistic(X[~test], y[~test])
+    p = model.predict_proba(X[test])
+    yt = y[test]
+    pred = p > 0.5
+    tp = int(((yt == 1) & pred).sum())
+    fp = int(((yt == 0) & pred).sum())
+    fn = int(((yt == 1) & ~pred).sum())
+    prec = tp / (tp + fp) if tp + fp else 1.0
+    rec = tp / (tp + fn) if tp + fn else 1.0
+    report = {
+        "n_train": int((~test).sum()), "n_test": int(test.sum()),
+        "pos_rate": float(y.mean()),
+        "test_precision": prec, "test_recall": rec,
+        "test_f1": 2 * prec * rec / (prec + rec) if prec + rec else 0.0,
+    }
+    return model, report
+
+
+def train_model(transcripts, truth, cfg: EngineConfig = DEFAULT_CONFIG,
+                save_path: str | None = None, kind: str = "gbdt"):
+    frame = build_training_frame(transcripts, truth, cfg)
+    model, report = train_from_frame(frame, kind=kind)
+    if save_path:
+        model.save(save_path)
+    return model, report

@@ -34,38 +34,108 @@ import pyarrow as pa
 
 COUNTRIES = ["PL", "US", "ES", "DE"]
 
+# Name/street pools approximate Faker's diversity (the reference's fakers,
+# generation.py:17-24, draw from ~10^3-name locale pools; collisions of
+# full name AND street must stay rare or Rules 3/4 produce spurious
+# matches the reference's published metrics don't show).  Surnames are
+# composed stem x suffix per locale morphology -> hundreds of distinct
+# values per country; streets are word x type products.
+
 _FIRST = {
     "PL": ["Marek", "Łukasz", "Agnieszka", "Paweł", "Katarzyna", "Józef", "Zofia",
-           "Krzysztof", "Małgorzata", "Tomasz", "Anna", "Piotr", "Ewa", "Stanisław"],
+           "Krzysztof", "Małgorzata", "Tomasz", "Anna", "Piotr", "Ewa", "Stanisław",
+           "Andrzej", "Barbara", "Jan", "Maria", "Tadeusz", "Danuta", "Marcin",
+           "Elżbieta", "Michał", "Teresa", "Grzegorz", "Halina", "Jerzy", "Janina",
+           "Adam", "Irena", "Wojciech", "Magdalena", "Rafał", "Joanna", "Maciej",
+           "Monika", "Dariusz", "Beata", "Jacek", "Dorota"],
     "US": ["James", "Mary", "Robert", "Patricia", "John", "Jennifer", "Michael",
-           "Linda", "David", "Elizabeth", "William", "Barbara", "Richard", "Susan"],
+           "Linda", "David", "Elizabeth", "William", "Barbara", "Richard", "Susan",
+           "Joseph", "Jessica", "Thomas", "Sarah", "Charles", "Karen", "Christopher",
+           "Nancy", "Daniel", "Lisa", "Matthew", "Betty", "Anthony", "Margaret",
+           "Mark", "Sandra", "Donald", "Ashley", "Steven", "Kimberly", "Paul",
+           "Emily", "Andrew", "Donna", "Joshua", "Michelle"],
     "ES": ["José", "María", "Antonio", "Carmen", "Manuel", "Ana", "Francisco",
-           "Isabel", "Juan", "Dolores", "Javier", "Pilar", "Miguel", "Teresa"],
+           "Isabel", "Juan", "Dolores", "Javier", "Pilar", "Miguel", "Teresa",
+           "Rafael", "Rosa", "Pedro", "Lucía", "Ángel", "Mercedes", "Alejandro",
+           "Elena", "Fernando", "Cristina", "Sergio", "Paula", "Pablo", "Laura",
+           "Jorge", "Marta", "Alberto", "Silvia", "Luis", "Sara", "Álvaro",
+           "Patricia", "Adrián", "Andrea", "Diego", "Raquel"],
     "DE": ["Hans", "Ursula", "Jürgen", "Helga", "Klaus", "Ingrid", "Wolfgang",
-           "Renate", "Günter", "Monika", "Dieter", "Gisela", "Horst", "Sabine"],
+           "Renate", "Günter", "Monika", "Dieter", "Gisela", "Horst", "Sabine",
+           "Werner", "Christa", "Heinz", "Erika", "Gerhard", "Elke", "Manfred",
+           "Petra", "Uwe", "Andrea", "Peter", "Birgit", "Rainer", "Karin",
+           "Bernd", "Brigitte", "Thomas", "Heike", "Frank", "Susanne", "Stefan",
+           "Gabriele", "Andreas", "Martina", "Markus", "Claudia"],
 }
-_LAST = {
-    "PL": ["Kowalski", "Nowak", "Wiśniewski", "Wójcik", "Kowalczyk", "Kamiński",
-           "Lewandowski", "Zieliński", "Szymański", "Woźniak", "Dąbrowski", "Kilar"],
+_LAST_STEM = {
+    "PL": ["Kowal", "Nowak", "Wiśniew", "Wójc", "Kamiń", "Lewandow", "Zieliń",
+           "Szymań", "Woźnia", "Dąbrow", "Kozłow", "Jankow", "Mazur", "Kwiatkow",
+           "Krawcz", "Piotrow", "Grabow", "Zając", "Pawłow", "Michalsk", "Król",
+           "Wieczor", "Jabłoń", "Majew", "Olszew", "Stępień", "Malinow", "Jaworsk",
+           "Adamcz", "Dudek", "Nowick", "Pawlak", "Górsk", "Witkow", "Walczak",
+           "Sikora", "Baran", "Rutkow", "Szewcz", "Ostrow"],
     "US": ["Smith", "Johnson", "Williams", "Brown", "Jones", "Garcia", "Miller",
-           "Davis", "Rodriguez", "Martinez", "Hernandez", "Lopez", "Wilson"],
+           "Davis", "Rodriguez", "Martinez", "Hernandez", "Lopez", "Wilson",
+           "Anderson", "Taylor", "Moore", "Jackson", "Martin", "Lee", "Thompson",
+           "White", "Harris", "Clark", "Lewis", "Robinson", "Walker", "Young",
+           "Allen", "King", "Wright", "Scott", "Green", "Baker", "Adams",
+           "Nelson", "Hill", "Campbell", "Mitchell", "Carter", "Roberts"],
     "ES": ["García", "Fernández", "González", "Rodríguez", "López", "Martínez",
-           "Sánchez", "Pérez", "Gómez", "Martín", "Jiménez", "Ruiz", "Díaz"],
+           "Sánchez", "Pérez", "Gómez", "Martín", "Jiménez", "Ruiz", "Díaz",
+           "Hernández", "Moreno", "Muñoz", "Álvarez", "Romero", "Alonso",
+           "Gutiérrez", "Navarro", "Torres", "Domínguez", "Vázquez", "Ramos",
+           "Gil", "Ramírez", "Serrano", "Blanco", "Molina", "Morales", "Suárez",
+           "Ortega", "Delgado", "Castro", "Ortiz", "Rubio", "Marín", "Sanz", "Iglesias"],
     "DE": ["Müller", "Schmidt", "Schneider", "Fischer", "Weber", "Meyer", "Wagner",
-           "Becker", "Schulz", "Hoffmann", "Schäfer", "Koch", "Bauer", "Richter"],
+           "Becker", "Schulz", "Hoffmann", "Schäfer", "Koch", "Bauer", "Richter",
+           "Klein", "Wolf", "Schröder", "Neumann", "Schwarz", "Zimmermann",
+           "Braun", "Krüger", "Hofmann", "Hartmann", "Lange", "Schmitt", "Werner",
+           "Schmitz", "Krause", "Meier", "Lehmann", "Schmid", "Schulze", "Maier",
+           "Köhler", "Herrmann", "König", "Walter", "Mayer", "Huber"],
 }
-_STREET_WORDS = {
-    "PL": ["ulica Polna", "aleja Róż", "osiedle Słoneczne", "ulica Długa"],
-    "US": ["Oak Street", "Maple Avenue", "Cedar Road", "Sunset Boulevard",
-           "Elm Drive", "Park Lane"],
-    "ES": ["Calle Mayor", "Avenida Sol", "Plaza España", "Paseo Gracia"],
-    "DE": ["Hauptstraße", "Bahnhofstraße", "Gartenweg", "Schillerplatz"],
+_LAST_SUFFIX = {
+    # PL stems compose with endings (Kowal->Kowalski/Kowalczyk); other
+    # locales use the surname list directly, with occasional doubling
+    # handled in generate_entities.
+    "PL": ["ski", "czyk", "iak", "ik"],
+    "US": [""],
+    "ES": [""],
+    "DE": [""],
+}
+_STREET_WORD = {
+    "PL": ["Polna", "Leśna", "Słoneczna", "Krótka", "Szkolna", "Ogrodowa",
+           "Lipowa", "Brzozowa", "Łąkowa", "Kwiatowa", "Sosnowa", "Klonowa",
+           "Parkowa", "Zielona", "Akacjowa", "Spacerowa", "Sportowa", "Dębowa",
+           "Topolowa", "Wiśniowa", "Różana", "Miodowa", "Cicha", "Długa"],
+    "US": ["Oak", "Maple", "Cedar", "Sunset", "Elm", "Park", "Pine", "Lake",
+           "Hill", "Washington", "Lincoln", "Jefferson", "Madison", "Jackson",
+           "Franklin", "Highland", "Forest", "River", "Spring", "Church",
+           "Main", "Mill", "Walnut", "Chestnut"],
+    "ES": ["Mayor", "Sol", "España", "Gracia", "Real", "Nueva", "Luna",
+           "Rosario", "Carmen", "Victoria", "Libertad", "Constitución",
+           "Esperanza", "Alegría", "Castilla", "Aragón", "Colón", "Goya",
+           "Cervantes", "Velázquez", "Murillo", "Serrano", "Alcalá", "Toledo"],
+    "DE": ["Haupt", "Bahnhof", "Garten", "Schiller", "Goethe", "Mozart",
+           "Beethoven", "Linden", "Birken", "Eichen", "Buchen", "Tannen",
+           "Berg", "Tal", "Wald", "Wiesen", "Feld", "Ring", "Markt", "Kirch",
+           "Schul", "Post", "Mühlen", "Rosen"],
+}
+_STREET_TYPE = {
+    "PL": ["ulica", "aleja", "osiedle"],
+    "US": ["Street", "Avenue", "Road", "Boulevard", "Drive", "Lane"],
+    "ES": ["Calle", "Avenida", "Plaza", "Paseo"],
+    "DE": ["straße", "weg", "platz", "allee", "gasse"],
 }
 _CITIES = {
-    "PL": ["Warszawa", "Kraków", "Łódź", "Wrocław", "Poznań"],
-    "US": ["Springfield", "Riverside", "Franklin", "Clinton", "Greenville"],
-    "ES": ["Madrid", "Barcelona", "Sevilla", "Valencia", "Málaga"],
-    "DE": ["Berlin", "München", "Köln", "Hamburg", "Frankfurt"],
+    "PL": ["Warszawa", "Kraków", "Łódź", "Wrocław", "Poznań", "Gdańsk",
+           "Szczecin", "Bydgoszcz", "Lublin", "Katowice", "Białystok", "Gdynia"],
+    "US": ["Springfield", "Riverside", "Franklin", "Clinton", "Greenville",
+           "Fairview", "Salem", "Madison", "Georgetown", "Arlington",
+           "Ashland", "Dover"],
+    "ES": ["Madrid", "Barcelona", "Sevilla", "Valencia", "Málaga", "Zaragoza",
+           "Murcia", "Palma", "Bilbao", "Alicante", "Córdoba", "Valladolid"],
+    "DE": ["Berlin", "München", "Köln", "Hamburg", "Frankfurt", "Stuttgart",
+           "Düsseldorf", "Dortmund", "Essen", "Leipzig", "Bremen", "Dresden"],
 }
 _EMAIL_DOMAINS = {
     "PL": ["wp.pl", "onet.pl", "interia.pl"],
@@ -190,9 +260,25 @@ class _Gen:
             return f"{f}{r.randint(1, 99)}@{dom}"
         return f"{f}.{l}@{r.choice(_GLOBAL_DOMAINS)}"
 
+    def make_last_name(self, country: str) -> str:
+        if country == "PL":
+            return self.rng.choice(_LAST_STEM["PL"]) + self.rng.choice(_LAST_SUFFIX["PL"])
+        return self.rng.choice(_LAST_STEM[country])
+
+    def make_street(self, country: str) -> str:
+        word = self.rng.choice(_STREET_WORD[country])
+        typ = self.rng.choice(_STREET_TYPE[country])
+        if country == "PL":
+            return f"{typ} {word}"          # "ulica Polna"
+        if country == "ES":
+            return f"{typ} {word}"          # "Calle Mayor"
+        if country == "DE":
+            return f"{word}{typ}"           # "Lindenstraße"
+        return f"{word} {typ}"              # "Oak Street"
+
     def make_address(self, country: str) -> str:
         num = self.rng.randint(1, 199)
-        street = self.rng.choice(_STREET_WORDS[country])
+        street = self.make_street(country)
         if country in ("US",):
             return f"{num} {street}"
         return f"{street} {num}"
@@ -220,9 +306,9 @@ def generate_entities(gen: _Gen, n_entities: int, doppelganger_rate: float = 0.0
         else:
             country = r.choice(COUNTRIES)
             first = r.choice(_FIRST[country])
-            last = r.choice(_LAST[country])
+            last = gen.make_last_name(country)
             if country == "ES" and r.random() < 0.5:
-                last = f"{last} {r.choice(_LAST[country])}"
+                last = f"{last} {gen.make_last_name(country)}"
             dob = gen.make_dob()
         entities.append({
             "entity_id": gen.make_uuid(),

@@ -115,8 +115,33 @@ def _edge_group_pairs(df: pd.DataFrame, cap: int) -> pd.DataFrame:
     return pd.DataFrame({"id_a": ids[i], "id_b": ids[j]})
 
 
-def _dedupe_block(df: pd.DataFrame) -> pd.DataFrame:
-    return df.drop_duplicates(ignore_index=True)
+def _dedupe_block(t):
+    """Arrow-native per-block distinct + schema coercion.
+
+    Every output block of generate_pairs goes through this, guaranteeing
+    the exact (id_a: string, id_b: string) schema downstream joins need —
+    Ray's groupby/sort machinery can emit zero-column empty blocks for
+    empty partitions, which otherwise poison pyarrow hash joins."""
+    import pyarrow as pa
+
+    schema = pa.schema([("id_a", pa.string()), ("id_b", pa.string())])
+    if "id_a" not in t.column_names or len(t) == 0:
+        return schema.empty_table()
+    return t.select(["id_a", "id_b"]).cast(schema) \
+        .group_by(["id_a", "id_b"]).aggregate([])
+
+
+def _coerce_pair_schema(t):
+    """Ray's map_groups emits a ZERO-COLUMN empty block for empty groupby
+    partitions; such a block poisons downstream join/union schema
+    inference. Coerce every block to exactly (id_a: string, id_b: string)
+    arrow tables."""
+    import pyarrow as pa
+
+    schema = pa.schema([("id_a", pa.string()), ("id_b", pa.string())])
+    if "id_a" not in t.column_names or len(t) == 0:
+        return schema.empty_table()
+    return t.select(["id_a", "id_b"]).cast(schema)
 
 
 def generate_pairs(keys, cfg: EngineConfig = DEFAULT_CONFIG):
@@ -133,17 +158,23 @@ def generate_pairs(keys, cfg: EngineConfig = DEFAULT_CONFIG):
     interior_pairs = tagged.map_batches(
         lambda t: t.filter(pc.is_valid(t["id_b"])), batch_format="pyarrow"
     ).select_columns(["id_a", "id_b"])
-    edge_pairs = (
-        tagged.map_batches(
-            lambda t: t.filter(pc.is_null(t["id_b"])), batch_format="pyarrow"
+    edge_rows = tagged.map_batches(
+        lambda t: t.filter(pc.is_null(t["id_b"])), batch_format="pyarrow"
+    ).drop_columns(["id_b"]).materialize()
+    result = interior_pairs
+    # guard: map_groups over an empty dataset yields a zero-column block
+    # that would poison the union/join schema; edge rows are O(#blocks)
+    # and `tagged` is materialized, so this count is driver-cheap
+    if edge_rows.count() > 0:
+        edge_pairs = (
+            edge_rows.groupby(["key_type", "key_value"])
+            .map_groups(_edge_group_pairs, fn_kwargs={"cap": cap},
+                        batch_format="pandas")
+            .map_batches(_coerce_pair_schema, batch_format="pyarrow")
         )
-        .drop_columns(["id_b"])
-        .groupby(["key_type", "key_value"])
-        .map_groups(_edge_group_pairs, fn_kwargs={"cap": cap}, batch_format="pandas")
-        .map_batches(lambda t: t, batch_format="pyarrow")  # align block type for union
-    )
+        result = interior_pairs.union(edge_pairs)
     return (
-        interior_pairs.union(edge_pairs)
+        result
         .sort(["id_a", "id_b"])
-        .map_batches(_dedupe_block, batch_format="pandas", batch_size=None)
+        .map_batches(_dedupe_block, batch_format="pyarrow", batch_size=None)
     )
