@@ -1,0 +1,193 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are opaque ``binary`` columns with sidecar
+metadata columns (mime, width/height or sample rate, n_frames).  The
+decode / feature-extract / resize / frame-sample stages are ACTOR-POOL
+``map_batches`` steps whose Ray-side plumbing (schema, batch sizing,
+actor signature, output layout) is real and tested; the codec itself is
+STUBBED — this container ships no image/audio libraries — behind either
+``NotImplementedError`` (strict) or a deterministic fake decoder
+(``fake=True``) whose output shape/dtype matches what a real decoder
+would produce.
+
+Batch sizes for binary payloads must be SMALL: ``batch_size`` here is
+rows, and a row can be megabytes — size so batch x concurrency fits the
+worker heap (SURVEY: "large binary payloads need small batches").
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema([
+    ("media_id", pa.string()),
+    ("mime", pa.string()),
+    ("payload", pa.binary()),
+    ("width", pa.int32()),
+    ("height", pa.int32()),
+    ("n_frames", pa.int32()),
+])
+
+
+def make_fake_media_table(n: int = 32, seed: int = 5,
+                          payload_bytes: int = 4096) -> pa.Table:
+    """Deterministic fake media rows for plumbing tests."""
+    rng = np.random.RandomState(seed)
+    ids, mimes, payloads, ws, hs, fs = [], [], [], [], [], []
+    for i in range(n):
+        ids.append(f"m{i:05d}")
+        mimes.append(["image/png", "audio/wav", "video/mp4"][i % 3])
+        payloads.append(rng.bytes(payload_bytes))
+        ws.append(int(rng.randint(16, 256)))
+        hs.append(int(rng.randint(16, 256)))
+        fs.append(int(rng.randint(1, 32)))
+    return pa.table({
+        "media_id": pa.array(ids), "mime": pa.array(mimes),
+        "payload": pa.array(payloads, pa.binary()),
+        "width": pa.array(ws, pa.int32()), "height": pa.array(hs, pa.int32()),
+        "n_frames": pa.array(fs, pa.int32()),
+    })
+
+
+def _fake_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic stand-in for a real decoder: payload-digest-seeded
+    uint8 HxWx3 array (same shape/dtype a PNG decode would yield)."""
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:4], "little")
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(height, width, 3), dtype=np.uint8)
+
+
+class DecodeImage:
+    """Actor-pool stage: payload -> decoded pixel tensor (flat uint8 list
+    column + shape columns). Real decode requires an image library absent
+    from this container; ``fake=True`` substitutes the deterministic
+    stand-in so the pipeline plumbing is testable."""
+
+    def __init__(self, fake: bool = False):
+        self.fake = fake
+        # a real implementation would open/initialize the codec ONCE here
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        if not self.fake:
+            raise NotImplementedError(
+                "image decoding requires an image codec library; "
+                "re-run with fake=True for the deterministic stub")
+        pixels, shapes = [], []
+        for payload, w, h in zip(df["payload"], df["width"], df["height"]):
+            arr = _fake_pixels(payload, int(w), int(h))
+            pixels.append(arr.reshape(-1))
+            shapes.append([int(h), int(w), 3])
+        return pd.DataFrame({
+            "media_id": df["media_id"].to_numpy(),
+            "pixels": pixels,
+            "shape": shapes,
+        })
+
+
+class ResizeImage:
+    """Actor-pool stage: nearest-neighbor resize (pure numpy — real)."""
+
+    def __init__(self, out_w: int = 32, out_h: int = 32):
+        self.out_w = out_w
+        self.out_h = out_h
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for flat, shape in zip(df["pixels"], df["shape"]):
+            h, w, c = int(shape[0]), int(shape[1]), int(shape[2])
+            arr = np.asarray(flat, dtype=np.uint8).reshape(h, w, c)
+            yi = (np.arange(self.out_h) * h // self.out_h)
+            xi = (np.arange(self.out_w) * w // self.out_w)
+            out.append(arr[yi][:, xi].reshape(-1))
+        return pd.DataFrame({
+            "media_id": df["media_id"].to_numpy(),
+            "pixels": out,
+            "shape": [[self.out_h, self.out_w, 3]] * len(df),
+        })
+
+
+class ImageFeatures:
+    """Actor-pool stage: pixel tensor -> small feature vector (channel
+    means/stds + 8-bin luminance histogram — pure numpy, real)."""
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        feats = []
+        for flat, shape in zip(df["pixels"], df["shape"]):
+            h, w, c = int(shape[0]), int(shape[1]), int(shape[2])
+            arr = np.asarray(flat, dtype=np.float64).reshape(h, w, c)
+            lum = arr.mean(axis=2)
+            hist, _ = np.histogram(lum, bins=8, range=(0, 256))
+            f = np.concatenate([
+                arr.mean(axis=(0, 1)) / 255.0,
+                arr.std(axis=(0, 1)) / 255.0,
+                hist / lum.size,
+            ])
+            feats.append(f.astype(np.float32))
+        return pd.DataFrame({
+            "media_id": df["media_id"].to_numpy(),
+            "features": feats,
+        })
+
+
+class SampleFrames:
+    """Actor-pool stage: video payload -> k evenly spaced frame indices
+    plus (stubbed/fake) per-frame decode."""
+
+    def __init__(self, k: int = 4, fake: bool = False):
+        self.k = k
+        self.fake = fake
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        if not self.fake:
+            raise NotImplementedError(
+                "video frame extraction requires a codec; use fake=True")
+        rows_id, rows_frame, rows_pixels = [], [], []
+        for mid, payload, w, h, nf in zip(
+                df["media_id"], df["payload"], df["width"], df["height"],
+                df["n_frames"]):
+            nf = max(int(nf), 1)
+            k = min(self.k, nf)
+            idxs = (np.arange(k) * nf) // k
+            for fi in idxs:
+                rows_id.append(mid)
+                rows_frame.append(int(fi))
+                rows_pixels.append(
+                    _fake_pixels(payload + bytes([fi % 256]), int(w), int(h))
+                    .reshape(-1))
+        return pd.DataFrame({
+            "media_id": rows_id,
+            "frame_idx": rows_frame,
+            "pixels": rows_pixels,
+        })
+
+
+def decode_images(ds, fake: bool = False, batch_size: int = 16,
+                  concurrency=(1, 4)):
+    """media Dataset -> decoded pixels Dataset (actor pool; small batches
+    because payload rows are large)."""
+    return ds.map_batches(DecodeImage, fn_constructor_args=(fake,),
+                          batch_format="pandas", batch_size=batch_size,
+                          concurrency=concurrency)
+
+
+def resize_images(ds, out_w: int = 32, out_h: int = 32,
+                  batch_size: int = 32, concurrency=(1, 4)):
+    return ds.map_batches(ResizeImage, fn_constructor_args=(out_w, out_h),
+                          batch_format="pandas", batch_size=batch_size,
+                          concurrency=concurrency)
+
+
+def image_features(ds, batch_size: int = 64, concurrency=(1, 4)):
+    return ds.map_batches(ImageFeatures, batch_format="pandas",
+                          batch_size=batch_size, concurrency=concurrency)
+
+
+def sample_frames(ds, k: int = 4, fake: bool = False, batch_size: int = 8,
+                  concurrency=(1, 4)):
+    return ds.map_batches(SampleFrames, fn_constructor_args=(k, fake),
+                          batch_format="pandas", batch_size=batch_size,
+                          concurrency=concurrency)

@@ -1,0 +1,162 @@
+"""Text-analysis operators over a document table (training-data pipeline
+staples): token counting, language ID, quality scoring, fingerprinting.
+
+All are stateless vectorized ``map_batches`` kernels over pandas/Arrow
+batches — no Python row loops, no shuffle. Regexes compile at module
+import, once per worker process.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+# whitespace tokens; the "BPE-ish" split further breaks punctuation runs
+# and letter/digit boundaries the way byte-pair pretokenizers do
+_WS_RE = re.compile(r"\s+")
+_BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+")
+_PUNCT_RE = re.compile(r"[^\w\s]")
+_WORD_RE = re.compile(r"[A-Za-zÀ-ÿ]+")
+
+# tiny per-language stopword profiles (public high-frequency words);
+# enough for an n-gram/stopword-voting heuristic, NOT a real LID model
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "it", "was", "for",
+           "on", "are", "with", "as", "his", "they", "at", "be", "this",
+           "have", "from", "or", "had", "by", "not", "but", "what", "all"},
+    "de": {"der", "die", "das", "und", "ist", "von", "zu", "den", "mit",
+           "nicht", "ein", "eine", "auf", "für", "im", "dem", "sich", "des",
+           "auch", "es", "an", "werden", "aus", "er", "hat", "dass", "sie"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "una", "los", "las",
+           "se", "del", "por", "con", "no", "para", "es", "al", "lo", "como",
+           "más", "pero", "sus", "le", "ya", "o", "este", "sí"},
+    "pl": {"i", "w", "na", "z", "do", "się", "nie", "jest", "że", "to",
+           "jak", "po", "co", "tak", "za", "od", "ale", "czy", "dla", "przez",
+           "być", "są", "był", "która", "który", "oraz", "można", "przy"},
+    "fr": {"le", "la", "les", "de", "des", "et", "en", "un", "une", "du",
+           "que", "est", "dans", "qui", "pour", "pas", "sur", "au", "avec",
+           "ne", "se", "ce", "il", "sont", "plus", "par", "mais", "ou"},
+}
+_LANGS = sorted(_STOPWORDS)
+
+
+def token_count_batch(df: pd.DataFrame, col: str = "text") -> pd.DataFrame:
+    """Adds ``n_tokens`` (whitespace) and ``n_bpe_tokens`` (pretokenizer
+    pieces) columns."""
+    text = df[col].fillna("").astype(str)
+    out = df.copy()
+    stripped = text.str.strip()
+    out["n_tokens"] = np.where(
+        stripped.str.len() == 0, 0, stripped.str.split(_WS_RE).str.len()
+    ).astype(np.int64)
+    out["n_bpe_tokens"] = text.str.findall(_BPE_RE).str.len().astype(np.int64)
+    return out
+
+
+def quality_batch(df: pd.DataFrame, col: str = "text") -> pd.DataFrame:
+    """Adds quality signals: length, punctuation ratio, stopword ratio,
+    mean word length, uppercase ratio, digit ratio and a composite
+    ``quality_score`` in [0, 1]."""
+    text = df[col].fillna("").astype(str)
+    out = df.copy()
+    n = text.str.len().astype(np.int64)
+    nz = np.maximum(n.to_numpy(), 1)
+    out["n_chars_text"] = n
+    out["punct_ratio"] = text.str.count(_PUNCT_RE).to_numpy() / nz
+    out["digit_ratio"] = text.str.count(r"[0-9]").to_numpy() / nz
+    out["upper_ratio"] = text.str.count(r"[A-Z]").to_numpy() / nz
+    words = text.str.findall(_WORD_RE)
+    n_words = words.str.len().to_numpy()
+    total_word_len = words.map(lambda ws: sum(len(w) for w in ws)).to_numpy()
+    out["mean_word_len"] = total_word_len / np.maximum(n_words, 1)
+    all_stop = frozenset().union(*_STOPWORDS.values())
+    n_stop = words.map(lambda ws: sum(1 for w in ws if w.lower() in all_stop)).to_numpy()
+    out["stopword_ratio"] = n_stop / np.maximum(n_words, 1)
+    # composite: long enough, not punctuation/digit soup, has stopwords
+    score = (
+        np.clip(n.to_numpy() / 200.0, 0, 1) * 0.3
+        + np.clip(1.0 - out["punct_ratio"].to_numpy() * 4, 0, 1) * 0.2
+        + np.clip(1.0 - out["digit_ratio"].to_numpy() * 4, 0, 1) * 0.2
+        + np.clip(out["stopword_ratio"].to_numpy() * 3, 0, 1) * 0.3
+    )
+    out["quality_score"] = score
+    return out
+
+
+def lang_id_batch(df: pd.DataFrame, col: str = "text") -> pd.DataFrame:
+    """Adds ``lang_pred`` via stopword voting (tie -> 'und')."""
+    text = df[col].fillna("").astype(str).str.lower()
+    words = text.str.findall(_WORD_RE)
+    votes = np.zeros((len(df), len(_LANGS)), dtype=np.int64)
+    for li, lang in enumerate(_LANGS):
+        sw = _STOPWORDS[lang]
+        votes[:, li] = words.map(lambda ws: sum(1 for w in ws if w in sw)).to_numpy()
+    best = votes.argmax(axis=1)
+    top = votes.max(axis=1)
+    # margin: winner must strictly beat runner-up
+    votes[np.arange(len(df)), best] = -1
+    second = votes.max(axis=1)
+    pred = np.where((top > 0) & (top > second),
+                    np.array(_LANGS, dtype=object)[best], "und")
+    out = df.copy()
+    out["lang_pred"] = pred
+    return out
+
+
+_FP_BASE = np.uint64(1_000_003)
+_FP_MASK = np.uint64((1 << 64) - 1)
+
+
+def fingerprint_batch(df: pd.DataFrame, col: str = "text",
+                      window: int = 16, keep: int = 8) -> pd.DataFrame:
+    """Adds ``fingerprint`` — a document sketch: the ``keep`` smallest
+    rolling-hash values over ``window``-char windows (winnowing-style
+    min-sampling), packed as a hex string. Near-identical documents share
+    most fingerprint elements."""
+    text = df[col].fillna("").astype(str)
+    out = df.copy()
+    fps = []
+    with np.errstate(over="ignore"):
+        for t in text:  # per-doc numpy (windows vectorized within doc)
+            codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+            if len(codes) == 0:
+                fps.append("")
+                continue
+            w = min(window, len(codes))
+            # polynomial hash of every w-window, vectorized via cumulative trick
+            pw = np.ones(w, dtype=np.uint64)
+            for i in range(1, w):
+                pw[i] = (pw[i - 1] * _FP_BASE) & _FP_MASK
+            if len(codes) >= w:
+                mat = np.lib.stride_tricks.sliding_window_view(codes, w)
+                hashes = (mat * pw[::-1]).sum(axis=1) & _FP_MASK
+            else:
+                hashes = np.array([(codes * pw[::-1][: len(codes)]).sum() & _FP_MASK])
+            sel = np.sort(np.unique(hashes))[:keep]
+            fps.append(",".join(format(v, "016x") for v in sel))
+    out["fingerprint"] = fps
+    return out
+
+
+def token_stats(ds, col: str = "text"):
+    """documents Dataset -> per-doc token counts (streaming kernel)."""
+    return ds.map_batches(token_count_batch, fn_kwargs={"col": col},
+                          batch_format="pandas")
+
+
+def quality(ds, col: str = "text"):
+    return ds.map_batches(quality_batch, fn_kwargs={"col": col},
+                          batch_format="pandas")
+
+
+def lang_id(ds, col: str = "text"):
+    return ds.map_batches(lang_id_batch, fn_kwargs={"col": col},
+                          batch_format="pandas")
+
+
+def fingerprints(ds, col: str = "text", window: int = 16, keep: int = 8):
+    return ds.map_batches(
+        fingerprint_batch, fn_kwargs={"col": col, "window": window, "keep": keep},
+        batch_format="pandas")

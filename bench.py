@@ -1,0 +1,179 @@
+"""Benchmark harness.
+
+Headline: the flagship ER pipeline (assemble -> block -> pairs ->
+hydrate -> score -> cluster) over a seeded synthetic transcript corpus
+sized to $GRAFT_SF_DIR, read from Parquet (streaming). Secondary: the
+training-data ops (exact/minhash dedup, ANN, token stats) over the
+$GRAFT_SF_DIR tables.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "flagship_turns_per_sec": ...}
+
+--scaling: runs the headline twice in FRESH processes (num_cpus=8 then
+num_cpus=32) on the same on-disk corpus and reports both throughputs +
+scaling efficiency (the sandbox stand-in for the N- vs 4N-node cluster
+criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+_SF_ENTITIES = {"sf0.001": 150, "sf0.01": 800, "sf0.1": 4000}
+
+
+def _sf_name() -> str:
+    return os.path.basename(os.path.normpath(SF_DIR))
+
+
+def _corpus_dir(n_entities: int) -> str:
+    out = f"/tmp/er_bench_corpus_{n_entities}"
+    from aml_entity_resolution_assignment_ray.sources.synth import write_corpus
+
+    write_corpus(out, shards=32, n_entities=n_entities, seed=43,
+                 doppelganger_rate=0.0)
+    return out
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    # scale shuffle parallelism to the session size
+    ctx.min_parallelism = max(8, num_cpus * 2)
+    ctx.default_hash_shuffle_parallelism = max(8, num_cpus * 2)
+    ctx.read_op_min_num_blocks = max(8, num_cpus * 2)
+
+
+def run_headline(num_cpus: int) -> dict:
+    _init_ray(num_cpus)
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.config import EngineConfig
+    from aml_entity_resolution_assignment_ray.pipelines.flagship import run_flagship
+
+    n_entities = _SF_ENTITIES.get(_sf_name(), 1000)
+    cdir = _corpus_dir(n_entities)
+    transcripts = rd.read_parquet(os.path.join(cdir, "transcripts"))
+    n_turns = transcripts.count()
+    t0 = time.time()
+    res = run_flagship(transcripts, EngineConfig())
+    n_clusters = res["predictions"].count()  # consume the pipeline
+    wall = time.time() - t0
+    return {
+        "wall_sec": wall,
+        "n_turns": int(n_turns),
+        "n_clusters": int(n_clusters),
+        "turns_per_sec": n_turns / wall,
+        "num_cpus": num_cpus,
+    }
+
+
+def run_queries() -> dict:
+    """Secondary ops over the $GRAFT_SF_DIR tables."""
+    import numpy as np
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops import ann, dedup, text
+
+    timings = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    docs_path = os.path.join(SF_DIR, "documents.parquet")
+    emb_path = os.path.join(SF_DIR, "embeddings.parquet")
+
+    timed("exact_dedup", lambda: dedup.exact_dedup(
+        rd.read_parquet(docs_path)).count())
+    timed("minhash_dup_pairs", lambda: dedup.minhash_lsh_dup_pairs(
+        rd.read_parquet(docs_path), threshold=0.8).count())
+    timed("simhash_dup_pairs", lambda: dedup.simhash_dup_pairs(
+        rd.read_parquet(docs_path), max_hamming=3).count())
+    timed("token_stats", lambda: text.token_stats(
+        rd.read_parquet(docs_path, columns=["doc_id", "text"]))
+        .map_batches(lambda df: df[["n_tokens"]], batch_format="pandas")
+        .sum("n_tokens"))
+    timed("quality", lambda: text.quality(
+        rd.read_parquet(docs_path, columns=["doc_id", "text"]))
+        .map_batches(lambda df: df[["quality_score"]], batch_format="pandas")
+        .sum("quality_score"))
+
+    emb = rd.read_parquet(emb_path)
+    q = np.asarray(emb.take(1)[0]["embedding"])
+    timed("ann_brute_top10", lambda: ann.brute_force_topk(emb, q, k=10))
+    return timings
+
+
+def main():
+    if "--scaling" in sys.argv:
+        # pre-generate the corpus so both runs read identical input
+        _corpus_dir(_SF_ENTITIES.get(_sf_name(), 1000))
+        results = {}
+        for cpus in (8, 32):
+            out = subprocess.run(
+                [sys.executable, __file__, "--headline-json"],
+                env={**os.environ, "RAY_GRAFT_CPUS": str(cpus)},
+                capture_output=True, text=True, timeout=3600,
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            results[cpus] = json.loads(line)
+        thr8 = results[8]["turns_per_sec"]
+        thr32 = results[32]["turns_per_sec"]
+        eff = (thr32 / thr8) / (32 / 8)
+        print(json.dumps({
+            "metric": "flagship_scaling",
+            "sf": _sf_name(),
+            "throughput_8cpu": round(thr8, 1),
+            "throughput_32cpu": round(thr32, 1),
+            "speedup": round(thr32 / thr8, 3),
+            "scaling_efficiency": round(eff, 3),
+            "wall_8cpu": round(results[8]["wall_sec"], 2),
+            "wall_32cpu": round(results[32]["wall_sec"], 2),
+        }))
+        return
+
+    if "--headline-json" in sys.argv:
+        h = run_headline(NUM_CPUS)
+        print(json.dumps(h))
+        import ray
+
+        ray.shutdown()
+        return
+
+    h = run_headline(NUM_CPUS)
+    qt = run_queries()
+    print(json.dumps({
+        "metric": "flagship_er_pipeline_sec",
+        "value": round(h["wall_sec"], 3),
+        "unit": "sec",
+        "queries": qt,
+        "sf": _sf_name(),
+        "num_cpus": NUM_CPUS,
+        "flagship_turns_per_sec": round(h["turns_per_sec"], 1),
+        "flagship_n_turns": h["n_turns"],
+    }))
+    import ray
+
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,109 @@
+"""Local mirror of the driver's correctness gate: run every queries()
+entry at a given sf_dir, compare row-count/schema/values against
+oracle_sql() via DuckDB (order-insensitive, columns sorted by name)."""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def to_pandas(res):
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(res, pd.DataFrame):
+        return res
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res.to_pandas()  # ray Dataset
+
+
+def canon(df):
+    import pandas as pd
+
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = sys.argv[2:] or None
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=16, include_dashboard=False,
+                 logging_level="ERROR")
+    import duckdb
+    import numpy as np
+    import __ray_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')")
+
+    n_pass = n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            res = canon(to_pandas(fn(sf_dir)))
+        except Exception as e:
+            print(f"FAIL {name}: query raised {type(e).__name__}: {str(e)[-160:]}")
+            n_fail += 1
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            print(f"ok   {name}: rows={len(res)} (rows-only) {dt:.1f}s")
+            n_pass += 1
+            continue
+        try:
+            exp = canon(con.execute(oracles[name]).fetchdf())
+        except Exception as e:
+            print(f"FAIL {name}: oracle raised {e}")
+            n_fail += 1
+            continue
+        ok = True
+        if list(res.columns) != list(exp.columns):
+            print(f"FAIL {name}: columns {list(res.columns)} != {list(exp.columns)}")
+            ok = False
+        elif len(res) != len(exp):
+            print(f"FAIL {name}: rows {len(res)} != {len(exp)}")
+            ok = False
+        else:
+            for c in res.columns:
+                a, b = res[c].to_numpy(), exp[c].to_numpy()
+                if np.issubdtype(np.asarray(a).dtype, np.floating) or \
+                        np.issubdtype(np.asarray(b).dtype, np.floating):
+                    same = np.allclose(a.astype(float), b.astype(float),
+                                       rtol=0, atol=0)
+                else:
+                    same = (a == b).all()
+                if not same:
+                    bad = np.where(a != b)[0][:3] if a.dtype == b.dtype else [0]
+                    print(f"FAIL {name}: col {c} differs at rows {bad}; "
+                          f"got {a[bad]} want {b[bad]}")
+                    ok = False
+                    break
+        if ok:
+            print(f"PASS {name}: rows={len(res)} {dt:.1f}s")
+            n_pass += 1
+        else:
+            n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    ray.shutdown()
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
