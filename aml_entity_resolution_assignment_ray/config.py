@@ -77,11 +77,25 @@ class EngineConfig:
             cpus = 8
         return max(4, min(256, cpus * 2))
 
+    # connected components: edge lists at or below this size finish on
+    # the driver with an array DSU (match graphs are vastly smaller than
+    # the input); larger graphs run distributed min-label rounds.
+    cc_driver_max_edges: int = field(
+        default_factory=lambda: _env_int("ER_CC_DRIVER_MAX_EDGES", 2_000_000)
+    )
+
     def actor_pool_range(self) -> tuple[int, int]:
-        """(min, max) actor-pool size for stateful map_batches stages."""
+        """(min, max) actor-pool size for stateful map_batches stages:
+        scale with the cluster (capped), never hardcoded."""
         if self.scorer_concurrency > 0:
             return (1, self.scorer_concurrency)
-        return (1, 8)
+        try:
+            import ray
+
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        return (1, max(2, min(64, cpus)))
 
     # --- model ---
     model_path: str = field(

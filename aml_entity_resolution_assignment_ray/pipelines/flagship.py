@@ -18,7 +18,7 @@ from ..stages.cluster import resolve_entities
 from ..stages.evaluate import labeled_pair_eval, pairwise_eval
 from ..stages.hydrate import hydrate_pairs
 from ..stages.pairs import generate_pairs
-from ..stages.score import score_pairs
+from ..stages.score import score_pairs, score_pairs_broadcast
 
 
 def build_profiles(transcripts, cfg: EngineConfig = DEFAULT_CONFIG):
@@ -35,8 +35,16 @@ def run_flagship(transcripts, cfg: EngineConfig = DEFAULT_CONFIG,
     n_profiles = norm.count()
     keys = emit_keys(norm, cfg)
     pairs = generate_pairs(keys, cfg).materialize()
-    hydrated = hydrate_pairs(pairs, norm, cfg, n_profiles=n_profiles)
-    classified = score_pairs(hydrated, cfg).materialize()
+    strategy = cfg.hydrate_strategy
+    if strategy == "auto":
+        strategy = ("broadcast" if n_profiles <= cfg.broadcast_max_rows
+                    else "join")
+    if strategy == "broadcast":
+        # fused hydrate+score: the wide hydrated table never materializes
+        classified = score_pairs_broadcast(pairs, norm, cfg).materialize()
+    else:
+        hydrated = hydrate_pairs(pairs, norm, cfg, n_profiles=n_profiles)
+        classified = score_pairs(hydrated, cfg).materialize()
     predictions = resolve_entities(
         classified, norm.select_columns(["conv_id"]), cfg).materialize()
 

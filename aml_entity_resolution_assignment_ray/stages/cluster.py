@@ -69,22 +69,107 @@ def _label_checksum(labels) -> int:
     return int(labels.map_batches(crc_batch, batch_format="pandas").sum("h"))
 
 
-def connected_components(edges, all_nodes, cfg: EngineConfig = DEFAULT_CONFIG,
-                         max_rounds: int = MAX_ROUNDS):
-    """edges (id_a, id_b) + all_nodes (conv_id) -> labels Dataset
-    ``(node, label)`` where label = min conv_id of the component."""
-    labels = all_nodes.map_batches(
+def _identity_labels(all_nodes):
+    return all_nodes.map_batches(
         lambda t: pa.table({"node": t["conv_id"], "label": t["conv_id"]}),
         batch_format="pyarrow",
     ).materialize()
-    edges_bd = _bidir(edges).materialize()
-    if edges_bd.count() == 0:
-        return labels
 
+
+def _driver_union_find(edge_df: pd.DataFrame) -> dict:
+    """Array DSU with path compression over a driver-small edge list."""
+    codes_a, uniq = pd.factorize(
+        pd.concat([edge_df["id_a"], edge_df["id_b"]], ignore_index=True))
+    n_edges = len(edge_df)
+    a, b = codes_a[:n_edges], codes_a[n_edges:]
+    parent = np.arange(len(uniq), dtype=np.int64)
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for i in range(n_edges):
+        ra, rb = find(a[i]), find(b[i])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    names = np.asarray(uniq, dtype=object)
+    # component label = lexicographically smallest member name
+    roots = np.fromiter((find(i) for i in range(len(uniq))), dtype=np.int64,
+                        count=len(uniq))
+    label_of_root: dict[int, str] = {}
+    order = np.argsort(names.astype(str))
+    for i in order:
+        r = roots[i]
+        if r not in label_of_root:
+            label_of_root[r] = names[i]
+    return {names[i]: label_of_root[roots[i]] for i in range(len(uniq))}
+
+
+def _apply_touched_labels(all_nodes, touched: dict):
+    """all_nodes + {node: label} for edge-touched nodes -> full labels
+    (untouched nodes label themselves). Broadcast via ray.put."""
+    import ray
+
+    ref = ray.put(touched)
+
+    class Apply:
+        def __init__(self, r):
+            self.touched = ray.get(r)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            nodes = t["conv_id"].to_pylist()
+            labels = [self.touched.get(n, n) for n in nodes]
+            return pa.table({"node": pa.array(nodes, pa.string()),
+                             "label": pa.array(labels, pa.string())})
+
+    return all_nodes.map_batches(Apply, fn_constructor_args=(ref,),
+                                 batch_format="pyarrow",
+                                 concurrency=(1, 4)).materialize()
+
+
+def connected_components(edges, all_nodes, cfg: EngineConfig = DEFAULT_CONFIG,
+                         max_rounds: int = MAX_ROUNDS):
+    """edges (id_a, id_b) + all_nodes (conv_id) -> labels Dataset
+    ``(node, label)`` where label = min conv_id of the component.
+
+    Two paths (auto by edge count, like production CC implementations
+    that finish the shrunken graph centrally):
+
+    * driver DSU when the edge list fits comfortably on the driver
+      (<= cfg.cc_driver_max_edges) — match graphs are vastly smaller
+      than the input;
+    * distributed min-label rounds otherwise, restricted to the nodes
+      that appear in edges (singletons never enter a shuffle), with the
+      final label map applied to all_nodes at the end.
+    """
+    edges_mat = edges.materialize()
+    n_edges = edges_mat.count()
+    if n_edges == 0:
+        return _identity_labels(all_nodes)
+
+    if n_edges <= cfg.cc_driver_max_edges:
+        touched = _driver_union_find(edges_mat.to_pandas())
+        return _apply_touched_labels(all_nodes, touched)
+
+    # --- distributed path: only edge-touched nodes iterate ---
+    edges_bd = _bidir(edges_mat).materialize()
     nparts = cfg.resolve_join_partitions()
+    labels = (
+        edges_bd.groupby("src").min("dst")
+        .rename_columns({"src": "node", "min(dst)": "label"})
+        .map_batches(
+            lambda t: pa.table({
+                "node": t["node"],
+                "label": pc.min_element_wise(t["node"], t["label"]),
+            }), batch_format="pyarrow")
+        .materialize()
+    )
     prev_sum = _label_checksum(labels)
     for _ in range(max_rounds):
-        # neighbor labels: edges(src,dst) ⋈ labels(node=src) -> (dst, label)
         prop = safe_join(
             edges_bd, labels.rename_columns({"node": "src"}),
             join_type="inner", num_partitions=nparts, on=("src",),
@@ -100,7 +185,22 @@ def connected_components(edges, all_nodes, cfg: EngineConfig = DEFAULT_CONFIG,
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
-    return labels
+
+    # untouched singletons label themselves: left join all_nodes <- labels
+    full = safe_join(
+        all_nodes.map_batches(
+            lambda t: pa.table({"node": t["conv_id"]}), batch_format="pyarrow"),
+        labels, join_type="left_outer", num_partitions=nparts, on=("node",),
+    )
+
+    def fill(t: pa.Table) -> pa.Table:
+        if "label" not in t.column_names or len(t) == 0:
+            return pa.schema([("node", pa.string()),
+                              ("label", pa.string())]).empty_table()
+        lab = pc.coalesce(t["label"], t["node"])
+        return pa.table({"node": t["node"], "label": lab})
+
+    return full.map_batches(fill, batch_format="pyarrow")
 
 
 def resolve_entities(classified, all_nodes, cfg: EngineConfig = DEFAULT_CONFIG):

@@ -70,17 +70,30 @@ def _emit_group_pairs(ids: np.ndarray, starts: np.ndarray, sizes: np.ndarray,
     return pd.DataFrame({"id_a": ids[i_idx], "id_b": ids[j_idx]})
 
 
+def _hash_keys(df: pd.DataFrame) -> pd.DataFrame:
+    """(key_type, key_value, conv_id) -> (kh: uint64, conv_id).
+
+    Sorting/grouping on one fixed-width hash instead of two long strings
+    halves the shuffle bytes and the compare cost; a 64-bit collision
+    merges two blocks' candidates (scored and filtered anyway) with
+    probability ~(#keys)^2/2^64 — immaterial."""
+    kh = pd.util.hash_array(
+        (df["key_type"].astype(str) + "\x00" + df["key_value"].astype(str))
+        .to_numpy(dtype=object))
+    return pd.DataFrame({"kh": kh, "conv_id": df["conv_id"]})
+
+
 def _block_pairs(df: pd.DataFrame, cap: int) -> pd.DataFrame:
-    """One sorted block of the key table -> pairs for interior groups +
-    raw rows (id_b = None) for the block's first/last group."""
-    df = df.sort_values(["key_type", "key_value", "conv_id"], kind="stable")
+    """One sorted block of the hashed key table -> pairs for interior
+    groups + raw rows (id_b = None, kh kept) for the block's first/last
+    group."""
+    df = df.sort_values(["kh", "conv_id"], kind="stable")
     ids = df["conv_id"].to_numpy()
-    key = (df["key_type"].astype(str) + "\x00" + df["key_value"].astype(str)).to_numpy()
+    key = df["kh"].to_numpy()
     n = len(key)
     if n == 0:
         return pd.DataFrame({**_EMPTY_PAIRS,
-                             "key_type": pd.Series([], dtype="string"),
-                             "key_value": pd.Series([], dtype="string")})
+                             "kh": pd.Series([], dtype="uint64")})
     boundaries = np.concatenate([[0], np.where(key[1:] != key[:-1])[0] + 1, [n]])
     starts = boundaries[:-1]
     sizes = np.diff(boundaries)
@@ -89,8 +102,9 @@ def _block_pairs(df: pd.DataFrame, cap: int) -> pd.DataFrame:
     interior[0] = False
     interior[-1] = False
     pairs = _emit_group_pairs(ids, starts[interior], sizes[interior], cap)
-    pairs["key_type"] = pd.Series([None] * len(pairs), dtype="string")
-    pairs["key_value"] = pd.Series([None] * len(pairs), dtype="string")
+    # local distinct: same pair from multiple co-located key groups
+    pairs = pairs.drop_duplicates(ignore_index=True)
+    pairs["kh"] = np.uint64(0)
     # edge groups: pass rows through for the merge stage
     edge_rows = np.concatenate([
         np.arange(starts[g], starts[g] + sizes[g])
@@ -99,8 +113,7 @@ def _block_pairs(df: pd.DataFrame, cap: int) -> pd.DataFrame:
     edges = pd.DataFrame({
         "id_a": ids[edge_rows],
         "id_b": pd.Series([None] * len(edge_rows), dtype="string"),
-        "key_type": df["key_type"].to_numpy()[edge_rows],
-        "key_value": df["key_value"].to_numpy()[edge_rows],
+        "kh": key[edge_rows],
     })
     return pd.concat([pairs, edges], ignore_index=True)
 
@@ -148,7 +161,8 @@ def generate_pairs(keys, cfg: EngineConfig = DEFAULT_CONFIG):
     """key table Dataset -> distinct candidate pair Dataset (id_a, id_b)."""
     cap = cfg.max_block_records
     tagged = (
-        keys.sort(["key_type", "key_value", "conv_id"])
+        keys.map_batches(_hash_keys, batch_format="pandas")
+        .sort(["kh", "conv_id"])
         .map_batches(_block_pairs, fn_kwargs={"cap": cap},
                      batch_format="pandas", batch_size=None)
         .materialize()
@@ -156,18 +170,20 @@ def generate_pairs(keys, cfg: EngineConfig = DEFAULT_CONFIG):
     import pyarrow.compute as pc
 
     interior_pairs = tagged.map_batches(
-        lambda t: t.filter(pc.is_valid(t["id_b"])), batch_format="pyarrow"
-    ).select_columns(["id_a", "id_b"])
+        lambda t: t.filter(pc.is_valid(t["id_b"])).select(["id_a", "id_b"]),
+        batch_format="pyarrow",
+    )
     edge_rows = tagged.map_batches(
-        lambda t: t.filter(pc.is_null(t["id_b"])), batch_format="pyarrow"
-    ).drop_columns(["id_b"]).materialize()
+        lambda t: t.filter(pc.is_null(t["id_b"])).select(["kh", "id_a"]),
+        batch_format="pyarrow",
+    ).materialize()
     result = interior_pairs
     # guard: map_groups over an empty dataset yields a zero-column block
     # that would poison the union/join schema; edge rows are O(#blocks)
     # and `tagged` is materialized, so this count is driver-cheap
     if edge_rows.count() > 0:
         edge_pairs = (
-            edge_rows.groupby(["key_type", "key_value"])
+            edge_rows.groupby("kh")
             .map_groups(_edge_group_pairs, fn_kwargs={"cap": cap},
                         batch_format="pandas")
             .map_batches(_coerce_pair_schema, batch_format="pyarrow")

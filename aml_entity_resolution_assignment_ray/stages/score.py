@@ -47,6 +47,19 @@ def _col(df: pd.DataFrame, name: str) -> np.ndarray:
     return df[name].fillna("").astype(str).to_numpy()
 
 
+def _memo_pairs(a: np.ndarray, b: np.ndarray, kernel) -> np.ndarray:
+    """Run a batch string-pair kernel on UNIQUE (a, b) pairs only and
+    scatter back — real-world fields repeat heavily (common names,
+    shared streets), so this cuts the O(len^2) DP work severalfold."""
+    combined = np.char.add(np.char.add(a.astype(str), "\x1f"), b.astype(str))
+    uniq, first_idx, inv = np.unique(combined, return_index=True,
+                                     return_inverse=True)
+    if len(uniq) >= 0.9 * len(a):
+        return kernel(a, b)
+    vals = kernel(a[first_idx], b[first_idx])
+    return vals[inv]
+
+
 def compute_pair_features(df: pd.DataFrame) -> pd.DataFrame:
     """Hydrated pair batch -> feature columns (matching.py:260-295)."""
     n = len(df)
@@ -59,21 +72,25 @@ def compute_pair_features(df: pd.DataFrame) -> pd.DataFrame:
     nid_score = np.zeros(n, dtype=np.float64)
     if both.any():
         # Damerau-Levenshtein on the present subset only (matching.py:263-266)
-        d = damerau_levenshtein_batch(nid_a[both], nid_b[both]).astype(np.float64)
+        d = _memo_pairs(nid_a[both], nid_b[both],
+                        damerau_levenshtein_batch).astype(np.float64)
         mx = np.maximum(len_a[both], len_b[both]).astype(np.float64)
         nid_score[both] = np.where(d == 0, 1.0, 1.0 - d / mx)
     out["nid_score"] = nid_score
     out["nid_both_present"] = both.astype(np.int64)
 
-    out["email_score"] = jaro_winkler_batch(_col(df, "norm_email_a"), _col(df, "norm_email_b"))
+    out["email_score"] = _memo_pairs(
+        _col(df, "norm_email_a"), _col(df, "norm_email_b"), jaro_winkler_batch)
 
     ph_a, ph_b = _col(df, "norm_phone_a"), _col(df, "norm_phone_b")
     out["phone_match"] = ((ph_a != "") & (ph_b != "") & (ph_a == ph_b)).astype(np.int64)
 
-    out["first_name_score"] = jaro_winkler_batch(
-        _col(df, "norm_first_name_a"), _col(df, "norm_first_name_b"))
-    out["last_name_score"] = jaro_winkler_batch(
-        _col(df, "norm_last_name_a"), _col(df, "norm_last_name_b"))
+    out["first_name_score"] = _memo_pairs(
+        _col(df, "norm_first_name_a"), _col(df, "norm_first_name_b"),
+        jaro_winkler_batch)
+    out["last_name_score"] = _memo_pairs(
+        _col(df, "norm_last_name_a"), _col(df, "norm_last_name_b"),
+        jaro_winkler_batch)
 
     ad_a, ad_b = _col(df, "norm_address_a"), _col(df, "norm_address_b")
     la = np.fromiter((len(s) for s in ad_a), count=n, dtype=np.int64)
@@ -81,7 +98,8 @@ def compute_pair_features(df: pd.DataFrame) -> pd.DataFrame:
     aboth = (la > 0) & (lb > 0)
     addr = np.zeros(n, dtype=np.float64)
     if aboth.any():
-        d = levenshtein_batch(ad_a[aboth], ad_b[aboth]).astype(np.float64)
+        d = _memo_pairs(ad_a[aboth], ad_b[aboth],
+                        levenshtein_batch).astype(np.float64)
         mx = np.maximum(la[aboth], lb[aboth]).astype(np.float64)
         addr[aboth] = 1.0 - d / mx
     out["addr_score"] = addr
@@ -220,6 +238,51 @@ def score_pairs(hydrated, cfg: EngineConfig = DEFAULT_CONFIG):
     return hydrated.map_batches(
         PairScorer,
         fn_constructor_args=(cfg,),
+        batch_format="pandas",
+        batch_size=cfg.batch_size,
+        concurrency=cfg.actor_pool_range(),
+    )
+
+
+class FusedHydrateScorer(PairScorer):
+    """Broadcast-hydration + scoring in ONE actor stage: the (id_a, id_b)
+    pair batch is joined against the broadcast profile lookup in-process
+    and scored immediately — the wide hydrated pair table never hits the
+    object store (it is ~8x the size of the pair list)."""
+
+    def __init__(self, lookup_ref, cfg: EngineConfig = DEFAULT_CONFIG):
+        super().__init__(cfg)
+        import ray
+
+        from .hydrate import _AB_COLS
+
+        lookup: pd.DataFrame = ray.get(lookup_ref)
+        self.lookup = lookup.set_index("conv_id")
+        self.ab_cols = _AB_COLS
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        a = self.lookup.reindex(df["id_a"].to_numpy())
+        b = self.lookup.reindex(df["id_b"].to_numpy())
+        wide = pd.DataFrame({"id_a": df["id_a"].to_numpy(),
+                             "id_b": df["id_b"].to_numpy()})
+        for c in self.ab_cols:
+            wide[f"{c}_a"] = a[c].to_numpy()
+            wide[f"{c}_b"] = b[c].to_numpy()
+        return super().__call__(wide)
+
+
+def score_pairs_broadcast(pairs, norm_profiles, cfg: EngineConfig = DEFAULT_CONFIG):
+    """pairs + profiles -> classified pairs without a hydrated
+    intermediate (broadcast strategy only)."""
+    import ray
+
+    from .block import SCORING_COLS
+
+    lookup = norm_profiles.select_columns(SCORING_COLS).to_pandas()
+    ref = ray.put(lookup)
+    return pairs.map_batches(
+        FusedHydrateScorer,
+        fn_constructor_args=(ref, cfg),
         batch_format="pandas",
         batch_size=cfg.batch_size,
         concurrency=cfg.actor_pool_range(),

@@ -1,0 +1,88 @@
+"""Checkpoint / resume tests (north_rule: killed runs resume; stale
+configs invalidate)."""
+
+import json
+import os
+import shutil
+
+import pytest
+
+from aml_entity_resolution_assignment_ray.config import EngineConfig
+from aml_entity_resolution_assignment_ray.pipelines.checkpointed import (
+    run_flagship_checkpointed,
+)
+from aml_entity_resolution_assignment_ray.sources.synth import write_corpus
+from aml_entity_resolution_assignment_ray.state.checkpoint import CheckpointManager
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("ckpt_corpus"))
+    write_corpus(d, shards=4, n_entities=120, seed=43, doppelganger_rate=0.0)
+    return os.path.join(d, "transcripts")
+
+
+def test_checkpointed_run_and_resume(ray_session, corpus_dir, tmp_path):
+    root = str(tmp_path / "ckpts")
+    cfg = EngineConfig(join_num_partitions=4)
+
+    res1 = run_flagship_checkpointed(corpus_dir, root, cfg)
+    ev1 = {e["stage"]: e["action"] for e in res1["manager"].events}
+    assert ev1 == {"profiles": "built", "pairs": "built",
+                   "classified": "built", "clusters": "built"}
+    pred1 = res1["predictions"].to_pandas().sort_values("conv_id") \
+        .reset_index(drop=True)
+
+    # resume: everything reused, identical output
+    res2 = run_flagship_checkpointed(corpus_dir, root, cfg)
+    ev2 = {e["stage"]: e["action"] for e in res2["manager"].events}
+    assert ev2 == {"profiles": "reused", "pairs": "reused",
+                   "classified": "reused", "clusters": "reused"}
+    pred2 = res2["predictions"].to_pandas().sort_values("conv_id") \
+        .reset_index(drop=True)
+    assert pred1.equals(pred2)
+
+    # kill-after-stage-k: drop the classified+clusters checkpoints;
+    # profiles/pairs must be reused, later stages rebuilt, output equal
+    for name in ("classified", "clusters"):
+        shutil.rmtree(os.path.join(root, "flagship", name))
+        os.remove(os.path.join(root, "flagship", f"{name}.manifest.json"))
+    res3 = run_flagship_checkpointed(corpus_dir, root, cfg)
+    ev3 = {e["stage"]: e["action"] for e in res3["manager"].events}
+    assert ev3 == {"profiles": "reused", "pairs": "reused",
+                   "classified": "built", "clusters": "built"}
+    pred3 = res3["predictions"].to_pandas().sort_values("conv_id") \
+        .reset_index(drop=True)
+    assert pred1.equals(pred3)
+
+
+def test_manifest_contents(ray_session, corpus_dir, tmp_path):
+    root = str(tmp_path / "ck2")
+    cfg = EngineConfig(join_num_partitions=4)
+    run_flagship_checkpointed(corpus_dir, root, cfg)
+    with open(os.path.join(root, "flagship", "pairs.manifest.json")) as f:
+        m = json.load(f)
+    assert m["stage"] == "pairs"
+    assert m["deps"] == ["profiles"]
+    assert m["rows"] > 0 and m["wall_s"] > 0
+    assert m["n_partitions"] == len(m["partitions"]) >= 1
+    assert sum(p["rows"] for p in m["partitions"]) == m["rows"]
+    assert all(p["bytes"] > 0 for p in m["partitions"])
+
+
+def test_config_change_invalidates(ray_session, corpus_dir, tmp_path):
+    root = str(tmp_path / "ck3")
+    res1 = run_flagship_checkpointed(
+        corpus_dir, root, EngineConfig(join_num_partitions=4))
+    assert all(e["action"] == "built" for e in res1["manager"].events)
+    # different blocking config -> different lineage -> full rebuild
+    res2 = run_flagship_checkpointed(
+        corpus_dir, root,
+        EngineConfig(join_num_partitions=4, max_block_records=500))
+    assert all(e["action"] == "built" for e in res2["manager"].events)
+
+
+def test_dependency_ordering_enforced(tmp_path):
+    mgr = CheckpointManager(str(tmp_path / "ck4"))
+    with pytest.raises(ValueError):
+        mgr.lineage_hash("b", ["never_built"])

@@ -18,6 +18,9 @@ from aml_entity_resolution_assignment_ray.stages.evaluate import (
 )
 
 CFG = EngineConfig(model_path="", join_num_partitions=4)
+# cc_driver_max_edges=0 forces the distributed min-label-round path
+CFG_DIST = EngineConfig(model_path="", join_num_partitions=4,
+                        cc_driver_max_edges=0)
 
 
 def _py_components(nodes, edges):
@@ -37,11 +40,11 @@ def _py_components(nodes, edges):
     return {n: find(n) for n in nodes}
 
 
-@pytest.mark.parametrize("seed", [0, 1])
-def test_connected_components_random_graph(ray_session, seed):
+@pytest.mark.parametrize("cfg", [CFG, CFG_DIST], ids=["driver", "distributed"])
+def test_connected_components_random_graph(ray_session, cfg):
     import ray.data as rd
 
-    rng = random.Random(seed)
+    rng = random.Random(0)
     nodes = [f"n{i:03d}" for i in range(120)]
     edges = []
     # a few chains and cliques + isolated nodes
@@ -53,7 +56,7 @@ def test_connected_components_random_graph(ray_session, seed):
     nodes_ds = rd.from_arrow(pa.table({"conv_id": nodes}))
     edges_ds = rd.from_arrow(pa.table({
         "id_a": [e[0] for e in edges], "id_b": [e[1] for e in edges]}))
-    labels = connected_components(edges_ds, nodes_ds, CFG).to_pandas()
+    labels = connected_components(edges_ds, nodes_ds, cfg).to_pandas()
     got = dict(zip(labels["node"], labels["label"]))
     assert got == expected
 
