@@ -1,0 +1,136 @@
+"""CLI entry points, mirroring the reference's module invocations
+(reference README.MD:32-48: ``python -m src.generation`` ->
+``src.preprocessing`` -> ``src.train_model`` -> ``src.matching``):
+
+    python -m aml_entity_resolution_assignment_ray generate --out DIR --entities N
+    python -m aml_entity_resolution_assignment_ray train --corpus DIR --model-out PATH
+    python -m aml_entity_resolution_assignment_ray match --corpus DIR --checkpoints DIR
+    python -m aml_entity_resolution_assignment_ray evaluate --corpus DIR --checkpoints DIR
+
+The CLI owns the Ray session (guarded init); library code never calls
+ray.init itself (driver contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False,
+                  "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_generate(args):
+    from .sources.synth import write_corpus
+
+    meta = write_corpus(args.out, shards=args.shards,
+                        n_entities=args.entities, seed=args.seed,
+                        doppelganger_rate=args.doppelganger_rate)
+    print(json.dumps({"out": args.out, **meta}))
+
+
+def cmd_train(args):
+    _init_ray(args.num_cpus)
+    import ray
+    import ray.data as rd
+
+    from .config import EngineConfig
+    from .pipelines.train import train_model
+
+    transcripts = rd.read_parquet(os.path.join(args.corpus, "transcripts"))
+    truth = rd.read_parquet(os.path.join(args.corpus, "truth.parquet"))
+    cfg = EngineConfig(model_path="")
+    model, report = train_model(transcripts, truth, cfg,
+                                save_path=args.model_out)
+    print(json.dumps({"model": args.model_out, **report}))
+    ray.shutdown()
+
+
+def cmd_match(args):
+    _init_ray(args.num_cpus)
+    import ray
+
+    from .config import EngineConfig
+    from .pipelines.checkpointed import run_flagship_checkpointed
+
+    cfg = EngineConfig(**({"model_path": args.model} if args.model else {}))
+    res = run_flagship_checkpointed(
+        os.path.join(args.corpus, "transcripts"), args.checkpoints, cfg)
+    out = {
+        "stages": res["manager"].events,
+        "clusters": int(res["predictions"].count()),
+    }
+    print(json.dumps(out))
+    ray.shutdown()
+
+
+def cmd_evaluate(args):
+    _init_ray(args.num_cpus)
+    import ray
+    import ray.data as rd
+
+    from .config import EngineConfig
+    from .pipelines.checkpointed import run_flagship_checkpointed
+    from .stages.evaluate import labeled_pair_eval, pairwise_eval
+
+    cfg = EngineConfig(**({"model_path": args.model} if args.model else {}))
+    res = run_flagship_checkpointed(
+        os.path.join(args.corpus, "transcripts"), args.checkpoints, cfg)
+    truth = rd.read_parquet(os.path.join(args.corpus, "truth.parquet"))
+    print(json.dumps({
+        "pair_eval": labeled_pair_eval(res["classified"], truth, cfg),
+        "cluster_eval": pairwise_eval(res["predictions"], truth,
+                                      res["classified"], cfg),
+    }))
+    ray.shutdown()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="aml_entity_resolution_assignment_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate", help="write a synthetic transcript corpus")
+    g.add_argument("--out", required=True)
+    g.add_argument("--entities", type=int, default=1000)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--shards", type=int, default=16)
+    g.add_argument("--doppelganger-rate", type=float, default=0.05)
+    g.set_defaults(fn=cmd_generate)
+
+    t = sub.add_parser("train", help="train the match-probability model")
+    t.add_argument("--corpus", required=True)
+    t.add_argument("--model-out", required=True)
+    t.set_defaults(fn=cmd_train)
+
+    m = sub.add_parser("match", help="run the checkpointed ER pipeline")
+    m.add_argument("--corpus", required=True)
+    m.add_argument("--checkpoints", required=True)
+    m.add_argument("--model", default=None)
+    m.set_defaults(fn=cmd_match)
+
+    e = sub.add_parser("evaluate", help="pipeline + pairwise F1 vs truth")
+    e.add_argument("--corpus", required=True)
+    e.add_argument("--checkpoints", required=True)
+    e.add_argument("--model", default=None)
+    e.set_defaults(fn=cmd_evaluate)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

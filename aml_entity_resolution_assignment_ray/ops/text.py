@@ -81,7 +81,7 @@ def quality_batch(df: pd.DataFrame, col: str = "text") -> pd.DataFrame:
         + np.clip(1.0 - out["digit_ratio"].to_numpy() * 4, 0, 1) * 0.2
         + np.clip(out["stopword_ratio"].to_numpy() * 3, 0, 1) * 0.3
     )
-    out["quality_score"] = score
+    out["quality_score"] = np.where(n.to_numpy() == 0, 0.0, score)
     return out
 
 

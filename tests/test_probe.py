@@ -1,0 +1,57 @@
+"""Single-record probe tests (reference /resolve semantics; the
+notebook's demo cases: easy match / same-name stranger / no match)."""
+
+import pytest
+
+from aml_entity_resolution_assignment_ray.config import EngineConfig
+from aml_entity_resolution_assignment_ray.pipelines.flagship import build_profiles
+from aml_entity_resolution_assignment_ray.pipelines.probe import resolve_record
+from aml_entity_resolution_assignment_ray.sources.synth import generate_corpus
+from aml_entity_resolution_assignment_ray.stages.block import emit_keys
+
+
+@pytest.fixture(scope="module")
+def probe_env(ray_session):
+    import ray.data as rd
+
+    transcripts, truth, records = generate_corpus(
+        n_entities=120, seed=43, doppelganger_rate=0.0)
+    cfg = EngineConfig(join_num_partitions=4)
+    norm = build_profiles(rd.from_arrow(transcripts), cfg).materialize()
+    keys = emit_keys(norm, cfg).materialize()
+    return {"norm": norm, "keys": keys, "cfg": cfg, "records": records}
+
+
+def test_probe_exact_record_matches(probe_env):
+    rec = probe_env["records"][0]  # golden observation of entity 0
+    out = resolve_record(rec, probe_env["norm"], probe_env["keys"],
+                         probe_env["cfg"])
+    assert len(out) > 0
+    top = out.iloc[0]
+    assert top["match_type"] == "match"
+    assert top["conv_id"] == rec["conv_id"]
+    assert top["confidence_score"] >= 0.9
+
+
+def test_probe_same_name_stranger(probe_env):
+    rec = dict(probe_env["records"][0])
+    # same name, different everything else -> must not auto-match
+    rec["dob"] = "1912-12-01"
+    rec["national_id"] = "XXXXXXXX999"
+    rec["email"] = "someone.else@nowhere.example"
+    rec["phone_number"] = "+1 (999) 111-2222"
+    rec["address"] = "9999 Nonexistent Way"
+    out = resolve_record(rec, probe_env["norm"], probe_env["keys"],
+                         probe_env["cfg"])
+    if len(out):
+        assert (out["match_type"] != "match").all()
+
+
+def test_probe_gibberish_no_candidates(probe_env):
+    rec = {"first_name": "Zzq", "last_name": "Vvwk", "dob": "1901-01-01",
+           "email": "zq@vv.zz", "phone_number": "0000001",
+           "national_id": "QQQ111222333", "address": "Void 0",
+           "city": "Nowhere", "country": "US"}
+    out = resolve_record(rec, probe_env["norm"], probe_env["keys"],
+                         probe_env["cfg"])
+    assert len(out) == 0 or (out["match_type"] == "no_match").all()
