@@ -54,10 +54,13 @@ def _init_ray(num_cpus: int):
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
-    # scale shuffle parallelism to the session size
-    ctx.min_parallelism = max(8, num_cpus * 2)
-    ctx.default_hash_shuffle_parallelism = max(8, num_cpus * 2)
-    ctx.read_op_min_num_blocks = max(8, num_cpus * 2)
+    # DATA-driven partitioning, fixed across cluster sizes (at 100 TB the
+    # partition count follows block size, not CPU count) — also what makes
+    # the two scaling runs comparable
+    nparts = int(os.environ.get("GRAFT_BENCH_PARTITIONS", "32"))
+    ctx.min_parallelism = nparts
+    ctx.default_hash_shuffle_parallelism = nparts
+    ctx.read_op_min_num_blocks = nparts
 
 
 def run_headline(num_cpus: int) -> dict:
@@ -67,8 +70,10 @@ def run_headline(num_cpus: int) -> dict:
     from aml_entity_resolution_assignment_ray.config import EngineConfig
     from aml_entity_resolution_assignment_ray.pipelines.flagship import run_flagship
 
-    n_entities = _SF_ENTITIES.get(_sf_name(), 1000)
-    cdir = _corpus_dir(n_entities)
+    cdir = os.environ.get("GRAFT_SCALING_CORPUS")
+    if not cdir:
+        n_entities = _SF_ENTITIES.get(_sf_name(), 1000)
+        cdir = _corpus_dir(n_entities)
     transcripts = rd.read_parquet(os.path.join(cdir, "transcripts"))
     n_turns = transcripts.count()
     t0 = time.time()
@@ -124,29 +129,43 @@ def run_queries() -> dict:
 
 def main():
     if "--scaling" in sys.argv:
-        # pre-generate the corpus so both runs read identical input
-        _corpus_dir(_SF_ENTITIES.get(_sf_name(), 1000))
+        # The N vs 4N cluster-size criterion, evidenced locally: the SAME
+        # job in two fresh processes at num_cpus=N and 4N on identical
+        # on-disk input. Defaults: N=4 (both runs undersubscribe the
+        # 32-core box, approximating independent clusters) and a corpus
+        # large enough that parallel work dominates the fixed driver
+        # overhead (see BASELINE.md "scaling methodology").
+        n_small = int(os.environ.get("GRAFT_SCALING_CPUS", "4"))
+        n_big = 4 * n_small
+        n_entities = int(os.environ.get("GRAFT_SCALING_ENTITIES", "200000"))
+        cdir = f"/tmp/er_bench_corpus_{n_entities}"
+        from aml_entity_resolution_assignment_ray.sources.synth import write_corpus
+
+        write_corpus(cdir, shards=64, n_entities=n_entities, seed=43,
+                     doppelganger_rate=0.0)
         results = {}
-        for cpus in (8, 32):
+        for cpus in (n_small, n_big):
             out = subprocess.run(
                 [sys.executable, __file__, "--headline-json"],
-                env={**os.environ, "RAY_GRAFT_CPUS": str(cpus)},
-                capture_output=True, text=True, timeout=3600,
+                env={**os.environ, "RAY_GRAFT_CPUS": str(cpus),
+                     "GRAFT_SCALING_CORPUS": cdir},
+                capture_output=True, text=True, timeout=5400,
             )
             line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
             results[cpus] = json.loads(line)
-        thr8 = results[8]["turns_per_sec"]
-        thr32 = results[32]["turns_per_sec"]
-        eff = (thr32 / thr8) / (32 / 8)
+        thr_s = results[n_small]["turns_per_sec"]
+        thr_b = results[n_big]["turns_per_sec"]
+        eff = (thr_b / thr_s) / 4.0
         print(json.dumps({
             "metric": "flagship_scaling",
-            "sf": _sf_name(),
-            "throughput_8cpu": round(thr8, 1),
-            "throughput_32cpu": round(thr32, 1),
-            "speedup": round(thr32 / thr8, 3),
+            "n_entities": n_entities,
+            "n_turns": results[n_small]["n_turns"],
+            f"throughput_{n_small}cpu": round(thr_s, 1),
+            f"throughput_{n_big}cpu": round(thr_b, 1),
+            "speedup": round(thr_b / thr_s, 3),
             "scaling_efficiency": round(eff, 3),
-            "wall_8cpu": round(results[8]["wall_sec"], 2),
-            "wall_32cpu": round(results[32]["wall_sec"], 2),
+            f"wall_{n_small}cpu": round(results[n_small]["wall_sec"], 2),
+            f"wall_{n_big}cpu": round(results[n_big]["wall_sec"], 2),
         }))
         return
 
