@@ -35,14 +35,11 @@ def _read(sf_dir: str, table: str):
 
 def _tune_context():
     """Small-data context: default 200-way shuffles drown test inputs."""
-    from ray.data import DataContext
+    from aml_entity_resolution_assignment_ray.util import tune_context
 
-    ctx = DataContext.get_current()
-    ctx.enable_progress_bars = False
+    ctx = tune_context()
     if ctx.min_parallelism > 32:
-        ctx.min_parallelism = 16
-        ctx.default_hash_shuffle_parallelism = 16
-        ctx.read_op_min_num_blocks = 16
+        tune_context(nparts=16)
 
 
 def _corpus_entities(sf_dir: str) -> int:

@@ -28,9 +28,9 @@ def _init_ray(num_cpus: int | None):
         if num_cpus:
             kwargs["num_cpus"] = num_cpus
         ray.init(**kwargs)
-    from ray.data import DataContext
+    from .util import tune_context
 
-    DataContext.get_current().enable_progress_bars = False
+    tune_context()
 
 
 def cmd_generate(args):

@@ -113,6 +113,80 @@ def batch_shingle_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
     return out_parts, counts
 
 
+_U64_BASE = np.uint64(1_000_003)
+
+
+def batch_window_hashes(texts, q: int, base: np.uint64 = _U64_BASE,
+                        lowercase: bool = False) -> tuple[np.ndarray, np.ndarray]:
+    """64-bit polynomial hashes of every ``q``-char window of every text,
+    fully vectorized across the batch.
+
+    Returns (flat_hashes: uint64, counts: int64) in row-major order;
+    strings shorter than ``q`` (but non-empty) contribute one
+    whole-string hash, empty strings contribute none.  The hash is
+    ``sum(code[i] * base^(w-1-i)) mod 2^64`` — the same value the
+    per-document rolling-hash loop produced, so goldens are stable.
+    """
+    texts = ["" if t is None else str(t) for t in texts]
+    if lowercase:
+        texts = [t.lower() for t in texts]
+    n = len(texts)
+    lens = np.fromiter((len(t) for t in texts), count=n, dtype=np.int64)
+    counts = np.where(lens == 0, 0, np.maximum(lens - q + 1, 1))
+    lmax = int(lens.max()) if n else 0
+    if lmax == 0:
+        return np.zeros(0, dtype=np.uint64), counts
+    flat_codes = np.frombuffer("".join(texts).encode("utf-32-le"), dtype=np.uint32)
+    mat = np.zeros((n, lmax), dtype=np.uint64)
+    valid = np.arange(lmax)[None, :] < lens[:, None]
+    mat[valid] = flat_codes
+    with np.errstate(over="ignore"):
+        w = lmax - q + 1
+        if w > 0:
+            acc = np.zeros((n, w), dtype=np.uint64)
+            p = np.uint64(1)
+            for j in range(q - 1, -1, -1):
+                acc += mat[:, j : j + w] * p
+                p = p * base
+            win_valid = np.arange(w)[None, :] < (lens - q + 1)[:, None]
+        else:
+            acc = np.zeros((n, 0), dtype=np.uint64)
+            win_valid = np.zeros((n, 0), dtype=bool)
+        out_parts = acc[win_valid]
+        short = (lens > 0) & (lens < q)
+        if short.any():
+            # Horner whole-string hash for the short strings
+            h = np.zeros(n, dtype=np.uint64)
+            for c in range(min(lmax, q - 1)):
+                active = c < lens
+                h = np.where(active, h * base + mat[:, c], h)
+            flat = np.empty(int(counts.sum()), dtype=np.uint64)
+            ends = np.cumsum(counts)
+            starts = ends - counts
+            pos_mask = np.zeros(len(flat), dtype=bool)
+            pos_mask[starts[short]] = True
+            flat[pos_mask] = h[short]
+            flat[~pos_mask] = out_parts
+            return flat, counts
+    return out_parts, counts
+
+
+def unique_per_doc(flat: np.ndarray, counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-document sorted-unique reduction of row-major (flat, counts):
+    returns (uniq_flat, uniq_counts) where each doc's slice is its sorted
+    distinct hash values — the set representation q-gram Jaccard needs."""
+    n = len(counts)
+    if len(flat) == 0:
+        return flat, np.zeros(n, dtype=np.int64)
+    doc_idx = np.repeat(np.arange(n), counts)
+    order = np.lexsort((flat, doc_idx))
+    fs, dsx = flat[order], doc_idx[order]
+    keep = np.ones(len(fs), dtype=bool)
+    keep[1:] = (fs[1:] != fs[:-1]) | (dsx[1:] != dsx[:-1])
+    uniq_flat, uniq_doc = fs[keep], dsx[keep]
+    return uniq_flat, np.bincount(uniq_doc, minlength=n).astype(np.int64)
+
+
 def minhash_batch(texts, num_perm: int, chunk_shingles: int = 65_536) -> np.ndarray:
     """MinHash signatures for a batch of strings -> (N, num_perm) uint64.
 

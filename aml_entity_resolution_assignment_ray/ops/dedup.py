@@ -1,19 +1,30 @@
 """Deduplication operators for a document table.
 
-* exact_dedup           — hash-partition groupby, keep min id per text
+* exact_dedup           — 128-bit text digest -> hash groupby (min id)
+                          -> id join back for the representative text;
+                          the shuffle key is 16 bytes, never the text
 * minhash_lsh_dup_pairs — shingle -> MinHash -> banded LSH buckets ->
                           candidate pairs -> exact signature-Jaccard
                           filter (reuses the ER engine's minhash kernels
                           and pair machinery — same shuffle shapes)
 * minhash_dedup         — pairs -> union-find -> (doc_id, canonical_id)
 * simhash_dup_pairs     — 64-bit SimHash + banded hamming buckets
-* ngram_jaccard_pairs   — exact character-q-gram Jaccard on candidates
+                          (band count derived from max_hamming so the
+                          pigeonhole recall guarantee always holds)
+* ngram_jaccard_pairs   — exact character-q-gram Jaccard; candidates via
+                          LSH (approximate recall net, scale path) or
+                          PREFIX FILTERING (lossless, the exact path)
 * embedding_dup_pairs   — cosine near-dup via random-hyperplane LSH
                           buckets + exact cosine filter
+* exact_cosine_pairs    — exact all-pairs cosine >= threshold
+                          (distributed block x broadcast-matrix)
 
-All shuffles are hash-shuffles on small fixed-width keys; document text
-never moves except where the exact verify step needs it (and then only
-for bucketed candidates, never all-pairs).
+Scale contract: all candidate generation is bucketed (never all-pairs
+except ``exact_cosine_pairs``, which is exact by definition), and NO
+stage materializes an input-sized table on the driver.  Verify state
+(signatures / gram sets / vectors) is hydrated onto the pair table
+either by hash-shuffle joins (scale path) or as OBJECT-STORE BLOCK REFS
+fetched once per verify actor — the driver only ever handles refs.
 """
 
 from __future__ import annotations
@@ -26,59 +37,151 @@ from ..config import DEFAULT_CONFIG, EngineConfig
 from ..functions import minhash as mh
 from ..stages.cluster import connected_components
 from ..stages.pairs import generate_pairs
+from ..util import safe_join
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
 
 
-def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
+def _digest_batch(df: pd.DataFrame, col: str, id_col: str) -> pd.DataFrame:
+    """(text, id) -> (d1, d2, id): a 128-bit content digest as two
+    independently-keyed 64-bit hashes — the groupby/shuffle key is 16
+    bytes instead of the document text."""
+    t = df[col].fillna("").astype(str).to_numpy(dtype=object)
+    return pd.DataFrame({
+        "d1": pd.util.hash_array(t),
+        "d2": pd.util.hash_array(t, hash_key="e5d1a9935f3cd2a7"),
+        id_col: df[id_col],
+    })
+
+
+def exact_dedup(ds, col: str = "text", id_col: str = "doc_id",
+                cfg: EngineConfig = DEFAULT_CONFIG):
     """One row per distinct ``col`` value with the smallest id — the
     hash-partition + per-group-first pattern. Output columns:
-    (col, id_col)."""
-    return (
-        ds.select_columns([col, id_col])
-        .groupby(col)
+    (col, id_col).
+
+    The reference's analog is SQL ``GROUP BY`` on the raw value; here
+    the shuffle key is a 128-bit digest (collision probability
+    ~(#docs)^2 / 2^128 — immaterial) and the surviving representative's
+    text is fetched back by a unique-id hash join, so full document
+    bytes move exactly once."""
+    canon = (
+        ds.map_batches(_digest_batch, fn_kwargs={"col": col, "id_col": id_col},
+                       batch_format="pandas")
+        .groupby(["d1", "d2"])
         .min(id_col)
         .rename_columns({f"min({id_col})": id_col})
+        .select_columns([id_col])
+    )
+    return safe_join(
+        canon, ds.select_columns([col, id_col]), join_type="inner",
+        num_partitions=cfg.resolve_join_partitions(), on=(id_col,),
     )
 
 
-def _doc_band_keys(ds, col: str, id_col: str, num_perm: int, threshold: float,
-                   ngram: int = 3):
-    """documents -> long key table (key_type, key_value, conv_id) of LSH
-    band keys (conv_id carries the doc id, reusing the ER pair engine)."""
-    bands, rows = mh.optimal_param(threshold, num_perm)
-
-    def emit(df: pd.DataFrame) -> pd.DataFrame:
-        ids = df[id_col].astype(str).to_numpy()
-        sigs = mh.minhash_batch(df[col].fillna("").to_numpy(), num_perm)
-        bkeys = mh.band_keys(sigs, bands, rows)
-        n = len(df)
-        band_ids = np.tile(np.arange(bands), n)
-        flat = bkeys.reshape(-1)
-        vals = np.array(
-            [f"{b}:{format(v, 'x')}" for b, v in zip(band_ids, flat)],
-            dtype=object)
-        return pd.DataFrame({
-            "key_type": np.full(n * bands, "minhash", dtype=object),
-            "key_value": vals,
-            "conv_id": np.repeat(ids, bands),
-        })
-
-    return ds.map_batches(emit, batch_format="pandas")
+# --------------------------------------------------------------------------
+# payload hydration (shared by every verify stage)
+# --------------------------------------------------------------------------
 
 
-def minhash_lsh_dup_pairs(ds, col: str = "text", id_col: str = "doc_id",
-                          threshold: float = 0.7, num_perm: int = 128,
-                          cfg: EngineConfig = DEFAULT_CONFIG,
-                          verify: bool = True):
-    """Near-duplicate candidate pairs (id_a < id_b) whose estimated
-    signature Jaccard >= threshold."""
-    keys = _doc_band_keys(ds, col, id_col, num_perm, threshold)
-    pairs = generate_pairs(keys, cfg)
-    if not verify:
-        return pairs
-    # exact verify: hydrate signatures and filter on signature Jaccard
-    import ray
+def _payload_refs(payload):
+    """Materialized payload Dataset -> its non-empty block refs.  The
+    driver handles ONLY refs; block data stays in the object store and
+    is fetched once per verify actor."""
+    return [
+        ref
+        for bundle in payload.iter_internal_ref_bundles()
+        for ref, meta in bundle.blocks
+        if meta.num_rows
+    ]
 
-    sig_lookup = {}
+
+def _block_to_pandas(block) -> pd.DataFrame:
+    if isinstance(block, pd.DataFrame):
+        return block
+    from ray.data.block import BlockAccessor
+
+    return BlockAccessor.for_block(block).to_pandas()
+
+
+class _BroadcastVerify:
+    """map_batches actor: pairs batch -> verified pairs, looking payload
+    rows up in the broadcast (block-ref) payload table."""
+
+    def __init__(self, refs, fn):
+        import ray
+
+        parts = [_block_to_pandas(b) for b in ray.get(list(refs))]
+        df = (pd.concat(parts, ignore_index=True) if parts
+              else pd.DataFrame({"doc": pd.Series([], dtype="string")}))
+        self.index = pd.Index(df["doc"].astype(str))
+        self.df = df.reset_index(drop=True)
+        self.fn = fn
+
+    def __call__(self, pairs: pd.DataFrame) -> pd.DataFrame:
+        if not len(pairs):
+            return self.fn(None, None, pairs)
+        ia = self.index.get_indexer(pairs["id_a"].astype(str))
+        ib = self.index.get_indexer(pairs["id_b"].astype(str))
+        a = self.df.iloc[ia].reset_index(drop=True)
+        b = self.df.iloc[ib].reset_index(drop=True)
+        return self.fn(a, b, pairs.reset_index(drop=True))
+
+
+def _verify_pairs(pairs, payload, payload_cols, fn,
+                  cfg: EngineConfig, n_docs: int):
+    """pairs (id_a, id_b) + payload (doc, *payload_cols) -> verified
+    pairs via ``fn(a_rows, b_rows, pairs) -> filtered pairs``.
+
+    * broadcast (n_docs <= cfg.broadcast_max_rows): payload block refs
+      are shipped to an actor pool; fetched once per actor, zero
+      re-shipping per batch, nothing on the driver.
+    * join: two hash-shuffle joins hydrate the payload columns onto the
+      pair table — the 100-TB path."""
+    strategy = cfg.hydrate_strategy
+    if strategy == "auto":
+        strategy = "broadcast" if n_docs <= cfg.broadcast_max_rows else "join"
+
+    if strategy == "broadcast":
+        refs = _payload_refs(payload)
+        return pairs.map_batches(
+            _BroadcastVerify, fn_constructor_args=(refs, fn),
+            batch_format="pandas", concurrency=cfg.actor_pool_range(),
+        )
+
+    from ..stages.pairs import pair_schema
+
+    nparts = cfg.resolve_join_partitions()
+    ren_a = {"doc": "id_a", **{c: f"{c}_a" for c in payload_cols}}
+    ren_b = {"doc": "id_b", **{c: f"{c}_b" for c in payload_cols}}
+    wide = safe_join(
+        safe_join(pairs, payload.rename_columns(ren_a), join_type="inner",
+                  num_partitions=nparts, on=("id_a",),
+                  empty_left_schema=pair_schema()),
+        payload.rename_columns(ren_b), join_type="inner",
+        num_partitions=nparts, on=("id_b",),
+    )
+
+    def apply(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[[f"{c}_a" for c in payload_cols]].rename(
+            columns={f"{c}_a": c for c in payload_cols})
+        b = df[[f"{c}_b" for c in payload_cols]].rename(
+            columns={f"{c}_b": c for c in payload_cols})
+        return fn(a, b, df[["id_a", "id_b"]].reset_index(drop=True))
+
+    return wide.map_batches(apply, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# MinHash LSH
+# --------------------------------------------------------------------------
+
+
+def _sig_table(ds, col: str, id_col: str, num_perm: int):
+    """documents -> materialized (doc, sig) payload; signatures are
+    computed ONCE and reused for both banding and verification."""
 
     def collect(df: pd.DataFrame) -> pd.DataFrame:
         sigs = mh.minhash_batch(df[col].fillna("").to_numpy(), num_perm)
@@ -87,28 +190,63 @@ def minhash_lsh_dup_pairs(ds, col: str = "text", id_col: str = "doc_id",
             "sig": [s.tobytes() for s in sigs],
         })
 
-    sig_df = ds.map_batches(collect, batch_format="pandas").to_pandas()
-    lookup_ref = ray.put(dict(zip(sig_df["doc"], sig_df["sig"])))
+    return ds.map_batches(collect, batch_format="pandas").materialize()
 
-    class Verify:
-        def __init__(self, ref, thr):
-            self.lookup = ray.get(ref)
-            self.thr = thr
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            if not len(df):
-                return df.assign(jaccard=np.zeros(0))
-            a = np.stack([np.frombuffer(self.lookup[i], dtype=np.uint64)
-                          for i in df["id_a"]])
-            b = np.stack([np.frombuffer(self.lookup[i], dtype=np.uint64)
-                          for i in df["id_b"]])
-            jac = (a == b).mean(axis=1)
-            out = df.assign(jaccard=jac)
-            return out[out["jaccard"] >= self.thr].reset_index(drop=True)
+def _sig_matrix(col: pd.Series, num_perm: int) -> np.ndarray:
+    buf = b"".join(col.to_numpy(dtype=object))
+    return np.frombuffer(buf, dtype=np.uint64).reshape(-1, num_perm)
 
-    return pairs.map_batches(
-        Verify, fn_constructor_args=(lookup_ref, threshold),
-        batch_format="pandas", concurrency=(1, 4))
+
+def _band_key_table(sig_payload, num_perm: int, bands: int, rows: int):
+    """(doc, sig) -> long key table (key_type, key_value, conv_id)."""
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        if not n:
+            return pd.DataFrame({
+                "key_type": pd.Series([], dtype="string"),
+                "key_value": pd.Series([], dtype="string"),
+                "conv_id": pd.Series([], dtype="string"),
+            })
+        sigs = _sig_matrix(df["sig"], num_perm)
+        bkeys = mh.band_keys(sigs, bands, rows)
+        band_ids = np.tile(np.arange(bands), n)
+        flat = bkeys.reshape(-1)
+        vals = np.array(
+            [f"{b}:{format(v, 'x')}" for b, v in zip(band_ids, flat)],
+            dtype=object)
+        return pd.DataFrame({
+            "key_type": np.full(n * bands, "minhash", dtype=object),
+            "key_value": vals,
+            "conv_id": np.repeat(df["doc"].to_numpy(), bands),
+        })
+
+    return sig_payload.map_batches(emit, batch_format="pandas")
+
+
+def minhash_lsh_dup_pairs(ds, col: str = "text", id_col: str = "doc_id",
+                          threshold: float = 0.7, num_perm: int = 128,
+                          cfg: EngineConfig = DEFAULT_CONFIG,
+                          verify: bool = True):
+    """Near-duplicate candidate pairs (id_a < id_b) whose estimated
+    signature Jaccard >= threshold."""
+    bands, rows = mh.optimal_param(threshold, num_perm)
+    sig = _sig_table(ds, col, id_col, num_perm)
+    pairs = generate_pairs(_band_key_table(sig, num_perm, bands, rows), cfg)
+    if not verify:
+        return pairs
+
+    def fn(a, b, pairs_df):
+        if a is None or not len(pairs_df):
+            return pairs_df.assign(jaccard=np.zeros(len(pairs_df)))
+        A = _sig_matrix(a["sig"], num_perm)
+        B = _sig_matrix(b["sig"], num_perm)
+        jac = (A == B).mean(axis=1)
+        out = pairs_df.assign(jaccard=jac)
+        return out[out["jaccard"] >= threshold].reset_index(drop=True)
+
+    return _verify_pairs(pairs, sig, ["sig"], fn, cfg, n_docs=sig.count())
 
 
 def minhash_dedup(ds, col: str = "text", id_col: str = "doc_id",
@@ -126,9 +264,9 @@ def minhash_dedup(ds, col: str = "text", id_col: str = "doc_id",
     return labels.rename_columns({"node": id_col, "label": "canonical_id"})
 
 
-# ---- SimHash ----
-
-_SIM_SEED = 17
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
 
 
 def simhash_batch(texts, nbits: int = 64, ngram: int = 3) -> np.ndarray:
@@ -158,101 +296,209 @@ def simhash_batch(texts, nbits: int = 64, ngram: int = 3) -> np.ndarray:
     return out
 
 
+def _hamming_bands(max_hamming: int, nbits: int = 64) -> list[tuple[int, int]]:
+    """(shift, width) band layout with ``max_hamming + 1`` bands: any
+    pair within that hamming distance must share at least one exact band
+    (pigeonhole) — the guarantee the previous fixed 4x16 layout only
+    gave for hamming <= 3."""
+    nbands = max_hamming + 1
+    if nbands > nbits:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs {nbands} bands > {nbits} bits")
+    splits = np.array_split(np.arange(nbits), nbands)
+    return [(int(s[0]), len(s)) for s in splits]
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    ham = np.zeros(len(x), dtype=np.int64)
+    for _ in range(64):
+        ham += (x & np.uint64(1)).astype(np.int64)
+        x = x >> np.uint64(1)
+    return ham
+
+
 def simhash_dup_pairs(ds, col: str = "text", id_col: str = "doc_id",
                       max_hamming: int = 3,
                       cfg: EngineConfig = DEFAULT_CONFIG):
     """Near-dup pairs with SimHash hamming distance <= max_hamming.
 
-    Banding: 4 x 16-bit bands — any pair within hamming 3 shares at
-    least one exact band (pigeonhole), so bucketing by band value is a
-    lossless blocking step; candidates verify exact hamming."""
-    nbands, width = 4, 16
-    mask = np.uint64((1 << width) - 1)
-
-    def emit(df: pd.DataFrame) -> pd.DataFrame:
-        ids = df[id_col].astype(str).to_numpy()
-        sh = simhash_batch(df[col].fillna("").to_numpy())
-        parts = []
-        for b in range(nbands):
-            vals = (sh >> np.uint64(b * width)) & mask
-            parts.append(pd.DataFrame({
-                "key_type": "simhash",
-                "key_value": [f"{b}:{v:04x}" for v in vals],
-                "conv_id": ids,
-                "sim": sh,
-            }))
-        return pd.concat(parts, ignore_index=True)
-
-    keyed = ds.map_batches(emit, batch_format="pandas")
-    pairs = generate_pairs(keyed.select_columns(["key_type", "key_value", "conv_id"]), cfg)
-
-    import ray
+    Banding: ``max_hamming + 1`` bands over the 64 bits — lossless
+    blocking by pigeonhole for ANY requested distance; candidates verify
+    exact hamming."""
+    bands = _hamming_bands(max_hamming)
 
     def collect(df: pd.DataFrame) -> pd.DataFrame:
         sh = simhash_batch(df[col].fillna("").to_numpy())
         return pd.DataFrame({"doc": df[id_col].astype(str), "sim": sh})
 
-    sim_df = ds.map_batches(collect, batch_format="pandas").to_pandas()
-    ref = ray.put(dict(zip(sim_df["doc"], sim_df["sim"])))
+    sim = ds.map_batches(collect, batch_format="pandas").materialize()
 
-    class Verify:
-        def __init__(self, r, maxh):
-            self.lookup = ray.get(r)
-            self.maxh = maxh
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc"].to_numpy()
+        sh = df["sim"].to_numpy(dtype=np.uint64)
+        parts = []
+        for b, (shift, width) in enumerate(bands):
+            mask = np.uint64((1 << width) - 1)
+            vals = (sh >> np.uint64(shift)) & mask
+            parts.append(pd.DataFrame({
+                "key_type": "simhash",
+                "key_value": [f"{b}:{v:x}" for v in vals],
+                "conv_id": ids,
+            }))
+        return pd.concat(parts, ignore_index=True)
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            if not len(df):
-                return df.assign(hamming=np.zeros(0, dtype=np.int64))
-            a = np.array([self.lookup[i] for i in df["id_a"]], dtype=np.uint64)
-            b = np.array([self.lookup[i] for i in df["id_b"]], dtype=np.uint64)
-            x = a ^ b
-            ham = np.zeros(len(x), dtype=np.int64)
-            for _ in range(64):
-                ham += (x & np.uint64(1)).astype(np.int64)
-                x = x >> np.uint64(1)
-            out = df.assign(hamming=ham)
-            return out[out["hamming"] <= self.maxh].reset_index(drop=True)
+    pairs = generate_pairs(sim.map_batches(emit, batch_format="pandas"), cfg)
 
-    return pairs.map_batches(Verify, fn_constructor_args=(ref, max_hamming),
-                             batch_format="pandas", concurrency=(1, 4))
+    def fn(a, b, pairs_df):
+        if a is None or not len(pairs_df):
+            return pairs_df.assign(hamming=np.zeros(len(pairs_df), dtype=np.int64))
+        x = a["sim"].to_numpy(dtype=np.uint64) ^ b["sim"].to_numpy(dtype=np.uint64)
+        out = pairs_df.assign(hamming=_popcount64(x))
+        return out[out["hamming"] <= max_hamming].reset_index(drop=True)
+
+    return _verify_pairs(pairs, sim, ["sim"], fn, cfg, n_docs=sim.count())
+
+
+# --------------------------------------------------------------------------
+# exact q-gram Jaccard
+# --------------------------------------------------------------------------
+
+
+def _gram_table(ds, col: str, id_col: str, q: int):
+    """documents -> materialized (doc, grams, ng) payload: each doc's
+    SORTED DISTINCT 64-bit q-gram hashes as a bytes column + their count.
+    Empty documents keep one hash (of ""), mirroring the q-gram-set
+    semantics ``set or {text}`` the operator defines."""
+
+    def collect(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df[col].fillna("").astype(str).to_numpy(dtype=object)
+        flat, counts = mh.batch_window_hashes(texts, q, lowercase=True)
+        flat, counts = mh.unique_per_doc(flat, counts)
+        empty = counts == 0
+        if empty.any():
+            new_counts = np.where(empty, 1, counts)
+            out = np.zeros(int(new_counts.sum()), dtype=np.uint64)
+            ends = np.cumsum(new_counts)
+            starts = ends - new_counts
+            pos = np.zeros(len(out), dtype=bool)
+            pos[starts[empty]] = True
+            out[~pos] = flat
+            flat, counts = out, new_counts
+        buf = flat.tobytes()
+        ends = np.cumsum(counts) * 8
+        starts = ends - counts * 8
+        return pd.DataFrame({
+            "doc": df[id_col].astype(str),
+            "grams": [buf[s:e] for s, e in zip(starts, ends)],
+            "ng": counts.astype(np.int64),
+        })
+
+    return ds.map_batches(collect, batch_format="pandas").materialize()
+
+
+def _decode_grams(col: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    vals = col.to_numpy(dtype=object)
+    counts = np.fromiter((len(v) // 8 for v in vals), count=len(vals),
+                         dtype=np.int64)
+    flat = np.frombuffer(b"".join(vals), dtype=np.uint64)
+    return flat, counts
+
+
+def _prefix_key_table(gram_payload, threshold: float):
+    """Lossless prefix-filter blocking (Chaudhuri et al. SSJoin 2006 /
+    Bayardo et al. WWW 2007): under ANY global token order, two sets
+    with Jaccard >= t share a token among each one's first
+    ``n - ceil(t*n) + 1`` tokens.  Gram hashes ascending IS a global
+    order, so each doc emits only its prefix grams as blocking keys."""
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "key_type": pd.Series([], dtype="string"),
+                "key_value": pd.Series([], dtype="string"),
+                "conv_id": pd.Series([], dtype="string"),
+            })
+        flat, counts = _decode_grams(df["grams"])
+        p = (counts - np.ceil(threshold * counts).astype(np.int64) + 1)
+        p = np.clip(p, 1, counts)
+        starts = np.cumsum(counts) - counts
+        local = np.arange(len(flat)) - np.repeat(starts, counts)
+        take = local < np.repeat(p, counts)
+        keys = flat[take]
+        docs = np.repeat(df["doc"].to_numpy(), p)
+        return pd.DataFrame({
+            "key_type": np.full(len(keys), "gram", dtype=object),
+            "key_value": np.array([format(v, "x") for v in keys], dtype=object),
+            "conv_id": docs,
+        })
+
+    return gram_payload.map_batches(emit, batch_format="pandas")
 
 
 def ngram_jaccard_pairs(ds, col: str = "text", id_col: str = "doc_id",
                         q: int = 3, threshold: float = 0.5,
-                        cfg: EngineConfig = DEFAULT_CONFIG):
-    """Exact character-q-gram Jaccard over LSH-bucketed candidates (the
-    LSH recall net is cast wider than the final threshold)."""
-    lsh_thr = max(0.3, threshold - 0.2)
-    pairs = minhash_lsh_dup_pairs(ds, col, id_col, lsh_thr, 128, cfg,
-                                  verify=False)
-    import ray
+                        cfg: EngineConfig = DEFAULT_CONFIG,
+                        candidates: str = "prefix"):
+    """Exact character-q-gram Jaccard pairs >= threshold.
+
+    candidates="prefix": LOSSLESS prefix-filter blocking — the exact
+    path (requires ``cfg.max_block_records`` to exceed the hottest
+    prefix-gram's document frequency; oversized gram blocks are purged
+    like any hot key, trading recall for skew safety).
+    candidates="lsh": MinHash-LSH recall net cast ~0.2 below the final
+    threshold — the approximate scale path."""
+    grams = _gram_table(ds, col, id_col, q)
+    if candidates == "prefix":
+        keys = _prefix_key_table(grams, threshold)
+        pairs = generate_pairs(keys, cfg)
+    else:
+        lsh_thr = max(0.3, threshold - 0.2)
+        pairs = minhash_lsh_dup_pairs(ds, col, id_col, lsh_thr, 128, cfg,
+                                      verify=False)
+
+    def fn(a, b, pairs_df):
+        if a is None or not len(pairs_df):
+            return pairs_df.assign(jaccard=np.zeros(len(pairs_df)))
+        fa, ca = _decode_grams(a["grams"])
+        fb, cb = _decode_grams(b["grams"])
+        npairs = len(pairs_df)
+        da = pd.DataFrame({"pid": np.repeat(np.arange(npairs), ca), "g": fa})
+        db = pd.DataFrame({"pid": np.repeat(np.arange(npairs), cb), "g": fb})
+        inter = da.merge(db, on=["pid", "g"]).groupby("pid").size()
+        i = np.zeros(npairs, dtype=np.int64)
+        i[inter.index.to_numpy()] = inter.to_numpy()
+        union = ca + cb - i
+        jac = np.where(union > 0, i / np.maximum(union, 1), 0.0)
+        out = pairs_df.assign(jaccard=jac)
+        return out[out["jaccard"] >= threshold].reset_index(drop=True)
+
+    return _verify_pairs(pairs, grams, ["grams"], fn, cfg,
+                         n_docs=grams.count())
+
+
+# --------------------------------------------------------------------------
+# embedding near-dup
+# --------------------------------------------------------------------------
+
+
+def _vec_table(ds, vec_col: str, id_col: str):
+    """embeddings -> materialized (doc, vec) payload of L2-normalized
+    float64 vectors as bytes."""
 
     def collect(df: pd.DataFrame) -> pd.DataFrame:
-        texts = df[col].fillna("").astype(str).str.lower()
-        grams = [frozenset(t[i:i + q] for i in range(max(len(t) - q + 1, 0))) or
-                 frozenset([t]) for t in texts]
-        return pd.DataFrame({"doc": df[id_col].astype(str), "grams": grams})
+        V = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+        V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        return pd.DataFrame({"doc": df[id_col].astype(str),
+                             "vec": [v.tobytes() for v in V]})
 
-    g = ds.map_batches(collect, batch_format="pandas").to_pandas()
-    ref = ray.put(dict(zip(g["doc"], g["grams"])))
+    return ds.map_batches(collect, batch_format="pandas").materialize()
 
-    class Verify:
-        def __init__(self, r, thr):
-            self.lookup = ray.get(r)
-            self.thr = thr
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            jac = np.zeros(len(df))
-            for i, (a, b) in enumerate(zip(df["id_a"], df["id_b"])):
-                ga, gb = self.lookup[a], self.lookup[b]
-                inter = len(ga & gb)
-                union = len(ga) + len(gb) - inter
-                jac[i] = inter / union if union else 0.0
-            out = df.assign(jaccard=jac)
-            return out[out["jaccard"] >= self.thr].reset_index(drop=True)
-
-    return pairs.map_batches(Verify, fn_constructor_args=(ref, threshold),
-                             batch_format="pandas", concurrency=(1, 4))
+def _vec_matrix(col: pd.Series) -> np.ndarray:
+    vals = col.to_numpy(dtype=object)
+    n = len(vals)
+    flat = np.frombuffer(b"".join(vals), dtype=np.float64)
+    return flat.reshape(n, -1)
 
 
 def embedding_dup_pairs(ds, vec_col: str = "embedding", id_col: str = "vec_id",
@@ -260,29 +506,32 @@ def embedding_dup_pairs(ds, vec_col: str = "embedding", id_col: str = "vec_id",
                         nbands: int = 4, cfg: EngineConfig = DEFAULT_CONFIG,
                         dim: int | None = None):
     """Embedding-cosine near-dup: random-hyperplane LSH (sign sketches,
-    banded) buckets candidates; exact cosine verifies."""
+    banded) buckets candidates; exact cosine verifies.  Approximate —
+    a pair above threshold can miss every band; ``exact_cosine_pairs``
+    is the exact (O(n^2)-compute) alternative."""
     import ray
 
-    first = ds.take(1)
-    if not first:
+    vecs = _vec_table(ds, vec_col, id_col)
+    n_docs = vecs.count()
+    if n_docs == 0:
         return generate_pairs(
             ds.map_batches(lambda df: pd.DataFrame(
                 {"key_type": [], "key_value": [], "conv_id": []}),
                 batch_format="pandas"), cfg)
-    d = dim or len(first[0][vec_col])
+    first = vecs.take(1)
+    d = dim or len(first[0]["vec"]) // 8
     rng = np.random.RandomState(7)
-    planes = rng.randn(d, nplanes)
+    planes_ref = ray.put(rng.randn(d, nplanes))
     width = nplanes // nbands
-    planes_ref = ray.put(planes)
 
     class Emit:
         def __init__(self, pref):
             self.planes = ray.get(pref)
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            V = np.stack(df[vec_col].to_numpy())
+            V = _vec_matrix(df["vec"])
             signs = (V @ self.planes) > 0          # (n, nplanes)
-            ids = df[id_col].astype(str).to_numpy()
+            ids = df["doc"].to_numpy()
             parts = []
             pw = 1 << np.arange(width)
             for b in range(nbands):
@@ -295,35 +544,72 @@ def embedding_dup_pairs(ds, vec_col: str = "embedding", id_col: str = "vec_id",
                 }))
             return pd.concat(parts, ignore_index=True)
 
-    keyed = ds.map_batches(Emit, fn_constructor_args=(planes_ref,),
-                           batch_format="pandas", concurrency=(1, 4))
+    keyed = vecs.map_batches(Emit, fn_constructor_args=(planes_ref,),
+                             batch_format="pandas",
+                             concurrency=cfg.actor_pool_range())
     pairs = generate_pairs(keyed, cfg)
+
+    def fn(a, b, pairs_df):
+        if a is None or not len(pairs_df):
+            return pairs_df.assign(cosine=np.zeros(len(pairs_df)))
+        cos = (_vec_matrix(a["vec"]) * _vec_matrix(b["vec"])).sum(axis=1)
+        out = pairs_df.assign(cosine=cos)
+        return out[out["cosine"] >= threshold].reset_index(drop=True)
+
+    return _verify_pairs(pairs, vecs, ["vec"], fn, cfg, n_docs=n_docs)
+
+
+class _AllPairsCosine:
+    """Actor: batch rows x broadcast full matrix; emits (id_a, id_b,
+    cosine) with batch_id < matrix_id so every unordered pair appears
+    exactly once across the whole run."""
+
+    def __init__(self, refs, thr):
+        import ray
+
+        parts = [_block_to_pandas(b) for b in ray.get(list(refs))]
+        df = pd.concat(parts, ignore_index=True)
+        self.ids = df["doc_num"].to_numpy()
+        self.M = _vec_matrix(df["vec"])
+        self.thr = thr
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            })
+        V = _vec_matrix(df["vec"])
+        bids = df["doc_num"].to_numpy()
+        S = V @ self.M.T
+        ii, jj = np.where(S >= self.thr)
+        keep = bids[ii] < self.ids[jj]
+        ii, jj = ii[keep], jj[keep]
+        return pd.DataFrame({"id_a": bids[ii], "id_b": self.ids[jj],
+                             "cosine": S[ii, jj]})
+
+
+def exact_cosine_pairs(ds, vec_col: str = "embedding", id_col: str = "vec_id",
+                       threshold: float = 0.9,
+                       cfg: EngineConfig = DEFAULT_CONFIG):
+    """EXACT all-pairs cosine >= threshold (numeric id columns).
+
+    Distributed brute force: every block computes its rows against the
+    broadcast normalized matrix (object-store block refs, fetched once
+    per actor).  O(n^2) similarity compute spread over the cluster; the
+    matrix must fit a worker's heap — the exactness bound. Use
+    ``embedding_dup_pairs`` (RHP-LSH) beyond that."""
 
     def collect(df: pd.DataFrame) -> pd.DataFrame:
         V = np.stack(df[vec_col].to_numpy()).astype(np.float64)
         V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-        return pd.DataFrame({"doc": df[id_col].astype(str),
+        return pd.DataFrame({"doc_num": df[id_col].astype(np.int64),
                              "vec": [v.tobytes() for v in V]})
 
-    vecs = ds.map_batches(collect, batch_format="pandas").to_pandas()
-    ref = ray.put(dict(zip(vecs["doc"], vecs["vec"])))
-
-    class Verify:
-        def __init__(self, r, thr, d):
-            self.lookup = ray.get(r)
-            self.thr = thr
-            self.d = d
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            if not len(df):
-                return df.assign(cosine=np.zeros(0))
-            A = np.stack([np.frombuffer(self.lookup[i], dtype=np.float64)
-                          for i in df["id_a"]])
-            B = np.stack([np.frombuffer(self.lookup[i], dtype=np.float64)
-                          for i in df["id_b"]])
-            cos = (A * B).sum(axis=1)
-            out = df.assign(cosine=cos)
-            return out[out["cosine"] >= self.thr].reset_index(drop=True)
-
-    return pairs.map_batches(Verify, fn_constructor_args=(ref, threshold, d),
-                             batch_format="pandas", concurrency=(1, 4))
+    vecs = ds.map_batches(collect, batch_format="pandas").materialize()
+    refs = _payload_refs(vecs)
+    return vecs.map_batches(
+        _AllPairsCosine, fn_constructor_args=(refs, threshold),
+        batch_format="pandas", concurrency=cfg.actor_pool_range(),
+    )

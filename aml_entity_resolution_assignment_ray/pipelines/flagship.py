@@ -34,7 +34,38 @@ def run_flagship(transcripts, cfg: EngineConfig = DEFAULT_CONFIG,
     norm = build_profiles(transcripts, cfg).materialize()
     n_profiles = norm.count()
     keys = emit_keys(norm, cfg)
-    pairs = generate_pairs(keys, cfg).materialize()
+    from ..stages.pairs import pair_schema
+    from ..util import scrub_empty_blocks
+
+    pairs = scrub_empty_blocks(generate_pairs(keys, cfg), pair_schema())
+    if pairs.count() == 0:
+        # no candidates at all: classified = 0 rows WITH the full scored
+        # schema (run the scorer on an empty wide frame), every conv_id
+        # its own entity
+        import pandas as pd
+        import ray.data as rd
+
+        from ..stages.block import SCORING_COLS
+        from ..stages.score import PairScorer
+
+        wide = pd.DataFrame({"id_a": pd.Series([], dtype="string"),
+                             "id_b": pd.Series([], dtype="string")})
+        for c in SCORING_COLS:
+            if c != "conv_id":
+                wide[f"{c}_a"] = pd.Series([], dtype="string")
+                wide[f"{c}_b"] = pd.Series([], dtype="string")
+        classified = rd.from_pandas(PairScorer(cfg)(wide))
+        predictions = resolve_entities(
+            classified, norm.select_columns(["conv_id"]), cfg).materialize()
+        out = {"profiles": norm, "pairs": pairs, "classified": classified,
+               "predictions": predictions}
+        if with_stats:
+            out["blocking_stats"] = blocking_stats(keys, n_profiles, 0, cfg)
+        if truth is not None:
+            out["pair_eval"] = labeled_pair_eval(classified, truth, cfg)
+            out["cluster_eval"] = pairwise_eval(predictions, truth,
+                                                classified, cfg)
+        return out
     strategy = cfg.hydrate_strategy
     if strategy == "auto":
         strategy = ("broadcast" if n_profiles <= cfg.broadcast_max_rows

@@ -65,13 +65,17 @@ def _mark(ds):
 def _null_filter_pairs(t):
     """Keep rows whose _r marker is null; coerce to the exact pair schema
     (join outputs for empty partitions can be zero-column blocks that
-    would poison a downstream join)."""
+    would poison a downstream join).  A block WITHOUT the marker column
+    but WITH pair columns comes from safe_join's empty-right short
+    circuit — nothing matched, every row survives the anti join."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
     schema = pa.schema([("id_a", pa.string()), ("id_b", pa.string())])
-    if "_r" not in t.column_names or len(t) == 0:
+    if "id_a" not in t.column_names or len(t) == 0:
         return schema.empty_table()
+    if "_r" not in t.column_names:
+        return t.select(["id_a", "id_b"]).cast(schema)
     return t.filter(pc.is_null(t["_r"])).select(["id_a", "id_b"]).cast(schema)
 
 
@@ -99,8 +103,13 @@ def pairwise_eval(predictions, truth, classified=None,
     entity_id); classified (optional): scored pairs, used to split FN
     into review-caught vs truly missed.
     """
-    true_pairs = cluster_pairs(truth, "entity_id", cfg=cfg).materialize()
-    pred_pairs = cluster_pairs(predictions, "predicted_entity_id", cfg=cfg).materialize()
+    from ..util import scrub_empty_blocks
+    from .pairs import pair_schema
+
+    true_pairs = scrub_empty_blocks(
+        cluster_pairs(truth, "entity_id", cfg=cfg), pair_schema())
+    pred_pairs = scrub_empty_blocks(
+        cluster_pairs(predictions, "predicted_entity_id", cfg=cfg), pair_schema())
 
     tp = _semi(pred_pairs, true_pairs, cfg).count()
     fp = pred_pairs.count() - tp
@@ -109,11 +118,13 @@ def pairwise_eval(predictions, truth, classified=None,
     out = {"tp": int(tp), "fp": int(fp), "fn": int(fn)}
     if classified is not None and fn > 0:
         fn_pairs = anti_join_pairs(true_pairs, pred_pairs, cfg)
-        from .pairs import _dedupe_block
+        # classified pairs are already globally distinct (generate_pairs
+        # output); _distinct_block here is schema coercion + local dedupe
+        from .pairs import _distinct_block
 
         review_pairs = classified.filter(expr="match_type == 'review'") \
             .select_columns(["id_a", "id_b"]) \
-            .map_batches(_dedupe_block, batch_format="pyarrow")
+            .map_batches(_distinct_block, batch_format="pyarrow")
         out["fn_in_review"] = int(_semi(fn_pairs, review_pairs, cfg).count())
         out["fn_missed"] = out["fn"] - out["fn_in_review"]
     precision = tp / (tp + fp) if tp + fp else 1.0
@@ -129,6 +140,12 @@ def label_pairs(classified, truth, cfg: EngineConfig = DEFAULT_CONFIG):
     """Adds a ground-truth ``label`` column to classified candidate pairs
     via two hash joins on the truth table (reference train_model.py:43-49
     uses a driver dict; joins scale)."""
+    from ..util import scrub_empty_blocks
+
+    classified = scrub_empty_blocks(classified)
+    if classified.count() == 0:
+        # nothing to label; callers aggregate (their sums handle empty)
+        return classified
     t_a = truth.rename_columns({"conv_id": "id_a", "entity_id": "ent_a"})
     t_b = truth.rename_columns({"conv_id": "id_b", "entity_id": "ent_b"})
     joined = safe_join(classified, t_a, join_type="inner",
@@ -162,6 +179,10 @@ def labeled_pair_eval(classified, truth, cfg: EngineConfig = DEFAULT_CONFIG) -> 
 
     sums = labeled.map_batches(confusion, batch_format="pandas") \
         .sum(["tp", "fp", "fn", "tn", "fn_in_review"])
+    if sums is None or not isinstance(sums, dict):  # empty labeled set
+        sums = {}
+    sums = {f"sum({k})": sums.get(f"sum({k})") or 0
+            for k in ("tp", "fp", "fn", "tn", "fn_in_review")}
     tp, fp, fn = sums["sum(tp)"], sums["sum(fp)"], sums["sum(fn)"]
     precision = tp / (tp + fp) if tp + fp else 1.0
     recall = tp / (tp + fn) if tp + fn else 1.0

@@ -78,10 +78,13 @@ def hydrate_pairs(pairs, norm_profiles, cfg: EngineConfig = DEFAULT_CONFIG,
             concurrency=cfg.actor_pool_range(),
         )
 
+    from .pairs import pair_schema
+
     nparts = cfg.resolve_join_partitions()
     hydrated = safe_join(
         pairs, _renamed(norm_profiles, "a"), join_type="inner",
         num_partitions=nparts, on=("id_a",),
+        empty_left_schema=pair_schema(),
     )
     return safe_join(
         hydrated, _renamed(norm_profiles, "b"), join_type="inner",

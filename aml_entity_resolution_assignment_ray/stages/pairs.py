@@ -15,18 +15,20 @@ Scale design (explicit skew + shuffle handling per north_rule):
   (matching.py:71-73 "danger zone"); at 10^12-turn scale a hot key would
   otherwise emit O(m^2) pairs.  Purged counts are reported by
   ``blocking_stats``.
-* pair emission is fully vectorized (no per-group Python): after
-  ``sort([key_type, key_value, conv_id])`` every block holds whole key
-  groups (Ray's range partitioner co-locates equal keys — the same
-  property GroupedData.map_groups relies on); a single numpy
-  repeat/arange construction emits all pairs of all groups in the block
-  at once, with ``id_a < id_b`` free because conv_id is the tertiary
-  sort key.
-* block-edge groups are routed to a tiny side path (O(#blocks) rows)
-  and pair-emitted by a small groupby, exactly like stages/assemble.py.
-* distinct: ``sort([id_a, id_b])`` + per-block ``drop_duplicates``
-  (equal pairs co-locate under the range partition), replacing the
-  reference's driver-memory Python set union.
+* keys are first folded to ONE fixed-width uint64 (``kh``) so the
+  shuffle moves 8-byte keys, not long strings.
+* the shuffle is a HASH repartition on ``kh``
+  (``repartition(nparts, keys=["kh"])``): every key group lands wholly
+  in one partition, so a single vectorized numpy repeat/arange pass
+  emits all pairs of all groups in the block at once — no sort barrier,
+  no block-edge side path, no driver coordination.
+* distinct is a second hash repartition on the pair hash ``ph`` + a
+  per-block Arrow group_by: all copies of a pair are guaranteed
+  co-located (this is exact — unlike a range sort, hash partitioning
+  cannot split ties across block boundaries).
+
+The whole operator is 2 hash shuffles + 3 map stages, fully streaming
+(no ``materialize``/``count``/``union`` in the plan).
 """
 
 from __future__ import annotations
@@ -40,6 +42,14 @@ _EMPTY_PAIRS = {
     "id_a": pd.Series([], dtype="string"),
     "id_b": pd.Series([], dtype="string"),
 }
+
+
+def pair_schema():
+    """The canonical (id_a, id_b) Arrow schema — callers joining a pair
+    table pass this as the safe_join empty-schema fallback."""
+    import pyarrow as pa
+
+    return pa.schema([("id_a", pa.string()), ("id_b", pa.string())])
 
 
 def _emit_group_pairs(ids: np.ndarray, starts: np.ndarray, sizes: np.ndarray,
@@ -83,58 +93,42 @@ def _hash_keys(df: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"kh": kh, "conv_id": df["conv_id"]})
 
 
-def _block_pairs(df: pd.DataFrame, cap: int) -> pd.DataFrame:
-    """One sorted block of the hashed key table -> pairs for interior
-    groups + raw rows (id_b = None, kh kept) for the block's first/last
-    group."""
+def _pair_hash(id_a: pd.Series, id_b: pd.Series) -> np.ndarray:
+    return pd.util.hash_array(
+        (id_a.astype(str) + "\x00" + id_b.astype(str)).to_numpy(dtype=object))
+
+
+def _partition_pairs(df: pd.DataFrame, cap: int) -> pd.DataFrame:
+    """One hash-partition of the hashed key table -> that partition's
+    pairs.  Key groups are complete within the partition (hash
+    co-location), so there is no edge case to route elsewhere."""
     df = df.sort_values(["kh", "conv_id"], kind="stable")
     ids = df["conv_id"].to_numpy()
     key = df["kh"].to_numpy()
     n = len(key)
+    empty = pd.DataFrame(_EMPTY_PAIRS)
+    empty["ph"] = pd.Series([], dtype="uint64")
     if n == 0:
-        return pd.DataFrame({**_EMPTY_PAIRS,
-                             "kh": pd.Series([], dtype="uint64")})
+        return empty
     boundaries = np.concatenate([[0], np.where(key[1:] != key[:-1])[0] + 1, [n]])
     starts = boundaries[:-1]
     sizes = np.diff(boundaries)
-    ngroups = len(starts)
-    interior = np.ones(ngroups, dtype=bool)
-    interior[0] = False
-    interior[-1] = False
-    pairs = _emit_group_pairs(ids, starts[interior], sizes[interior], cap)
+    pairs = _emit_group_pairs(ids, starts, sizes, cap)
     # local distinct: same pair from multiple co-located key groups
     pairs = pairs.drop_duplicates(ignore_index=True)
-    pairs["kh"] = np.uint64(0)
-    # edge groups: pass rows through for the merge stage
-    edge_rows = np.concatenate([
-        np.arange(starts[g], starts[g] + sizes[g])
-        for g in np.where(~interior)[0]
-    ])
-    edges = pd.DataFrame({
-        "id_a": ids[edge_rows],
-        "id_b": pd.Series([None] * len(edge_rows), dtype="string"),
-        "kh": key[edge_rows],
-    })
-    return pd.concat([pairs, edges], ignore_index=True)
+    if not len(pairs):
+        return empty
+    pairs["ph"] = _pair_hash(pairs["id_a"], pairs["id_b"])
+    return pairs
 
 
-def _edge_group_pairs(df: pd.DataFrame, cap: int) -> pd.DataFrame:
-    """Pair emission for one straddling key group (tiny side path)."""
-    ids = np.sort(df["id_a"].astype(str).unique())
-    m = len(ids)
-    if m < 2 or m > cap:
-        return pd.DataFrame(_EMPTY_PAIRS)
-    i, j = np.triu_indices(m, k=1)
-    return pd.DataFrame({"id_a": ids[i], "id_b": ids[j]})
-
-
-def _dedupe_block(t):
+def _distinct_block(t):
     """Arrow-native per-block distinct + schema coercion.
 
-    Every output block of generate_pairs goes through this, guaranteeing
-    the exact (id_a: string, id_b: string) schema downstream joins need —
-    Ray's groupby/sort machinery can emit zero-column empty blocks for
-    empty partitions, which otherwise poison pyarrow hash joins."""
+    After the ``ph`` hash repartition every copy of a pair is in ONE
+    block, so a per-block group_by is an exact global distinct.  Also
+    guarantees the (id_a: string, id_b: string) schema downstream joins
+    need."""
     import pyarrow as pa
 
     schema = pa.schema([("id_a", pa.string()), ("id_b", pa.string())])
@@ -144,53 +138,18 @@ def _dedupe_block(t):
         .group_by(["id_a", "id_b"]).aggregate([])
 
 
-def _coerce_pair_schema(t):
-    """Ray's map_groups emits a ZERO-COLUMN empty block for empty groupby
-    partitions; such a block poisons downstream join/union schema
-    inference. Coerce every block to exactly (id_a: string, id_b: string)
-    arrow tables."""
-    import pyarrow as pa
-
-    schema = pa.schema([("id_a", pa.string()), ("id_b", pa.string())])
-    if "id_a" not in t.column_names or len(t) == 0:
-        return schema.empty_table()
-    return t.select(["id_a", "id_b"]).cast(schema)
-
-
 def generate_pairs(keys, cfg: EngineConfig = DEFAULT_CONFIG):
-    """key table Dataset -> distinct candidate pair Dataset (id_a, id_b)."""
-    cap = cfg.max_block_records
-    tagged = (
-        keys.map_batches(_hash_keys, batch_format="pandas")
-        .sort(["kh", "conv_id"])
-        .map_batches(_block_pairs, fn_kwargs={"cap": cap},
-                     batch_format="pandas", batch_size=None)
-        .materialize()
-    )
-    import pyarrow.compute as pc
+    """key table Dataset -> distinct candidate pair Dataset (id_a, id_b).
 
-    interior_pairs = tagged.map_batches(
-        lambda t: t.filter(pc.is_valid(t["id_b"])).select(["id_a", "id_b"]),
-        batch_format="pyarrow",
-    )
-    edge_rows = tagged.map_batches(
-        lambda t: t.filter(pc.is_null(t["id_b"])).select(["kh", "id_a"]),
-        batch_format="pyarrow",
-    ).materialize()
-    result = interior_pairs
-    # guard: map_groups over an empty dataset yields a zero-column block
-    # that would poison the union/join schema; edge rows are O(#blocks)
-    # and `tagged` is materialized, so this count is driver-cheap
-    if edge_rows.count() > 0:
-        edge_pairs = (
-            edge_rows.groupby("kh")
-            .map_groups(_edge_group_pairs, fn_kwargs={"cap": cap},
-                        batch_format="pandas")
-            .map_batches(_coerce_pair_schema, batch_format="pyarrow")
-        )
-        result = interior_pairs.union(edge_pairs)
+    Two hash shuffles (co-locate key groups; co-locate pair copies),
+    zero sorts, zero materializations — the plan streams end to end."""
+    cap = cfg.max_block_records
+    nparts = cfg.resolve_join_partitions()
     return (
-        result
-        .sort(["id_a", "id_b"])
-        .map_batches(_dedupe_block, batch_format="pyarrow", batch_size=None)
+        keys.map_batches(_hash_keys, batch_format="pandas")
+        .repartition(nparts, keys=["kh"])
+        .map_batches(_partition_pairs, fn_kwargs={"cap": cap},
+                     batch_format="pandas", batch_size=None)
+        .repartition(nparts, keys=["ph"])
+        .map_batches(_distinct_block, batch_format="pyarrow", batch_size=None)
     )

@@ -16,6 +16,32 @@ import ray
 import ray.data
 
 
+def tune_context(nparts: int | None = None):
+    """Engine-wide DataContext setup (idempotent).
+
+    * ``HASH_SHUFFLE`` strategy — required for ``repartition(keys=...)``,
+      the primitive pair generation and assembly are built on;
+    * aggregator actors sized at 0.25 CPU per partition so a shuffle's
+      aggregator pool never starves the map tasks feeding it;
+    * optional ``nparts``: data-driven parallelism floor for small
+      inputs (the 200-way defaults drown test-scale data in per-task
+      overhead).
+    """
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    # aggregator pools default to 0.0625 CPU per partition — small enough
+    # that chained shuffles never starve the map tasks feeding them
+    if nparts is not None:
+        ctx.min_parallelism = nparts
+        ctx.default_hash_shuffle_parallelism = nparts
+        ctx.read_op_min_num_blocks = nparts
+    return ctx
+
+
 @ray.remote(num_cpus=0.25)
 def _as_arrow(block):
     import pyarrow as pa
@@ -27,31 +53,73 @@ def _as_arrow(block):
     return BlockAccessor.for_block(block).to_arrow()
 
 
-def scrub_empty_blocks(ds):
+def scrub_empty_blocks(ds, empty_schema=None):
     """Materialize ``ds`` and drop zero-row blocks.
 
     Fast path: when no block is empty the materialized dataset is
     returned untouched.  Otherwise the surviving blocks are re-wrapped
     via ``from_arrow_refs`` (converting any pandas blocks to arrow with
-    tiny remote tasks — data never lands on the driver)."""
+    tiny remote tasks — data never lands on the driver).
+
+    ``empty_schema``: when EVERY block is empty (a dataset of only
+    zero-column poison blocks — e.g. a pair table with no candidates),
+    return a clean empty dataset with this pyarrow schema instead, so
+    downstream joins see real columns."""
     mat = ds.materialize()
     items = [
         (ref, meta)
         for bundle in mat.iter_internal_ref_bundles()
         for ref, meta in bundle.blocks
     ]
-    if all(meta.num_rows for _, meta in items):
+    if items and all(meta.num_rows for _, meta in items):
         return mat
     refs = [ref for ref, meta in items if meta.num_rows]
     if not refs:
+        if empty_schema is not None:
+            return ray.data.from_arrow(empty_schema.empty_table())
         return mat
     return ray.data.from_arrow_refs([_as_arrow.remote(r) for r in refs])
 
 
-def safe_join(left, right, join_type: str, num_partitions: int, on, **kwargs):
+def _empty_like(mat):
+    """0-row dataset with ``mat``'s schema (arrow or pandas blocks)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    s = mat.schema(fetch_if_missing=True)
+    base = getattr(s, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return ray.data.from_arrow(base.empty_table())
+    names = list(getattr(s, "names", []) or [])
+    return ray.data.from_pandas(pd.DataFrame(columns=names))
+
+
+def safe_join(left, right, join_type: str, num_partitions: int, on,
+              empty_left_schema=None, empty_right_schema=None, **kwargs):
     """``left.join(right, ...)`` with empty-block scrubbing on BOTH
     inputs (empty blocks skip map UDFs, so schema coercions upstream
-    never see them — they must be dropped at the join boundary)."""
-    return scrub_empty_blocks(left).join(
-        scrub_empty_blocks(right), join_type=join_type,
-        num_partitions=num_partitions, on=on, **kwargs)
+    never see them — they must be dropped at the join boundary).
+
+    Empty-side short circuits (Ray 2.49's hash-shuffle join crashes on a
+    0-row input even when its block carries a schema — the internal
+    shuffle re-emits zero-column partitions):
+
+    * inner with either side empty -> 0 rows with the LEFT schema (the
+      right-side columns never materialize; every in-repo consumer of an
+      empty inner join only counts / coerces it);
+    * left_outer with empty right -> the left rows unchanged (no marker
+      columns; ``anti_join_pairs``'s null filter treats their absence as
+      "nothing matched").
+    """
+    lmat = scrub_empty_blocks(left, empty_left_schema)
+    rmat = scrub_empty_blocks(right, empty_right_schema)
+    ln, rn = lmat.count(), rmat.count()  # metadata-only on materialized
+    if ln == 0:
+        return lmat if join_type in ("inner", "left_outer") else lmat
+    if rn == 0:
+        if join_type == "inner":
+            return _empty_like(lmat)
+        if join_type == "left_outer":
+            return lmat
+    return lmat.join(rmat, join_type=join_type,
+                     num_partitions=num_partitions, on=on, **kwargs)

@@ -50,17 +50,13 @@ def _init_ray(num_cpus: int):
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
                  logging_level="ERROR")
-    from ray.data import DataContext
+    from aml_entity_resolution_assignment_ray.util import tune_context
 
-    ctx = DataContext.get_current()
-    ctx.enable_progress_bars = False
     # DATA-driven partitioning, fixed across cluster sizes (at 100 TB the
     # partition count follows block size, not CPU count) — also what makes
     # the two scaling runs comparable
     nparts = int(os.environ.get("GRAFT_BENCH_PARTITIONS", "32"))
-    ctx.min_parallelism = nparts
-    ctx.default_hash_shuffle_parallelism = nparts
-    ctx.read_op_min_num_blocks = nparts
+    tune_context(nparts=nparts)
 
 
 def run_headline(num_cpus: int) -> dict:

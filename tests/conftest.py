@@ -17,15 +17,11 @@ def ray_session():
             ignore_reinit_error=True,
             logging_level="ERROR",
         )
-    from ray.data import DataContext
+    from aml_entity_resolution_assignment_ray.util import tune_context
 
-    ctx = DataContext.get_current()
-    ctx.enable_progress_bars = False
     # test corpora are tiny: the default 200-way shuffle parallelism
     # drowns them in per-task overhead
-    ctx.min_parallelism = 8
-    ctx.default_hash_shuffle_parallelism = 8
-    ctx.read_op_min_num_blocks = 8
+    tune_context(nparts=8)
     yield
     ray.shutdown()
 
