@@ -115,7 +115,14 @@ def build_ivf(ds, ncells: int = 16, vec_col: str = "embedding",
               id_col: str = "vec_id", sample_size: int = 10_000,
               seed: int = 11) -> IVFIndex:
     """Fit centroids on a sample, assign every vector to a cell."""
-    sample = ds.limit(sample_size).to_pandas()
+    n = ds.count()
+    if n > sample_size:
+        # seeded random_sample: unbiased across the whole dataset (limit()
+        # would only ever see the first blocks)
+        frac = min(1.0, (sample_size * 1.25) / n)
+        sample = ds.random_sample(frac, seed=seed).limit(sample_size).to_pandas()
+    else:
+        sample = ds.to_pandas()
     X = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
     C = _kmeans(X, ncells, seed=seed)
     cref = ray.put(C)

@@ -156,11 +156,19 @@ def _verify_pairs(pairs, payload, payload_cols, fn,
     nparts = cfg.resolve_join_partitions()
     ren_a = {"doc": "id_a", **{c: f"{c}_a" for c in payload_cols}}
     ren_b = {"doc": "id_b", **{c: f"{c}_b" for c in payload_cols}}
+
+    def renamed(mapping):
+        # rename_columns breaks on pandas-block datasets; map-rename instead
+        # (also prunes payload columns the verify kernel doesn't need)
+        return payload.map_batches(
+            lambda df, m=mapping: df[["doc"] + payload_cols].rename(columns=m),
+            batch_format="pandas")
+
     wide = safe_join(
-        safe_join(pairs, payload.rename_columns(ren_a), join_type="inner",
+        safe_join(pairs, renamed(ren_a), join_type="inner",
                   num_partitions=nparts, on=("id_a",),
                   empty_left_schema=pair_schema()),
-        payload.rename_columns(ren_b), join_type="inner",
+        renamed(ren_b), join_type="inner",
         num_partitions=nparts, on=("id_b",),
     )
 

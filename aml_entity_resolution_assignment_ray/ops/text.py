@@ -42,6 +42,23 @@ _STOPWORDS = {
 _LANGS = sorted(_STOPWORDS)
 
 
+def _token_set_pattern(words) -> re.Pattern:
+    """Regex matching exactly the tokens (maximal ``_WORD_RE`` runs) that
+    equal one of ``words`` — the vectorized replacement for tokenizing
+    and testing set membership per row.  Words that could never be a
+    token (chars outside the word class) are dropped, preserving the
+    tokenizer's semantics."""
+    ok = sorted(w for w in words if re.fullmatch(_WORD_RE, w))
+    body = "|".join(map(re.escape, ok)) if ok else r"(?!x)x"
+    return re.compile(
+        rf"(?<![A-Za-zÀ-ÿ])(?:{body})(?![A-Za-zÀ-ÿ])", re.IGNORECASE)
+
+
+_ALL_STOP_RE = _token_set_pattern(frozenset().union(*_STOPWORDS.values()))
+_LANG_RES = {lang: _token_set_pattern(_STOPWORDS[lang]) for lang in _LANGS}
+_WORD_CHAR_RE = re.compile(r"[A-Za-zÀ-ÿ]")
+
+
 def token_count_batch(df: pd.DataFrame, col: str = "text") -> pd.DataFrame:
     """Adds ``n_tokens`` (whitespace) and ``n_bpe_tokens`` (pretokenizer
     pieces) columns."""
@@ -67,12 +84,10 @@ def quality_batch(df: pd.DataFrame, col: str = "text") -> pd.DataFrame:
     out["punct_ratio"] = text.str.count(_PUNCT_RE).to_numpy() / nz
     out["digit_ratio"] = text.str.count(r"[0-9]").to_numpy() / nz
     out["upper_ratio"] = text.str.count(r"[A-Z]").to_numpy() / nz
-    words = text.str.findall(_WORD_RE)
-    n_words = words.str.len().to_numpy()
-    total_word_len = words.map(lambda ws: sum(len(w) for w in ws)).to_numpy()
+    n_words = text.str.count(_WORD_RE).to_numpy()
+    total_word_len = text.str.count(_WORD_CHAR_RE).to_numpy()
     out["mean_word_len"] = total_word_len / np.maximum(n_words, 1)
-    all_stop = frozenset().union(*_STOPWORDS.values())
-    n_stop = words.map(lambda ws: sum(1 for w in ws if w.lower() in all_stop)).to_numpy()
+    n_stop = text.str.count(_ALL_STOP_RE).to_numpy()
     out["stopword_ratio"] = n_stop / np.maximum(n_words, 1)
     # composite: long enough, not punctuation/digit soup, has stopwords
     score = (
@@ -88,11 +103,9 @@ def quality_batch(df: pd.DataFrame, col: str = "text") -> pd.DataFrame:
 def lang_id_batch(df: pd.DataFrame, col: str = "text") -> pd.DataFrame:
     """Adds ``lang_pred`` via stopword voting (tie -> 'und')."""
     text = df[col].fillna("").astype(str).str.lower()
-    words = text.str.findall(_WORD_RE)
     votes = np.zeros((len(df), len(_LANGS)), dtype=np.int64)
     for li, lang in enumerate(_LANGS):
-        sw = _STOPWORDS[lang]
-        votes[:, li] = words.map(lambda ws: sum(1 for w in ws if w in sw)).to_numpy()
+        votes[:, li] = text.str.count(_LANG_RES[lang]).to_numpy()
     best = votes.argmax(axis=1)
     top = votes.max(axis=1)
     # margin: winner must strictly beat runner-up
@@ -105,38 +118,29 @@ def lang_id_batch(df: pd.DataFrame, col: str = "text") -> pd.DataFrame:
     return out
 
 
-_FP_BASE = np.uint64(1_000_003)
-_FP_MASK = np.uint64((1 << 64) - 1)
-
-
 def fingerprint_batch(df: pd.DataFrame, col: str = "text",
                       window: int = 16, keep: int = 8) -> pd.DataFrame:
     """Adds ``fingerprint`` — a document sketch: the ``keep`` smallest
     rolling-hash values over ``window``-char windows (winnowing-style
     min-sampling), packed as a hex string. Near-identical documents share
-    most fingerprint elements."""
-    text = df[col].fillna("").astype(str)
+    most fingerprint elements.
+
+    One numpy pass for the whole batch (batch_window_hashes computes all
+    windows of all docs at once; unique_per_doc is a single lexsort);
+    only the final hex packing touches Python, on <= ``keep`` values per
+    doc."""
+    from ..functions import minhash as mh
+
+    texts = df[col].fillna("").astype(str).to_numpy(dtype=object)
+    flat, counts = mh.batch_window_hashes(texts, window)
+    flat, counts = mh.unique_per_doc(flat, counts)
+    starts = np.cumsum(counts) - counts
+    take = np.minimum(counts, keep)
     out = df.copy()
-    fps = []
-    with np.errstate(over="ignore"):
-        for t in text:  # per-doc numpy (windows vectorized within doc)
-            codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
-            if len(codes) == 0:
-                fps.append("")
-                continue
-            w = min(window, len(codes))
-            # polynomial hash of every w-window, vectorized via cumulative trick
-            pw = np.ones(w, dtype=np.uint64)
-            for i in range(1, w):
-                pw[i] = (pw[i - 1] * _FP_BASE) & _FP_MASK
-            if len(codes) >= w:
-                mat = np.lib.stride_tricks.sliding_window_view(codes, w)
-                hashes = (mat * pw[::-1]).sum(axis=1) & _FP_MASK
-            else:
-                hashes = np.array([(codes * pw[::-1][: len(codes)]).sum() & _FP_MASK])
-            sel = np.sort(np.unique(hashes))[:keep]
-            fps.append(",".join(format(v, "016x") for v in sel))
-    out["fingerprint"] = fps
+    out["fingerprint"] = [
+        ",".join(format(v, "016x") for v in flat[s : s + t])
+        for s, t in zip(starts, take)
+    ]
     return out
 
 
