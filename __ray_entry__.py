@@ -47,6 +47,31 @@ def _corpus_entities(sf_dir: str) -> int:
     return {"sf0.001": 150, "sf0.01": 800, "sf0.1": 4000}.get(name, 300)
 
 
+ORACLE_CORPUS_PATH = "/tmp/er_oracle_corpus/transcripts.parquet"
+
+
+def _write_oracle_corpus(n_entities: int):
+    """Write the er_profiles corpus to a fixed parquet path so the DuckDB
+    oracle can read the SAME transcripts the Ray pipeline consumed."""
+    import pyarrow.parquet as pq
+
+    from aml_entity_resolution_assignment_ray.sources.synth import generate_corpus
+
+    os.makedirs(os.path.dirname(ORACLE_CORPUS_PATH), exist_ok=True)
+    transcripts, _, _ = generate_corpus(
+        n_entities=n_entities, seed=43, doppelganger_rate=0.0)
+    pq.write_table(transcripts, ORACLE_CORPUS_PATH)
+
+
+def _round_half_away(x, decimals: int = 0):
+    """Half-away-from-zero rounding — the same tie behavior as DuckDB's
+    ``round()`` (pandas .round is half-to-even and diverges on exact .5)."""
+    f = 10.0 ** decimals
+    v = np.asarray(x, dtype=np.float64) * f
+    out = np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)) / f
+    return out
+
+
 @lru_cache(maxsize=4)
 def _corpus(n_entities: int, seed: int = 43, doppelganger_rate: float = 0.0):
     import ray.data as rd
@@ -101,9 +126,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out = pd.DataFrame({
                 "l_returnflag": df["l_returnflag"],
                 "l_linestatus": df["l_linestatus"],
-                "sum_qty": df["sum(l_quantity)"].round(0).astype("int64"),
-                "sum_price": df["sum(l_extendedprice)"].round(0).astype("int64"),
-                "avg_disc": (df["sum(l_discount)"] / df["count()"]).round(4),
+                "sum_qty": _round_half_away(df["sum(l_quantity)"]).astype("int64"),
+                "sum_price": _round_half_away(df["sum(l_extendedprice)"]).astype("int64"),
+                "avg_disc": _round_half_away(df["sum(l_discount)"] / df["count()"], 4),
                 "cnt": df["count()"].astype("int64"),
             })
             return out
@@ -126,7 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         def finalize(df: pd.DataFrame) -> pd.DataFrame:
             return pd.DataFrame({
                 "c_mktsegment": df["c_mktsegment"],
-                "revenue": df["sum(o_totalprice)"].round(0).astype("int64"),
+                "revenue": _round_half_away(df["sum(o_totalprice)"]).astype("int64"),
                 "n_orders": df["count()"].astype("int64"),
             })
 
@@ -148,7 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         def finalize(df: pd.DataFrame) -> pd.DataFrame:
             return pd.DataFrame({
                 "n_name": df["n_name"],
-                "avg_acctbal": (df["sum(c_acctbal)"] / df["count()"]).round(4),
+                "avg_acctbal": _round_half_away(df["sum(c_acctbal)"] / df["count()"], 4),
                 "n_customers": df["count()"].astype("int64"),
             })
 
@@ -178,7 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         def finalize(df: pd.DataFrame) -> pd.DataFrame:
             return pd.DataFrame({
                 "event_type": df["event_type"],
-                "total_value": df["sum(value)"].round(2),
+                "total_value": _round_half_away(df["sum(value)"], 2),
                 "n_events": df["count()"].astype("int64"),
             })
 
@@ -272,7 +297,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def embedding_dup_pairs_q(sf_dir):
         # testdata embeddings are near-orthogonal (max offdiag cosine
-        # ~0.51 at sf0.01), so the near-dup threshold sits below that
+        # ~0.51 at sf0.01), so the near-dup threshold sits below that.
+        # EXACT distributed brute force (block x broadcast matrix) — the
+        # DuckDB all-pairs oracle checks it value-for-value.
+        _tune_context()
+        return dedup.exact_cosine_pairs(
+            _read(sf_dir, "embeddings"), threshold=0.4
+        ).select_columns(["id_a", "id_b"])
+
+    def embedding_dup_pairs_lsh(sf_dir):
+        # the approximate scale path (random-hyperplane LSH buckets);
+        # rows-only check — a >=threshold pair can miss every band
         _tune_context()
         return dedup.embedding_dup_pairs(
             _read(sf_dir, "embeddings"), threshold=0.4, nplanes=8, nbands=4
@@ -286,7 +321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             V = np.stack(df["embedding"].to_numpy()).astype(np.float64)
             return pd.DataFrame({
                 "vec_id": df["vec_id"],
-                "l2_norm": np.round(np.sqrt((V * V).sum(axis=1)), 4),
+                "l2_norm": _round_half_away(np.sqrt((V * V).sum(axis=1)), 4),
             })
 
         return emb.map_batches(norms, batch_format="pandas")
@@ -315,7 +350,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ---- ER pipeline (flagship; rows-only checks) ----
 
     def er_profiles(sf_dir):
-        return _flagship(_corpus_entities(sf_dir))["profiles"] \
+        n = _corpus_entities(sf_dir)
+        _write_oracle_corpus(n)  # same transcripts, on disk for DuckDB
+        return _flagship(n)["profiles"] \
             .select_columns(["conv_id", "n_turns", "norm_first_name",
                              "norm_last_name", "norm_email", "norm_phone",
                              "norm_nid", "norm_dob"])
@@ -362,6 +399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_docs": ngram_jaccard_docs,
         "ann_top10": ann_top10,
         "embedding_dup_pairs": embedding_dup_pairs_q,
+        "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh,
         "embedding_norms": embedding_norms,
         "media_features": media_features,
         "er_profiles": er_profiles,
@@ -372,8 +410,122 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _lang_id_sql() -> str:
+    """Stopword-voting LID as SQL, built from the SAME stopword lists and
+    token semantics as ops/text.py (tokens = maximal [A-Za-zÀ-ÿ]+ runs;
+    winner must strictly beat every other language and score > 0)."""
+    import re as _re
+
+    from aml_entity_resolution_assignment_ray.ops.text import _STOPWORDS, _WORD_RE
+
+    langs = sorted(_STOPWORDS)
+    cols = []
+    for lang in langs:
+        ok = sorted(w for w in _STOPWORDS[lang] if _re.fullmatch(_WORD_RE, w))
+        lst = ", ".join(f"'{w}'" for w in ok)
+        cols.append(
+            f"len(list_filter(regexp_extract_all(lower(coalesce(text, '')), "
+            f"'[a-zA-ZÀ-ÿ]+'), t -> list_contains([{lst}], t))) AS v_{lang}")
+    cases = []
+    for lang in langs:
+        others = " AND ".join(
+            f"v_{lang} > v_{o}" for o in langs if o != lang)
+        cases.append(f"WHEN v_{lang} > 0 AND {others} THEN '{lang}'")
+    return f"""
+        WITH v AS (SELECT doc_id, {', '.join(cols)} FROM documents)
+        SELECT doc_id, CASE {' '.join(cases)} ELSE 'und' END AS lang_pred
+        FROM v
+    """
+
+
+def _er_profiles_sql() -> str:
+    """Assemble + normalize over the oracle corpus parquet: per-turn regex
+    extraction, first non-null in turn order, then the reference
+    normalizers (preprocessing.py:18-80, 178-187) expressed in SQL."""
+    fold = ("strip_accents(replace(replace(replace(replace({x}, "
+            "'ł', 'l'), 'Ł', 'L'), 'ß', 'ss'), 'ẞ', 'SS'))")
+    return f"""
+        WITH turns AS (
+          SELECT conv_id, turn_idx,
+                 nullif(regexp_extract(text, 'i am (.+?) and i need help', 1), '') AS name,
+                 nullif(trim(regexp_extract(text, 'dob: ([^;]+)', 1)), '') AS dob,
+                 nullif(trim(regexp_extract(text, 'email: ([^;]+)', 1)), '') AS email,
+                 nullif(trim(regexp_extract(text, 'phone: ([^;]+)', 1)), '') AS phone,
+                 nullif(trim(regexp_extract(text, 'national_id=([^;]+)', 1)), '') AS nid
+          FROM read_parquet('{ORACLE_CORPUS_PATH}')
+        ),
+        agg AS (
+          SELECT conv_id,
+                 count(*) AS n_turns,
+                 min_by(name,  CASE WHEN name  IS NOT NULL THEN turn_idx END) AS name,
+                 min_by(dob,   CASE WHEN dob   IS NOT NULL THEN turn_idx END) AS dob,
+                 min_by(email, CASE WHEN email IS NOT NULL THEN turn_idx END) AS email,
+                 min_by(phone, CASE WHEN phone IS NOT NULL THEN turn_idx END) AS nphone,
+                 min_by(nid,   CASE WHEN nid   IS NOT NULL THEN turn_idx END) AS nid
+          FROM turns GROUP BY conv_id
+        ),
+        split AS (
+          SELECT *, regexp_extract(coalesce(name, ''), '^(\\S+)', 1) AS first_name,
+                 nullif(regexp_extract(coalesce(name, ''), '^\\S+ (.+)$', 1), '') AS last_name,
+                 trim(lower(coalesce(email, ''))) AS e,
+                 ltrim(regexp_replace(coalesce(nphone, ''), '[^0-9]', '', 'g'), '0') AS pd
+          FROM agg
+        )
+        SELECT conv_id, n_turns,
+               trim(lower({fold.format(x="coalesce(first_name, '')")})) AS norm_first_name,
+               trim(lower({fold.format(x="coalesce(last_name, '')")})) AS norm_last_name,
+               CASE WHEN instr(e, '@') > 0
+                    THEN replace(substr(e, 1, instr(e, '@') - 1), '.', '')
+                         || '@' || substr(e, instr(e, '@') + 1)
+                    ELSE e END AS norm_email,
+               CASE WHEN length(pd) = 11 AND (pd LIKE '48%' OR pd LIKE '34%')
+                         THEN substr(pd, 3)
+                    WHEN length(pd) = 11 AND pd LIKE '1%' THEN substr(pd, 2)
+                    WHEN length(pd) >= 12 AND pd LIKE '49%' THEN substr(pd, 3)
+                    ELSE pd END AS norm_phone,
+               upper(regexp_replace(coalesce(nid, ''), '[^a-zA-Z0-9]', '', 'g')) AS norm_nid,
+               strftime(coalesce(
+                   try_strptime(dob, '%Y-%m-%d'),
+                   try_strptime(dob, '%d/%m/%Y'),
+                   try_strptime(dob, '%m-%d-%Y'),
+                   try_strptime(dob, '%Y/%m/%d')), '%Y-%m-%d') AS norm_dob
+        FROM split
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "ngram_jaccard_docs": """
+            WITH g AS (
+              SELECT DISTINCT id, substr(t, i, 3) AS gram
+              FROM (
+                SELECT CAST(doc_id AS VARCHAR) AS id,
+                       lower(coalesce(text, '')) AS t,
+                       unnest(generate_series(
+                           1, greatest(length(coalesce(text, '')) - 2, 1))) AS i
+                FROM documents)
+            ),
+            c AS (SELECT id, count(*) AS n FROM g GROUP BY id),
+            inter AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+              FROM g a JOIN g b ON a.gram = b.gram AND a.id < b.id
+              GROUP BY a.id, b.id
+            )
+            SELECT id_a, id_b
+            FROM inter
+            JOIN c ca ON ca.id = id_a
+            JOIN c cb ON cb.id = id_b
+            WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5
+        """,
+        "embedding_dup_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(
+                list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.4
+        """,
+        "doc_lang_id": _lang_id_sql(),
+        "er_profiles": _er_profiles_sql(),
         "lineitem_agg": """
             SELECT l_returnflag, l_linestatus,
                    CAST(round(sum(l_quantity), 0) AS BIGINT) AS sum_qty,
@@ -457,7 +609,9 @@ def oracle_sql() -> dict[str, str]:
                        AS l2_norm
             FROM embeddings
         """,
-        # lang-id, fingerprints, minhash/simhash/ngram/embedding dedup,
-        # multimodal and the ER pipeline are not SQL-expressible ->
-        # rows-only checks.
+        # fingerprints (64-bit rolling-hash winnowing), minhash/simhash
+        # signature dedup, the RHP-LSH embedding variant, multimodal and
+        # the downstream ER stages (pairs/classified/clusters: model +
+        # rule cascade + union-find) are not SQL-expressible ->
+        # rows-only checks; er_profiles IS oracled above.
     }
