@@ -29,7 +29,8 @@ def run_flagship_checkpointed(transcripts_path: str, checkpoint_root: str,
     import ray.data as rd
 
     mgr = CheckpointManager(checkpoint_root, run_id=run_id,
-                            config=cfg.to_dict())
+                            config=cfg.to_dict(),
+                            input_path=transcripts_path)
 
     profiles = mgr.stage(
         "profiles",

@@ -73,8 +73,9 @@ def resolve_record(record: dict, norm_profiles, keys,
     cand_ids = cand_df["conv_id"].drop_duplicates().head(limit)  # O2 LIMIT 50
 
     cand_set = set(cand_ids)
+    probe_cols = SCORING_COLS + ["norm_city"]
     cand_profiles = norm_profiles.map_batches(
-        lambda df: df[df["conv_id"].isin(cand_set)][SCORING_COLS],
+        lambda df: df[df["conv_id"].isin(cand_set)][probe_cols],
         batch_format="pandas",
     ).to_pandas()
 
@@ -87,6 +88,17 @@ def resolve_record(record: dict, norm_profiles, keys,
         wide[f"{c}_b"] = cand_profiles[c].to_numpy()
     scored = PairScorer(cfg)(wide)
     scored = scored.rename(columns={"id_b": "conv_id"}).drop(columns=["id_a"])
+    # city_score: API-mode-only feature (reference matching.py:387-390 —
+    # absent from batch mode and from the model's feature list)
+    from ..functions.strsim import jaro_winkler_batch
+
+    city_a = np.full(len(cand_profiles), norm_row["norm_city"].iloc[0] or "",
+                     dtype=object)
+    city_b = cand_profiles["norm_city"].fillna("").to_numpy(dtype=object)
+    city = jaro_winkler_batch(city_a, city_b) if len(cand_profiles) else \
+        np.zeros(0)
+    scored["city_score"] = pd.Series(city, index=pd.Index(
+        cand_profiles["conv_id"])).reindex(scored["conv_id"]).to_numpy()
 
     # rank: priority (match=2 > review=1 > 0), then confidence (O1)
     prio = scored["match_type"].map({"match": 2, "review": 1}).fillna(0)
@@ -104,4 +116,33 @@ def resolve_record(record: dict, norm_profiles, keys,
             if nid in seen:
                 keep[i] = False
             seen.add(nid)
-    return scored[keep].reset_index(drop=True)
+    scored = scored[keep].reset_index(drop=True)
+    return _flag_identity_conflict(scored)
+
+
+def _flag_identity_conflict(scored: pd.DataFrame) -> pd.DataFrame:
+    """Reference api.py:344-374: if some candidates match via National ID
+    signals and OTHERS match via Name/ML signals (disjoint sets), the
+    identity evidence is contradictory — force the best match to review
+    with an explicit warning."""
+    if not len(scored):
+        return scored
+    sub = scored[scored["match_type"].isin(["match", "review"])]
+    id_set, name_set = set(), set()
+    for cid, expl in zip(sub["conv_id"], sub["explanation"]):
+        parts = str(expl).split("; ")
+        id_driven = any("ID" in e for e in parts)
+        name_driven = (any("Name" in e for e in parts)
+                       or any("ML Probability" in e for e in parts)) \
+            and not id_driven
+        if id_driven:
+            id_set.add(cid)
+        if name_driven:
+            name_set.add(cid)
+    if id_set and name_set and id_set.isdisjoint(name_set):
+        scored = scored.copy()
+        scored.loc[0, "match_type"] = "review"
+        scored.loc[0, "explanation"] = (
+            str(scored.loc[0, "explanation"])
+            + "; WARNING: Identity Conflict Detected (ID Match vs Name Match)")
+    return scored

@@ -30,15 +30,40 @@ import time
 import pyarrow.parquet as pq
 
 
+def input_fingerprint(path: str) -> str:
+    """Cheap content fingerprint of an input directory/file: sorted
+    relative names + sizes + mtimes.  Folded into the root stage's
+    lineage so a rerun against a DIFFERENT corpus at the same checkpoint
+    dir rebuilds instead of silently reusing stale results."""
+    h = hashlib.sha256()
+    if os.path.isfile(path):
+        st = os.stat(path)
+        h.update(f"{os.path.basename(path)}|{st.st_size}|{st.st_mtime_ns}".encode())
+    elif os.path.isdir(path):
+        for root, _, files in sorted(os.walk(path)):
+            for f in sorted(files):
+                fp = os.path.join(root, f)
+                st = os.stat(fp)
+                rel = os.path.relpath(fp, path)
+                h.update(f"{rel}|{st.st_size}|{st.st_mtime_ns}".encode())
+    else:
+        h.update(path.encode())
+    return h.hexdigest()
+
+
 class CheckpointManager:
     def __init__(self, root: str, run_id: str = "default",
-                 config: dict | None = None):
+                 config: dict | None = None, input_path: str | None = None):
         self.base = os.path.join(root, run_id)
         os.makedirs(self.base, exist_ok=True)
         self.config = config or {}
         self._config_hash = hashlib.sha256(
             json.dumps(self.config, sort_keys=True, default=str).encode()
         ).hexdigest()
+        if input_path is not None:
+            self._config_hash = hashlib.sha256(
+                (self._config_hash + input_fingerprint(input_path)).encode()
+            ).hexdigest()
         self._lineage: dict[str, str] = {}
         self.events: list[dict] = []
 

@@ -86,3 +86,32 @@ def test_dependency_ordering_enforced(tmp_path):
     mgr = CheckpointManager(str(tmp_path / "ck4"))
     with pytest.raises(ValueError):
         mgr.lineage_hash("b", ["never_built"])
+
+
+def test_input_change_invalidates(ray_session, tmp_path):
+    """ADVICE: rerunning `match` against a DIFFERENT corpus but the same
+    checkpoint dir must rebuild, not silently reuse stale results."""
+    from aml_entity_resolution_assignment_ray.config import EngineConfig
+    from aml_entity_resolution_assignment_ray.pipelines.checkpointed import (
+        run_flagship_checkpointed,
+    )
+    from aml_entity_resolution_assignment_ray.sources.synth import write_corpus
+
+    cfg = EngineConfig(join_num_partitions=4)
+    ck = str(tmp_path / "ck")
+    c1 = str(tmp_path / "corpus1")
+    c2 = str(tmp_path / "corpus2")
+    write_corpus(c1, shards=2, n_entities=30, seed=1, doppelganger_rate=0.0)
+    write_corpus(c2, shards=2, n_entities=40, seed=2, doppelganger_rate=0.0)
+    import os
+
+    r1 = run_flagship_checkpointed(os.path.join(c1, "transcripts"), ck, cfg)
+    assert all(e["action"] == "built" for e in r1["manager"].events)
+    n1 = r1["predictions"].count()
+    # same corpus -> full reuse
+    r1b = run_flagship_checkpointed(os.path.join(c1, "transcripts"), ck, cfg)
+    assert all(e["action"] == "reused" for e in r1b["manager"].events)
+    # different corpus, same checkpoint dir -> rebuild
+    r2 = run_flagship_checkpointed(os.path.join(c2, "transcripts"), ck, cfg)
+    assert all(e["action"] == "built" for e in r2["manager"].events)
+    assert r2["predictions"].count() != n1

