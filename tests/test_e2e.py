@@ -56,3 +56,25 @@ def test_match_counts_sane(flagship_result):
     assert n > 0
     matched = cls.filter(expr="is_match == 1").count()
     assert 0 < matched < n
+
+
+def test_doppelganger_rule3_inherent():
+    """A clean doppelganger pair (same name + dob, different ids/contacts)
+    fires the reference's own Rule 3 (matching.py:443-446) — the F1 drop
+    at doppelganger_rate>0 (BASELINE.md) is rule-inherent, not an engine
+    deviation."""
+    import pandas as pd
+
+    from aml_entity_resolution_assignment_ray.stages.score import (
+        decide_match_status_batch,
+    )
+
+    f = pd.DataFrame([{
+        "nid_score": 0.0, "nid_both_present": 1, "email_score": 0.4,
+        "phone_match": 0, "first_name_score": 1.0, "last_name_score": 1.0,
+        "addr_score": 0.2, "dob_match": 1, "dob_both_present": 1,
+        "year_match": 1, "ml_prob": 0.0,
+    }])
+    out = decide_match_status_batch(f)
+    assert out["match_type"][0] == "match"
+    assert "Rule 3" in out["explanation"][0]
