@@ -27,10 +27,18 @@ import pandas as pd
 # helpers
 # --------------------------------------------------------------------------
 
-def _read(sf_dir: str, table: str):
+def _read(sf_dir: str, table: str, spread: bool = False):
     import ray.data as rd
 
-    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    ds = rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    if spread:
+        # single-row-group files arrive as ONE block; kernel-heavy ops
+        # (minhash/simhash/grams) need the rows spread across blocks to
+        # parallelize (real corpora are many-file and never need this)
+        from ray.data import DataContext
+
+        ds = ds.repartition(max(8, DataContext.get_current().min_parallelism))
+    return ds
 
 
 def _tune_context():
@@ -267,23 +275,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def minhash_dup_pairs_docs(sf_dir):
         _tune_context()
         return dedup.minhash_lsh_dup_pairs(
-            _read(sf_dir, "documents"), threshold=0.5
+            _read(sf_dir, "documents", spread=True), threshold=0.5
         ).select_columns(["id_a", "id_b"])
 
     def simhash_dup_pairs_docs(sf_dir):
         _tune_context()
         return dedup.simhash_dup_pairs(
-            _read(sf_dir, "documents"), max_hamming=6
+            _read(sf_dir, "documents", spread=True), max_hamming=6
         ).select_columns(["id_a", "id_b"])
 
     def minhash_dedup_docs(sf_dir):
         _tune_context()
-        return dedup.minhash_dedup(_read(sf_dir, "documents"), threshold=0.8)
+        return dedup.minhash_dedup(_read(sf_dir, "documents", spread=True), threshold=0.8)
 
     def ngram_jaccard_docs(sf_dir):
         _tune_context()
         return dedup.ngram_jaccard_pairs(
-            _read(sf_dir, "documents"), threshold=0.5
+            _read(sf_dir, "documents", spread=True), threshold=0.5
         ).select_columns(["id_a", "id_b"])
 
     # ---- embeddings: similarity search ----

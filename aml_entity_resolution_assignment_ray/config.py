@@ -69,6 +69,17 @@ class EngineConfig:
     def resolve_join_partitions(self) -> int:
         if self.join_num_partitions > 0:
             return self.join_num_partitions
+        # call-time env read: tune_context(nparts=...) publishes the
+        # data-driven partition count here, and module-level DEFAULT_CONFIG
+        # instances (constructed at import, before tuning) must see it —
+        # each hash shuffle pays ~0.1s per partition of fixed overhead,
+        # so partition count follows data size, not CPU count
+        env = os.getenv("ER_JOIN_NUM_PARTITIONS")
+        if env:
+            try:
+                return max(2, int(env))
+            except ValueError:
+                pass
         try:
             import ray
 
@@ -84,18 +95,26 @@ class EngineConfig:
         default_factory=lambda: _env_int("ER_CC_DRIVER_MAX_EDGES", 2_000_000)
     )
 
-    def actor_pool_range(self) -> tuple[int, int]:
+    def actor_pool_range(self, n_rows: int | None = None) -> tuple[int, int]:
         """(min, max) actor-pool size for stateful map_batches stages:
-        scale with the cluster (capped), never hardcoded."""
+        scale with the cluster (capped), never hardcoded.  ``n_rows``
+        (when the caller knows the input size) caps the pool at the
+        number of batches — tiny inputs must not pay 30+ actor
+        startups."""
         if self.scorer_concurrency > 0:
-            return (1, self.scorer_concurrency)
-        try:
-            import ray
+            cap = self.scorer_concurrency
+        else:
+            try:
+                import ray
 
-            cpus = int(ray.cluster_resources().get("CPU", 8))
-        except Exception:
-            cpus = 8
-        return (1, max(2, min(64, cpus)))
+                cpus = int(ray.cluster_resources().get("CPU", 8))
+            except Exception:
+                cpus = 8
+            cap = max(2, min(64, cpus))
+        if n_rows is not None:
+            batches = max(1, -(-int(n_rows) // max(1, self.batch_size)))
+            cap = max(1, min(cap, batches))
+        return (1, cap)
 
     # --- model ---
     model_path: str = field(

@@ -60,10 +60,11 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
     (query_idx, id_col, cosine) sorted by (query_idx, -cosine, id)."""
     queries = np.atleast_2d(np.asarray(queries, dtype=np.float64))
     qref = ray.put(queries)
-    cand = ds.map_batches(
-        _BlockTopK, fn_constructor_args=(qref, k, vec_col, id_col),
+    from ..util import stateful_map
+
+    cand = stateful_map(
+        ds, _BlockTopK, (qref, k, vec_col, id_col),
         batch_format="pandas", batch_size=batch_size,
-        concurrency=(1, 8),
     ).to_pandas()          # #blocks x k x n_queries rows — driver-small
     cand = cand.sort_values(
         ["query_idx", "cosine", id_col], ascending=[True, False, True],
@@ -137,7 +138,8 @@ def build_ivf(ds, ncells: int = 16, vec_col: str = "embedding",
             out["_cell"] = (V @ self.C.T).argmax(axis=1).astype(np.int64)
             return out
 
-    assigned = ds.map_batches(Assign, fn_constructor_args=(cref,),
-                              batch_format="pandas",
-                              concurrency=(1, 8)).materialize()
+    from ..util import stateful_map
+
+    assigned = stateful_map(ds, Assign, (cref,),
+                            batch_format="pandas").materialize()
     return IVFIndex(C, assigned, vec_col, id_col)

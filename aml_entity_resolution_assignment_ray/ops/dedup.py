@@ -1,8 +1,8 @@
 """Deduplication operators for a document table.
 
-* exact_dedup           — 128-bit text digest -> hash groupby (min id)
-                          -> id join back for the representative text;
-                          the shuffle key is 16 bytes, never the text
+* exact_dedup           — 64-bit digest hash-partition -> per-block
+                          value groupby (min id); one shuffle, document
+                          bytes move exactly once
 * minhash_lsh_dup_pairs — shingle -> MinHash -> banded LSH buckets ->
                           candidate pairs -> exact signature-Jaccard
                           filter (reuses the ER engine's minhash kernels
@@ -44,40 +44,31 @@ from ..util import safe_join
 # --------------------------------------------------------------------------
 
 
-def _digest_batch(df: pd.DataFrame, col: str, id_col: str) -> pd.DataFrame:
-    """(text, id) -> (d1, d2, id): a 128-bit content digest as two
-    independently-keyed 64-bit hashes — the groupby/shuffle key is 16
-    bytes instead of the document text."""
-    t = df[col].fillna("").astype(str).to_numpy(dtype=object)
-    return pd.DataFrame({
-        "d1": pd.util.hash_array(t),
-        "d2": pd.util.hash_array(t, hash_key="e5d1a9935f3cd2a7"),
-        id_col: df[id_col],
-    })
-
-
 def exact_dedup(ds, col: str = "text", id_col: str = "doc_id",
                 cfg: EngineConfig = DEFAULT_CONFIG):
     """One row per distinct ``col`` value with the smallest id — the
     hash-partition + per-group-first pattern. Output columns:
     (col, id_col).
 
-    The reference's analog is SQL ``GROUP BY`` on the raw value; here
-    the shuffle key is a 128-bit digest (collision probability
-    ~(#docs)^2 / 2^128 — immaterial) and the surviving representative's
-    text is fetched back by a unique-id hash join, so full document
-    bytes move exactly once."""
-    canon = (
-        ds.map_batches(_digest_batch, fn_kwargs={"col": col, "id_col": id_col},
-                       batch_format="pandas")
-        .groupby(["d1", "d2"])
-        .min(id_col)
-        .rename_columns({f"min({id_col})": id_col})
-        .select_columns([id_col])
-    )
-    return safe_join(
-        canon, ds.select_columns([col, id_col]), join_type="inner",
-        num_partitions=cfg.resolve_join_partitions(), on=(id_col,),
+    ONE hash shuffle, keyed on a 64-bit content digest (equal texts
+    always co-locate; a digest collision merely puts two groups in one
+    partition, where the per-block groupby still separates them by the
+    actual value).  Document bytes move exactly once."""
+
+    def add_digest(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[col].fillna("").astype(str).to_numpy(dtype=object)
+        return pd.DataFrame({
+            "d1": pd.util.hash_array(t), col: df[col], id_col: df[id_col]})
+
+    def block_min(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(col, sort=False, dropna=False)[id_col].min()
+               .reset_index())
+        return out[[col, id_col]]
+
+    return (
+        ds.map_batches(add_digest, batch_format="pandas")
+        .repartition(cfg.resolve_join_partitions(), keys=["d1"])
+        .map_batches(block_min, batch_format="pandas", batch_size=None)
     )
 
 
@@ -145,11 +136,11 @@ def _verify_pairs(pairs, payload, payload_cols, fn,
         strategy = "broadcast" if n_docs <= cfg.broadcast_max_rows else "join"
 
     if strategy == "broadcast":
+        from ..util import stateful_map
+
         refs = _payload_refs(payload)
-        return pairs.map_batches(
-            _BroadcastVerify, fn_constructor_args=(refs, fn),
-            batch_format="pandas", concurrency=cfg.actor_pool_range(),
-        )
+        return stateful_map(pairs, _BroadcastVerify, (refs, fn),
+                            batch_format="pandas")
 
     from ..stages.pairs import pair_schema
 
@@ -279,28 +270,35 @@ def minhash_dedup(ds, col: str = "text", id_col: str = "doc_id",
 
 def simhash_batch(texts, nbits: int = 64, ngram: int = 3) -> np.ndarray:
     """64-bit SimHash per text over char n-gram hashes: each feature
-    votes its hash bits +-1; the sign vector packs into a uint64."""
+    votes its hash bits +-1; the sign vector packs into a uint64.
+
+    One reduceat pass per bit over a 1-D working array — the previous
+    (n_shingles x 64) int64 votes matrix cost ~0.5 GB of memory traffic
+    per 1M shingles and dominated the op's wall time."""
     flat, counts = mh.batch_shingle_hashes(texts)
+    n = len(counts)
+    out = np.zeros(n, dtype=np.uint64)
+    nonempty = counts > 0
+    if not nonempty.any():
+        return out
     # spread the 32-bit shingle hash to 64 bits with a splitmix-style mix
     with np.errstate(over="ignore"):
         x = flat.astype(np.uint64)
         x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
         x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
         x = x ^ (x >> np.uint64(31))
-    bits = ((x[:, None] >> np.arange(nbits, dtype=np.uint64)[None, :]) & np.uint64(1))
-    votes = bits.astype(np.int64) * 2 - 1      # (n_shingles, nbits)
-    ends = np.cumsum(counts)
-    starts = ends - counts
-    out = np.zeros(len(counts), dtype=np.uint64)
-    nonempty = counts > 0
-    if nonempty.any():
-        # segment sums via cumsum differences (robust to empty docs)
-        csum = np.concatenate([np.zeros((1, votes.shape[1]), dtype=np.int64),
-                               np.cumsum(votes, axis=0)])
-        seg = csum[ends[nonempty]] - csum[starts[nonempty]]
-        packed = (seg > 0).astype(np.uint64) @ (
-            np.uint64(1) << np.arange(nbits, dtype=np.uint64))
-        out[nonempty] = packed
+    starts_all = np.cumsum(counts) - counts
+    sel = np.where(nonempty)[0]
+    seg = starts_all[sel]            # strictly increasing (empties dropped)
+    totals = counts[sel]
+    ones = np.empty((len(sel), nbits), dtype=np.int64)
+    for b in range(nbits):
+        bit = ((x >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+        ones[:, b] = np.add.reduceat(bit, seg)
+    # majority vote per bit: +1 votes (ones) outnumber -1 votes
+    packed = (ones * 2 > totals[:, None]).astype(np.uint64) @ (
+        np.uint64(1) << np.arange(nbits, dtype=np.uint64))
+    out[sel] = packed
     return out
 
 
@@ -552,9 +550,9 @@ def embedding_dup_pairs(ds, vec_col: str = "embedding", id_col: str = "vec_id",
                 }))
             return pd.concat(parts, ignore_index=True)
 
-    keyed = vecs.map_batches(Emit, fn_constructor_args=(planes_ref,),
-                             batch_format="pandas",
-                             concurrency=cfg.actor_pool_range())
+    from ..util import stateful_map
+
+    keyed = stateful_map(vecs, Emit, (planes_ref,), batch_format="pandas")
     pairs = generate_pairs(keyed, cfg)
 
     def fn(a, b, pairs_df):
@@ -615,9 +613,9 @@ def exact_cosine_pairs(ds, vec_col: str = "embedding", id_col: str = "vec_id",
         return pd.DataFrame({"doc_num": df[id_col].astype(np.int64),
                              "vec": [v.tobytes() for v in V]})
 
+    from ..util import stateful_map
+
     vecs = ds.map_batches(collect, batch_format="pandas").materialize()
     refs = _payload_refs(vecs)
-    return vecs.map_batches(
-        _AllPairsCosine, fn_constructor_args=(refs, threshold),
-        batch_format="pandas", concurrency=cfg.actor_pool_range(),
-    )
+    return stateful_map(vecs, _AllPairsCosine, (refs, threshold),
+                        batch_format="pandas")

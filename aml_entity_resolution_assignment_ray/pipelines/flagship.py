@@ -38,7 +38,8 @@ def run_flagship(transcripts, cfg: EngineConfig = DEFAULT_CONFIG,
     from ..util import scrub_empty_blocks
 
     pairs = scrub_empty_blocks(generate_pairs(keys, cfg), pair_schema())
-    if pairs.count() == 0:
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         # no candidates at all: classified = 0 rows WITH the full scored
         # schema (run the scorer on an empty wide frame), every conv_id
         # its own entity
@@ -72,10 +73,11 @@ def run_flagship(transcripts, cfg: EngineConfig = DEFAULT_CONFIG,
                     else "join")
     if strategy == "broadcast":
         # fused hydrate+score: the wide hydrated table never materializes
-        classified = score_pairs_broadcast(pairs, norm, cfg).materialize()
+        classified = score_pairs_broadcast(pairs, norm, cfg,
+                                           n_rows=n_pairs).materialize()
     else:
         hydrated = hydrate_pairs(pairs, norm, cfg, n_profiles=n_profiles)
-        classified = score_pairs(hydrated, cfg).materialize()
+        classified = score_pairs(hydrated, cfg, n_rows=n_pairs).materialize()
     predictions = resolve_entities(
         classified, norm.select_columns(["conv_id"]), cfg).materialize()
 

@@ -65,9 +65,10 @@ def resolve_record(record: dict, norm_profiles, keys,
             ]
             return df.loc[mask, ["conv_id"]]
 
-    cand_df = keys.map_batches(
-        KeyFilter, fn_constructor_args=(keyset_ref,),
-        batch_format="pandas", concurrency=(1, 4)).to_pandas()
+    from ..util import stateful_map
+
+    cand_df = stateful_map(keys, KeyFilter, (keyset_ref,),
+                           batch_format="pandas").to_pandas()
     if "conv_id" not in cand_df.columns or cand_df.empty:
         return pd.DataFrame()
     cand_ids = cand_df["conv_id"].drop_duplicates().head(limit)  # O2 LIMIT 50

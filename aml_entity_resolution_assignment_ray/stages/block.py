@@ -139,10 +139,10 @@ class KeyEmitter:
 
 def emit_keys(norm_profiles, cfg: EngineConfig = DEFAULT_CONFIG):
     """normalized profiles -> key table Dataset (B1-B5)."""
-    return norm_profiles.map_batches(
-        KeyEmitter, fn_constructor_args=(cfg,), batch_format="pandas",
-        concurrency=(1, 8),
-    )
+    from ..util import stateful_map
+
+    return stateful_map(norm_profiles, KeyEmitter, (cfg,),
+                        batch_format="pandas")
 
 
 def key_coverage(norm_profiles, cfg: EngineConfig = DEFAULT_CONFIG) -> pd.DataFrame:

@@ -126,9 +126,10 @@ def _apply_touched_labels(all_nodes, touched: dict):
             return pa.table({"node": pa.array(nodes, pa.string()),
                              "label": pa.array(labels, pa.string())})
 
-    return all_nodes.map_batches(Apply, fn_constructor_args=(ref,),
-                                 batch_format="pyarrow",
-                                 concurrency=(1, 4)).materialize()
+    from ..util import stateful_map
+
+    return stateful_map(all_nodes, Apply, (ref,),
+                        batch_format="pyarrow").materialize()
 
 
 def connected_components(edges, all_nodes, cfg: EngineConfig = DEFAULT_CONFIG,

@@ -68,14 +68,13 @@ def hydrate_pairs(pairs, norm_profiles, cfg: EngineConfig = DEFAULT_CONFIG,
         strategy = "broadcast" if n_profiles <= cfg.broadcast_max_rows else "join"
 
     if strategy == "broadcast":
+        from ..util import stateful_map
+
         lookup = norm_profiles.select_columns(SCORING_COLS).to_pandas()
         ref = ray.put(lookup)
-        return pairs.map_batches(
-            _BroadcastHydrator,
-            fn_constructor_args=(ref,),
-            batch_format="pandas",
-            batch_size=cfg.batch_size,
-            concurrency=cfg.actor_pool_range(),
+        return stateful_map(
+            pairs, _BroadcastHydrator, (ref,),
+            batch_format="pandas", batch_size=cfg.batch_size,
         )
 
     from .pairs import pair_schema

@@ -232,15 +232,15 @@ class PairScorer:
         return decide_match_status_batch(feats)
 
 
-def score_pairs(hydrated, cfg: EngineConfig = DEFAULT_CONFIG):
+def score_pairs(hydrated, cfg: EngineConfig = DEFAULT_CONFIG,
+                n_rows: int | None = None):
     """hydrated pair Dataset -> classified pair Dataset (features +
     ml_prob + match_type / confidence_score / explanation / is_match)."""
-    return hydrated.map_batches(
-        PairScorer,
-        fn_constructor_args=(cfg,),
-        batch_format="pandas",
-        batch_size=cfg.batch_size,
-        concurrency=cfg.actor_pool_range(),
+    from ..util import stateful_map
+
+    return stateful_map(
+        hydrated, PairScorer, (cfg,),
+        batch_format="pandas", batch_size=cfg.batch_size,
     )
 
 
@@ -271,21 +271,21 @@ class FusedHydrateScorer(PairScorer):
         return super().__call__(wide)
 
 
-def score_pairs_broadcast(pairs, norm_profiles, cfg: EngineConfig = DEFAULT_CONFIG):
+def score_pairs_broadcast(pairs, norm_profiles, cfg: EngineConfig = DEFAULT_CONFIG,
+                          n_rows: int | None = None):
     """pairs + profiles -> classified pairs without a hydrated
     intermediate (broadcast strategy only)."""
     import ray
 
     from .block import SCORING_COLS
 
+    from ..util import stateful_map
+
     lookup = norm_profiles.select_columns(SCORING_COLS).to_pandas()
     ref = ray.put(lookup)
-    return pairs.map_batches(
-        FusedHydrateScorer,
-        fn_constructor_args=(ref, cfg),
-        batch_format="pandas",
-        batch_size=cfg.batch_size,
-        concurrency=cfg.actor_pool_range(),
+    return stateful_map(
+        pairs, FusedHydrateScorer, (ref, cfg),
+        batch_format="pandas", batch_size=cfg.batch_size,
     )
 
 

@@ -36,9 +36,16 @@ def tune_context(nparts: int | None = None):
     # aggregator pools default to 0.0625 CPU per partition — small enough
     # that chained shuffles never starve the map tasks feeding them
     if nparts is not None:
+        import os
+
         ctx.min_parallelism = nparts
         ctx.default_hash_shuffle_parallelism = nparts
         ctx.read_op_min_num_blocks = nparts
+        # every hash shuffle (repartition/join) costs ~0.1s of fixed
+        # per-partition overhead in Ray 2.49 — the engine's own
+        # partition counts must follow the same data-driven knob
+        if not os.environ.get("ER_JOIN_NUM_PARTITIONS"):
+            os.environ["ER_JOIN_NUM_PARTITIONS"] = str(nparts)
     return ctx
 
 
@@ -79,6 +86,48 @@ def scrub_empty_blocks(ds, empty_schema=None):
             return ray.data.from_arrow(empty_schema.empty_table())
         return mat
     return ray.data.from_arrow_refs([_as_arrow.remote(r) for r in refs])
+
+
+# --------------------------------------------------------------------------
+# stateful task maps
+# --------------------------------------------------------------------------
+#
+# Measured on this Ray version: an actor-pool map_batches over 1.7M pairs
+# took 25-34s wall regardless of pool size (dispatch serializes), while
+# the identical kernel as plain TASKS took 5-8s.  Stateful stages
+# therefore run as tasks with their state built ONCE PER WORKER PROCESS
+# (workers are reused across tasks, so this keeps the once-per-actor
+# init property: model load / broadcast fetch happen once per process,
+# not once per batch).
+
+_WORKER_STATE: dict = {}
+
+
+def stateful_map_fn(cls, args, cache_key: str):
+    """A map_batches-compatible function that lazily constructs
+    ``cls(*args)`` once per worker process (keyed by ``cache_key``,
+    unique per stage instance) and delegates batches to it."""
+
+    def fn(batch):
+        inst = _WORKER_STATE.get(cache_key)
+        if inst is None:
+            if len(_WORKER_STATE) > 4:   # bound per-worker state memory
+                _WORKER_STATE.clear()
+            inst = cls(*args)
+            _WORKER_STATE[cache_key] = inst
+        return inst(batch)
+
+    return fn
+
+
+def stateful_map(ds, cls, args, **map_kwargs):
+    """``ds.map_batches`` over a stateful kernel class, as TASKS with
+    once-per-worker-process construction (see module comment)."""
+    import uuid
+
+    key = f"{cls.__name__}-{uuid.uuid4().hex}"
+    map_kwargs.pop("concurrency", None)
+    return ds.map_batches(stateful_map_fn(cls, tuple(args), key), **map_kwargs)
 
 
 def _empty_like(mat):

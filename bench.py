@@ -44,7 +44,16 @@ def _corpus_dir(n_entities: int) -> str:
     return out
 
 
-def _init_ray(num_cpus: int):
+def _corpus_rows(cdir: str) -> int:
+    """Turn count from parquet metadata (no data read)."""
+    import pyarrow.parquet as pq
+
+    tdir = os.path.join(cdir, "transcripts")
+    return sum(pq.read_metadata(os.path.join(tdir, f)).num_rows
+               for f in os.listdir(tdir) if f.endswith(".parquet"))
+
+
+def _init_ray(num_cpus: int, n_rows: int = 0):
     import ray
 
     if not ray.is_initialized():
@@ -53,23 +62,28 @@ def _init_ray(num_cpus: int):
     from aml_entity_resolution_assignment_ray.util import tune_context
 
     # DATA-driven partitioning, fixed across cluster sizes (at 100 TB the
-    # partition count follows block size, not CPU count) — also what makes
-    # the two scaling runs comparable
-    nparts = int(os.environ.get("GRAFT_BENCH_PARTITIONS", "32"))
+    # partition count follows data size, not CPU count) — also what makes
+    # the two scaling runs comparable. Each hash shuffle costs ~0.1s of
+    # fixed overhead per partition, so small corpora get few partitions.
+    env = os.environ.get("GRAFT_BENCH_PARTITIONS")
+    if env:
+        nparts = int(env)
+    else:
+        nparts = max(16, min(256, n_rows // 100_000)) if n_rows else 16
     tune_context(nparts=nparts)
 
 
 def run_headline(num_cpus: int) -> dict:
-    _init_ray(num_cpus)
+    cdir = os.environ.get("GRAFT_SCALING_CORPUS")
+    if not cdir:
+        n_entities = _SF_ENTITIES.get(_sf_name(), 1000)
+        cdir = _corpus_dir(n_entities)
+    _init_ray(num_cpus, n_rows=_corpus_rows(cdir))
     import ray.data as rd
 
     from aml_entity_resolution_assignment_ray.config import EngineConfig
     from aml_entity_resolution_assignment_ray.pipelines.flagship import run_flagship
 
-    cdir = os.environ.get("GRAFT_SCALING_CORPUS")
-    if not cdir:
-        n_entities = _SF_ENTITIES.get(_sf_name(), 1000)
-        cdir = _corpus_dir(n_entities)
     transcripts = rd.read_parquet(os.path.join(cdir, "transcripts"))
     n_turns = transcripts.count()
     t0 = time.time()
@@ -102,12 +116,23 @@ def run_queries() -> dict:
     docs_path = os.path.join(SF_DIR, "documents.parquet")
     emb_path = os.path.join(SF_DIR, "embeddings.parquet")
 
+    from aml_entity_resolution_assignment_ray.config import EngineConfig
+
+    # the documents table is tiny relative to the flagship corpus: size
+    # its partitions (and the ~0.1s/partition shuffle overhead) to it
+    cfg_docs = EngineConfig(join_num_partitions=8)
+
+    def read_docs():
+        # single-row-group test files arrive as one block; spread them so
+        # the kernel-heavy maps parallelize (real corpora are many-file)
+        return rd.read_parquet(docs_path).repartition(8)
+
     timed("exact_dedup", lambda: dedup.exact_dedup(
-        rd.read_parquet(docs_path)).count())
+        read_docs(), cfg=cfg_docs).count())
     timed("minhash_dup_pairs", lambda: dedup.minhash_lsh_dup_pairs(
-        rd.read_parquet(docs_path), threshold=0.8).count())
+        read_docs(), threshold=0.8, cfg=cfg_docs).count())
     timed("simhash_dup_pairs", lambda: dedup.simhash_dup_pairs(
-        rd.read_parquet(docs_path), max_hamming=3).count())
+        read_docs(), max_hamming=3, cfg=cfg_docs).count())
     timed("token_stats", lambda: text.token_stats(
         rd.read_parquet(docs_path, columns=["doc_id", "text"]))
         .map_batches(lambda df: df[["n_tokens"]], batch_format="pandas")

@@ -112,17 +112,22 @@ def test_simhash_banding_lossless_any_hamming(ray_session):
     assert got_pairs == want  # verify step keeps exactly the close ones
 
 
-def test_exact_dedup_digest_key_width():
-    """The groupby/shuffle key is two uint64 columns (16 bytes), never
-    the document text."""
-    df = pd.DataFrame({"text": ["hello", "hello", "world", None],
-                       "doc_id": [3, 1, 2, 4]})
-    d = dedup._digest_batch(df, "text", "doc_id")
-    assert list(d.columns) == ["d1", "d2", "doc_id"]
-    assert d["d1"].dtype == np.uint64 and d["d2"].dtype == np.uint64
-    # equal texts -> equal digests; distinct -> distinct
-    assert d["d1"][0] == d["d1"][1] and d["d2"][0] == d["d2"][1]
-    assert (d["d1"][0], d["d2"][0]) != (d["d1"][2], d["d2"][2])
+def test_exact_dedup_digest_key_width(ray_session):
+    """The shuffle key is a fixed-width uint64 digest (equal texts
+    co-locate), never the document text; a forced digest collision is
+    still separated by the per-block value groupby."""
+    t = pd.util.hash_array(np.array(["hello", "hello", "world"], dtype=object))
+    assert t.dtype == np.uint64
+    assert t[0] == t[1] and t[0] != t[2]
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([3, 1, 2, 4], pa.int64()),
+        "text": pa.array(["hello", "hello", "world", "hello"]),
+    }))
+    out = dedup.exact_dedup(ds, cfg=CFG).to_pandas()
+    assert sorted(map(tuple, out[["text", "doc_id"]].values.tolist())) == \
+        [("hello", 1), ("world", 2)]
 
 
 def _brute_jaccard_pairs(texts, q, thr):
