@@ -501,8 +501,51 @@ def _er_profiles_sql() -> str:
     """
 
 
+def _fingerprints_sql() -> str:
+    """Winnowing fingerprints in SQL: the 8 smallest distinct 64-bit
+    rolling polynomial hashes over 16-char windows, hex-packed — modular
+    arithmetic via HUGEINT with the base powers precomputed inline (the
+    same base/modulus as functions/minhash.batch_window_hashes)."""
+    B, M = 1_000_003, 1 << 64
+    plist = ", ".join(str(pow(B, k, M)) for k in range(16))
+    return f"""
+        WITH chars AS (
+          SELECT doc_id, i, ord(substr(t, i, 1)) AS c
+          FROM (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+               unnest(generate_series(1, length(t))) AS u(i)
+        ),
+        wins AS (
+          SELECT doc_id, wi, least(n, 16) AS wlen
+          FROM (SELECT doc_id, length(coalesce(text, '')) AS n FROM documents),
+               unnest(generate_series(1, greatest(n - 15, 1))) AS u(wi)
+          WHERE n > 0
+        ),
+        hashes AS (
+          SELECT w.doc_id, w.wi,
+                 CAST(sum(CAST(c.c AS HUGEINT)
+                      * ([{plist}])[w.wlen - (c.i - w.wi)])
+                      % 18446744073709551616 AS UBIGINT) AS h
+          FROM wins w JOIN chars c
+            ON c.doc_id = w.doc_id AND c.i >= w.wi AND c.i < w.wi + w.wlen
+          GROUP BY w.doc_id, w.wi
+        ),
+        uniq AS (
+          SELECT doc_id, h,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+          FROM (SELECT DISTINCT doc_id, h FROM hashes)
+        )
+        SELECT d.doc_id, coalesce(f.fp, '') AS fingerprint
+        FROM documents d
+        LEFT JOIN (
+          SELECT doc_id,
+                 string_agg(lpad(lower(hex(h)), 16, '0'), ',' ORDER BY h) AS fp
+          FROM uniq WHERE rn <= 8 GROUP BY doc_id) f USING (doc_id)
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "doc_fingerprints": _fingerprints_sql(),
         "ngram_jaccard_docs": """
             WITH g AS (
               SELECT DISTINCT id, substr(t, i, 3) AS gram
