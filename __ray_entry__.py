@@ -368,6 +368,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def er_pairs(sf_dir):
         return _flagship(_corpus_entities(sf_dir))["pairs"]
 
+    def er_pairs_exact_keys(sf_dir):
+        """Pair engine over the four exact keys only (B2-B5) — the
+        SQL-expressible slice of candidate generation, value-oracled."""
+        from aml_entity_resolution_assignment_ray.stages.block import emit_keys
+        from aml_entity_resolution_assignment_ray.stages.pairs import generate_pairs
+
+        n = _corpus_entities(sf_dir)
+        _write_oracle_corpus(n)
+        norm = _flagship(n)["profiles"]
+        keys = emit_keys(norm, EngineConfig()).filter(
+            expr="key_type != 'minhash'")
+        return generate_pairs(keys, EngineConfig())
+
     def er_classified(sf_dir):
         return _flagship(_corpus_entities(sf_dir))["classified"] \
             .select_columns(["id_a", "id_b", "match_type", "is_match"])
@@ -412,6 +425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": media_features,
         "er_profiles": er_profiles,
         "er_pairs": er_pairs,
+        "er_pairs_exact_keys": er_pairs_exact_keys,
         "er_classified": er_classified,
         "er_clusters": er_clusters,
         "er_eval_metrics": er_eval_metrics,
@@ -501,6 +515,37 @@ def _er_profiles_sql() -> str:
     """
 
 
+def _er_pairs_exact_sql() -> str:
+    """Candidate pairs over the four EXACT blocking keys (B2-B5), as a
+    SQL self-join on the oracled profiles — value-checks the pair engine
+    (hash repartition + vectorized emission + exact distinct) end to end.
+    The minhash band key (B1) is signature-defined and stays out."""
+    return f"""
+        WITH profiles AS ({_er_profiles_sql()}),
+        keys AS (
+          SELECT 'nid' AS kt, norm_nid AS kv, conv_id FROM profiles
+          WHERE length(norm_nid) > 4
+          UNION ALL
+          SELECT 'phone', right(norm_phone, 6), conv_id FROM profiles
+          WHERE length(norm_phone) >= 6
+          UNION ALL
+          SELECT 'email', norm_email, conv_id FROM profiles
+          WHERE length(norm_email) > 0
+          UNION ALL
+          SELECT 'initial_dob',
+                 substr(norm_first_name, 1, 1) || '|' || norm_last_name
+                     || '|' || norm_dob,
+                 conv_id
+          FROM profiles
+          WHERE length(norm_first_name) > 0 AND length(norm_last_name) > 0
+                AND norm_dob IS NOT NULL AND length(norm_dob) > 0
+        )
+        SELECT DISTINCT a.conv_id AS id_a, b.conv_id AS id_b
+        FROM keys a JOIN keys b
+          ON a.kt = b.kt AND a.kv = b.kv AND a.conv_id < b.conv_id
+    """
+
+
 def _fingerprints_sql() -> str:
     """Winnowing fingerprints in SQL: the 8 smallest distinct 64-bit
     rolling polynomial hashes over 16-char windows, hex-packed — modular
@@ -577,6 +622,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_lang_id": _lang_id_sql(),
         "er_profiles": _er_profiles_sql(),
+        "er_pairs_exact_keys": _er_pairs_exact_sql(),
         "lineitem_agg": """
             SELECT l_returnflag, l_linestatus,
                    CAST(round(sum(l_quantity), 0) AS BIGINT) AS sum_qty,

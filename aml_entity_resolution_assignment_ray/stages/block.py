@@ -173,25 +173,49 @@ def key_coverage(norm_profiles, cfg: EngineConfig = DEFAULT_CONFIG) -> pd.DataFr
 def blocking_stats(keys, total_records: int, pairs_count: int,
                    cfg: EngineConfig = DEFAULT_CONFIG) -> dict:
     """A2/A3 health metrics (matching.py:21-76): reduction ratio, pairs
-    per record, top-3 largest blocks per key type, oversized-block count."""
-    sizes = keys.groupby(["key_type", "key_value"]).count().to_pandas()
-    sizes = sizes.rename(columns={"count()": "cnt"})
+    per record, top-3 largest blocks per key type, oversized-block count.
+
+    Distributed reduction: per-block partial top-k / oversize counts are
+    computed inside ``map_batches``; the driver only ever sees
+    O(#blocks x #key_types x 3) rows — never the full distinct-key
+    table."""
+    cap = cfg.max_block_records
+    sizes = keys.groupby(["key_type", "key_value"]).count()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # hash groupby co-locates each (key_type, key_value) in ONE block,
+        # so per-block top-3 + oversize sums combine exactly on the driver
+        df = df.rename(columns={"count()": "cnt"})
+        top = df.sort_values("cnt", ascending=False).groupby("key_type").head(3)
+        over = df[df["cnt"] > cap]
+        summary = pd.DataFrame({
+            "key_type": ["__oversized__"],
+            "key_value": [""],
+            "cnt": [0],
+            "n_over": [int(len(over))],
+            "rows_over": [int(over["cnt"].sum())],
+        })
+        top = top.assign(n_over=0, rows_over=0)
+        return pd.concat([top, summary], ignore_index=True)
+
+    small = sizes.map_batches(partial, batch_format="pandas").to_pandas()
+    over_rows = small[small["key_type"] == "__oversized__"]
+    tops = small[small["key_type"] != "__oversized__"]
     top = (
-        sizes.sort_values("cnt", ascending=False)
+        tops.sort_values("cnt", ascending=False)
         .groupby("key_type")
-        .head(3)
+        .head(3)[["key_type", "key_value", "cnt"]]
         .to_dict("records")
     )
     total_possible = total_records * (total_records - 1) / 2
     reduction = 1 - (pairs_count / total_possible) if total_possible > 0 else 0
-    oversized = sizes[sizes["cnt"] > cfg.max_block_records]
     return {
         "total_records": int(total_records),
         "candidate_pairs": int(pairs_count),
         "reduction_ratio": float(reduction),
         "pairs_per_record": float(pairs_count / total_records) if total_records else 0.0,
         "top_blocks": top,
-        "oversized_blocks": int(len(oversized)),
-        "oversized_rows_purged": int(oversized["cnt"].sum()) if len(oversized) else 0,
-        "max_block_records": cfg.max_block_records,
+        "oversized_blocks": int(over_rows["n_over"].sum()),
+        "oversized_rows_purged": int(over_rows["rows_over"].sum()),
+        "max_block_records": cap,
     }
