@@ -67,6 +67,12 @@ def run_flagship(transcripts, cfg: EngineConfig = DEFAULT_CONFIG,
             out["cluster_eval"] = pairwise_eval(predictions, truth,
                                                 classified, cfg)
         return out
+    # scoring-task granularity: ~100k pairs per task so the scoring wave
+    # count stays >= 4 per CPU and per-block string-cost skew amortizes
+    # (data-driven — identical block count at any cluster size)
+    target_blocks = max(1, n_pairs // 100_000)
+    if target_blocks > pairs.num_blocks() * 1.5:
+        pairs = pairs.repartition(target_blocks).materialize()
     strategy = cfg.hydrate_strategy
     if strategy == "auto":
         strategy = ("broadcast" if n_profiles <= cfg.broadcast_max_rows

@@ -8,6 +8,16 @@ matches for key field reference`` — and an unmaterialized join chained
 into another join can deadlock the streaming executor.  ``safe_join``
 therefore materializes each join's output and drops empty blocks by
 METADATA ONLY (no data moves; block refs stay in the object store).
+
+Barrier cost note: the scrub's materialize is a pipeline barrier only
+when the join input is still lazy.  In the hot paths it is not — the
+flagship materializes profiles/pairs/classified at stage boundaries
+anyway (they are also the checkpoint units), CC rounds materialize
+label tables by design, and the scrub's fast path returns an
+already-materialized dataset untouched.  The remaining lazy-input
+scrubs (dedup verify join mode, training hydration) trade one
+output-sized barrier for immunity to the empty-block crash — revisit
+when the upstream Ray bug is fixed.
 """
 
 from __future__ import annotations
