@@ -546,6 +546,180 @@ def _er_pairs_exact_sql() -> str:
     """
 
 
+def _minhash_cte(threshold: float, num_perm: int = 128) -> str:
+    """Shared CTE chain reproducing functions/minhash.py bit-exactly in
+    DuckDB: 3-char shingle polynomial hashes (codepoints, P=1000003, mod
+    2^32) -> 128 universal hashes ((a*x+b) mod 2^61-1 mod 2^32, the
+    RandomState(1) coefficients inlined as literals, HUGEINT arithmetic)
+    -> per-perm segment min = signature -> banding by equality of the r
+    raw signature values per band (band-hash collisions are 2^-64;
+    equality of the r values IS the band-key semantics) -> verify
+    est-Jaccard = fraction of equal signature components >= threshold.
+
+    Ends with CTE ``p(id_a, id_b)`` — the verified pair set.  Assumes no
+    document shorter than 3 chars (true of every testdata sf; the Ray
+    kernel's short-string whole-text hash branch has its own pytest
+    golden)."""
+    from aml_entity_resolution_assignment_ray.functions import minhash as mh
+
+    bands, rows = mh.optimal_param(threshold, num_perm)
+    a, b = mh.permutations(num_perm)
+    perm_vals = ",".join(
+        f"({i},{int(a[i])},{int(b[i])})" for i in range(num_perm))
+    ws = " \t\n\r\x0b\x0c"
+    return f"""
+        t AS (
+          SELECT CAST(doc_id AS VARCHAR) AS id,
+                 trim(lower(coalesce(text, '')), '{ws}') AS s
+          FROM documents
+        ),
+        shingles AS (
+          SELECT DISTINCT id,
+                 (unicode(substr(s, i, 1)) * 1000006000009
+                  + unicode(substr(s, i+1, 1)) * 1000003
+                  + unicode(substr(s, i+2, 1))) % 4294967296 AS x
+          FROM (SELECT id, s, unnest(generate_series(1, length(s) - 2)) AS i
+                FROM t WHERE length(s) >= 3)
+        ),
+        perms(pid, pa, pb) AS (VALUES {perm_vals}),
+        sig AS (
+          SELECT id, pid,
+                 min(CAST(((CAST(pa AS HUGEINT) * x + pb)
+                           % 2305843009213693951) % 4294967296 AS BIGINT)) AS v
+          FROM shingles CROSS JOIN perms GROUP BY id, pid
+        ),
+        bsig AS (
+          SELECT id, pid // {rows} AS band,
+                 string_agg(CAST(v AS VARCHAR), ',' ORDER BY pid) AS bkey
+          FROM sig WHERE pid < {bands * rows}
+          GROUP BY id, band
+        ),
+        cand AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM bsig a JOIN bsig b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+        ),
+        ver AS (
+          SELECT c.id_a, c.id_b,
+                 sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS eq
+          FROM cand c
+          JOIN sig sa ON sa.id = c.id_a
+          JOIN sig sb ON sb.id = c.id_b AND sb.pid = sa.pid
+          GROUP BY c.id_a, c.id_b
+        ),
+        p AS (SELECT id_a, id_b FROM ver
+              WHERE CAST(eq AS DOUBLE) / {num_perm} >= {threshold})
+    """
+
+
+def _minhash_pairs_sql(threshold: float = 0.5) -> str:
+    return f"WITH {_minhash_cte(threshold)} SELECT id_a, id_b FROM p"
+
+
+def _minhash_dedup_sql(threshold: float = 0.8) -> str:
+    """Verified MinHash pairs + connected components as a recursive CTE:
+    the closure reach(node, r) holds every (node, reachable id); the
+    canonical id is the (string-)min reachable id — the same min-label
+    semantics as stages/cluster.connected_components."""
+    return f"""
+        WITH RECURSIVE {_minhash_cte(threshold)},
+        e AS (SELECT id_a AS u, id_b AS v FROM p
+              UNION ALL SELECT id_b, id_a FROM p),
+        reach(node, r) AS (
+          SELECT id, id FROM t
+          UNION
+          SELECT e.v, reach.r FROM reach JOIN e ON e.u = reach.node
+        )
+        SELECT node AS doc_id, min(r) AS canonical_id
+        FROM reach GROUP BY node
+    """
+
+
+def _simhash_pairs_sql(max_hamming: int = 6, nbits: int = 64) -> str:
+    """ops/dedup.simhash_batch reproduced bit-exactly in DuckDB: shingle
+    hashes (NOT distinct — votes count duplicate shingles) -> splitmix64
+    spread to 64 bits (the two 64-bit multiplies decomposed into 32-bit
+    halves so no HUGEINT overflow) -> per-bit majority vote -> pigeonhole
+    bands (max_hamming+1 np.array_split groups) by bit-string equality ->
+    exact hamming filter."""
+    import numpy as np
+
+    C1, C2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    M64, M32 = 1 << 64, 1 << 32
+    bit_vals = ",".join(
+        f"({b}, CAST('{1 << b}' AS HUGEINT))" for b in range(nbits))
+    nbands = max_hamming + 1
+    splits = np.array_split(np.arange(nbits), nbands)
+    band_case = "CASE " + " ".join(
+        f"WHEN b <= {int(s[-1])} THEN {i}" for i, s in enumerate(splits)
+    ) + " END"
+    ws = " \t\n\r\x0b\x0c"
+    return f"""
+        WITH t AS (
+          SELECT CAST(doc_id AS VARCHAR) AS id,
+                 trim(lower(coalesce(text, '')), '{ws}') AS s
+          FROM documents
+        ),
+        sh AS (
+          SELECT id,
+                 (unicode(substr(s, i, 1)) * 1000006000009
+                  + unicode(substr(s, i+1, 1)) * 1000003
+                  + unicode(substr(s, i+2, 1))) % 4294967296 AS x
+          FROM (SELECT id, s, unnest(generate_series(1, length(s) - 2)) AS i
+                FROM t WHERE length(s) >= 3)
+        ),
+        m1 AS (
+          SELECT id,
+                 (CAST(xor(x, x // 1073741824) AS HUGEINT) * {C1}) % {M64} AS x1
+          FROM sh
+        ),
+        m2 AS (
+          SELECT id,
+                 ((CAST(xor(CAST(x1 % {M32} AS BIGINT),
+                            CAST((x1 // 134217728) % {M32} AS BIGINT)) AS HUGEINT) * {C2})
+                  + ((CAST(xor(CAST(x1 // {M32} AS BIGINT),
+                               CAST(x1 // 134217728 // {M32} AS BIGINT)) AS HUGEINT) * {C2})
+                     % {M32}) * {M32}) % {M64} AS x2
+          FROM m1
+        ),
+        m3 AS (
+          SELECT id,
+                 CAST(xor(CAST(x2 // {M32} AS BIGINT),
+                          CAST(x2 // 2147483648 // {M32} AS BIGINT)) AS HUGEINT) * {M32}
+                 + CAST(xor(CAST(x2 % {M32} AS BIGINT),
+                            CAST((x2 // 2147483648) % {M32} AS BIGINT)) AS BIGINT) AS x3
+          FROM m2
+        ),
+        bits(b, d) AS (VALUES {bit_vals}),
+        votes AS (
+          SELECT id, b,
+                 CASE WHEN 2 * sum(CAST((x3 // d) % 2 AS BIGINT))
+                           > count(*) THEN 1 ELSE 0 END AS bit
+          FROM m3 CROSS JOIN bits
+          GROUP BY id, b
+        ),
+        bsig AS (
+          SELECT id, {band_case} AS band,
+                 string_agg(CAST(bit AS VARCHAR), '' ORDER BY b) AS bkey
+          FROM votes GROUP BY id, band
+        ),
+        cand AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM bsig a JOIN bsig b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+        ),
+        ver AS (
+          SELECT c.id_a, c.id_b,
+                 sum(CASE WHEN va.bit <> vb.bit THEN 1 ELSE 0 END) AS hamming
+          FROM cand c
+          JOIN votes va ON va.id = c.id_a
+          JOIN votes vb ON vb.id = c.id_b AND vb.b = va.b
+          GROUP BY c.id_a, c.id_b
+        )
+        SELECT id_a, id_b FROM ver WHERE hamming <= {max_hamming}
+    """
+
+
 def _fingerprints_sql() -> str:
     """Winnowing fingerprints in SQL: the 8 smallest distinct 64-bit
     rolling polynomial hashes over 16-char windows, hex-packed — modular
@@ -591,6 +765,9 @@ def _fingerprints_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "doc_fingerprints": _fingerprints_sql(),
+        "minhash_dup_pairs_docs": _minhash_pairs_sql(threshold=0.5),
+        "minhash_dedup_docs": _minhash_dedup_sql(threshold=0.8),
+        "simhash_dup_pairs_docs": _simhash_pairs_sql(max_hamming=6),
         "ngram_jaccard_docs": """
             WITH g AS (
               SELECT DISTINCT id, substr(t, i, 3) AS gram
