@@ -315,7 +315,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def embedding_dup_pairs_lsh(sf_dir):
         # the approximate scale path (random-hyperplane LSH buckets);
-        # rows-only check — a >=threshold pair can miss every band
+        # value-checked: the DuckDB oracle replays the same RandomState(7)
+        # plane matrix, so band buckets (and misses) agree exactly
         _tune_context()
         return dedup.embedding_dup_pairs(
             _read(sf_dir, "embeddings"), threshold=0.4, nplanes=8, nbands=4
@@ -762,9 +763,51 @@ def _fingerprints_sql() -> str:
     """
 
 
+def _emb_lsh_sql(threshold: float = 0.4, nplanes: int = 8,
+                 nbands: int = 4, d: int = 64) -> str:
+    """Random-hyperplane LSH + exact-cosine verify in SQL, mirroring
+    ops/dedup.embedding_dup_pairs exactly: the same RandomState(7)
+    plane matrix is inlined as full-precision literals (sign buckets
+    are invariant to the Ray side's L2 normalization, so raw embeddings
+    cast to DOUBLE give identical band buckets)."""
+    planes = np.random.RandomState(7).randn(d, nplanes)
+    width = nplanes // nbands
+    dots = []
+    for j in range(nplanes):
+        lit = "[" + ",".join(repr(v) for v in planes[:, j]) + "]"
+        dots.append(f"list_dot_product(e, {lit}) AS dot{j}")
+    buckets = []
+    for b in range(nbands):
+        bits = " + ".join(
+            f"(CASE WHEN dot{b * width + j} > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(width))
+        buckets.append(f"SELECT id, {b} AS band, {bits} AS bucket FROM dots")
+    bucket_union = " UNION ALL ".join(buckets)
+    return f"""
+        WITH v AS (
+          SELECT CAST(vec_id AS VARCHAR) AS id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings
+        ),
+        dots AS (SELECT id, e, {", ".join(dots)} FROM v),
+        bk AS ({bucket_union}),
+        cand AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM bk a JOIN bk b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+        )
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN v va ON va.id = c.id_a
+        JOIN v vb ON vb.id = c.id_b
+        WHERE list_cosine_similarity(va.e, vb.e) >= {threshold}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "doc_fingerprints": _fingerprints_sql(),
+        "embedding_dup_pairs_lsh": _emb_lsh_sql(threshold=0.4),
         "minhash_dup_pairs_docs": _minhash_pairs_sql(threshold=0.5),
         "minhash_dedup_docs": _minhash_dedup_sql(threshold=0.8),
         "simhash_dup_pairs_docs": _simhash_pairs_sql(max_hamming=6),
