@@ -56,19 +56,22 @@ def _corpus_entities(sf_dir: str) -> int:
 
 
 ORACLE_CORPUS_PATH = "/tmp/er_oracle_corpus/transcripts.parquet"
+ORACLE_TRUTH_PATH = "/tmp/er_oracle_corpus/truth.parquet"
 
 
 def _write_oracle_corpus(n_entities: int):
-    """Write the er_profiles corpus to a fixed parquet path so the DuckDB
-    oracle can read the SAME transcripts the Ray pipeline consumed."""
+    """Write the er_* corpus (transcripts + truth labels) to fixed
+    parquet paths so the DuckDB oracles read the SAME data the Ray
+    pipeline consumed."""
     import pyarrow.parquet as pq
 
     from aml_entity_resolution_assignment_ray.sources.synth import generate_corpus
 
     os.makedirs(os.path.dirname(ORACLE_CORPUS_PATH), exist_ok=True)
-    transcripts, _, _ = generate_corpus(
+    transcripts, truth, _ = generate_corpus(
         n_entities=n_entities, seed=43, doppelganger_rate=0.0)
     pq.write_table(transcripts, ORACLE_CORPUS_PATH)
+    pq.write_table(truth, ORACLE_TRUTH_PATH)
 
 
 def _round_half_away(x, decimals: int = 0):
@@ -367,7 +370,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              "norm_nid", "norm_dob"])
 
     def er_pairs(sf_dir):
-        return _flagship(_corpus_entities(sf_dir))["pairs"]
+        n = _corpus_entities(sf_dir)
+        _write_oracle_corpus(n)  # the full-pair DuckDB oracle reads it
+        return _flagship(n)["pairs"]
 
     def er_pairs_exact_keys(sf_dir):
         """Pair engine over the four exact keys only (B2-B5) — the
@@ -383,14 +388,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return generate_pairs(keys, EngineConfig())
 
     def er_classified(sf_dir):
-        return _flagship(_corpus_entities(sf_dir))["classified"] \
+        n = _corpus_entities(sf_dir)
+        _write_oracle_corpus(n)
+        return _flagship(n)["classified"] \
             .select_columns(["id_a", "id_b", "match_type", "is_match"])
 
     def er_clusters(sf_dir):
-        return _flagship(_corpus_entities(sf_dir))["predictions"]
+        n = _corpus_entities(sf_dir)
+        _write_oracle_corpus(n)
+        return _flagship(n)["predictions"]
 
     def er_eval_metrics(sf_dir):
-        res = _flagship(_corpus_entities(sf_dir))
+        n = _corpus_entities(sf_dir)
+        _write_oracle_corpus(n)
+        res = _flagship(n)
         pe, ce = res["pair_eval"], res["cluster_eval"]
         return pd.DataFrame([{
             "pair_precision": round(pe["precision"], 6),
@@ -461,20 +472,36 @@ def _lang_id_sql() -> str:
     """
 
 
-def _er_profiles_sql() -> str:
-    """Assemble + normalize over the oracle corpus parquet: per-turn regex
-    extraction, first non-null in turn order, then the reference
-    normalizers (preprocessing.py:18-80, 178-187) expressed in SQL."""
+def _er_profiles_cte() -> str:
+    """CTE chain ``turns, agg, split, profiles`` over the oracle corpus
+    parquet: per-turn regex extraction (stages/extract.py semantics),
+    first non-null in turn order, then the reference normalizers
+    (preprocessing.py:18-130, 178-187) expressed in SQL — ALL norm
+    columns including address (18 abbreviation expansions) and dob_year,
+    so the downstream feature/cascade oracles can hydrate from it."""
     fold = ("strip_accents(replace(replace(replace(replace({x}, "
             "'ł', 'l'), 'Ł', 'L'), 'ß', 'ss'), 'ẞ', 'SS'))")
+    # textnorm._ADDR_REPLACEMENTS, same order (replacements never chain)
+    abbrevs = [("st", "street"), ("ave", "avenue"), ("rd", "road"),
+               ("blvd", "boulevard"), ("dr", "drive"), ("ln", "lane"),
+               ("apt", "apartment"), ("ste", "suite"), ("ul", "ulica"),
+               ("al", "aleja"), ("os", "osiedle"), ("m", "mieszkanie"),
+               ("c", "calle"), ("av", "avenida"), ("pza", "plaza"),
+               ("pso", "paseo"), ("str", "strasse"), ("pl", "platz")]
+    addr_expr = ("regexp_replace(trim(lower("
+                 + fold.format(x="coalesce(address, '')")
+                 + ")), '[^\\w\\s]', '', 'g')")
+    for pat, rep in abbrevs:
+        addr_expr = f"regexp_replace({addr_expr}, '\\b{pat}\\b', '{rep}', 'g')"
     return f"""
-        WITH turns AS (
+        turns AS (
           SELECT conv_id, turn_idx,
                  nullif(regexp_extract(text, 'i am (.+?) and i need help', 1), '') AS name,
                  nullif(trim(regexp_extract(text, 'dob: ([^;]+)', 1)), '') AS dob,
                  nullif(trim(regexp_extract(text, 'email: ([^;]+)', 1)), '') AS email,
                  nullif(trim(regexp_extract(text, 'phone: ([^;]+)', 1)), '') AS phone,
-                 nullif(trim(regexp_extract(text, 'national_id=([^;]+)', 1)), '') AS nid
+                 nullif(trim(regexp_extract(text, 'national_id=([^;]+)', 1)), '') AS nid,
+                 nullif(regexp_extract(text, 'my address is (.+), (.+)$', 1), '') AS address
           FROM read_parquet('{ORACLE_CORPUS_PATH}')
         ),
         agg AS (
@@ -484,17 +511,24 @@ def _er_profiles_sql() -> str:
                  min_by(dob,   CASE WHEN dob   IS NOT NULL THEN turn_idx END) AS dob,
                  min_by(email, CASE WHEN email IS NOT NULL THEN turn_idx END) AS email,
                  min_by(phone, CASE WHEN phone IS NOT NULL THEN turn_idx END) AS nphone,
-                 min_by(nid,   CASE WHEN nid   IS NOT NULL THEN turn_idx END) AS nid
+                 min_by(nid,   CASE WHEN nid   IS NOT NULL THEN turn_idx END) AS nid,
+                 min_by(address, CASE WHEN address IS NOT NULL THEN turn_idx END) AS address
           FROM turns GROUP BY conv_id
         ),
         split AS (
           SELECT *, regexp_extract(coalesce(name, ''), '^(\\S+)', 1) AS first_name,
                  nullif(regexp_extract(coalesce(name, ''), '^\\S+ (.+)$', 1), '') AS last_name,
                  trim(lower(coalesce(email, ''))) AS e,
-                 ltrim(regexp_replace(coalesce(nphone, ''), '[^0-9]', '', 'g'), '0') AS pd
+                 ltrim(regexp_replace(coalesce(nphone, ''), '[^0-9]', '', 'g'), '0') AS pd,
+                 coalesce(
+                   try_strptime(dob, '%Y-%m-%d'),
+                   try_strptime(dob, '%d/%m/%Y'),
+                   try_strptime(dob, '%m-%d-%Y'),
+                   try_strptime(dob, '%Y/%m/%d')) AS dparsed
           FROM agg
-        )
-        SELECT conv_id, n_turns,
+        ),
+        profiles AS (
+          SELECT conv_id, n_turns,
                trim(lower({fold.format(x="coalesce(first_name, '')")})) AS norm_first_name,
                trim(lower({fold.format(x="coalesce(last_name, '')")})) AS norm_last_name,
                CASE WHEN instr(e, '@') > 0
@@ -507,12 +541,22 @@ def _er_profiles_sql() -> str:
                     WHEN length(pd) >= 12 AND pd LIKE '49%' THEN substr(pd, 3)
                     ELSE pd END AS norm_phone,
                upper(regexp_replace(coalesce(nid, ''), '[^a-zA-Z0-9]', '', 'g')) AS norm_nid,
-               strftime(coalesce(
-                   try_strptime(dob, '%Y-%m-%d'),
-                   try_strptime(dob, '%d/%m/%Y'),
-                   try_strptime(dob, '%m-%d-%Y'),
-                   try_strptime(dob, '%Y/%m/%d')), '%Y-%m-%d') AS norm_dob
-        FROM split
+               strftime(dparsed, '%Y-%m-%d') AS norm_dob,
+               coalesce(strftime(dparsed, '%Y'), '0000') AS norm_dob_year,
+               {addr_expr} AS norm_address
+          FROM split
+        )
+    """
+
+
+def _er_profiles_sql() -> str:
+    """The er_profiles query surface: the full-profile CTE projected to
+    the columns the Ray-side er_profiles query emits."""
+    return f"""
+        WITH {_er_profiles_cte()}
+        SELECT conv_id, n_turns, norm_first_name, norm_last_name,
+               norm_email, norm_phone, norm_nid, norm_dob
+        FROM profiles
     """
 
 
@@ -544,6 +588,299 @@ def _er_pairs_exact_sql() -> str:
         SELECT DISTINCT a.conv_id AS id_a, b.conv_id AS id_b
         FROM keys a JOIN keys b
           ON a.kt = b.kt AND a.kv = b.kv AND a.conv_id < b.conv_id
+    """
+
+
+def _er_pairs_chain_cte(cap: int = 1000) -> str:
+    """CTE chain (assumes ``profiles`` is in scope) for the FULL
+    candidate-pair engine in SQL, ending in ``cand(id_a, id_b)``: exact
+    keys (B2-B5) UNION MinHash band keys (B1) over the profile full
+    name, with the same per-block size cap as
+    stages/pairs.generate_pairs.  Band-key equality is expressed as
+    equality of the r raw signature values per band (identical candidate
+    semantics to the Ray side's uint64 band hash modulo 2^-64
+    collisions); the name MinHash reproduces functions/minhash.py
+    bit-exactly, including the whole-string-hash branch for names
+    shorter than 3 chars."""
+    from aml_entity_resolution_assignment_ray.config import DEFAULT_CONFIG
+    from aml_entity_resolution_assignment_ray.functions import minhash as mh
+
+    threshold = DEFAULT_CONFIG.lsh_threshold
+    num_perm = DEFAULT_CONFIG.lsh_num_perm
+    bands, rows = mh.optimal_param(threshold, num_perm)
+    a, b = mh.permutations(num_perm)
+    perm_vals = ",".join(
+        f"({i},{int(a[i])},{int(b[i])})" for i in range(num_perm))
+    return f"""
+        ekeys AS (
+          SELECT 'nid' AS kt, norm_nid AS kv, conv_id FROM profiles
+          WHERE length(norm_nid) > 4
+          UNION ALL
+          SELECT 'phone', right(norm_phone, 6), conv_id FROM profiles
+          WHERE length(norm_phone) >= 6
+          UNION ALL
+          SELECT 'email', norm_email, conv_id FROM profiles
+          WHERE length(norm_email) > 0
+          UNION ALL
+          SELECT 'initial_dob',
+                 substr(norm_first_name, 1, 1) || '|' || norm_last_name
+                     || '|' || norm_dob,
+                 conv_id
+          FROM profiles
+          WHERE length(norm_first_name) > 0 AND length(norm_last_name) > 0
+                AND norm_dob IS NOT NULL AND length(norm_dob) > 0
+        ),
+        names AS (
+          SELECT conv_id,
+                 trim(norm_first_name || ' ' || norm_last_name) AS s
+          FROM profiles
+          WHERE length(trim(norm_first_name || ' ' || norm_last_name)) > 0
+        ),
+        shingles AS (
+          SELECT DISTINCT conv_id,
+                 (unicode(substr(s, i, 1)) * 1000006000009
+                  + unicode(substr(s, i+1, 1)) * 1000003
+                  + unicode(substr(s, i+2, 1))) % 4294967296 AS x
+          FROM (SELECT conv_id, s,
+                       unnest(generate_series(1, length(s) - 2)) AS i
+                FROM names WHERE length(s) >= 3)
+          UNION
+          SELECT conv_id,
+                 CASE WHEN length(s) = 1 THEN unicode(s) % 4294967296
+                      ELSE (unicode(substr(s, 1, 1)) * 1000003
+                            + unicode(substr(s, 2, 1))) % 4294967296 END
+          FROM names WHERE length(s) < 3
+        ),
+        perms(pid, pa, pb) AS (VALUES {perm_vals}),
+        sig AS (
+          SELECT conv_id, pid,
+                 min(CAST(((CAST(pa AS HUGEINT) * x + pb)
+                           % 2305843009213693951) % 4294967296 AS BIGINT)) AS v
+          FROM shingles CROSS JOIN perms GROUP BY conv_id, pid
+        ),
+        bkeys AS (
+          SELECT conv_id, 'minhash' AS kt,
+                 CAST(pid // {rows} AS VARCHAR) || ':'
+                     || string_agg(CAST(v AS VARCHAR), ',' ORDER BY pid) AS kv
+          FROM sig WHERE pid < {bands * rows}
+          GROUP BY conv_id, pid // {rows}
+        ),
+        keys AS (
+          SELECT kt, kv, conv_id FROM ekeys
+          UNION ALL
+          SELECT kt, kv, conv_id FROM bkeys
+        ),
+        ok AS (
+          SELECT kt, kv FROM keys GROUP BY kt, kv
+          HAVING count(*) <= {cap}
+        ),
+        cand AS (
+          SELECT DISTINCT a.conv_id AS id_a, b.conv_id AS id_b
+          FROM keys a
+          JOIN keys b ON a.kt = b.kt AND a.kv = b.kv AND a.conv_id < b.conv_id
+          JOIN ok ON ok.kt = a.kt AND ok.kv = a.kv
+        )
+    """
+
+
+def _er_pairs_sql() -> str:
+    return f"""
+        WITH {_er_profiles_cte()},
+        {_er_pairs_chain_cte()}
+        SELECT id_a, id_b FROM cand
+    """
+
+
+def _er_scored_chain_cte() -> str:
+    """CTE chain (assumes ``profiles`` and ``cand`` in scope) ending in
+    ``ruled(id_a, id_b, ml, is_m, is_rv, veto_c)``: pair hydration, the
+    9 pairwise features via DuckDB's jellyfish-compatible string
+    built-ins (verified equal to functions/strsim.py), the packaged
+    GBDT compiled tree-by-tree into nested CASE expressions (same
+    left-to-right double summation as functions/gbdt.decision_function),
+    and the reference rule cascade (matching.py:408-531)."""
+    import json as _json
+
+    from aml_entity_resolution_assignment_ray.config import DEFAULT_CONFIG
+    from aml_entity_resolution_assignment_ray.functions.model import FEATURE_COLS
+
+    d = _json.load(open(DEFAULT_CONFIG.model_path))
+    if d["type"] == "gbdt":
+        lr = d["learning_rate"]
+        exprs = []
+        for t in d["trees"]:
+            feat, thr = t["feature"], t["threshold"]
+            val, leaf = t["value"], t["is_leaf"]
+
+            def node(i):
+                if leaf[i]:
+                    return repr(val[i])
+                return (f"(CASE WHEN {FEATURE_COLS[feat[i]]} < {thr[i]!r} "
+                        f"THEN {node(2 * i + 1)} ELSE {node(2 * i + 2)} END)")
+            exprs.append(node(0))
+        z = repr(d["base_score"]) + "".join(f" + {lr!r} * {e}" for e in exprs)
+    else:  # logistic fallback artifact
+        terms = " + ".join(
+            f"{w!r} * {c}" for w, c in zip(d["weights"], FEATURE_COLS))
+        z = f"{d['bias']!r} + {terms}"
+    return f"""
+        feat AS (
+          SELECT c.id_a, c.id_b,
+            CASE WHEN length(a.norm_nid) > 0 AND length(b.norm_nid) > 0 THEN
+              CASE WHEN damerau_levenshtein(a.norm_nid, b.norm_nid) = 0 THEN 1.0
+                   ELSE 1.0 - CAST(damerau_levenshtein(a.norm_nid, b.norm_nid) AS DOUBLE)
+                            / greatest(length(a.norm_nid), length(b.norm_nid)) END
+              ELSE 0.0 END AS nid_score,
+            CASE WHEN length(a.norm_email) > 0 AND length(b.norm_email) > 0
+                 THEN jaro_winkler_similarity(a.norm_email, b.norm_email)
+                 ELSE 0.0 END AS email_score,
+            CASE WHEN length(a.norm_phone) > 0 AND length(b.norm_phone) > 0
+                      AND a.norm_phone = b.norm_phone THEN 1 ELSE 0 END AS phone_match,
+            CASE WHEN length(a.norm_first_name) > 0 AND length(b.norm_first_name) > 0
+                 THEN jaro_winkler_similarity(a.norm_first_name, b.norm_first_name)
+                 ELSE 0.0 END AS first_name_score,
+            CASE WHEN length(a.norm_last_name) > 0 AND length(b.norm_last_name) > 0
+                 THEN jaro_winkler_similarity(a.norm_last_name, b.norm_last_name)
+                 ELSE 0.0 END AS last_name_score,
+            CASE WHEN length(a.norm_address) > 0 AND length(b.norm_address) > 0
+                 THEN 1.0 - CAST(levenshtein(a.norm_address, b.norm_address) AS DOUBLE)
+                          / greatest(length(a.norm_address), length(b.norm_address))
+                 ELSE 0.0 END AS addr_score,
+            CASE WHEN coalesce(a.norm_dob, '') != '' AND coalesce(b.norm_dob, '') != ''
+                      AND a.norm_dob = b.norm_dob THEN 1 ELSE 0 END AS dob_match,
+            CASE WHEN a.norm_dob_year = b.norm_dob_year
+                      AND a.norm_dob_year != '0000' THEN 1 ELSE 0 END AS year_match
+          FROM cand c
+          JOIN profiles a ON a.conv_id = c.id_a
+          JOIN profiles b ON b.conv_id = c.id_b
+        ),
+        scored AS (
+          SELECT *, 1.0 / (1.0 + exp(-greatest(least({z}, 35.0), -35.0))) AS ml,
+                 (first_name_score + last_name_score) / 2.0 AS name_avg
+          FROM feat
+        ),
+        ruled AS (
+          SELECT id_a, id_b, ml,
+            ((nid_score >= 0.90 AND name_avg > 0.85)
+             OR ((email_score > 0.95 OR phone_match = 1) AND name_avg > 0.80
+                 AND (dob_match = 1 OR nid_score > 0.5 OR year_match = 1))
+             OR (name_avg > 0.85 AND dob_match = 1)
+             OR (name_avg > 0.90 AND addr_score > 0.8)
+             OR (ml > 0.8)
+             OR (name_avg > 0.75 AND year_match = 1 AND nid_score > 0.8)) AS is_m,
+            ((name_avg > 0.93 AND year_match = 1)
+             OR (ml > 0.2) OR (nid_score >= 0.85) OR (name_avg > 0.9)
+             OR (email_score = 1.0)) AS is_rv,
+            (ml < 0.10 AND nid_score < 0.9 AND email_score < 0.9) AS veto_c
+          FROM scored
+        )
+    """
+
+
+def _er_classified_sql() -> str:
+    """er_classified end to end in SQL: profiles -> candidate pairs ->
+    features -> compiled GBDT -> rule cascade."""
+    return f"""
+        WITH {_er_profiles_cte()},
+        {_er_pairs_chain_cte()},
+        {_er_scored_chain_cte()}
+        SELECT id_a, id_b,
+               CASE WHEN is_m THEN 'match'
+                    WHEN is_rv AND NOT veto_c THEN 'review'
+                    ELSE 'no_match' END AS match_type,
+               CASE WHEN is_m THEN 1 ELSE 0 END AS is_match
+        FROM ruled
+    """
+
+
+def _er_cc_chain_cte() -> str:
+    """CTE chain (assumes ``ruled`` in scope; query must open WITH
+    RECURSIVE) ending in ``pred(conv_id, lab)``: match edges ->
+    transitive closure -> min-conv_id component label, the same
+    min-label semantics as stages/cluster.connected_components."""
+    return """
+        e AS (SELECT id_a AS u, id_b AS v FROM ruled WHERE is_m
+              UNION ALL SELECT id_b, id_a FROM ruled WHERE is_m),
+        reach(node, r) AS (
+          SELECT conv_id, conv_id FROM profiles
+          UNION
+          SELECT e.v, reach.r FROM reach JOIN e ON e.u = reach.node
+        ),
+        pred AS (SELECT node AS conv_id, min(r) AS lab FROM reach GROUP BY node)
+    """
+
+
+def _er_clusters_sql() -> str:
+    """er_clusters: classified match edges -> connected components ->
+    ``ENT_`` + min-member-conv_id labels (stages/cluster.py:205-230)."""
+    return f"""
+        WITH RECURSIVE {_er_profiles_cte()},
+        {_er_pairs_chain_cte()},
+        {_er_scored_chain_cte()},
+        {_er_cc_chain_cte()}
+        SELECT conv_id, 'ENT_' || lab AS predicted_entity_id FROM pred
+    """
+
+
+def _er_eval_sql() -> str:
+    """er_eval_metrics: pair-level P/R/F1 of the cascade's is_match
+    against truth-labeled candidate pairs (stages/evaluate.py
+    labeled_pair_eval) + cluster-level pairwise P/R/F1 of predicted vs
+    true intra-cluster pair sets (pairwise_eval), one row."""
+    return f"""
+        WITH RECURSIVE {_er_profiles_cte()},
+        {_er_pairs_chain_cte()},
+        {_er_scored_chain_cte()},
+        {_er_cc_chain_cte()},
+        truth AS (SELECT conv_id, entity_id
+                  FROM read_parquet('{ORACLE_TRUTH_PATH}')),
+        labeled AS (
+          SELECT CASE WHEN c.is_m THEN 1 ELSE 0 END AS is_match,
+                 CASE WHEN ta.entity_id = tb.entity_id THEN 1 ELSE 0 END AS label
+          FROM ruled c
+          JOIN truth ta ON ta.conv_id = c.id_a
+          JOIN truth tb ON tb.conv_id = c.id_b
+        ),
+        pcounts AS (
+          SELECT sum(CASE WHEN label = 1 AND is_match = 1 THEN 1 ELSE 0 END) AS tp,
+                 sum(CASE WHEN label = 0 AND is_match = 1 THEN 1 ELSE 0 END) AS fp,
+                 sum(CASE WHEN label = 1 AND is_match = 0 THEN 1 ELSE 0 END) AS fn
+          FROM labeled
+        ),
+        tpairs AS (
+          SELECT a.conv_id AS id_a, b.conv_id AS id_b
+          FROM truth a JOIN truth b
+            ON a.entity_id = b.entity_id AND a.conv_id < b.conv_id
+        ),
+        ppairs AS (
+          SELECT a.conv_id AS id_a, b.conv_id AS id_b
+          FROM pred a JOIN pred b
+            ON a.lab = b.lab AND a.conv_id < b.conv_id
+        ),
+        ccounts AS (
+          SELECT (SELECT count(*) FROM ppairs JOIN tpairs USING (id_a, id_b)) AS tp,
+                 (SELECT count(*) FROM ppairs) AS np,
+                 (SELECT count(*) FROM tpairs) AS nt
+        ),
+        pm AS (
+          SELECT CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 1.0 END AS p,
+                 CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 1.0 END AS r
+          FROM pcounts
+        ),
+        cm AS (
+          SELECT CASE WHEN np > 0 THEN CAST(tp AS DOUBLE) / np ELSE 1.0 END AS p,
+                 CASE WHEN nt > 0 THEN CAST(tp AS DOUBLE) / nt ELSE 1.0 END AS r
+          FROM ccounts
+        )
+        SELECT round(pm.p, 6) AS pair_precision,
+               round(pm.r, 6) AS pair_recall,
+               round(CASE WHEN pm.p + pm.r > 0
+                          THEN 2 * pm.p * pm.r / (pm.p + pm.r) ELSE 0.0 END, 6) AS pair_f1,
+               round(cm.p, 6) AS cluster_precision,
+               round(cm.r, 6) AS cluster_recall,
+               round(CASE WHEN cm.p + cm.r > 0
+                          THEN 2 * cm.p * cm.r / (cm.p + cm.r) ELSE 0.0 END, 6) AS cluster_f1
+        FROM pm, cm
     """
 
 
@@ -843,6 +1180,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_id": _lang_id_sql(),
         "er_profiles": _er_profiles_sql(),
         "er_pairs_exact_keys": _er_pairs_exact_sql(),
+        "er_pairs": _er_pairs_sql(),
+        "er_classified": _er_classified_sql(),
+        "er_clusters": _er_clusters_sql(),
+        "er_eval_metrics": _er_eval_sql(),
         "lineitem_agg": """
             SELECT l_returnflag, l_linestatus,
                    CAST(round(sum(l_quantity), 0) AS BIGINT) AS sum_qty,
