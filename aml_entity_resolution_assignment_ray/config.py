@@ -65,6 +65,16 @@ class EngineConfig:
     join_num_partitions: int = field(
         default_factory=lambda: _env_int("ER_JOIN_NUM_PARTITIONS", 0)
     )
+    # Size-gated small-input path for generate_pairs: when the caller
+    # knows the key table has <= this many rows, pair emission gathers
+    # into ONE task (a plain repartition(1)) instead of paying two hash
+    # shuffles (~1s fixed aggregator-actor setup each in Ray 2.49) —
+    # the pair-generation analogue of broadcast hydration.  Worst-case
+    # single-task output is bounded by max_block_records * rows / 2
+    # pairs; 0 disables the path entirely (always shuffle).
+    gather_max_keys: int = field(
+        default_factory=lambda: _env_int("ER_GATHER_MAX_KEYS", 500_000)
+    )
 
     def resolve_join_partitions(self) -> int:
         if self.join_num_partitions > 0:

@@ -232,7 +232,9 @@ def minhash_lsh_dup_pairs(ds, col: str = "text", id_col: str = "doc_id",
     signature Jaccard >= threshold."""
     bands, rows = mh.optimal_param(threshold, num_perm)
     sig = _sig_table(ds, col, id_col, num_perm)
-    pairs = generate_pairs(_band_key_table(sig, num_perm, bands, rows), cfg)
+    n_docs = sig.count()
+    pairs = generate_pairs(_band_key_table(sig, num_perm, bands, rows), cfg,
+                           n_rows=n_docs * bands)
     if not verify:
         return pairs
 
@@ -245,7 +247,7 @@ def minhash_lsh_dup_pairs(ds, col: str = "text", id_col: str = "doc_id",
         out = pairs_df.assign(jaccard=jac)
         return out[out["jaccard"] >= threshold].reset_index(drop=True)
 
-    return _verify_pairs(pairs, sig, ["sig"], fn, cfg, n_docs=sig.count())
+    return _verify_pairs(pairs, sig, ["sig"], fn, cfg, n_docs=n_docs)
 
 
 def minhash_dedup(ds, col: str = "text", id_col: str = "doc_id",
@@ -338,6 +340,7 @@ def simhash_dup_pairs(ds, col: str = "text", id_col: str = "doc_id",
         return pd.DataFrame({"doc": df[id_col].astype(str), "sim": sh})
 
     sim = ds.map_batches(collect, batch_format="pandas").materialize()
+    n_docs = sim.count()
 
     def emit(df: pd.DataFrame) -> pd.DataFrame:
         ids = df["doc"].to_numpy()
@@ -353,7 +356,8 @@ def simhash_dup_pairs(ds, col: str = "text", id_col: str = "doc_id",
             }))
         return pd.concat(parts, ignore_index=True)
 
-    pairs = generate_pairs(sim.map_batches(emit, batch_format="pandas"), cfg)
+    pairs = generate_pairs(sim.map_batches(emit, batch_format="pandas"), cfg,
+                           n_rows=n_docs * len(bands))
 
     def fn(a, b, pairs_df):
         if a is None or not len(pairs_df):
@@ -362,7 +366,7 @@ def simhash_dup_pairs(ds, col: str = "text", id_col: str = "doc_id",
         out = pairs_df.assign(hamming=_popcount64(x))
         return out[out["hamming"] <= max_hamming].reset_index(drop=True)
 
-    return _verify_pairs(pairs, sim, ["sim"], fn, cfg, n_docs=sim.count())
+    return _verify_pairs(pairs, sim, ["sim"], fn, cfg, n_docs=n_docs)
 
 
 # --------------------------------------------------------------------------
@@ -553,7 +557,7 @@ def embedding_dup_pairs(ds, vec_col: str = "embedding", id_col: str = "vec_id",
     from ..util import stateful_map
 
     keyed = stateful_map(vecs, Emit, (planes_ref,), batch_format="pandas")
-    pairs = generate_pairs(keyed, cfg)
+    pairs = generate_pairs(keyed, cfg, n_rows=n_docs * nbands)
 
     def fn(a, b, pairs_df):
         if a is None or not len(pairs_df):

@@ -12,7 +12,7 @@ state/checkpoint.py):
 from __future__ import annotations
 
 from ..config import DEFAULT_CONFIG, EngineConfig
-from ..stages.block import emit_keys
+from ..stages.block import emit_keys, keys_per_profile_bound
 from ..stages.cluster import resolve_entities
 from ..stages.pairs import generate_pairs
 from ..stages.score import score_pairs_broadcast
@@ -38,7 +38,9 @@ def run_flagship_checkpointed(transcripts_path: str, checkpoint_root: str,
     )
     pairs = mgr.stage(
         "pairs",
-        lambda: generate_pairs(emit_keys(profiles, cfg), cfg),
+        lambda: generate_pairs(
+            emit_keys(profiles, cfg), cfg,
+            n_rows=profiles.count() * keys_per_profile_bound(cfg)),
         deps=["profiles"],
     )
     classified = mgr.stage(

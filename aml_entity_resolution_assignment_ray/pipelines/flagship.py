@@ -13,7 +13,8 @@ from __future__ import annotations
 
 from ..config import DEFAULT_CONFIG, EngineConfig
 from ..stages.assemble import assemble_profiles
-from ..stages.block import blocking_stats, emit_keys, normalize_profiles
+from ..stages.block import (blocking_stats, emit_keys,
+                            keys_per_profile_bound, normalize_profiles)
 from ..stages.cluster import resolve_entities
 from ..stages.evaluate import labeled_pair_eval, pairwise_eval
 from ..stages.hydrate import hydrate_pairs
@@ -37,7 +38,10 @@ def run_flagship(transcripts, cfg: EngineConfig = DEFAULT_CONFIG,
     from ..stages.pairs import pair_schema
     from ..util import scrub_empty_blocks
 
-    pairs = scrub_empty_blocks(generate_pairs(keys, cfg), pair_schema())
+    pairs = scrub_empty_blocks(
+        generate_pairs(keys, cfg,
+                       n_rows=n_profiles * keys_per_profile_bound(cfg)),
+        pair_schema())
     n_pairs = pairs.count()
     if n_pairs == 0:
         # no candidates at all: classified = 0 rows WITH the full scored

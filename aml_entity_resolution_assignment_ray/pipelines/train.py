@@ -20,7 +20,7 @@ import pandas as pd
 
 from ..config import DEFAULT_CONFIG, EngineConfig
 from ..functions.model import FEATURE_COLS, LogisticModel, train_logistic
-from ..stages.block import emit_keys
+from ..stages.block import emit_keys, keys_per_profile_bound
 from ..stages.evaluate import label_pairs
 from ..stages.hydrate import hydrate_pairs
 from ..stages.pairs import generate_pairs
@@ -32,7 +32,9 @@ def build_training_frame(transcripts, truth,
                          cfg: EngineConfig = DEFAULT_CONFIG) -> pd.DataFrame:
     """transcripts + truth -> labeled feature DataFrame (driver-small)."""
     norm = build_profiles(transcripts, cfg).materialize()
-    pairs = generate_pairs(emit_keys(norm, cfg), cfg).materialize()
+    pairs = generate_pairs(
+        emit_keys(norm, cfg), cfg,
+        n_rows=norm.count() * keys_per_profile_bound(cfg)).materialize()
     hydrated = hydrate_pairs(pairs, norm, cfg, n_profiles=norm.count())
     feats = hydrated.map_batches(compute_pair_features, batch_format="pandas")
     # dummy classification columns so label_pairs' schema passes through

@@ -145,6 +145,14 @@ def emit_keys(norm_profiles, cfg: EngineConfig = DEFAULT_CONFIG):
                         batch_format="pandas")
 
 
+def keys_per_profile_bound(cfg: EngineConfig = DEFAULT_CONFIG) -> int:
+    """Upper bound on keys emitted per profile (bands + 4 exact key
+    types) — lets pipelines size generate_pairs' gather-vs-shuffle
+    decision from the profile count they already know."""
+    bands, _ = mh.optimal_param(cfg.lsh_threshold, cfg.lsh_num_perm)
+    return bands + 4
+
+
 def key_coverage(norm_profiles, cfg: EngineConfig = DEFAULT_CONFIG) -> pd.DataFrame:
     """B6 key_count histogram (preprocessing.py:249-253): how many of
     {nid, minhash(name), phone, email} keys each record carries."""

@@ -31,7 +31,8 @@ _INTRA_CAP = 1 << 30  # no truncation for evaluation pair emission
 
 
 def cluster_pairs(ds, cluster_col: str, id_col: str = "conv_id",
-                  cfg: EngineConfig = DEFAULT_CONFIG):
+                  cfg: EngineConfig = DEFAULT_CONFIG,
+                  n_rows: int | None = None):
     """(id, cluster) Dataset -> canonical intra-cluster pair Dataset.
 
     Reuses the blocking pair machinery: a cluster id is just a blocking
@@ -49,7 +50,7 @@ def cluster_pairs(ds, cluster_col: str, id_col: str = "conv_id",
         batch_format="pyarrow",
     )
     uncapped = EngineConfig(max_block_records=_INTRA_CAP)
-    return generate_pairs(keyed, uncapped)
+    return generate_pairs(keyed, uncapped, n_rows=n_rows)
 
 
 def _mark(ds):
@@ -107,9 +108,12 @@ def pairwise_eval(predictions, truth, classified=None,
     from .pairs import pair_schema
 
     true_pairs = scrub_empty_blocks(
-        cluster_pairs(truth, "entity_id", cfg=cfg), pair_schema())
+        cluster_pairs(truth, "entity_id", cfg=cfg, n_rows=truth.count()),
+        pair_schema())
     pred_pairs = scrub_empty_blocks(
-        cluster_pairs(predictions, "predicted_entity_id", cfg=cfg), pair_schema())
+        cluster_pairs(predictions, "predicted_entity_id", cfg=cfg,
+                      n_rows=predictions.count()),
+        pair_schema())
 
     tp = _semi(pred_pairs, true_pairs, cfg).count()
     fp = pred_pairs.count() - tp

@@ -138,15 +138,37 @@ def _distinct_block(t):
         .group_by(["id_a", "id_b"]).aggregate([])
 
 
-def generate_pairs(keys, cfg: EngineConfig = DEFAULT_CONFIG):
+def _gathered_pairs(df: pd.DataFrame, cap: int) -> pd.DataFrame:
+    """All keys in one partition -> all distinct pairs (the local
+    distinct inside ``_partition_pairs`` is global here)."""
+    out = _partition_pairs(df, cap)
+    return out[["id_a", "id_b"]]
+
+
+def generate_pairs(keys, cfg: EngineConfig = DEFAULT_CONFIG,
+                   n_rows: int | None = None):
     """key table Dataset -> distinct candidate pair Dataset (id_a, id_b).
 
     Two hash shuffles (co-locate key groups; co-locate pair copies),
-    zero sorts, zero materializations — the plan streams end to end."""
+    zero sorts, zero materializations — the plan streams end to end.
+
+    ``n_rows``: the key-table row count (or an upper bound) when the
+    caller knows it.  At or below ``cfg.gather_max_keys`` the operator
+    takes a single-task gather path instead — each Ray 2.49 hash
+    shuffle costs ~1s of fixed aggregator-actor setup, which dominates
+    small inputs (the same reasoning as broadcast-vs-join hydration)."""
     cap = cfg.max_block_records
+    hashed = keys.map_batches(_hash_keys, batch_format="pandas")
+    if (n_rows is not None and cfg.gather_max_keys > 0
+            and n_rows <= cfg.gather_max_keys):
+        return (
+            hashed.repartition(1)
+            .map_batches(_gathered_pairs, fn_kwargs={"cap": cap},
+                         batch_format="pandas", batch_size=None)
+        )
     nparts = cfg.resolve_join_partitions()
     return (
-        keys.map_batches(_hash_keys, batch_format="pandas")
+        hashed
         .repartition(nparts, keys=["kh"])
         .map_batches(_partition_pairs, fn_kwargs={"cap": cap},
                      batch_format="pandas", batch_size=None)

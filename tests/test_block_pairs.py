@@ -118,3 +118,30 @@ def test_key_coverage_and_stats(pipeline):
     assert 0 < stats["reduction_ratio"] <= 1
     assert stats["candidate_pairs"] == len(pipeline["pairs"])
     assert len(stats["top_blocks"]) >= 3
+
+
+def test_gather_path_equals_shuffle_path(ray_session):
+    """The size-gated single-task gather path must produce exactly the
+    two-hash-shuffle path's distinct pair set (same keys, same cap)."""
+    rng = np.random.RandomState(11)
+    rows = [{"conv_id": f"c{i:04d}",
+             "key_type": "t",
+             "key_value": f"k{rng.randint(0, 300)}"}
+            for i in range(2000)]
+    keys = rd.from_items(rows)
+    cfg = EngineConfig(max_block_records=50)
+    shuffled = generate_pairs(keys, cfg).to_pandas()          # n_rows unknown
+    gathered = generate_pairs(keys, cfg, n_rows=2000).to_pandas()
+    assert cfg.gather_max_keys >= 2000
+    s = set(zip(shuffled["id_a"], shuffled["id_b"]))
+    g = set(zip(gathered["id_a"], gathered["id_b"]))
+    assert s == g and len(gathered) == len(g)
+
+
+def test_gather_gate_disabled_by_zero(ray_session):
+    rows = [{"conv_id": f"c{i}", "key_type": "t", "key_value": "x"}
+            for i in range(4)]
+    keys = rd.from_items(rows)
+    cfg = EngineConfig(max_block_records=100, gather_max_keys=0)
+    pairs = generate_pairs(keys, cfg, n_rows=4).to_pandas()
+    assert len(pairs) == 6
