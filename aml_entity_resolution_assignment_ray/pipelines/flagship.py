@@ -22,9 +22,20 @@ from ..stages.pairs import generate_pairs
 from ..stages.score import score_pairs, score_pairs_broadcast
 
 
-def build_profiles(transcripts, cfg: EngineConfig = DEFAULT_CONFIG):
+def build_profiles(transcripts, cfg: EngineConfig = DEFAULT_CONFIG,
+                   n_rows: int | None = None):
     """transcripts -> normalized profiles (one row per conv_id)."""
-    return normalize_profiles(assemble_profiles(transcripts, cfg), cfg)
+    if n_rows is None:
+        try:
+            # metadata-only count (parquet reads / in-memory inputs);
+            # None for transformed plans — executing them here to learn
+            # the size would double at-scale work, so those keep the
+            # shuffle path unless the caller passes n_rows
+            n_rows = transcripts._meta_count()
+        except Exception:
+            n_rows = None
+    return normalize_profiles(
+        assemble_profiles(transcripts, cfg, n_rows=n_rows), cfg)
 
 
 def run_flagship(transcripts, cfg: EngineConfig = DEFAULT_CONFIG,

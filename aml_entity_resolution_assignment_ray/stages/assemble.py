@@ -35,11 +35,12 @@ from .extract import FIELD_COLS, extract_turn_signals
 PROFILE_FIELDS = FIELD_COLS
 
 
-def _aggregate_block(df: pd.DataFrame) -> pd.DataFrame:
+def _aggregate_block(df: pd.DataFrame, extracted: bool = False) -> pd.DataFrame:
     """Vectorized per-block aggregation (all convs at once); conversations
     are complete within the block (hash co-location)."""
     df = df.sort_values(["conv_id", "turn_idx"], kind="stable")
-    df = extract_turn_signals(df)
+    if not extracted:
+        df = extract_turn_signals(df)
     grp = df.groupby("conv_id", sort=False)
     out = pd.DataFrame({
         "n_turns": grp.size().astype("int64"),
@@ -51,8 +52,25 @@ def _aggregate_block(df: pd.DataFrame) -> pd.DataFrame:
     return out.reset_index()
 
 
-def assemble_profiles(transcripts, cfg: EngineConfig = DEFAULT_CONFIG):
-    """transcripts Dataset -> profiles Dataset (one row per conv_id)."""
+def assemble_profiles(transcripts, cfg: EngineConfig = DEFAULT_CONFIG,
+                      n_rows: int | None = None):
+    """transcripts Dataset -> profiles Dataset (one row per conv_id).
+
+    ``n_rows``: turn count when the caller knows it.  At or below
+    ``cfg.gather_max_keys`` the keyed shuffle (~1s fixed aggregator
+    setup in Ray 2.49) is replaced by parallel per-turn extraction, a
+    plain repartition(1) and ONE aggregate task — per-turn regex work
+    (the compute-heavy part) stays parallel; only the cheap
+    sort-and-group of already-extracted rows runs single-task."""
+    if (n_rows is not None and cfg.gather_max_keys > 0
+            and n_rows <= cfg.gather_max_keys):
+        return (
+            transcripts
+            .map_batches(extract_turn_signals, batch_format="pandas")
+            .repartition(1)
+            .map_batches(_aggregate_block, fn_kwargs={"extracted": True},
+                         batch_format="pandas", batch_size=None)
+        )
     nparts = cfg.resolve_join_partitions()
     return (
         transcripts
