@@ -45,15 +45,20 @@ from ..util import safe_join
 
 
 def exact_dedup(ds, col: str = "text", id_col: str = "doc_id",
-                cfg: EngineConfig = DEFAULT_CONFIG):
+                cfg: EngineConfig = DEFAULT_CONFIG,
+                n_rows: int | None = None):
     """One row per distinct ``col`` value with the smallest id — the
     hash-partition + per-group-first pattern. Output columns:
     (col, id_col).
 
+    A per-block combiner (partial min per text) runs before any data
+    moves, so only one survivor per (block, text) is shuffled.  Then
     ONE hash shuffle, keyed on a 64-bit content digest (equal texts
     always co-locate; a digest collision merely puts two groups in one
     partition, where the per-block groupby still separates them by the
-    actual value).  Document bytes move exactly once."""
+    actual value) — or, when ``n_rows`` (caller-known or parquet
+    metadata) is at or below ``cfg.gather_max_keys``, a plain
+    repartition(1) + one final combine (the small-input gather gate)."""
 
     def add_digest(df: pd.DataFrame) -> pd.DataFrame:
         t = df[col].fillna("").astype(str).to_numpy(dtype=object)
@@ -65,8 +70,18 @@ def exact_dedup(ds, col: str = "text", id_col: str = "doc_id",
                .reset_index())
         return out[[col, id_col]]
 
+    if n_rows is None:
+        try:
+            n_rows = ds._meta_count()
+        except Exception:
+            n_rows = None
+    partial = ds.map_batches(block_min, batch_format="pandas")
+    if (n_rows is not None and cfg.gather_max_keys > 0
+            and n_rows <= cfg.gather_max_keys):
+        return partial.repartition(1).map_batches(
+            block_min, batch_format="pandas", batch_size=None)
     return (
-        ds.map_batches(add_digest, batch_format="pandas")
+        partial.map_batches(add_digest, batch_format="pandas")
         .repartition(cfg.resolve_join_partitions(), keys=["d1"])
         .map_batches(block_min, batch_format="pandas", batch_size=None)
     )
