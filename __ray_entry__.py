@@ -59,10 +59,12 @@ ORACLE_CORPUS_PATH = "/tmp/er_oracle_corpus/transcripts.parquet"
 ORACLE_TRUTH_PATH = "/tmp/er_oracle_corpus/truth.parquet"
 
 
+@lru_cache(maxsize=4)
 def _write_oracle_corpus(n_entities: int):
     """Write the er_* corpus (transcripts + truth labels) to fixed
     parquet paths so the DuckDB oracles read the SAME data the Ray
-    pipeline consumed."""
+    pipeline consumed.  Cached: every er_* query calls this and the
+    synth is deterministic, so generate once per process."""
     import pyarrow.parquet as pq
 
     from aml_entity_resolution_assignment_ray.sources.synth import generate_corpus

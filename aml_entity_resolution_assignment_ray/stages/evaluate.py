@@ -80,17 +80,63 @@ def _null_filter_pairs(t):
     return t.filter(pc.is_null(t["_r"])).select(["id_a", "id_b"]).cast(schema)
 
 
-def anti_join_pairs(left, right, cfg: EngineConfig):
+class _PairSetFilter:
+    """Once-per-worker broadcast pair-set membership filter: the small
+    side's (id_a, id_b) MultiIndex is fetched from the object store once
+    per worker and each batch is an exact vectorized isin."""
+
+    def __init__(self, ref, keep_members: bool):
+        import ray
+
+        self.index = ray.get(ref)
+        self.keep = keep_members
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df[["id_a", "id_b"]]
+        ix = pd.MultiIndex.from_arrays(
+            [df["id_a"].astype(str), df["id_b"].astype(str)])
+        mask = ix.isin(self.index)
+        if not self.keep:
+            mask = ~mask
+        return df.loc[mask, ["id_a", "id_b"]].reset_index(drop=True)
+
+
+def _broadcast_pair_filter(left, right, cfg: EngineConfig,
+                           keep_members: bool):
+    """left ⋉/▷ right with the right side broadcast (exact string
+    tuples, no hashing).  Caller must have gated ``right``'s row count
+    at cfg.broadcast_max_rows."""
+    import ray
+
+    from ..util import stateful_map
+
+    rp = right.select_columns(["id_a", "id_b"]).to_pandas()
+    ref = ray.put(pd.MultiIndex.from_arrays(
+        [rp["id_a"].astype(str), rp["id_b"].astype(str)]))
+    return stateful_map(left, _PairSetFilter, (ref, keep_members),
+                        batch_format="pandas")
+
+
+def anti_join_pairs(left, right, cfg: EngineConfig,
+                    right_rows: int | None = None):
     """left \\ right for canonical pair Datasets (left_outer + null
-    filter — Ray Data has no native anti join)."""
+    filter — Ray Data has no native anti join; a right side with a
+    caller-known row count at or below broadcast_max_rows is broadcast
+    instead of shuffled, mirroring hydrate's strategy gate)."""
+    if right_rows is not None and right_rows <= cfg.broadcast_max_rows:
+        return _broadcast_pair_filter(left, right, cfg, keep_members=False)
     return safe_join(
         left, _mark(right), join_type="left_outer",
         num_partitions=cfg.resolve_join_partitions(), on=("id_a", "id_b"),
     ).map_batches(_null_filter_pairs, batch_format="pyarrow")
 
 
-def _semi(left, right, cfg: EngineConfig):
-    """left ⋉ right for canonical pair Datasets."""
+def _semi(left, right, cfg: EngineConfig, right_rows: int | None = None):
+    """left ⋉ right for canonical pair Datasets (broadcast right side
+    when its caller-known count fits the broadcast gate)."""
+    if right_rows is not None and right_rows <= cfg.broadcast_max_rows:
+        return _broadcast_pair_filter(left, right, cfg, keep_members=True)
     return safe_join(left, right, join_type="inner",
                      num_partitions=cfg.resolve_join_partitions(),
                      on=("id_a", "id_b"))
@@ -115,13 +161,16 @@ def pairwise_eval(predictions, truth, classified=None,
                       n_rows=predictions.count()),
         pair_schema())
 
-    tp = _semi(pred_pairs, true_pairs, cfg).count()
-    fp = pred_pairs.count() - tp
+    n_true = true_pairs.count()
+    n_pred = pred_pairs.count()
+    tp = _semi(pred_pairs, true_pairs, cfg, right_rows=n_true).count()
+    fp = n_pred - tp
     fn_pairs = None
-    fn = true_pairs.count() - tp
+    fn = n_true - tp
     out = {"tp": int(tp), "fp": int(fp), "fn": int(fn)}
     if classified is not None and fn > 0:
-        fn_pairs = anti_join_pairs(true_pairs, pred_pairs, cfg)
+        fn_pairs = anti_join_pairs(true_pairs, pred_pairs, cfg,
+                                   right_rows=n_pred)
         # classified pairs are already globally distinct (generate_pairs
         # output); _distinct_block here is schema coercion + local dedupe
         from .pairs import _distinct_block
@@ -129,7 +178,8 @@ def pairwise_eval(predictions, truth, classified=None,
         review_pairs = classified.filter(expr="match_type == 'review'") \
             .select_columns(["id_a", "id_b"]) \
             .map_batches(_distinct_block, batch_format="pyarrow")
-        out["fn_in_review"] = int(_semi(fn_pairs, review_pairs, cfg).count())
+        out["fn_in_review"] = int(_semi(fn_pairs, review_pairs, cfg,
+                                        right_rows=classified.count()).count())
         out["fn_missed"] = out["fn"] - out["fn_in_review"]
     precision = tp / (tp + fp) if tp + fp else 1.0
     recall = tp / (tp + fn) if tp + fn else 1.0
@@ -140,16 +190,46 @@ def pairwise_eval(predictions, truth, classified=None,
     return out
 
 
+class _BroadcastLabeler:
+    """Once-per-worker (conv_id -> entity_id) lookup; inner-join
+    semantics (pairs with either id missing from truth are dropped)."""
+
+    def __init__(self, ref):
+        import ray
+
+        self.map = ray.get(ref)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        ea = self.map.reindex(df["id_a"].astype(str)).to_numpy()
+        eb = self.map.reindex(df["id_b"].astype(str)).to_numpy()
+        keep = pd.notna(ea) & pd.notna(eb)
+        df = df.loc[keep].copy()
+        df["label"] = (ea[keep] == eb[keep]).astype(np.int64)
+        return df
+
+
 def label_pairs(classified, truth, cfg: EngineConfig = DEFAULT_CONFIG):
     """Adds a ground-truth ``label`` column to classified candidate pairs
-    via two hash joins on the truth table (reference train_model.py:43-49
-    uses a driver dict; joins scale)."""
-    from ..util import scrub_empty_blocks
+    (reference train_model.py:43-49 uses a driver dict).  A truth table
+    within the broadcast gate ships as one object-store lookup Series;
+    bigger truth tables label via two hash joins."""
+    from ..util import scrub_empty_blocks, stateful_map
 
     classified = scrub_empty_blocks(classified)
     if classified.count() == 0:
         # nothing to label; callers aggregate (their sums handle empty)
         return classified
+
+    n_truth = truth.count()
+    if n_truth <= cfg.broadcast_max_rows:
+        import ray
+
+        tp = truth.select_columns(["conv_id", "entity_id"]).to_pandas()
+        ref = ray.put(pd.Series(tp["entity_id"].astype(str).to_numpy(),
+                                index=tp["conv_id"].astype(str).to_numpy()))
+        return stateful_map(classified, _BroadcastLabeler, (ref,),
+                            batch_format="pandas")
+
     t_a = truth.rename_columns({"conv_id": "id_a", "entity_id": "ent_a"})
     t_b = truth.rename_columns({"conv_id": "id_b", "entity_id": "ent_b"})
     joined = safe_join(classified, t_a, join_type="inner",
@@ -181,11 +261,11 @@ def labeled_pair_eval(classified, truth, cfg: EngineConfig = DEFAULT_CONFIG) -> 
             "fn_in_review": [int(((y == 1) & (p == 0) & review).sum())],
         })
 
-    sums = labeled.map_batches(confusion, batch_format="pandas") \
-        .sum(["tp", "fp", "fn", "tn", "fn_in_review"])
-    if sums is None or not isinstance(sums, dict):  # empty labeled set
-        sums = {}
-    sums = {f"sum({k})": sums.get(f"sum({k})") or 0
+    # per-batch partial confusion rows folded on the driver: the partial
+    # table is (#batches x 5 ints) — a Dataset.sum() here would pay a
+    # hash-shuffle aggregator's fixed startup for a scalar
+    parts = labeled.map_batches(confusion, batch_format="pandas").to_pandas()
+    sums = {f"sum({k})": (int(parts[k].sum()) if len(parts) else 0)
             for k in ("tp", "fp", "fn", "tn", "fn_in_review")}
     tp, fp, fn = sums["sum(tp)"], sums["sum(fp)"], sums["sum(fn)"]
     precision = tp / (tp + fp) if tp + fp else 1.0
