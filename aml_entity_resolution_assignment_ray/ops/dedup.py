@@ -474,8 +474,11 @@ def ngram_jaccard_pairs(ds, col: str = "text", id_col: str = "doc_id",
     threshold — the approximate scale path."""
     grams = _gram_table(ds, col, id_col, q)
     if candidates == "prefix":
-        keys = _prefix_key_table(grams, threshold)
-        pairs = generate_pairs(keys, cfg)
+        # materializing the key table costs nothing extra (the shuffle
+        # inside generate_pairs would materialize it anyway) and its
+        # then-free count drives the gather-vs-shuffle gate
+        keys = _prefix_key_table(grams, threshold).materialize()
+        pairs = generate_pairs(keys, cfg, n_rows=keys.count())
     else:
         lsh_thr = max(0.3, threshold - 0.2)
         pairs = minhash_lsh_dup_pairs(ds, col, id_col, lsh_thr, 128, cfg,

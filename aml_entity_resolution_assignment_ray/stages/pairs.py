@@ -165,6 +165,10 @@ def generate_pairs(keys, cfg: EngineConfig = DEFAULT_CONFIG,
             hashed.repartition(1)
             .map_batches(_gathered_pairs, fn_kwargs={"cap": cap},
                          batch_format="pandas", batch_size=None)
+            # split the single emitted block: otherwise the streaming
+            # executor fuses downstream map stages (verify kernels,
+            # scoring) into this one task and they run serially
+            .repartition(cfg.resolve_join_partitions())
         )
     nparts = cfg.resolve_join_partitions()
     return (
