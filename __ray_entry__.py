@@ -277,6 +277,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "documents").select_columns(["doc_id", "text"])
         ).select_columns(["doc_id", "fingerprint"])
 
+    def doc_pii_scrub(sf_dir):
+        _tune_context()
+        return text.pii_scrub(
+            _read(sf_dir, "documents").select_columns(["doc_id", "text"]))
+
+    def event_sessions(sf_dir):
+        _tune_context()
+        from aml_entity_resolution_assignment_ray.ops.events import sessionize
+
+        return sessionize(_read(sf_dir, "events"), gap_s=1800)
+
     def minhash_dup_pairs_docs(sf_dir):
         _tune_context()
         return dedup.minhash_lsh_dup_pairs(
@@ -428,6 +439,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": doc_quality,
         "doc_lang_id": doc_lang_id,
         "doc_fingerprints": doc_fingerprints,
+        "doc_pii_scrub": doc_pii_scrub,
+        "event_sessions": event_sessions,
         "minhash_dup_pairs_docs": minhash_dup_pairs_docs,
         "simhash_dup_pairs_docs": simhash_dup_pairs_docs,
         "minhash_dedup_docs": minhash_dedup_docs,
@@ -1252,6 +1265,34 @@ def oracle_sql() -> dict[str, str]:
                    length(regexp_replace(text, '[^A-Z]', '', 'g'))
                        / CAST(greatest(length(text), 1) AS DOUBLE) AS upper_ratio
             FROM documents
+        """,
+        "doc_pii_scrub": r"""
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(coalesce(text, ''),
+                         '[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)+',
+                         '<EMAIL>', 'g'),
+                       '\b[0-9]{9,}\b', '<ID>', 'g'),
+                     '\+?[0-9][0-9 ()-]{7,}[0-9]', '<PHONE>', 'g')
+                     AS clean_text
+            FROM documents
+        """,
+        "event_sessions": """
+            WITH o AS (
+              SELECT event_id, user_id, ts,
+                     CASE WHEN ts - lag(ts) OVER (
+                              PARTITION BY user_id ORDER BY ts, event_id)
+                              > INTERVAL 1800 SECOND
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+            )
+            SELECT event_id, user_id,
+                   CAST(user_id AS VARCHAR) || ':' ||
+                   CAST(SUM(brk) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS session_id
+            FROM o
         """,
         "ann_top10": """
             SELECT vec_id FROM embeddings

@@ -164,3 +164,32 @@ def fingerprints(ds, col: str = "text", window: int = 16, keep: int = 8):
     return ds.map_batches(
         fingerprint_batch, fn_kwargs={"col": col, "window": window, "keep": keep},
         batch_format="pandas")
+
+
+# PII scrubbing: redaction patterns chosen RE2-compatible (explicit
+# ASCII classes, no lookaround/backrefs) so a SQL engine's
+# regexp_replace(..., 'g') produces byte-identical output — applied in
+# a fixed order because the phone pattern could otherwise eat digits
+# of an already-redacted id and vice versa.
+_PII_PATTERNS = [
+    (re.compile(r"[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)+"),
+     "<EMAIL>"),
+    (re.compile(r"\b[0-9]{9,}\b"), "<ID>"),      # bare long digit runs
+    (re.compile(r"\+?[0-9][0-9 ()-]{7,}[0-9]"), "<PHONE>"),
+]
+
+
+def pii_scrub_batch(df: pd.DataFrame, col: str = "text",
+                    id_col: str = "doc_id") -> pd.DataFrame:
+    text = df[col].fillna("").astype(str)
+    for pat, repl in _PII_PATTERNS:
+        text = text.str.replace(pat, repl, regex=True)
+    return pd.DataFrame({id_col: df[id_col], "clean_text": text})
+
+
+def pii_scrub(ds, col: str = "text", id_col: str = "doc_id"):
+    """documents Dataset -> (doc_id, clean_text) with emails, phone
+    numbers and long digit runs redacted (streaming kernel)."""
+    return ds.map_batches(pii_scrub_batch,
+                          fn_kwargs={"col": col, "id_col": id_col},
+                          batch_format="pandas")

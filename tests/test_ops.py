@@ -209,3 +209,66 @@ def test_media_decode_strict_raises(ray_session):
     media = rd.from_arrow(multimodal.make_fake_media_table(n=3))
     with pytest.raises(Exception):  # NotImplementedError inside UDF
         multimodal.decode_images(media, fake=False).materialize()
+
+
+def test_pii_scrub_batch():
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["mail me at john.doe+x@mail.example.com today",
+                 "call +48 123 456 789 or 555-123-4567 now",
+                 "nid 123456789012 ok, short 1234 stays",
+                 None],
+    })
+    out = text.pii_scrub_batch(df)
+    assert out["clean_text"].tolist() == [
+        "mail me at <EMAIL> today",
+        "call <PHONE> or <PHONE> now",
+        "nid <ID> ok, short 1234 stays",
+        "",
+    ]
+
+
+def test_sessionize_gaps(ray_session):
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.events import sessionize
+
+    base = pd.Timestamp("2024-01-01")
+    rows = pd.DataFrame({
+        "event_id": [0, 1, 2, 3, 4, 5],
+        "user_id": [7, 7, 7, 9, 9, 7],
+        "ts": [base, base + pd.Timedelta(minutes=10),
+               base + pd.Timedelta(minutes=50),      # >30min gap -> new sess
+               base, base + pd.Timedelta(hours=2),   # user 9: gap -> new sess
+               base + pd.Timedelta(minutes=55)],     # user 7, 5min after e2
+    })
+    out = sessionize(rd.from_pandas(rows), gap_s=1800, cfg=CFG) \
+        .to_pandas().set_index("event_id")["session_id"]
+    assert out[0] == "7:0" and out[1] == "7:0"
+    assert out[2] == "7:1" and out[5] == "7:1"
+    assert out[3] == "9:0" and out[4] == "9:1"
+
+
+def test_sessionize_paths_agree(ray_session):
+    """Gather path == keyed-shuffle path on random events."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.events import sessionize
+
+    rng = np.random.RandomState(3)
+    n = 3000
+    rows = pd.DataFrame({
+        "event_id": np.arange(n),
+        "user_id": rng.randint(0, 40, n),
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(rng.randint(0, 7 * 86400, n), unit="s"),
+    })
+    ds = rd.from_pandas(rows)
+    small = sessionize(ds, gap_s=1800, cfg=CFG, n_rows=n).to_pandas()
+    big = sessionize(ds, gap_s=1800,
+                     cfg=EngineConfig(model_path="", join_num_partitions=4,
+                                      gather_max_keys=0),
+                     n_rows=n).to_pandas()
+    s = small.sort_values("event_id").reset_index(drop=True)
+    b = big.sort_values("event_id").reset_index(drop=True)
+    assert (s["session_id"].to_numpy() == b["session_id"].to_numpy()).all()

@@ -31,6 +31,8 @@ SUBSET = [
     "doc_token_counts",
     "doc_quality",
     "doc_fingerprints",
+    "doc_pii_scrub",
+    "event_sessions",
     "simhash_dup_pairs_docs",
     "ann_top10",
     "embedding_dup_pairs",
