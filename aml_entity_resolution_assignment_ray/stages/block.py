@@ -111,7 +111,11 @@ class KeyEmitter:
         has_name = (full_name.str.len() > 0).to_numpy()
         idx = np.where(has_name)[0]
         if len(idx):
-            sigs = mh.minhash_batch(full_name.to_numpy()[idx], cfg.lsh_num_perm)
+            # duplicate names are the norm in an ER corpus: signature
+            # the unique values once, then scatter back
+            names = full_name.to_numpy()[idx]
+            uniq, inv = np.unique(names.astype(str), return_inverse=True)
+            sigs = mh.minhash_batch(uniq, cfg.lsh_num_perm)[inv]
             bkeys = mh.band_keys(sigs, self.bands, self.rows)  # (n, bands) uint64
             n = len(idx)
             out_conv.append(np.repeat(conv[idx], self.bands))
