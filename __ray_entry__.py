@@ -282,6 +282,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return text.pii_scrub(
             _read(sf_dir, "documents").select_columns(["doc_id", "text"]))
 
+    def doc_top_terms(sf_dir):
+        _tune_context()
+        return text.top_terms(
+            _read(sf_dir, "documents").select_columns(["text"]), k=50)
+
     def event_sessions(sf_dir):
         _tune_context()
         from aml_entity_resolution_assignment_ray.ops.events import sessionize
@@ -440,6 +445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_id": doc_lang_id,
         "doc_fingerprints": doc_fingerprints,
         "doc_pii_scrub": doc_pii_scrub,
+        "doc_top_terms": doc_top_terms,
         "event_sessions": event_sessions,
         "minhash_dup_pairs_docs": minhash_dup_pairs_docs,
         "simhash_dup_pairs_docs": simhash_dup_pairs_docs,
@@ -1277,6 +1283,15 @@ def oracle_sql() -> dict[str, str]:
                      '\+?[0-9][0-9 ()-]{7,}[0-9]', '<PHONE>', 'g')
                      AS clean_text
             FROM documents
+        """,
+        "doc_top_terms": """
+            SELECT word, CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest(regexp_extract_all(
+                      lower(coalesce(text, '')), '[a-z0-9]+')) AS word
+                  FROM documents)
+            GROUP BY word
+            ORDER BY cnt DESC, word
+            LIMIT 50
         """,
         "event_sessions": """
             WITH o AS (

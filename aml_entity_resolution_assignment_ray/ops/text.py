@@ -193,3 +193,35 @@ def pii_scrub(ds, col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(pii_scrub_batch,
                           fn_kwargs={"col": col, "id_col": id_col},
                           batch_format="pandas")
+
+
+_TERM_RE = re.compile(r"[a-z0-9]+")
+
+
+def term_count_batch(df: pd.DataFrame, col: str = "text") -> pd.DataFrame:
+    """Per-batch partial term counts (the combiner): tokenize every doc,
+    one np.unique pass -> (word, cnt) rows.  Only unique-words-per-batch
+    rows enter the downstream shuffle, not one row per token."""
+    toks = df[col].fillna("").astype(str).str.lower().str.findall(_TERM_RE)
+    flat = np.concatenate([np.array(t, dtype=object) for t in toks]) \
+        if len(toks) else np.array([], dtype=object)
+    if not len(flat):
+        return pd.DataFrame({"word": pd.Series([], dtype="string"),
+                             "cnt": pd.Series([], dtype="int64")})
+    words, counts = np.unique(flat.astype(str), return_counts=True)
+    return pd.DataFrame({"word": words, "cnt": counts.astype("int64")})
+
+
+def top_terms(ds, col: str = "text", k: int = 50):
+    """documents Dataset -> the corpus's top-``k`` terms by total count
+    (ties broken by word) — the canonical pre-aggregate-then-shuffle
+    shape: the all-to-all moves only per-batch unique words."""
+    agg = (ds.map_batches(term_count_batch, fn_kwargs={"col": col},
+                          batch_format="pandas")
+           .groupby("word").sum("cnt"))
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"sum(cnt)": "cnt"})
+
+    out = agg.map_batches(finalize, batch_format="pandas")
+    return out.sort(["cnt", "word"], descending=[True, False]).limit(k)

@@ -272,3 +272,13 @@ def test_sessionize_paths_agree(ray_session):
     s = small.sort_values("event_id").reset_index(drop=True)
     b = big.sort_values("event_id").reset_index(drop=True)
     assert (s["session_id"].to_numpy() == b["session_id"].to_numpy()).all()
+
+
+def test_top_terms_combiner(ray_session):
+    import ray.data as rd
+
+    docs = pd.DataFrame({"text": ["the cat sat", "the cat ran", "a dog!",
+                                  None, "THE Cat 9 lives 9"]})
+    out = text.top_terms(rd.from_pandas(docs), k=3).to_pandas()
+    assert out["word"].tolist() == ["cat", "the", "9"]
+    assert out["cnt"].tolist() == [3, 3, 2]

@@ -32,6 +32,7 @@ SUBSET = [
     "doc_quality",
     "doc_fingerprints",
     "doc_pii_scrub",
+    "doc_top_terms",
     "event_sessions",
     "simhash_dup_pairs_docs",
     "ann_top10",
