@@ -403,7 +403,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         norm = _flagship(n)["profiles"]
         keys = emit_keys(norm, EngineConfig()).filter(
             expr="key_type != 'minhash'")
-        return generate_pairs(keys, EngineConfig())
+        return generate_pairs(keys, EngineConfig(),
+                              n_rows=norm.count() * 4)
 
     def er_classified(sf_dir):
         n = _corpus_entities(sf_dir)

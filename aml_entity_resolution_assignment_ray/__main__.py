@@ -73,7 +73,32 @@ def cmd_match(args):
         "stages": res["manager"].events,
         "clusters": int(res["predictions"].count()),
     }
+    if args.out:
+        res["predictions"].write_parquet(args.out)
+        out["out"] = args.out
     print(json.dumps(out))
+    ray.shutdown()
+
+
+def cmd_probe(args):
+    """Single-record resolution against a checkpointed run — the CLI
+    analogue of the reference's API /resolve (api.py:300-380)."""
+    _init_ray(args.num_cpus)
+    import ray
+
+    from .config import EngineConfig
+    from .pipelines.checkpointed import run_flagship_checkpointed
+    from .pipelines.probe import resolve_record
+    from .stages.block import emit_keys
+
+    cfg = EngineConfig(**({"model_path": args.model} if args.model else {}))
+    res = run_flagship_checkpointed(
+        os.path.join(args.corpus, "transcripts"), args.checkpoints, cfg)
+    profiles = res["profiles"]
+    record = json.loads(args.record)
+    matches = resolve_record(record, profiles, emit_keys(profiles, cfg),
+                             cfg, limit=args.limit)
+    print(matches.to_json(orient="records"))
     ray.shutdown()
 
 
@@ -120,6 +145,18 @@ def main(argv=None):
     m.add_argument("--corpus", required=True)
     m.add_argument("--checkpoints", required=True)
     m.add_argument("--model", default=None)
+    m.add_argument("--out", default=None,
+                   help="also export predictions as partitioned parquet")
+
+    pr = sub.add_parser("probe", help="resolve one record (JSON) against "
+                                      "a checkpointed run")
+    pr.add_argument("--corpus", required=True)
+    pr.add_argument("--checkpoints", required=True)
+    pr.add_argument("--record", required=True,
+                    help='JSON, e.g. \'{"first_name": "Jan", ...}\'')
+    pr.add_argument("--model", default=None)
+    pr.add_argument("--limit", type=int, default=50)
+    pr.set_defaults(fn=cmd_probe)
     m.set_defaults(fn=cmd_match)
 
     e = sub.add_parser("evaluate", help="pipeline + pairwise F1 vs truth")
