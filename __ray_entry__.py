@@ -377,6 +377,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return feats.map_batches(shape_only, batch_format="pandas")
 
+    def media_meta(sf_dir):
+        """Binary-payload plumbing, value-checked: the fake media table
+        is written to parquet, read back through Ray as binary-typed
+        batches, and digested per row — the oracle recomputes the md5
+        in DuckDB over the same file."""
+        _tune_context()
+        import ray.data as rd
+
+        from aml_entity_resolution_assignment_ray.ops import multimodal as mm
+
+        os.makedirs("/tmp/er_media", exist_ok=True)
+        import pyarrow.parquet as pq
+
+        pq.write_table(mm.make_fake_media_table(n=48),
+                       "/tmp/er_media/media.parquet")
+
+        def digest(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "media_id": df["media_id"],
+                "mime": df["mime"],
+                "n_bytes": df["payload"].map(len).astype("int64"),
+                "payload_hex": df["payload"].map(
+                    lambda b: bytes(b).hex().upper()),
+                "width": df["width"].astype("int64"),
+                "height": df["height"].astype("int64"),
+            })
+
+        return rd.read_parquet("/tmp/er_media/media.parquet") \
+            .map_batches(digest, batch_format="pandas")
+
     # ---- ER pipeline (flagship; rows-only checks) ----
 
     def er_profiles(sf_dir):
@@ -457,6 +487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh,
         "embedding_norms": embedding_norms,
         "media_features": media_features,
+        "media_meta": media_meta,
         "er_profiles": er_profiles,
         "er_pairs": er_pairs,
         "er_pairs_exact_keys": er_pairs_exact_keys,
@@ -1284,6 +1315,14 @@ def oracle_sql() -> dict[str, str]:
                      '\+?[0-9][0-9 ()-]{7,}[0-9]', '<PHONE>', 'g')
                      AS clean_text
             FROM documents
+        """,
+        "media_meta": """
+            SELECT media_id, mime,
+                   CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+                   hex(payload) AS payload_hex,
+                   CAST(width AS BIGINT) AS width,
+                   CAST(height AS BIGINT) AS height
+            FROM read_parquet('/tmp/er_media/media.parquet')
         """,
         "doc_top_terms": """
             SELECT word, CAST(count(*) AS BIGINT) AS cnt
