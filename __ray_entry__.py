@@ -293,6 +293,102 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return sessionize(_read(sf_dir, "events"), gap_s=1800)
 
+    def sliding_event_counts(sf_dir):
+        """Sliding-window aggregate (1h window, 15min slide): replicate
+        each event to its nrep windows with an in-batch combiner, one
+        hash shuffle on window_start."""
+        _tune_context()
+        from aml_entity_resolution_assignment_ray.ops.events import (
+            sliding_window_agg,
+        )
+
+        res = sliding_window_agg(_read(sf_dir, "events"),
+                                 window_s=3600, slide_s=900)
+
+        def finalize(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "window_start": df["window_start"].dt.strftime(
+                    "%Y-%m-%d %H:%M:%S"),
+                "n_events": df["n_events"],
+                "sum_value": _round_half_away(df["sum_value"], 2),
+            })
+
+        return res.map_batches(finalize, batch_format="pandas")
+
+    def orders_asof(sf_dir):
+        """As-of join: each event picks up its user's most recent prior
+        order (ties on o_orderdate break by greatest o_orderkey) — one
+        keyed shuffle of the unioned sides + vectorized forward fill."""
+        _tune_context()
+        from aml_entity_resolution_assignment_ray.ops.relational import (
+            asof_join,
+        )
+
+        events = _read(sf_dir, "events").select_columns(
+            ["event_id", "user_id", "ts"])
+        orders = _read(sf_dir, "orders").select_columns(
+            ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"]) \
+            .rename_columns({"o_custkey": "user_id"})
+        res = asof_join(events, orders, key="user_id", left_ts="ts",
+                        right_ts="o_orderdate",
+                        right_cols=["o_orderkey", "o_totalprice"],
+                        right_id="o_orderkey")
+        return res.map_batches(
+            lambda df: df.rename(columns={
+                "o_orderkey": "last_order_key",
+                "o_totalprice": "last_order_price"})[
+                ["event_id", "user_id", "last_order_key",
+                 "last_order_price"]],
+            batch_format="pandas")
+
+    def lineitem_ship_window(sf_dir):
+        """Keyed range (interval) join: line items shipped within 60
+        days AFTER their order's date — equality on the order key plus
+        a vectorized interval filter, one keyed shuffle."""
+        _tune_context()
+        from aml_entity_resolution_assignment_ray.ops.relational import (
+            range_join,
+        )
+
+        li = _read(sf_dir, "lineitem").select_columns(
+            ["l_orderkey", "l_linenumber", "l_shipdate"])
+        orders = _read(sf_dir, "orders").select_columns(
+            ["o_orderkey", "o_orderdate", "o_totalprice"]) \
+            .rename_columns({"o_orderkey": "l_orderkey"})
+        res = range_join(li, orders, left_ts="l_shipdate",
+                         right_ts="o_orderdate", lo_s=0.0,
+                         hi_s=60 * 86400.0, key="l_orderkey",
+                         right_cols=["o_totalprice"])
+        return res.select_columns(
+            ["l_orderkey", "l_linenumber", "o_totalprice"])
+
+    def cust_top_orders(sf_dir):
+        """Group-wise top-k (the row_number() window pattern): each
+        customer's 3 highest-value orders with rank."""
+        _tune_context()
+        from aml_entity_resolution_assignment_ray.ops.relational import (
+            group_topk,
+        )
+
+        orders = _read(sf_dir, "orders").select_columns(
+            ["o_custkey", "o_orderkey", "o_totalprice"])
+        return group_topk(orders, key="o_custkey", order_col="o_totalprice",
+                          k=3, tie_col="o_orderkey", with_rank=True)
+
+    def price_quantiles(sf_dir):
+        """Exact grouped discrete quantiles via the (key, value)-count
+        combiner; DuckDB quantile_disc semantics."""
+        _tune_context()
+        from aml_entity_resolution_assignment_ray.ops.relational import (
+            grouped_quantiles,
+        )
+
+        li = _read(sf_dir, "lineitem").select_columns(
+            ["l_returnflag", "l_extendedprice"])
+        return grouped_quantiles(li, key="l_returnflag",
+                                 col="l_extendedprice",
+                                 qs=[0.5, 0.9, 0.99])
+
     def minhash_dup_pairs_docs(sf_dir):
         _tune_context()
         return dedup.minhash_lsh_dup_pairs(
@@ -478,6 +574,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pii_scrub": doc_pii_scrub,
         "doc_top_terms": doc_top_terms,
         "event_sessions": event_sessions,
+        "sliding_event_counts": sliding_event_counts,
+        "orders_asof": orders_asof,
+        "lineitem_ship_window": lineitem_ship_window,
+        "cust_top_orders": cust_top_orders,
+        "price_quantiles": price_quantiles,
         "minhash_dup_pairs_docs": minhash_dup_pairs_docs,
         "simhash_dup_pairs_docs": simhash_dup_pairs_docs,
         "minhash_dedup_docs": minhash_dedup_docs,
@@ -1348,6 +1449,57 @@ def oracle_sql() -> dict[str, str]:
                         PARTITION BY user_id ORDER BY ts, event_id
                         ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS session_id
             FROM o
+        """,
+        "sliding_event_counts": """
+            SELECT strftime(make_timestamp((b - off) * 900000000),
+                            '%Y-%m-%d %H:%M:%S') AS window_start,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM (SELECT epoch_us(ts) // 900000000 AS b, value FROM events),
+                 (SELECT unnest([0, 1, 2, 3]) AS off)
+            GROUP BY 1
+        """,
+        "orders_asof": """
+            SELECT event_id, user_id, o_orderkey AS last_order_key,
+                   o_totalprice AS last_order_price
+            FROM (
+              SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+                     row_number() OVER (
+                         PARTITION BY e.event_id
+                         ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+              FROM events e
+              JOIN orders o ON o.o_custkey = e.user_id
+                           AND o.o_orderdate <= e.ts)
+            WHERE rn = 1
+        """,
+        "lineitem_ship_window": """
+            SELECT l.l_orderkey, l.l_linenumber, o.o_totalprice
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+             AND l.l_shipdate >= o.o_orderdate
+             AND l.l_shipdate <= o.o_orderdate + INTERVAL 60 DAY
+        """,
+        "cust_top_orders": """
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   CAST(row_number() OVER (
+                        PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT)
+                       AS rank
+            FROM orders
+            QUALIFY rank <= 3
+        """,
+        "price_quantiles": """
+            SELECT l_returnflag, 0.5 AS q,
+                   quantile_disc(l_extendedprice, 0.5) AS value
+            FROM lineitem GROUP BY 1
+            UNION ALL
+            SELECT l_returnflag, 0.9,
+                   quantile_disc(l_extendedprice, 0.9)
+            FROM lineitem GROUP BY 1
+            UNION ALL
+            SELECT l_returnflag, 0.99,
+                   quantile_disc(l_extendedprice, 0.99)
+            FROM lineitem GROUP BY 1
         """,
         "ann_top10": """
             SELECT vec_id FROM embeddings

@@ -1,8 +1,10 @@
-"""Event-stream operators: gap-based sessionization.
+"""Event-stream operators: gap-based sessionization and sliding-window
+aggregation.
 
-A training-data/analytics staple the reference's SQL surface does not
+Training-data/analytics staples the reference's SQL surface does not
 have: assign a session id to every event, where a user's session breaks
-when the gap to their previous event exceeds ``gap_s`` seconds.
+when the gap to their previous event exceeds ``gap_s`` seconds; count /
+sum events per overlapping time window (window w sliding by s).
 
 Scale design: ONE hash repartition on ``user_id`` co-locates each
 user's events, then a single vectorized pass per block sorts by
@@ -74,3 +76,61 @@ def sessionize(events, gap_s: float = 1800.0,
                              keys=["user_id"])
             .map_batches(_sessionize_block, fn_kwargs={"gap_s": gap_s},
                          batch_format="pandas", batch_size=None))
+
+
+def sliding_window_agg(events, window_s: int = 3600, slide_s: int = 900,
+                       ts_col: str = "ts", value_col: str = "value",
+                       cfg: EngineConfig = DEFAULT_CONFIG):
+    """Sliding-window aggregate: (window_start, n_events, sum_value) for
+    every window of ``window_s`` seconds advancing by ``slide_s``
+    (``window_s`` must be a multiple of ``slide_s``).
+
+    Each event belongs to exactly ``window_s // slide_s`` windows, so
+    the map side REPLICATES rows by that factor — but a per-batch
+    combiner (groupby window_start within the batch) collapses them to
+    at most one partial row per (batch, window) before the single hash
+    shuffle on window_start.  Shuffle volume is bounded by
+    #batches x #windows, independent of the event count."""
+    if window_s % slide_s:
+        raise ValueError("window_s must be a multiple of slide_s")
+    nrep = window_s // slide_s
+    slide_us = slide_s * 1_000_000
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        bucket = ts // slide_us
+        vals = df[value_col].to_numpy(dtype=np.float64)
+        ws = ((np.repeat(bucket, nrep)
+               - np.tile(np.arange(nrep, dtype=np.int64), len(df)))
+              * slide_us)
+        rep_vals = np.repeat(vals, nrep)
+        g = pd.DataFrame({"window_start": ws, "v": rep_vals}) \
+            .groupby("window_start", sort=False)["v"].agg(["size", "sum"])
+        return pd.DataFrame({
+            "window_start": g.index.to_numpy(),
+            "n_events": g["size"].to_numpy(dtype=np.int64),
+            "sum_value": g["sum"].to_numpy(dtype=np.float64),
+        })
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("window_start", sort=False).agg(
+            n_events=("n_events", "sum"), sum_value=("sum_value", "sum"))
+        return pd.DataFrame({
+            "window_start": g.index.to_numpy().astype("datetime64[us]"),
+            "n_events": g["n_events"].to_numpy(dtype=np.int64),
+            "sum_value": g["sum_value"].to_numpy(dtype=np.float64),
+        })
+
+    parts = events.select_columns([ts_col, value_col]).map_batches(
+        partial, batch_format="pandas")
+    try:
+        n_rows = events._meta_count()
+    except Exception:
+        n_rows = None
+    if (n_rows is not None and cfg.gather_max_keys > 0
+            and n_rows <= cfg.gather_max_keys):
+        return parts.repartition(1).map_batches(
+            final, batch_format="pandas", batch_size=None)
+    return parts.repartition(cfg.resolve_join_partitions(),
+                             keys=["window_start"]) \
+        .map_batches(final, batch_format="pandas", batch_size=None)

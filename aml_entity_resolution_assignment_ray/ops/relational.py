@@ -1,0 +1,383 @@
+"""Relational operators Ray Data lacks natively: as-of join, range
+(interval) join, group-wise top-k and exact grouped quantiles.
+
+These are the window/non-equi-join staples of a training-data pipeline
+(attach the latest model checkpoint to each sample, join logs to the
+config active at their timestamp, per-group champions, per-slice score
+percentiles).  The reference's SQL surface has none of them; each is
+built from the engine's core primitives:
+
+* asof_join       — union both sides into one table (explicit unified
+                    Arrow schema, typed nulls for the other side's
+                    columns), ONE hash shuffle on the key, per-block
+                    sort + vectorized forward fill.  The classic
+                    merge-asof, distributed.
+* range_join      — keyed: the same single-shuffle union, per-block
+                    equi-merge + vectorized interval filter.  Keyless:
+                    replicate the right side across the <=2 time
+                    buckets its admissible interval overlaps (bucket
+                    width >= interval length), equi-join on bucket,
+                    exact filter — each qualifying pair meets in
+                    exactly one bucket (the left row's), so no dedup.
+* group_topk      — per-block partial top-k (a correct combiner: the
+                    global per-key top-k is a subset of the union of
+                    per-block top-ks), then one hash shuffle of <=
+                    k rows per (block, key) and a final per-block pass.
+* grouped_quantiles — per-block (key, value) partial counts (the
+                    combiner bounds shuffle volume by the DISTINCT
+                    value count, not the row count), one hash shuffle
+                    on the key, per-block merge + exact discrete
+                    quantile (sorted element at ceil(q*n) - 1 —
+                    DuckDB ``quantile_disc`` semantics).
+
+All per-block kernels are vectorized pandas/numpy; blocks receive
+complete key groups via ``repartition(keys=[...])`` so no cross-block
+merge step is needed.  Small inputs take the same repartition(1) gather
+gate as the rest of the engine (``cfg.gather_max_keys``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..config import DEFAULT_CONFIG, EngineConfig
+
+
+def _meta_rows(ds) -> int | None:
+    try:
+        return ds._meta_count()
+    except Exception:
+        return None
+
+
+def _keyed(ds, keys: list[str], cfg: EngineConfig, n_rows: int | None):
+    """Hash-repartition ``ds`` so each key group is block-complete, or
+    gather to one block when the input is gate-small."""
+    if (n_rows is not None and cfg.gather_max_keys > 0
+            and n_rows <= cfg.gather_max_keys):
+        return ds.repartition(1)
+    return ds.repartition(cfg.resolve_join_partitions(), keys=keys)
+
+
+def _ts_int64(s: pd.Series) -> np.ndarray:
+    """Timestamp-or-numeric column -> int64 (us for datetimes)."""
+    if np.issubdtype(s.dtype, np.datetime64):
+        return s.to_numpy(dtype="datetime64[us]").astype(np.int64)
+    return s.to_numpy(dtype=np.int64)
+
+
+def _arrow_schema(ds) -> pa.Schema:
+    s = ds.schema()
+    base = getattr(s, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    # pandas-block dataset: map numpy dtypes (object -> string)
+    fields = []
+    for n, t in zip(s.names, getattr(base, "types", [])):
+        try:
+            fields.append(pa.field(n, pa.from_numpy_dtype(t)))
+        except (pa.ArrowNotImplementedError, TypeError):
+            fields.append(pa.field(n, pa.string()))
+    if len(fields) != len(s.names):
+        raise TypeError(f"cannot derive an Arrow schema from {base!r}")
+    return pa.schema(fields)
+
+
+def _int_restore(schema: pa.Schema) -> dict[str, str]:
+    """Columns whose integers get floatified by null-filled Arrow ->
+    pandas conversion, with the dtype to cast back to."""
+    return {f.name: "int64" for f in schema
+            if pa.types.is_integer(f.type)}
+
+
+def _restored(df: pd.DataFrame, casts: dict[str, str]) -> pd.DataFrame:
+    for c, dt in casts.items():
+        if c in df.columns:
+            df[c] = df[c].astype(dt)
+    return df
+
+
+def _to_arrow(fn, schema: pa.Schema):
+    def wrapped(df: pd.DataFrame) -> pa.Table:
+        out = fn(df)
+        for f in schema.names:
+            if f not in out.columns:
+                out[f] = pd.Series([None] * len(out), dtype="object")
+        return pa.Table.from_pandas(out[list(schema.names)], schema=schema,
+                                    preserve_index=False)
+
+    return wrapped
+
+
+# --------------------------------------------------------------------------
+# as-of join
+# --------------------------------------------------------------------------
+
+
+def asof_join(left, right, *, key: str, left_ts: str, right_ts: str,
+              right_cols: list[str], right_id: str,
+              cfg: EngineConfig = DEFAULT_CONFIG):
+    """For each left row, attach ``right_cols`` of the single right row
+    with the same ``key`` and the greatest ``right_ts`` <= ``left_ts``
+    (inclusive; "most recent prior").  Ties on right_ts break by the
+    greatest ``right_id`` — deterministic output.  Inner semantics:
+    left rows with no prior right row are dropped.  Both sides must
+    carry the key under the same column name (rename upstream).
+
+    Shape: both sides are projected, tagged and unioned into ONE table
+    that hash-shuffles once on ``key``; each block then sorts by
+    (key, ts, side, tiebreak) and forward-fills the latest right-row
+    index — a single vectorized pass, no per-key loop.  At 100 TB the
+    only data movement is that one shuffle of the pruned columns."""
+    if right_id not in right_cols:
+        right_cols = right_cols + [right_id]
+    rpay = [c for c in right_cols if c != key]
+    lsch, rsch = _arrow_schema(left), _arrow_schema(right)
+    lcols = list(lsch.names)
+    fields = list(lsch)
+    fields += [pa.field(f"__r_{c}", rsch.field(c).type) for c in rpay]
+    fields += [pa.field("__t", pa.int64()), pa.field("__side", pa.int8()),
+               pa.field("__tb", pa.int64())]
+    schema = pa.schema(fields)
+    out_casts = _int_restore(pa.schema(
+        [lsch.field(c) for c in lcols]
+        + [pa.field(c, rsch.field(c).type) for c in rpay]))
+
+    def prep_left(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[lcols].copy()
+        out["__t"] = _ts_int64(df[left_ts])
+        out["__side"] = np.ones(len(df), dtype=np.int8)
+        out["__tb"] = np.zeros(len(df), dtype=np.int64)
+        return out
+
+    def prep_right(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({key: df[key].to_numpy()})
+        for c in rpay:
+            out[f"__r_{c}"] = df[c].to_numpy()
+        out["__t"] = _ts_int64(df[right_ts])
+        out["__side"] = np.zeros(len(df), dtype=np.int8)
+        out["__tb"] = df[right_id].to_numpy(dtype=np.int64)
+        return out
+
+    both = left.map_batches(_to_arrow(prep_left, schema),
+                            batch_format="pandas") \
+        .union(right.select_columns(
+            sorted({key, right_ts, *right_cols},
+                   key=list(rsch.names).index))
+            .map_batches(_to_arrow(prep_right, schema),
+                         batch_format="pandas"))
+    nl, nr = _meta_rows(left), _meta_rows(right)
+    n_rows = (nl + nr) if (nl is not None and nr is not None) else None
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, "__t", "__side", "__tb"],
+                            kind="stable").reset_index(drop=True)
+        is_right = (df["__side"].to_numpy() == 0)
+        pos = np.arange(len(df))
+        # forward-fill the index of the latest right row seen so far
+        fill = np.maximum.accumulate(np.where(is_right, pos, -1))
+        # reset at key boundaries: the filled right row must sit at or
+        # after its key group's first row
+        k = df[key].to_numpy()
+        first = np.ones(len(df), dtype=bool)
+        first[1:] = k[1:] != k[:-1]
+        group_start = np.maximum.accumulate(np.where(first, pos, 0))
+        valid = (~is_right) & (fill >= group_start)
+        take = fill[valid]
+        out = df.loc[valid, lcols].reset_index(drop=True)
+        for c in rpay:
+            out[c] = df[f"__r_{c}"].to_numpy()[take]
+        return _restored(out, out_casts)
+
+    return _keyed(both, [key], cfg, n_rows).map_batches(
+        block, batch_format="pandas", batch_size=None)
+
+
+# --------------------------------------------------------------------------
+# range (interval) join
+# --------------------------------------------------------------------------
+
+
+def range_join(left, right, *, left_ts: str, right_ts: str,
+               lo_s: float, hi_s: float, key: str | None = None,
+               right_cols: list[str] | None = None,
+               cfg: EngineConfig = DEFAULT_CONFIG):
+    """All (left, right) row pairs with ``left_ts - right_ts`` in
+    ``[lo_s, hi_s]`` seconds (inclusive both ends), optionally also
+    requiring equality on ``key`` (same column name on both sides —
+    rename upstream).  Output: left columns + ``right_cols``.
+
+    keyed: ONE hash shuffle co-locates each key's rows from both sides;
+    each block pandas-merges its local sides and filters the interval —
+    fan-out stays key-local.
+
+    keyless: a true non-equi join.  Bucket width = max(hi-lo, 1) us, so
+    each RIGHT row's admissible window [right_ts+lo, right_ts+hi] spans
+    at most two buckets — the right side replicates <= 2x, the left row
+    maps to its single bucket, and the bucket is the equi-join key;
+    every qualifying pair meets in exactly one bucket, so the exact
+    filter needs no dedup pass."""
+    lsch, rsch = _arrow_schema(left), _arrow_schema(right)
+    lcols = list(lsch.names)
+    if right_cols is None:
+        right_cols = [c for c in rsch.names if c not in lcols]
+    rpay = [c for c in right_cols if c != key]
+    lo_us, hi_us = int(lo_s * 1e6), int(hi_s * 1e6)
+
+    join_col = key if key is not None else "__b"
+    fields = list(lsch)
+    fields += [pa.field(f"__r_{c}", rsch.field(c).type) for c in rpay]
+    fields += [pa.field("__rts", pa.int64()), pa.field("__side", pa.int8())]
+    if key is None:
+        fields.append(pa.field("__b", pa.int64()))
+    schema = pa.schema(fields)
+    out_casts = _int_restore(pa.schema(
+        [lsch.field(c) for c in lcols]
+        + [pa.field(c, rsch.field(c).type) for c in rpay]))
+
+    def prep_l(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[lcols].copy()
+        out["__side"] = np.ones(len(df), dtype=np.int8)
+        if key is None:
+            out["__b"] = _ts_int64(df[left_ts]) // max(hi_us - lo_us, 1)
+        return out
+
+    def prep_r(df: pd.DataFrame) -> pd.DataFrame:
+        t = _ts_int64(df[right_ts])
+        if key is None:
+            w = max(hi_us - lo_us, 1)
+            b0, b1 = (t + lo_us) // w, (t + hi_us) // w   # b1 - b0 in {0, 1}
+            reps = (b1 - b0 + 1).astype(np.int64)
+            idx = np.repeat(np.arange(len(df)), reps)
+            offs = np.arange(len(idx)) - np.repeat(np.cumsum(reps) - reps,
+                                                   reps)
+            out = pd.DataFrame(
+                {f"__r_{c}": df[c].to_numpy()[idx] for c in rpay})
+            out["__rts"] = t[idx]
+            out["__b"] = b0[idx] + offs
+        else:
+            out = pd.DataFrame({key: df[key].to_numpy()})
+            for c in rpay:
+                out[f"__r_{c}"] = df[c].to_numpy()
+            out["__rts"] = t
+        out["__side"] = np.zeros(len(out), dtype=np.int8)
+        return out
+
+    rsel = sorted({right_ts, *right_cols} | ({key} if key else set()),
+                  key=list(rsch.names).index)
+    both = left.map_batches(_to_arrow(prep_l, schema),
+                            batch_format="pandas") \
+        .union(right.select_columns(rsel)
+               .map_batches(_to_arrow(prep_r, schema),
+                            batch_format="pandas"))
+    nl, nr = _meta_rows(left), _meta_rows(right)
+    n_rows = (nl + 2 * nr) if (nl is not None and nr is not None) else None
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        side = df["__side"].to_numpy()
+        ldf = df.loc[side == 1, lcols + ([join_col] if key is None else [])]
+        rdf = df.loc[side == 0,
+                     [join_col, "__rts"] + [f"__r_{c}" for c in rpay]]
+        m = ldf.merge(rdf, on=join_col)
+        delta = _ts_int64(m[left_ts]) - m["__rts"].to_numpy(dtype=np.int64)
+        keep = (delta >= lo_us) & (delta <= hi_us)
+        m = m.loc[keep].reset_index(drop=True)
+        out = m[lcols].copy()
+        for c in rpay:
+            out[c] = m[f"__r_{c}"].to_numpy()
+        return _restored(out, out_casts)
+
+    return _keyed(both, [join_col], cfg, n_rows).map_batches(
+        block, batch_format="pandas", batch_size=None)
+
+
+# --------------------------------------------------------------------------
+# group-wise top-k
+# --------------------------------------------------------------------------
+
+
+def group_topk(ds, *, key: str, order_col: str, k: int, tie_col: str,
+               descending: bool = True, with_rank: bool = False,
+               cfg: EngineConfig = DEFAULT_CONFIG):
+    """Top ``k`` rows per ``key`` by ``order_col`` (ties broken by
+    ascending ``tie_col`` — deterministic): the row_number()-window
+    pattern.  ``with_rank`` appends the 1-based per-group rank.
+
+    The per-block partial top-k BEFORE the shuffle is a correct
+    combiner (a row outside its block's per-key top-k cannot be in the
+    global per-key top-k), so at most k rows per (block, key) move."""
+    cols = list(ds.schema().names)
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.sort_values([key, order_col, tie_col],
+                           ascending=[True, not descending, True],
+                           kind="stable")
+        return s.groupby(key, sort=False).head(k)[cols]
+
+    def topk_rank(df: pd.DataFrame) -> pd.DataFrame:
+        out = topk(df).copy()
+        out["rank"] = (out.groupby(key, sort=False).cumcount() + 1) \
+            .astype(np.int64)
+        return out
+
+    partial = ds.map_batches(topk, batch_format="pandas")
+    final = topk_rank if with_rank else topk
+    return _keyed(partial, [key], cfg, _meta_rows(ds)).map_batches(
+        final, batch_format="pandas", batch_size=None)
+
+
+# --------------------------------------------------------------------------
+# exact grouped quantiles
+# --------------------------------------------------------------------------
+
+
+def grouped_quantiles(ds, *, key: str, col: str, qs: list[float],
+                      cfg: EngineConfig = DEFAULT_CONFIG):
+    """EXACT discrete quantiles of ``col`` per ``key``: for each q, the
+    sorted group element at 0-based index ceil(q*n) - 1 (DuckDB
+    ``quantile_disc`` semantics).  Output: (key, q, value).
+
+    The per-block (key, value) -> count combiner bounds the shuffle by
+    the number of DISTINCT (key, value) pairs — for bounded-domain
+    columns (prices, scores, lengths) that is orders of magnitude below
+    the row count.  For genuinely continuous unbounded columns,
+    quantize upstream or reach for a sketch; this operator trades that
+    restriction for exactness."""
+    qs = sorted(qs)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby([key, col], sort=False).size()
+                .reset_index(name="cnt"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        m = (df.groupby([key, col], sort=False)["cnt"].sum().reset_index()
+             .sort_values([key, col], kind="stable").reset_index(drop=True))
+        kv = m[key].to_numpy()
+        vals = m[col].to_numpy()
+        cnts = m["cnt"].to_numpy(dtype=np.int64)
+        first = np.ones(len(m), dtype=bool)
+        first[1:] = kv[1:] != kv[:-1]
+        starts = np.where(first)[0]
+        ends = np.append(starts[1:], len(m))
+        csum = np.cumsum(cnts)
+        out_k, out_q, out_v = [], [], []
+        for s, e in zip(starts, ends):       # loop over keys IN BLOCK only
+            base = csum[s - 1] if s else 0
+            seg = csum[s:e] - base
+            n = int(seg[-1])
+            for q in qs:
+                target = max(int(np.ceil(q * n)), 1)
+                i = int(np.searchsorted(seg, target))
+                out_k.append(kv[s])
+                out_q.append(q)
+                out_v.append(vals[s + i])
+        return pd.DataFrame({key: np.asarray(out_k),
+                             "q": np.asarray(out_q, dtype=np.float64),
+                             "value": np.asarray(out_v)})
+
+    counts = ds.select_columns([key, col]).map_batches(
+        partial, batch_format="pandas")
+    return _keyed(counts, [key], cfg, _meta_rows(ds)).map_batches(
+        final, batch_format="pandas", batch_size=None)

@@ -1,0 +1,261 @@
+"""Relational operator tests: asof_join / range_join / group_topk /
+grouped_quantiles / sliding_window_agg vs brute-force pandas oracles on
+seeded random data (every op's semantics is deterministic, so exact
+frame equality is asserted)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from aml_entity_resolution_assignment_ray.config import EngineConfig
+from aml_entity_resolution_assignment_ray.ops.events import sliding_window_agg
+from aml_entity_resolution_assignment_ray.ops.relational import (
+    asof_join,
+    grouped_quantiles,
+    group_topk,
+    range_join,
+)
+
+SHUFFLE_CFG = EngineConfig(gather_max_keys=0)     # force the keyed-shuffle path
+GATHER_CFG = EngineConfig(gather_max_keys=10**6)  # force the gather path
+
+
+def _events(n=300, n_users=12, seed=5):
+    rng = np.random.RandomState(seed)
+    return pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.randint(0, n_users, n).astype(np.int64),
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(rng.randint(0, 10**6, n), unit="s"),
+        "v": rng.rand(n).round(3),
+    })
+
+
+def _orders(n=80, n_users=12, seed=9):
+    rng = np.random.RandomState(seed)
+    # coarse timestamps so right-side ts TIES occur (the tie-break path)
+    return pd.DataFrame({
+        "oid": np.arange(n, dtype=np.int64),
+        "user_id": rng.randint(0, n_users, n).astype(np.int64),
+        "ots": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(rng.randint(0, 11, n) * 86400, unit="s"),
+        "amount": (rng.rand(n) * 100).round(2),
+    })
+
+
+def _sorted(df):
+    return df.sort_values(list(df.columns), kind="stable",
+                          ignore_index=True)
+
+
+def _assert_same(res_ds, exp_df):
+    res = res_ds.to_pandas()
+    assert sorted(res.columns) == sorted(exp_df.columns)
+    res, exp = res[sorted(res.columns)], exp_df[sorted(exp_df.columns)]
+    pd.testing.assert_frame_equal(
+        _sorted(res), _sorted(exp), check_dtype=False)
+
+
+def _asof_oracle(left, right):
+    rows = []
+    for _, e in left.iterrows():
+        cand = right[(right.user_id == e.user_id) & (right.ots <= e.ts)]
+        if not len(cand):
+            continue
+        best = cand.sort_values(["ots", "oid"]).iloc[-1]
+        rows.append({**e.to_dict(), "oid": best.oid, "amount": best.amount})
+    return pd.DataFrame(rows)
+
+
+@pytest.mark.parametrize("cfg", [SHUFFLE_CFG, GATHER_CFG],
+                         ids=["shuffle", "gather"])
+def test_asof_join(ray_session, cfg):
+    import ray.data as rd
+
+    left, right = _events(), _orders()
+    res = asof_join(rd.from_pandas(left).repartition(5),
+                    rd.from_pandas(right).repartition(3),
+                    key="user_id", left_ts="ts", right_ts="ots",
+                    right_cols=["oid", "amount"], right_id="oid", cfg=cfg)
+    _assert_same(res, _asof_oracle(left, right))
+
+
+def test_asof_join_no_match_user_dropped(ray_session):
+    import ray.data as rd
+
+    left = _events(n=40, n_users=3)
+    right = _orders(n=20, n_users=3)
+    right = right[right.user_id != 1]        # user 1 has no orders at all
+    res = asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                    key="user_id", left_ts="ts", right_ts="ots",
+                    right_cols=["oid", "amount"], right_id="oid",
+                    cfg=GATHER_CFG).to_pandas()
+    assert not (res["user_id"] == 1).any()
+    _assert_same(rd.from_pandas(res) if len(res) else res,
+                 _asof_oracle(left, right)) if len(res) else None
+
+
+def _range_oracle(left, right, lo_s, hi_s, rcols, key=None):
+    if key is not None:
+        m = left.merge(right, on=key)
+    else:
+        m = left.merge(right, how="cross")
+    delta = (m["ts"] - m["ots"]).dt.total_seconds()
+    m = m[(delta >= lo_s) & (delta <= hi_s)]
+    return m[[*left.columns, *rcols]].reset_index(drop=True)
+
+
+@pytest.mark.parametrize("cfg", [SHUFFLE_CFG, GATHER_CFG],
+                         ids=["shuffle", "gather"])
+def test_range_join_keyed(ray_session, cfg):
+    import ray.data as rd
+
+    left, right = _events(), _orders()
+    res = range_join(rd.from_pandas(left).repartition(5),
+                     rd.from_pandas(right).repartition(3),
+                     left_ts="ts", right_ts="ots",
+                     lo_s=0.0, hi_s=3 * 86400.0, key="user_id",
+                     right_cols=["oid", "amount"], cfg=cfg)
+    exp = _range_oracle(left, right, 0.0, 3 * 86400.0,
+                        ["oid", "amount"], key="user_id")
+    assert len(exp) > 50        # the fixture must actually exercise overlap
+    _assert_same(res, exp)
+
+
+@pytest.mark.parametrize("cfg", [SHUFFLE_CFG, GATHER_CFG],
+                         ids=["shuffle", "gather"])
+def test_range_join_keyless(ray_session, cfg):
+    """The non-equi path: bucket replication must find every pair
+    exactly once (no dupes, no misses across bucket boundaries)."""
+    import ray.data as rd
+
+    left = _events(n=120, n_users=3)
+    right = _orders(n=40, n_users=3).drop(columns=["user_id"])
+    lo_s, hi_s = 3600.0, 2 * 86400.0
+    res = range_join(rd.from_pandas(left).repartition(4),
+                     rd.from_pandas(right).repartition(2),
+                     left_ts="ts", right_ts="ots",
+                     lo_s=lo_s, hi_s=hi_s, key=None,
+                     right_cols=["oid", "amount"], cfg=cfg)
+    exp = _range_oracle(left, right, lo_s, hi_s, ["oid", "amount"])
+    assert len(exp) > 20
+    _assert_same(res, exp)
+
+
+def test_range_join_bounds_inclusive(ray_session):
+    import ray.data as rd
+
+    left = pd.DataFrame({
+        "lid": np.arange(3, dtype=np.int64),
+        "ts": pd.to_datetime(
+            ["2024-01-01 00:00:00", "2024-01-01 01:00:00",
+             "2024-01-01 02:00:00"]),
+    })
+    right = pd.DataFrame({
+        "oid": np.array([0], dtype=np.int64),
+        "ots": pd.to_datetime(["2024-01-01 00:00:00"]),
+    })
+    res = range_join(rd.from_pandas(left), rd.from_pandas(right),
+                     left_ts="ts", right_ts="ots", lo_s=0.0, hi_s=3600.0,
+                     key=None, right_cols=["oid"],
+                     cfg=GATHER_CFG).to_pandas()
+    # both endpoints inclusive: deltas 0s and 3600s match, 7200s not
+    assert sorted(res["lid"].tolist()) == [0, 1]
+
+
+@pytest.mark.parametrize("cfg", [SHUFFLE_CFG, GATHER_CFG],
+                         ids=["shuffle", "gather"])
+def test_group_topk(ray_session, cfg):
+    import ray.data as rd
+
+    df = _orders(n=200, n_users=9)
+    res = group_topk(rd.from_pandas(df).repartition(6), key="user_id",
+                     order_col="amount", k=3, tie_col="oid",
+                     with_rank=True, cfg=cfg)
+    exp = df.sort_values(["user_id", "amount", "oid"],
+                         ascending=[True, False, True], kind="stable") \
+        .groupby("user_id").head(3).copy()
+    exp["rank"] = exp.groupby("user_id").cumcount() + 1
+    _assert_same(res, exp)
+
+
+def test_group_topk_partial_is_exact_under_splits(ray_session):
+    """The per-block combiner must not lose global winners: compare a
+    1-block run against a many-block run of the same data."""
+    import ray.data as rd
+
+    df = _orders(n=150, n_users=4)
+    one = group_topk(rd.from_pandas(df).repartition(1), key="user_id",
+                     order_col="amount", k=5, tie_col="oid",
+                     cfg=SHUFFLE_CFG).to_pandas()
+    many = group_topk(rd.from_pandas(df).repartition(25), key="user_id",
+                      order_col="amount", k=5, tie_col="oid",
+                      cfg=SHUFFLE_CFG).to_pandas()
+    pd.testing.assert_frame_equal(_sorted(one), _sorted(many),
+                                  check_dtype=False)
+
+
+@pytest.mark.parametrize("cfg", [SHUFFLE_CFG, GATHER_CFG],
+                         ids=["shuffle", "gather"])
+def test_grouped_quantiles_matches_duckdb(ray_session, cfg):
+    """quantile_disc parity — the exact semantics the SQL oracle uses."""
+    import duckdb
+    import ray.data as rd
+
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame({
+        "k": rng.choice(list("abcd"), 500),
+        "x": (rng.rand(500) * 100).round(1),
+    })
+    res = grouped_quantiles(rd.from_pandas(df).repartition(7), key="k",
+                            col="x", qs=[0.25, 0.5, 0.9],
+                            cfg=cfg).to_pandas()
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute("""
+        SELECT k, 0.25 AS q, quantile_disc(x, 0.25) AS value FROM t GROUP BY 1
+        UNION ALL
+        SELECT k, 0.5, quantile_disc(x, 0.5) FROM t GROUP BY 1
+        UNION ALL
+        SELECT k, 0.9, quantile_disc(x, 0.9) FROM t GROUP BY 1
+    """).fetchdf()
+    exp["q"] = exp["q"].astype(float)
+    pd.testing.assert_frame_equal(
+        _sorted(res[sorted(res.columns)]), _sorted(exp[sorted(exp.columns)]),
+        check_dtype=False)
+
+
+def test_sliding_window_agg(ray_session):
+    import ray.data as rd
+
+    ev = _events(n=400)
+    res = sliding_window_agg(rd.from_pandas(ev).repartition(5),
+                             window_s=3600, slide_s=900,
+                             value_col="v").to_pandas()
+    # oracle: every event hits the 4 windows [bucket-3 .. bucket] * 900s
+    b = (ev["ts"].astype("datetime64[us]").astype(np.int64)
+         // (900 * 10**6)).to_numpy()
+    ws = (np.repeat(b, 4) - np.tile(np.arange(4), len(ev))) * 900 * 10**6
+    exp = pd.DataFrame({"window_start": ws.astype("datetime64[us]"),
+                        "v": np.repeat(ev["v"].to_numpy(), 4)}) \
+        .groupby("window_start").agg(n_events=("v", "size"),
+                                     sum_value=("v", "sum")).reset_index()
+    res = res.sort_values("window_start", ignore_index=True)
+    exp = exp.sort_values("window_start", ignore_index=True)
+    assert res["window_start"].tolist() == exp["window_start"].tolist()
+    assert res["n_events"].tolist() == exp["n_events"].tolist()
+    np.testing.assert_allclose(res["sum_value"], exp["sum_value"],
+                               rtol=1e-12)
+    # every window covers exactly window_s of events: spot-check one
+    w0 = res.iloc[len(res) // 2]
+    lo = w0["window_start"]
+    hi = lo + pd.Timedelta(seconds=3600)
+    assert w0["n_events"] == ((ev["ts"] >= lo) & (ev["ts"] < hi)).sum()
+
+
+def test_sliding_window_rejects_bad_slide(ray_session):
+    import ray.data as rd
+
+    with pytest.raises(ValueError):
+        sliding_window_agg(rd.from_pandas(_events(n=10)),
+                           window_s=3600, slide_s=1000)
