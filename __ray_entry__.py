@@ -55,13 +55,27 @@ def _corpus_entities(sf_dir: str) -> int:
     return {"sf0.001": 150, "sf0.01": 800, "sf0.1": 4000}.get(name, 300)
 
 
-ORACLE_CORPUS_PATH = "/tmp/er_oracle_corpus/transcripts.parquet"
-ORACLE_TRUTH_PATH = "/tmp/er_oracle_corpus/truth.parquet"
+def _oracle_n() -> int:
+    """n_entities the er_* oracle SQL reads: the driver compares at
+    sf0.01 (800); other harnesses (pytest parity gate, check_queries at
+    another sf) override via GRAFT_ORACLE_N."""
+    return int(os.environ.get("GRAFT_ORACLE_N", "800"))
+
+
+def _oracle_corpus_path(n_entities: int) -> str:
+    """Per-n corpus dir: concurrent runs at different scales (e.g. the
+    sf0.001 pytest parity gate next to an sf0.01 check) must not
+    overwrite each other's oracle inputs."""
+    return f"/tmp/er_oracle_corpus_n{n_entities}/transcripts.parquet"
+
+
+def _oracle_truth_path(n_entities: int) -> str:
+    return f"/tmp/er_oracle_corpus_n{n_entities}/truth.parquet"
 
 
 @lru_cache(maxsize=4)
 def _write_oracle_corpus(n_entities: int):
-    """Write the er_* corpus (transcripts + truth labels) to fixed
+    """Write the er_* corpus (transcripts + truth labels) to n-keyed
     parquet paths so the DuckDB oracles read the SAME data the Ray
     pipeline consumed.  Cached: every er_* query calls this and the
     synth is deterministic, so generate once per process."""
@@ -69,11 +83,12 @@ def _write_oracle_corpus(n_entities: int):
 
     from aml_entity_resolution_assignment_ray.sources.synth import generate_corpus
 
-    os.makedirs(os.path.dirname(ORACLE_CORPUS_PATH), exist_ok=True)
+    cpath = _oracle_corpus_path(n_entities)
+    os.makedirs(os.path.dirname(cpath), exist_ok=True)
     transcripts, truth, _ = generate_corpus(
         n_entities=n_entities, seed=43, doppelganger_rate=0.0)
-    pq.write_table(transcripts, ORACLE_CORPUS_PATH)
-    pq.write_table(truth, ORACLE_TRUTH_PATH)
+    pq.write_table(transcripts, cpath)
+    pq.write_table(truth, _oracle_truth_path(n_entities))
 
 
 def _round_half_away(x, decimals: int = 0):
@@ -656,7 +671,7 @@ def _er_profiles_cte() -> str:
                  nullif(trim(regexp_extract(text, 'phone: ([^;]+)', 1)), '') AS phone,
                  nullif(trim(regexp_extract(text, 'national_id=([^;]+)', 1)), '') AS nid,
                  nullif(regexp_extract(text, 'my address is (.+), (.+)$', 1), '') AS address
-          FROM read_parquet('{ORACLE_CORPUS_PATH}')
+          FROM read_parquet('{_oracle_corpus_path(_oracle_n())}')
         ),
         agg AS (
           SELECT conv_id,
@@ -987,7 +1002,7 @@ def _er_eval_sql() -> str:
         {_er_scored_chain_cte()},
         {_er_cc_chain_cte()},
         truth AS (SELECT conv_id, entity_id
-                  FROM read_parquet('{ORACLE_TRUTH_PATH}')),
+                  FROM read_parquet('{_oracle_truth_path(_oracle_n())}')),
         labeled AS (
           SELECT CASE WHEN c.is_m THEN 1 ELSE 0 END AS is_match,
                  CASE WHEN ta.entity_id = tb.entity_id THEN 1 ELSE 0 END AS label

@@ -79,6 +79,8 @@ def main():
                  logging_level="ERROR")
     import __ray_entry__ as entry_mod
 
+    # point the er_* oracle SQL at the corpus sized for THIS sf_dir
+    os.environ["GRAFT_ORACLE_N"] = str(entry_mod._corpus_entities(sf_dir))
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     con = oracle_con(sf_dir)

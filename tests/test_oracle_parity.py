@@ -52,6 +52,9 @@ def entry_mod(ray_session):
         pytest.skip(f"{SF_DIR} not present")
     import __ray_entry__
 
+    # er_* oracle SQL must read the sf0.001-sized corpus (paths are
+    # keyed by n_entities so a concurrent sf0.01 run can't clobber ours)
+    os.environ["GRAFT_ORACLE_N"] = str(__ray_entry__._corpus_entities(SF_DIR))
     return __ray_entry__
 
 
