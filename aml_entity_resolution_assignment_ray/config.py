@@ -98,6 +98,18 @@ class EngineConfig:
             cpus = 8
         return max(4, min(256, cpus * 2))
 
+    # --- salted repartition (north_rule: "explicit salted repartition to
+    # break hot-key skew") ---
+    # In generate_pairs(salt=True), key groups larger than this are split
+    # into ceil(m / salt_min_group) sub-chunks and re-shuffled as
+    # (chunk_i, chunk_j) cells so one hot key's O(m^2) pair emission
+    # spreads over ~c^2/2 tasks instead of one straggler.  Used by the
+    # UNCAPPED pair paths (cluster evaluation); the capped candidate path
+    # already bounds per-key work via max_block_records.
+    salt_min_group: int = field(
+        default_factory=lambda: _env_int("ER_SALT_MIN_GROUP", 512)
+    )
+
     # connected components: edge lists at or below this size finish on
     # the driver with an array DSU (match graphs are vastly smaller than
     # the input); larger graphs run distributed min-label rounds.

@@ -49,8 +49,11 @@ def cluster_pairs(ds, cluster_col: str, id_col: str = "conv_id",
         }),
         batch_format="pyarrow",
     )
+    # Uncapped: a mega-cluster is one giant key group, so this is the
+    # path that needs the salted repartition (north_rule) — hot groups
+    # split into sub-chunk triangle cells instead of one O(m^2) task.
     uncapped = EngineConfig(max_block_records=_INTRA_CAP)
-    return generate_pairs(keyed, uncapped, n_rows=n_rows)
+    return generate_pairs(keyed, uncapped, n_rows=n_rows, salt=True)
 
 
 def _mark(ds):

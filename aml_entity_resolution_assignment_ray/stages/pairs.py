@@ -145,8 +145,129 @@ def _gathered_pairs(df: pd.DataFrame, cap: int) -> pd.DataFrame:
     return out[["id_a", "id_b"]]
 
 
+_SALT_P = np.uint64(0x9E3779B97F4A7C15)  # cell-key hash mix (splitmix64 odd)
+
+
+def _partition_pairs_salted(df: pd.DataFrame, cap: int,
+                            salt_min_group: int) -> pd.DataFrame:
+    """Salted variant of ``_partition_pairs``: cold groups (size <=
+    salt_min_group) emit their pairs directly; HOT groups are split into
+    c = ceil(m / salt_min_group) sorted sub-chunks and re-emitted as
+    member rows of the c(c+1)/2 triangle cells (i <= j), keyed by a
+    fresh cell hash ``h`` — the explicit salted repartition the
+    north_rule names.  A downstream hash shuffle on ``h`` spreads one
+    hot key's O(m^2) pair emission across ~c^2/2 tasks.
+
+    Unified output schema (pair rows | member rows):
+      id_a: str         pair left  | member conv_id
+      id_b: str or null pair right | null
+      h:    uint64      pair hash  | cell hash
+      s:    int8        -1         | chunk side within the cell (0 or 1)
+    """
+    df = df.sort_values(["kh", "conv_id"], kind="stable")
+    ids = df["conv_id"].to_numpy()
+    key = df["kh"].to_numpy()
+    n = len(key)
+    empty = pd.DataFrame({
+        "id_a": pd.Series([], dtype="string"),
+        "id_b": pd.Series([], dtype="string"),
+        "h": pd.Series([], dtype="uint64"),
+        "s": pd.Series([], dtype="int8"),
+    })
+    if n == 0:
+        return empty
+    boundaries = np.concatenate([[0], np.where(key[1:] != key[:-1])[0] + 1, [n]])
+    starts = boundaries[:-1]
+    sizes = np.diff(boundaries)
+    hot = sizes > salt_min_group
+    out = []
+    # cold groups: the ordinary vectorized all-pairs emission
+    pairs = _emit_group_pairs(ids, starts[~hot], sizes[~hot], cap)
+    pairs = pairs.drop_duplicates(ignore_index=True)
+    if len(pairs):
+        pairs["h"] = _pair_hash(pairs["id_a"], pairs["id_b"])
+        pairs["s"] = np.int8(-1)
+        out.append(pairs)
+    # hot groups: triangle-cell member rows (few per partition by
+    # definition of "hot"; inner work stays vectorized)
+    for g in np.where(hot & (sizes <= cap))[0]:
+        m = int(sizes[g])
+        gids = ids[starts[g]:starts[g] + m]  # sorted, unique within group
+        c = -(-m // salt_min_group)
+        chunks = np.array_split(gids, c)
+        kh = np.uint64(key[starts[g]])
+        rows_id, rows_h, rows_s = [], [], []
+        for i in range(c):
+            for j in range(i, c):
+                cell = (kh * _SALT_P + np.uint64(i * c + j)) * _SALT_P
+                rows_id.append(chunks[i])
+                rows_h.append(np.full(len(chunks[i]), cell, dtype=np.uint64))
+                rows_s.append(np.zeros(len(chunks[i]), dtype=np.int8))
+                if j > i:
+                    rows_id.append(chunks[j])
+                    rows_h.append(np.full(len(chunks[j]), cell, dtype=np.uint64))
+                    rows_s.append(np.ones(len(chunks[j]), dtype=np.int8))
+        out.append(pd.DataFrame({
+            "id_a": np.concatenate(rows_id),
+            "id_b": pd.Series([None] * sum(len(r) for r in rows_id),
+                              dtype="string"),
+            "h": np.concatenate(rows_h),
+            "s": np.concatenate(rows_s),
+        }))
+    if not out:
+        return empty
+    return pd.concat(out, ignore_index=True)
+
+
+def _expand_salted(df: pd.DataFrame) -> pd.DataFrame:
+    """Post-shuffle expansion: pass pair rows through; turn each
+    triangle cell's member rows into its pairs.  Chunk slices come from
+    one sorted unique id array, so side-0 ids < side-1 ids and the
+    canonical id_a < id_b order is free; diagonal cells (side 0 only)
+    reuse the sorted within-group emission."""
+    empty = pd.DataFrame(_EMPTY_PAIRS)
+    empty["ph"] = pd.Series([], dtype="uint64")
+    if not len(df):
+        return empty
+    s = df["s"].to_numpy()
+    out = []
+    plain = df[s == -1]
+    if len(plain):
+        out.append(pd.DataFrame({"id_a": plain["id_a"].to_numpy(),
+                                 "id_b": plain["id_b"].to_numpy(),
+                                 "ph": plain["h"].to_numpy()}))
+    members = df[s >= 0]
+    if len(members):
+        members = members.sort_values(["h", "s", "id_a"], kind="stable")
+        h = members["h"].to_numpy()
+        side = members["s"].to_numpy()
+        mids = members["id_a"].to_numpy()
+        bounds = np.concatenate(
+            [[0], np.where(h[1:] != h[:-1])[0] + 1, [len(h)]])
+        for b in range(len(bounds) - 1):
+            lo, hi = bounds[b], bounds[b + 1]
+            cell_side = side[lo:hi]
+            split = lo + int((cell_side == 0).sum())
+            a, bids = mids[lo:split], mids[split:hi]
+            if len(bids) == 0:
+                # diagonal cell: all pairs within the (sorted) chunk
+                p = _emit_group_pairs(a, np.array([0]),
+                                      np.array([len(a)]), 1 << 62)
+            else:
+                p = pd.DataFrame({
+                    "id_a": np.repeat(a, len(bids)),
+                    "id_b": np.tile(bids, len(a)),
+                })
+            if len(p):
+                p["ph"] = _pair_hash(p["id_a"], p["id_b"])
+                out.append(p)
+    if not out:
+        return empty
+    return pd.concat(out, ignore_index=True)
+
+
 def generate_pairs(keys, cfg: EngineConfig = DEFAULT_CONFIG,
-                   n_rows: int | None = None):
+                   n_rows: int | None = None, salt: bool = False):
     """key table Dataset -> distinct candidate pair Dataset (id_a, id_b).
 
     Two hash shuffles (co-locate key groups; co-locate pair copies),
@@ -156,7 +277,16 @@ def generate_pairs(keys, cfg: EngineConfig = DEFAULT_CONFIG,
     caller knows it.  At or below ``cfg.gather_max_keys`` the operator
     takes a single-task gather path instead — each Ray 2.49 hash
     shuffle costs ~1s of fixed aggregator-actor setup, which dominates
-    small inputs (the same reasoning as broadcast-vs-join hydration)."""
+    small inputs (the same reasoning as broadcast-vs-join hydration).
+
+    ``salt=True`` adds the explicit SALTED repartition the north_rule
+    names: groups larger than ``cfg.salt_min_group`` are split into
+    sorted sub-chunks and re-shuffled as triangle cells, so one hot
+    key's O(m^2) emission spreads over ~c^2/2 tasks instead of one
+    straggler.  Costs a third hash shuffle — use it on UNCAPPED pair
+    paths (cluster-pair evaluation, where a mega-cluster is one giant
+    key group); the capped candidate path already bounds per-key work
+    via ``max_block_records``."""
     cap = cfg.max_block_records
     hashed = keys.map_batches(_hash_keys, batch_format="pandas")
     if (n_rows is not None and cfg.gather_max_keys > 0
@@ -171,6 +301,21 @@ def generate_pairs(keys, cfg: EngineConfig = DEFAULT_CONFIG,
             .repartition(cfg.resolve_join_partitions())
         )
     nparts = cfg.resolve_join_partitions()
+    if salt:
+        return (
+            hashed
+            .repartition(nparts, keys=["kh"])
+            .map_batches(_partition_pairs_salted,
+                         fn_kwargs={"cap": cap,
+                                    "salt_min_group": cfg.salt_min_group},
+                         batch_format="pandas", batch_size=None)
+            .repartition(nparts, keys=["h"])  # the salted repartition
+            .map_batches(_expand_salted, batch_format="pandas",
+                         batch_size=None)
+            .repartition(nparts, keys=["ph"])
+            .map_batches(_distinct_block, batch_format="pyarrow",
+                         batch_size=None)
+        )
     return (
         hashed
         .repartition(nparts, keys=["kh"])

@@ -1,11 +1,15 @@
 """Hot-key skew handling tests (north_rule: explicit skew handling).
 
 The engine's skew story for candidate generation (stages/pairs.py):
-the range partitioner acts as the salt — a hot blocking key spans many
-sorted blocks, its fragments are marked as block-edge groups, and the
-side-path reassembly purges any group over ``max_block_records`` instead
-of emitting its O(m^2) pairs (the reference only WARNS at >50 / >1000,
-matching.py:71-73; at 10^12-turn scale purge-and-log is mandatory).
+
+* capped path — any key group over ``max_block_records`` is purged
+  instead of emitting its O(m^2) pairs (the reference only WARNS at
+  >50 / >1000, matching.py:71-73; at 10^12-turn scale purge-and-log is
+  mandatory), and purges are surfaced by ``blocking_stats``;
+* uncapped paths (cluster-pair evaluation) — ``generate_pairs(...,
+  salt=True)`` splits hot groups into sorted sub-chunks and re-shuffles
+  them as triangle cells (the explicit SALTED repartition), spreading
+  one hot key's pair emission over ~c^2/2 tasks.
 """
 
 import numpy as np
@@ -62,3 +66,61 @@ def test_cap_boundary_inclusive(ray_session):
     pairs = generate_pairs(keys, cfg).to_pandas()
     hot_pairs = pairs[pairs["id_a"].str.startswith("h")]
     assert len(hot_pairs) == 50 * 49 // 2
+
+
+def _naive_pairs(keys_tbl: pa.table) -> set:
+    df = keys_tbl.to_pandas()
+    out = set()
+    for _, g in df.groupby(["key_type", "key_value"]):
+        ids = sorted(set(g["conv_id"]))
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                out.add((ids[i], ids[j]))
+    return out
+
+
+def _overlap_keys_table(hot_size: int):
+    """One hot key + a cold key whose pairs OVERLAP the hot key's
+    (cross-path duplicates must still come out globally distinct)."""
+    rows = [("email", "hot@example.com", f"h{i:06d}") for i in range(hot_size)]
+    rows += [("nid", "K1", "h000000"), ("nid", "K1", "h000001"),
+             ("nid", "K1", "zzz_only_cold")]
+    rows += [("phone", f"p{g}", f"c{g}_{m}") for g in range(10)
+             for m in range(3)]
+    return pa.table({
+        "key_type": pa.array([r[0] for r in rows]),
+        "key_value": pa.array([r[1] for r in rows]),
+        "conv_id": pa.array([r[2] for r in rows]),
+    })
+
+
+@pytest.mark.parametrize("gather", [0, 500_000])
+def test_salted_pairs_exact(ray_session, gather):
+    """salt=True (the triangle-cell salted repartition) emits EXACTLY
+    the naive distinct pair set — hot key split across cells, cold keys
+    on the direct path, cross-path duplicate pairs deduped — on both the
+    shuffle and gather plans."""
+    import ray.data as rd
+
+    keys_tbl = _overlap_keys_table(hot_size=700)
+    cfg = EngineConfig(max_block_records=1 << 30, salt_min_group=64,
+                       join_num_partitions=4, gather_max_keys=gather)
+    pairs = generate_pairs(rd.from_arrow(keys_tbl), cfg,
+                           n_rows=keys_tbl.num_rows, salt=True).to_pandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert len(pairs) == len(got), "salted output contains duplicates"
+    assert got == _naive_pairs(keys_tbl)
+    assert (pairs["id_a"] < pairs["id_b"]).all()
+
+
+def test_salted_respects_cap(ray_session):
+    """Purge semantics are identical under salting: a group over
+    max_block_records emits nothing even on the salted path."""
+    import ray.data as rd
+
+    keys_tbl = _keys_table(hot_size=300, normal_groups=5)
+    cfg = EngineConfig(max_block_records=100, salt_min_group=64,
+                       join_num_partitions=4, gather_max_keys=0)
+    pairs = generate_pairs(rd.from_arrow(keys_tbl), cfg, salt=True).to_pandas()
+    assert not pairs["id_a"].str.startswith("h").any()
+    assert len(pairs) == 5 * 3
