@@ -26,6 +26,7 @@ import numpy as np
 import pandas as pd
 
 from ..config import DEFAULT_CONFIG, EngineConfig
+from ..functions.embed import cosine_pairs_batch
 from ..functions.gbdt import load_any_model
 from ..functions.model import FEATURE_COLS
 from ..functions.strsim import (
@@ -37,7 +38,7 @@ from ..functions.strsim import (
 FEATURE_OUTPUT_COLS = [
     "nid_score", "nid_both_present", "email_score", "phone_match",
     "first_name_score", "last_name_score", "addr_score",
-    "dob_match", "dob_both_present", "year_match",
+    "dob_match", "dob_both_present", "year_match", "name_cosine",
 ]
 
 
@@ -112,6 +113,19 @@ def compute_pair_features(df: pd.DataFrame) -> pd.DataFrame:
     yr_a, yr_b = _col(df, "norm_dob_year_a"), _col(df, "norm_dob_year_b")
     out["year_match"] = ((yr_a != "") & (yr_b != "") & (yr_a == yr_b)
                          & (yr_a != "0000")).astype(np.int64)
+
+    # embedding cosine over the full normalized name (north-star scorer:
+    # "Jaro-Winkler/Levenshtein + embedding cosine").  Additional signal
+    # the rebuild's scorer reports; NOT a model/cascade input — the
+    # decision cascade stays boundary-exact vs reference matching.py.
+    name_a = np.char.add(np.char.add(
+        _col(df, "norm_first_name_a").astype(str), " "),
+        _col(df, "norm_last_name_a").astype(str))
+    name_b = np.char.add(np.char.add(
+        _col(df, "norm_first_name_b").astype(str), " "),
+        _col(df, "norm_last_name_b").astype(str))
+    out["name_cosine"] = cosine_pairs_batch(
+        np.char.strip(name_a), np.char.strip(name_b))
     return out
 
 

@@ -10,6 +10,7 @@ import pandas as pd
 import pytest
 
 from aml_entity_resolution_assignment_ray.stages.score import (
+    FEATURE_OUTPUT_COLS,
     compute_pair_features,
     decide_match_status_batch,
 )
@@ -153,3 +154,58 @@ def test_feature_semantics():
     assert f["email_score"][2] == 0.0 and f["phone_match"][2] == 0
     assert f["addr_score"][2] == 0.0 and f["dob_match"][2] == 0
     assert f["year_match"][2] == 0
+
+
+def test_name_cosine_feature():
+    """Embedding-cosine feature (north-star scorer: JW/Lev + embedding
+    cosine): 1.0 for identical names, high for a 1-typo name, low for
+    unrelated names, 0.0 when a side is empty; matches a scalar
+    shingle-set feature-hash oracle."""
+    import numpy as np
+
+    from aml_entity_resolution_assignment_ray.functions.embed import (
+        DEFAULT_DIM, cosine_pairs_batch, hashed_embedding_batch)
+    from aml_entity_resolution_assignment_ray.functions.minhash import shingle_hashes
+
+    a = ["anna kowalska", "anna kowalska", "", "jan nowak", "maria garcia"]
+    b = ["anna kowalska", "anna kowalsk",  "anna", "zzzz qqqq", "maria garcia lopez"]
+    cos = cosine_pairs_batch(a, b)
+    assert cos[0] == pytest.approx(1.0)
+    assert cos[1] > 0.8
+    assert cos[2] == 0.0
+    assert cos[3] < 0.3
+    assert 0.5 < cos[4] < 1.0
+
+    # scalar oracle: per-string feature hashing from raw shingle hashes
+    def scalar_embed(s):
+        v = np.zeros(DEFAULT_DIM)
+        for h in shingle_hashes(s):
+            sign = 1.0 if (int(h) >> 32) & 1 else -1.0
+            v[int(h) % DEFAULT_DIM] += sign
+        n = np.linalg.norm(v)
+        return v / n if n else v
+
+    batch = hashed_embedding_batch(a)
+    for i, s in enumerate(a):
+        assert np.allclose(batch[i], scalar_embed(s), atol=1e-6)
+
+
+def test_name_cosine_in_scored_output():
+    """compute_pair_features emits name_cosine alongside the reference's
+    features and the cascade decisions are untouched by it."""
+    import pandas as pd
+
+    df = pd.DataFrame({
+        "id_a": ["a"], "id_b": ["b"],
+        "norm_first_name_a": ["anna"], "norm_first_name_b": ["anna"],
+        "norm_last_name_a": ["kowalska"], "norm_last_name_b": ["kowalska"],
+        "norm_nid_a": [""], "norm_nid_b": [""],
+        "norm_email_a": [""], "norm_email_b": [""],
+        "norm_phone_a": [""], "norm_phone_b": [""],
+        "norm_address_a": [""], "norm_address_b": [""],
+        "norm_dob_a": [""], "norm_dob_b": [""],
+        "norm_dob_year_a": [""], "norm_dob_year_b": [""],
+    })
+    feats = compute_pair_features(df)
+    assert feats["name_cosine"].iloc[0] == pytest.approx(1.0)
+    assert set(FEATURE_OUTPUT_COLS) <= set(feats.columns)
