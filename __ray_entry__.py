@@ -553,6 +553,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _flagship(n)["classified"] \
             .select_columns(["id_a", "id_b", "match_type", "is_match"])
 
+    def er_name_cosine(sf_dir):
+        """Embedding-cosine similarity per candidate pair (the scorer's
+        name_cosine feature — feature-hashed shingle embeddings)."""
+        n = _corpus_entities(sf_dir)
+        _write_oracle_corpus(n)
+
+        def finalize(df):
+            return pd.DataFrame({
+                "id_a": df["id_a"], "id_b": df["id_b"],
+                "name_cosine": _round_half_away(df["name_cosine"], 4),
+            })
+
+        return _flagship(n)["classified"] \
+            .select_columns(["id_a", "id_b", "name_cosine"]) \
+            .map_batches(finalize, batch_format="pandas")
+
     def er_clusters(sf_dir):
         n = _corpus_entities(sf_dir)
         _write_oracle_corpus(n)
@@ -608,6 +624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_pairs": er_pairs,
         "er_pairs_exact_keys": er_pairs_exact_keys,
         "er_classified": er_classified,
+        "er_name_cosine": er_name_cosine,
         "er_clusters": er_clusters,
         "er_eval_metrics": er_eval_metrics,
     }
@@ -991,6 +1008,63 @@ def _er_clusters_sql() -> str:
     """
 
 
+def _er_name_cosine_sql(dim: int = 64) -> str:
+    """er_name_cosine: the scorer's embedding-cosine feature
+    (functions/embed.py) reproduced bit-exactly in DuckDB — the same
+    3-char shingle polynomial hashes as the MinHash CTE, feature-hashed
+    into ``dim`` signed buckets (sign = bit 0, bucket = (h >> 1) mod
+    dim), cosine as dot / (sqrt(q_a) * sqrt(q_b)) over the exact
+    integer-valued raw vectors (the Ray kernel evaluates the identical
+    float64 expression, so rounding to 4 decimals is stable)."""
+    ws = " \t\n\r\x0b\x0c"
+    return f"""
+        WITH {_er_profiles_cte()},
+        {_er_pairs_chain_cte()},
+        nm AS (
+          SELECT conv_id AS id,
+                 trim(coalesce(norm_first_name, '') || ' '
+                      || coalesce(norm_last_name, ''), '{ws}') AS s
+          FROM profiles
+        ),
+        nsh AS (
+          SELECT id,
+                 (unicode(substr(s, i, 1)) * 1000006000009
+                  + unicode(substr(s, i + 1, 1)) * 1000003
+                  + unicode(substr(s, i + 2, 1))) % 4294967296 AS x
+          FROM (SELECT id, s, unnest(generate_series(1, length(s) - 2)) AS i
+                FROM nm WHERE length(s) >= 3)
+          UNION ALL
+          SELECT id, CASE WHEN length(s) = 1 THEN unicode(s) % 4294967296
+                          ELSE (unicode(substr(s, 1, 1)) * 1000003
+                                + unicode(substr(s, 2, 1))) % 4294967296 END
+          FROM nm WHERE length(s) BETWEEN 1 AND 2
+        ),
+        vec AS (
+          SELECT id, CAST((x // 2) % {dim} AS INT) AS b,
+                 sum(CASE WHEN x % 2 = 1 THEN 1 ELSE -1 END) AS v
+          FROM nsh GROUP BY id, b
+        ),
+        vq AS (SELECT id, sum(v * v) AS q FROM vec GROUP BY id),
+        dots AS (
+          SELECT c.id_a, c.id_b, sum(va.v * vb.v) AS dot
+          FROM cand c
+          JOIN vec va ON va.id = c.id_a
+          JOIN vec vb ON vb.id = c.id_b AND vb.b = va.b
+          GROUP BY c.id_a, c.id_b
+        )
+        SELECT c.id_a, c.id_b,
+               round(CASE WHEN qa.q > 0 AND qb.q > 0
+                          THEN coalesce(d.dot, 0)
+                               / (sqrt(CAST(qa.q AS DOUBLE))
+                                  * sqrt(CAST(qb.q AS DOUBLE)))
+                          ELSE 0.0 END, 4) AS name_cosine
+        FROM cand c
+        LEFT JOIN dots d ON d.id_a = c.id_a AND d.id_b = c.id_b
+        LEFT JOIN vq qa ON qa.id = c.id_a
+        LEFT JOIN vq qb ON qb.id = c.id_b
+    """
+
+
 def _er_eval_sql() -> str:
     """er_eval_metrics: pair-level P/R/F1 of the cascade's is_match
     against truth-labeled candidate pairs (stages/evaluate.py
@@ -1351,6 +1425,7 @@ def oracle_sql() -> dict[str, str]:
         "er_pairs_exact_keys": _er_pairs_exact_sql(),
         "er_pairs": _er_pairs_sql(),
         "er_classified": _er_classified_sql(),
+        "er_name_cosine": _er_name_cosine_sql(),
         "er_clusters": _er_clusters_sql(),
         "er_eval_metrics": _er_eval_sql(),
         "lineitem_agg": """

@@ -41,6 +41,7 @@ SUBSET = [
     "er_pairs",
     "er_pairs_exact_keys",
     "er_classified",
+    "er_name_cosine",
     "er_clusters",
     "er_eval_metrics",
 ]

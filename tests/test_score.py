@@ -180,8 +180,8 @@ def test_name_cosine_feature():
     def scalar_embed(s):
         v = np.zeros(DEFAULT_DIM)
         for h in shingle_hashes(s):
-            sign = 1.0 if (int(h) >> 32) & 1 else -1.0
-            v[int(h) % DEFAULT_DIM] += sign
+            sign = 1.0 if int(h) & 1 else -1.0
+            v[(int(h) >> 1) % DEFAULT_DIM] += sign
         n = np.linalg.norm(v)
         return v / n if n else v
 
