@@ -216,6 +216,96 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .limit(10)
         )
 
+    def cust_order_totals(sf_dir):
+        """LEFT OUTER join + aggregate: every customer with their order
+        count and lifetime spend in cents (0s for order-less customers).
+        Money moves as exact integer cents so the running float sums
+        are order-independent."""
+        _tune_context()
+        cfg = EngineConfig()
+        cust = _read(sf_dir, "customer").select_columns(["c_custkey"])
+        orders = _read(sf_dir, "orders").select_columns(
+            ["o_custkey", "o_totalprice"])
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            t = pd.DataFrame({
+                "c_custkey": df["o_custkey"],
+                "cents": _round_half_away(df["o_totalprice"] * 100.0)
+                .astype("int64"),
+            })
+            return t.groupby("c_custkey", as_index=False).agg(
+                cents=("cents", "sum"), n=("cents", "size"))
+
+        agg = orders.map_batches(partial, batch_format="pandas") \
+            .groupby("c_custkey").aggregate(Sum("cents"), Sum("n"))
+        j = safe_join(cust, agg, join_type="left_outer",
+                      num_partitions=cfg.resolve_join_partitions(),
+                      on=("c_custkey",))
+
+        def finalize(df: pd.DataFrame) -> pd.DataFrame:
+            zero = pd.Series(np.zeros(len(df)), index=df.index)
+            n = df["sum(n)"] if "sum(n)" in df.columns else zero
+            c = df["sum(cents)"] if "sum(cents)" in df.columns else zero
+            return pd.DataFrame({
+                "c_custkey": df["c_custkey"].astype("int64"),
+                "n_orders": n.fillna(0).astype("int64"),
+                "total_cents": c.fillna(0).astype("int64"),
+            })
+
+        return j.map_batches(finalize, batch_format="pandas")
+
+    def cust_no_orders(sf_dir):
+        """ANTI join: customers with no order above $400k (shuffle
+        path: per-block distinct right keys -> left_outer +
+        marker-null filter; ops/relational.anti_join)."""
+        from aml_entity_resolution_assignment_ray.ops.relational import anti_join
+
+        _tune_context()
+        cfg = EngineConfig()
+        cust = _read(sf_dir, "customer").select_columns(
+            ["c_custkey", "c_name"])
+        ok = _read(sf_dir, "orders") \
+            .select_columns(["o_custkey", "o_totalprice"]) \
+            .filter(expr="o_totalprice > 400000.0") \
+            .select_columns(["o_custkey"]) \
+            .rename_columns({"o_custkey": "c_custkey"})
+        return anti_join(cust, ok, on=["c_custkey"], cfg=cfg)
+
+    def cust_running_revenue(sf_dir):
+        """Cumulative-sum window (sum OVER (PARTITION BY customer ORDER
+        BY date, key)): ops/relational.grouped_running_sum — one keyed
+        shuffle + per-block grouped cumsum over exact integer cents."""
+        from aml_entity_resolution_assignment_ray.ops.relational import (
+            grouped_running_sum)
+
+        _tune_context()
+        cfg = EngineConfig()
+        orders = _read(sf_dir, "orders").select_columns(
+            ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "o_custkey": df["o_custkey"],
+                "o_orderkey": df["o_orderkey"],
+                "o_orderdate": df["o_orderdate"],
+                "cents": _round_half_away(df["o_totalprice"] * 100.0)
+                .astype("int64"),
+            })
+
+        run = grouped_running_sum(
+            orders.map_batches(prep, batch_format="pandas"),
+            key="o_custkey", order_cols=["o_orderdate", "o_orderkey"],
+            val_col="cents", out_col="run_cents", cfg=cfg)
+
+        def finalize(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "o_custkey": df["o_custkey"].astype("int64"),
+                "o_orderkey": df["o_orderkey"].astype("int64"),
+                "run_cents": df["run_cents"].astype("int64"),
+            })
+
+        return run.map_batches(finalize, batch_format="pandas")
+
     def high_value_click_events(sf_dir):
         _tune_context()
         ds = _read(sf_dir, "events").select_columns(
@@ -593,6 +683,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_revenue": segment_revenue,
         "nation_acctbal": nation_acctbal,
         "top_orders": top_orders,
+        "cust_order_totals": cust_order_totals,
+        "cust_no_orders": cust_no_orders,
+        "cust_running_revenue": cust_running_revenue,
         "high_value_click_events": high_value_click_events,
         "event_type_stats": event_type_stats,
         "hourly_user_events": hourly_user_events,
@@ -1453,6 +1546,31 @@ def oracle_sql() -> dict[str, str]:
         "top_orders": """
             SELECT o_orderkey, o_totalprice FROM orders
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "cust_order_totals": """
+            SELECT c.c_custkey,
+                   count(o.o_orderkey) AS n_orders,
+                   coalesce(CAST(sum(CAST(round(o.o_totalprice * 100, 0)
+                                          AS BIGINT)) AS BIGINT), 0)
+                       AS total_cents
+            FROM customer c
+            LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey
+        """,
+        "cust_no_orders": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_totalprice > 400000.0)
+        """,
+        "cust_running_revenue": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                        OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS run_cents
+            FROM orders
         """,
         "high_value_click_events": """
             SELECT event_id, value FROM events

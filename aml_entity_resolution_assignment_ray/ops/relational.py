@@ -381,3 +381,90 @@ def grouped_quantiles(ds, *, key: str, col: str, qs: list[float],
         partial, batch_format="pandas")
     return _keyed(counts, [key], cfg, _meta_rows(ds)).map_batches(
         final, batch_format="pandas", batch_size=None)
+
+
+# --------------------------------------------------------------------------
+# grouped running (cumulative) sum — the sum() OVER (PARTITION BY key
+# ORDER BY ...) window
+# --------------------------------------------------------------------------
+
+
+def grouped_running_sum(ds, *, key: str, order_cols: list[str], val_col: str,
+                        out_col: str = "running_sum",
+                        cfg: EngineConfig = DEFAULT_CONFIG):
+    """Cumulative sum of ``val_col`` per ``key`` in ``order_cols`` order
+    (the order must be a total order within each key group — pass a
+    unique tie-breaker — so the result is deterministic and matches the
+    SQL window exactly).  ONE hash shuffle on the key, then a per-block
+    sort + vectorized grouped cumsum; all input columns pass through."""
+    cols = list(ds.schema().names)
+
+    def cum(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            out = df[cols].copy()
+            out[out_col] = pd.Series([], dtype="float64")
+            return out
+        s = df.sort_values([key, *order_cols], kind="stable")
+        out = s[cols].copy()
+        out[out_col] = s.groupby(key, sort=False)[val_col].cumsum()
+        return out
+
+    return _keyed(ds, [key], cfg, _meta_rows(ds)).map_batches(
+        cum, batch_format="pandas", batch_size=None)
+
+
+# --------------------------------------------------------------------------
+# anti join (left rows with NO key match in right)
+# --------------------------------------------------------------------------
+
+
+def anti_join(left, right, *, on: list[str],
+              cfg: EngineConfig = DEFAULT_CONFIG,
+              right_rows: int | None = None):
+    """left ▷ right: rows of ``left`` whose ``on`` key appears nowhere
+    in ``right``.  Ray Data has no native anti join; a right side with
+    a caller-known row count at or below ``cfg.broadcast_max_rows`` is
+    broadcast as a key set (one ray.put, an exact vectorized isin per
+    batch), else it shuffles: left_outer join against the distinct
+    right keys + a marker-null filter (the same strategy gate as
+    hydrate / the pair-set filters in stages/evaluate.py)."""
+    import ray
+
+    from ..util import safe_join, stateful_map
+
+    if right_rows is not None and right_rows <= cfg.broadcast_max_rows:
+        rk = right.select_columns(list(on)).to_pandas()
+        ref = ray.put(pd.MultiIndex.from_frame(rk[list(on)].astype(str)))
+
+        class _Filter:
+            def __init__(self, r):
+                self.index = ray.get(r)
+
+            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+                if not len(df):
+                    return df
+                ix = pd.MultiIndex.from_frame(df[list(on)].astype(str))
+                return df.loc[~ix.isin(self.index)].reset_index(drop=True)
+
+        return stateful_map(left, _Filter, (ref,), batch_format="pandas")
+
+    cols = list(left.schema().names)
+
+    def dk(t):
+        # per-block distinct is a combiner; cross-block duplicate keys
+        # just mark a matched left row more than once — still dropped
+        keys = t.select(list(on)).group_by(list(on)).aggregate([])
+        return keys.append_column(
+            "_r", pa.array(np.ones(len(keys), dtype=np.int8)))
+
+    marked = right.map_batches(dk, batch_format="pyarrow")
+    joined = safe_join(left, marked, join_type="left_outer",
+                       num_partitions=cfg.resolve_join_partitions(),
+                       on=tuple(on))
+
+    def null_filter(df: pd.DataFrame) -> pd.DataFrame:
+        if "_r" not in df.columns:
+            return df[cols]
+        return df.loc[df["_r"].isna(), cols].reset_index(drop=True)
+
+    return joined.map_batches(null_filter, batch_format="pandas")

@@ -259,3 +259,45 @@ def test_sliding_window_rejects_bad_slide(ray_session):
     with pytest.raises(ValueError):
         sliding_window_agg(rd.from_pandas(_events(n=10)),
                            window_s=3600, slide_s=1000)
+
+
+@pytest.mark.parametrize("cfg", [SHUFFLE_CFG, GATHER_CFG],
+                         ids=["shuffle", "gather"])
+def test_grouped_running_sum(ray_session, cfg):
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.relational import (
+        grouped_running_sum)
+
+    df = _events(n=400)
+    df["v_int"] = (df["v"] * 1000).astype(np.int64)
+    got = grouped_running_sum(
+        rd.from_pandas(df), key="user_id", order_cols=["ts", "event_id"],
+        val_col="v_int", out_col="run", cfg=cfg).to_pandas()
+    exp = df.sort_values(["user_id", "ts", "event_id"], kind="stable").copy()
+    exp["run"] = exp.groupby("user_id", sort=False)["v_int"].cumsum()
+    key = ["user_id", "event_id"]
+    got = got.sort_values(key, kind="stable").reset_index(drop=True)
+    exp = exp.sort_values(key, kind="stable").reset_index(drop=True)
+    assert (got["run"].to_numpy() == exp["run"].to_numpy()).all()
+    assert set(got.columns) == set(exp.columns)
+
+
+@pytest.mark.parametrize("right_rows", [None, 0],
+                         ids=["shuffle", "broadcast"])
+def test_anti_join(ray_session, right_rows):
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.relational import anti_join
+
+    left = pd.DataFrame({
+        "k": np.arange(50, dtype=np.int64),
+        "name": [f"n{i}" for i in range(50)],
+    })
+    right = pd.DataFrame({"k": np.repeat(np.arange(0, 50, 3), 2)})
+    rr = len(right) if right_rows == 0 else None  # 0 sentinel -> broadcast
+    got = anti_join(rd.from_pandas(left), rd.from_pandas(right),
+                    on=["k"], cfg=SHUFFLE_CFG, right_rows=rr).to_pandas()
+    exp = left[~left["k"].isin(right["k"])].reset_index(drop=True)
+    got = got.sort_values("k").reset_index(drop=True)
+    assert got.equals(exp.astype(got.dtypes.to_dict()))
