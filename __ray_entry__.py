@@ -392,6 +392,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return text.top_terms(
             _read(sf_dir, "documents").select_columns(["text"]), k=50)
 
+    def doc_tfidf_top5(sf_dir):
+        """Per-document top-5 terms by tf-idf (score = tf * ln(N/df),
+        ties by word): tokenize -> (doc, word, tf) -> doc-frequency
+        pre-aggregate -> hash join on word -> group_topk combiner."""
+        _tune_context()
+        out = text.doc_tfidf(
+            _read(sf_dir, "documents").select_columns(["doc_id", "text"]),
+            k=5, cfg=EngineConfig())
+
+        def finalize(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "doc_id": df["doc_id"].astype("int64"),
+                "word": df["word"],
+                "score": _round_half_away(df["score"], 6),
+            })
+
+        return out.map_batches(finalize, batch_format="pandas")
+
     def event_sessions(sf_dir):
         _tune_context()
         from aml_entity_resolution_assignment_ray.ops.events import sessionize
@@ -697,6 +715,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": doc_fingerprints,
         "doc_pii_scrub": doc_pii_scrub,
         "doc_top_terms": doc_top_terms,
+        "doc_tfidf_top5": doc_tfidf_top5,
         "event_sessions": event_sessions,
         "sliding_event_counts": sliding_event_counts,
         "orders_asof": orders_asof,
@@ -1641,6 +1660,34 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY word
             ORDER BY cnt DESC, word
             LIMIT 50
+        """,
+        "doc_tfidf_top5": """
+            WITH tok AS (
+              SELECT doc_id, unnest(regexp_extract_all(
+                         lower(coalesce(text, '')), '[a-z0-9]+')) AS word
+              FROM documents
+            ),
+            tf AS (SELECT doc_id, word, count(*) AS tf
+                   FROM tok GROUP BY doc_id, word),
+            dfreq AS (SELECT word, count(DISTINCT doc_id) AS df
+                      FROM tok GROUP BY word),
+            n AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.word,
+                     CAST(tf.tf AS DOUBLE)
+                         * ln(CAST(n.n AS DOUBLE) / CAST(dfreq.df AS DOUBLE))
+                         AS score
+              FROM tf JOIN dfreq USING (word), n
+            ),
+            ranked AS (
+              SELECT doc_id, word, score,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, word) AS r
+              FROM scored
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, word,
+                   round(score, 6) AS score
+            FROM ranked WHERE r <= 5
         """,
         "event_sessions": """
             WITH o AS (

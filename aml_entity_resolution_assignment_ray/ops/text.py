@@ -13,6 +13,8 @@ import re
 import numpy as np
 import pandas as pd
 
+from ..config import DEFAULT_CONFIG, EngineConfig
+
 # whitespace tokens; the "BPE-ish" split further breaks punctuation runs
 # and letter/digit boundaries the way byte-pair pretokenizers do
 _WS_RE = re.compile(r"\s+")
@@ -225,3 +227,75 @@ def top_terms(ds, col: str = "text", k: int = 50):
 
     out = agg.map_batches(finalize, batch_format="pandas")
     return out.sort(["cnt", "word"], descending=[True, False]).limit(k)
+
+
+def doc_term_tf_batch(df: pd.DataFrame, col: str = "text",
+                      id_col: str = "doc_id") -> pd.DataFrame:
+    """Per-batch (doc_id, word, tf) rows — one row per DISTINCT term per
+    doc (pandas C-level groupby over the exploded token arrays)."""
+    toks = df[col].fillna("").astype(str).str.lower().str.findall(_TERM_RE)
+    lens = toks.str.len().to_numpy(dtype=np.int64)
+    if not lens.sum():
+        return pd.DataFrame({id_col: pd.Series([], dtype=df[id_col].dtype),
+                             "word": pd.Series([], dtype="string"),
+                             "tf": pd.Series([], dtype="int64")})
+    flat = np.concatenate([np.array(t, dtype=object) for t in toks])
+    ids = np.repeat(df[id_col].to_numpy(), lens)
+    g = (pd.DataFrame({id_col: ids, "word": flat.astype(str)})
+         .groupby([id_col, "word"], sort=False).size()
+         .reset_index(name="tf"))
+    g["tf"] = g["tf"].astype("int64")
+    return g
+
+
+def doc_tfidf(ds, k: int = 5, col: str = "text", id_col: str = "doc_id",
+              n_docs: int | None = None,
+              cfg: EngineConfig = DEFAULT_CONFIG):
+    """Top-``k`` terms per document by tf-idf (score = tf * ln(N / df),
+    ties broken by ascending word).  Output: (doc_id, word, score).
+
+    Shape: one tokenize pass emits the (doc, word, tf) table; document
+    frequency is a pre-aggregated groupby over it (the shuffle moves
+    per-batch unique words, never tokens); idf attaches back via a hash
+    join on the word; the per-doc top-k reuses the group_topk combiner
+    (<= k rows per (block, doc) enter the final shuffle)."""
+    from ..util import safe_join
+    from .relational import group_topk
+
+    if n_docs is None:
+        n_docs = ds.count()
+    tf = ds.map_batches(doc_term_tf_batch,
+                        fn_kwargs={"col": col, "id_col": id_col},
+                        batch_format="pandas")
+
+    def df_partial(d: pd.DataFrame) -> pd.DataFrame:
+        # tf rows are distinct (doc, word) within a batch of docs
+        g = d.groupby("word", sort=False).size().reset_index(name="dcnt")
+        g["dcnt"] = g["dcnt"].astype("int64")
+        return g
+
+    dfreq = (tf.map_batches(df_partial, batch_format="pandas")
+             .groupby("word").sum("dcnt"))
+
+    def idf(d: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "word": d["word"],
+            "df": d["sum(dcnt)"].astype("int64"),
+        })
+
+    scored = safe_join(tf, dfreq.map_batches(idf, batch_format="pandas"),
+                       join_type="inner",
+                       num_partitions=cfg.resolve_join_partitions(),
+                       on=("word",))
+
+    def score(d: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: d[id_col],
+            "word": d["word"],
+            "score": d["tf"].to_numpy(dtype=np.float64)
+            * np.log(float(n_docs) / d["df"].to_numpy(dtype=np.float64)),
+        })
+
+    return group_topk(scored.map_batches(score, batch_format="pandas"),
+                      key=id_col, order_col="score", k=k, tie_col="word",
+                      cfg=cfg)

@@ -282,3 +282,48 @@ def test_top_terms_combiner(ray_session):
     out = text.top_terms(rd.from_pandas(docs), k=3).to_pandas()
     assert out["word"].tolist() == ["cat", "the", "9"]
     assert out["cnt"].tolist() == [3, 3, 2]
+
+
+def test_doc_tfidf(ray_session):
+    """doc_tfidf matches a brute-force pandas tf-idf oracle (score =
+    tf * ln(N/df), top-5 per doc, ties by word)."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.config import EngineConfig
+    from aml_entity_resolution_assignment_ray.ops.text import doc_tfidf
+
+    rng = np.random.RandomState(7)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = pd.DataFrame({
+        "doc_id": np.arange(60, dtype=np.int64),
+        "text": [" ".join(rng.choice(vocab, size=rng.randint(5, 30)))
+                 for _ in range(60)],
+    })
+    got = doc_tfidf(rd.from_pandas(docs), k=5,
+                    cfg=EngineConfig(join_num_partitions=4)).to_pandas()
+
+    tok = re.compile(r"[a-z0-9]+")
+    rows = []
+    for _, r in docs.iterrows():
+        words = pd.Series(tok.findall(r["text"].lower()))
+        for w, tf in words.value_counts().items():
+            rows.append((r["doc_id"], w, int(tf)))
+    tf = pd.DataFrame(rows, columns=["doc_id", "word", "tf"])
+    df_ = tf.groupby("word")["doc_id"].nunique().rename("df").reset_index()
+    sc = tf.merge(df_, on="word")
+    sc["score"] = sc["tf"].astype(float) * np.log(60.0 / sc["df"].to_numpy(dtype=float))
+    exp = (sc.sort_values(["doc_id", "score", "word"],
+                          ascending=[True, False, True], kind="stable")
+           .groupby("doc_id").head(5)[["doc_id", "word", "score"]]
+           .reset_index(drop=True))
+    got = got.sort_values(["doc_id", "score", "word"],
+                          ascending=[True, False, True],
+                          kind="stable").reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert (got["doc_id"].to_numpy() == exp["doc_id"].to_numpy()).all()
+    assert (got["word"].to_numpy() == exp["word"].to_numpy()).all()
+    assert np.allclose(got["score"], exp["score"], rtol=0, atol=0)
