@@ -410,6 +410,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(finalize, batch_format="pandas")
 
+    def doc_hash_split(sf_dir):
+        """Deterministic 80/20 train/test split (Knuth multiplicative
+        hash on doc_id — reproducible across runs, cluster sizes and
+        repartitionings; ops/sample.hash_split)."""
+        from aml_entity_resolution_assignment_ray.ops.sample import hash_split
+
+        _tune_context()
+        out = hash_split(
+            _read(sf_dir, "documents").select_columns(["doc_id"]),
+            id_col="doc_id", test_pct=20)
+
+        def finalize(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "doc_id": df["doc_id"].astype("int64"),
+                "split": df["split"],
+            })
+
+        return out.map_batches(finalize, batch_format="pandas")
+
     def event_sessions(sf_dir):
         _tune_context()
         from aml_entity_resolution_assignment_ray.ops.events import sessionize
@@ -716,6 +735,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pii_scrub": doc_pii_scrub,
         "doc_top_terms": doc_top_terms,
         "doc_tfidf_top5": doc_tfidf_top5,
+        "doc_hash_split": doc_hash_split,
         "event_sessions": event_sessions,
         "sliding_event_counts": sliding_event_counts,
         "orders_asof": orders_asof,
@@ -1688,6 +1708,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_id AS BIGINT) AS doc_id, word,
                    round(score, 6) AS score
             FROM ranked WHERE r <= 5
+        """,
+        "doc_hash_split": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 20
+                        THEN 'test' ELSE 'train' END AS split
+            FROM documents
         """,
         "event_sessions": """
             WITH o AS (

@@ -327,3 +327,37 @@ def test_doc_tfidf(ray_session):
     assert (got["doc_id"].to_numpy() == exp["doc_id"].to_numpy()).all()
     assert (got["word"].to_numpy() == exp["word"].to_numpy()).all()
     assert np.allclose(got["score"], exp["score"], rtol=0, atol=0)
+
+
+def test_hash_split_deterministic(ray_session):
+    """hash_split / hash_bucket: reproducible across repartitionings,
+    correct fraction semantics, string-id path matches the scalar
+    polynomial hash."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.sample import (
+        hash_bucket, hash_split)
+
+    df = pd.DataFrame({"doc_id": np.arange(1000, dtype=np.int64)})
+    a = hash_split(rd.from_pandas(df), "doc_id").to_pandas()
+    b = hash_split(rd.from_pandas(df).repartition(7), "doc_id").to_pandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    frac = (a["split"] == "test").mean()
+    assert 0.1 < frac < 0.3
+
+    sdf = pd.DataFrame({"k": [f"conv_{i}" for i in range(200)]})
+
+    def scalar(s):
+        h = 0
+        for ch in s:
+            h = (h * 1000003 + ord(ch)) & 0xFFFFFFFF
+        return h % 10
+
+    got = (hash_bucket(rd.from_pandas(sdf), "k", n_buckets=10).to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    exp = sdf.sort_values("k").reset_index(drop=True)["k"].map(scalar)
+    assert (got["bucket"].to_numpy() == exp.to_numpy()).all()
