@@ -223,7 +223,15 @@ def minhash_batch(texts, num_perm: int, chunk_shingles: int = 8_192) -> np.ndarr
         sel = nonempty[start:stop]
         flat = flat_all[starts_all[sel[0]] : ends_all[sel[-1]]]
         seg = (starts_all[sel] - starts_all[sel[0]]).astype(np.int64)
-        phv = _universal_hash(a[:, None], b[:, None], flat[None, :])
+        # hash only the chunk's DISTINCT shingle values and gather back:
+        # permutation arithmetic (the u64 multiply+mod chain) is the
+        # dominant cost and documents share shingles heavily — measured
+        # 12x on the synthetic corpus (377 distinct trigrams per 8k-
+        # shingle chunk); worst case (all distinct) adds only one
+        # 8k-element sort
+        uniq, inv = np.unique(flat, return_inverse=True)
+        hv = _universal_hash(a[:, None], b[:, None], uniq[None, :])
+        phv = hv[:, inv]
         sig = np.minimum.reduceat(phv, seg, axis=1)    # (num_perm, len(sel))
         out[sel] = sig.T
         start = stop
