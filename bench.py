@@ -190,16 +190,26 @@ def main():
 
         write_corpus(cdir, shards=64, n_entities=n_entities, seed=43,
                      doppelganger_rate=0.0)
+        # each leg is best-of-N fresh processes (default 2): the sandbox
+        # VM has noisy neighbors and a degraded sample in either leg
+        # corrupts the ratio in either direction
+        n_reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
         results = {}
         for cpus in (n_small, n_big):
-            out = subprocess.run(
-                [sys.executable, __file__, "--headline-json"],
-                env={**os.environ, "RAY_GRAFT_CPUS": str(cpus),
-                     "GRAFT_SCALING_CORPUS": cdir},
-                capture_output=True, text=True, timeout=5400,
-            )
-            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-            results[cpus] = json.loads(line)
+            best = None
+            for _ in range(n_reps):
+                out = subprocess.run(
+                    [sys.executable, __file__, "--headline-json"],
+                    env={**os.environ, "RAY_GRAFT_CPUS": str(cpus),
+                         "GRAFT_SCALING_CORPUS": cdir},
+                    capture_output=True, text=True, timeout=5400,
+                )
+                line = [l for l in out.stdout.splitlines()
+                        if l.startswith("{")][-1]
+                r = json.loads(line)
+                if best is None or r["wall_sec"] < best["wall_sec"]:
+                    best = r
+            results[cpus] = best
         thr_s = results[n_small]["turns_per_sec"]
         thr_b = results[n_big]["turns_per_sec"]
         eff = (thr_b / thr_s) / 4.0
