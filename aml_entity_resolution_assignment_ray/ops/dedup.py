@@ -298,20 +298,35 @@ def simhash_batch(texts, nbits: int = 64, ngram: int = 3) -> np.ndarray:
     nonempty = counts > 0
     if not nonempty.any():
         return out
-    # spread the 32-bit shingle hash to 64 bits with a splitmix-style mix
+    # mix only the batch's DISTINCT shingle values (documents share
+    # shingles heavily — same observation as minhash_batch)
+    uniq, inv = np.unique(flat, return_inverse=True)
     with np.errstate(over="ignore"):
-        x = flat.astype(np.uint64)
+        x = uniq.astype(np.uint64)
         x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
         x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
         x = x ^ (x >> np.uint64(31))
-    starts_all = np.cumsum(counts) - counts
     sel = np.where(nonempty)[0]
-    seg = starts_all[sel]            # strictly increasing (empties dropped)
     totals = counts[sel]
-    ones = np.empty((len(sel), nbits), dtype=np.int64)
-    for b in range(nbits):
-        bit = ((x >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
-        ones[:, b] = np.add.reduceat(bit, seg)
+    if len(uniq) <= 4096:
+        # small vocabulary: per-doc vote = (doc x uniq) count matrix @
+        # (uniq x bit) matrix — one BLAS matmul replaces 64 reduceats.
+        # Counts and bits are small integers, exact in float64.
+        bits = ((x[:, None] >> np.arange(nbits, dtype=np.uint64)[None, :])
+                & np.uint64(1)).astype(np.float64)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+        cmat = np.bincount(doc_idx * len(uniq) + inv,
+                           minlength=n * len(uniq)) \
+            .reshape(n, len(uniq)).astype(np.float64)
+        ones = np.rint(cmat[sel] @ bits).astype(np.int64)
+    else:
+        xs = x[inv]                  # gather the mixed values back
+        starts_all = np.cumsum(counts) - counts
+        seg = starts_all[sel]        # strictly increasing (empties dropped)
+        ones = np.empty((len(sel), nbits), dtype=np.int64)
+        for b in range(nbits):
+            bit = ((xs >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+            ones[:, b] = np.add.reduceat(bit, seg)
     # majority vote per bit: +1 votes (ones) outnumber -1 votes
     packed = (ones * 2 > totals[:, None]).astype(np.uint64) @ (
         np.uint64(1) << np.arange(nbits, dtype=np.uint64))
