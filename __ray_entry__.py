@@ -562,6 +562,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res = ann.brute_force_topk(emb, np.asarray(q), k=10)
         return res[["vec_id"]]
 
+    def ann_ivf_top10(sf_dir):
+        """IVF approximate nearest neighbors (the scale path: seeded
+        kmeans centroids on a random sample, per-cell storage keyed by
+        `_cell`, nprobe-cell probe).  Deterministic but approximate —
+        rows-only here; recall vs brute force is pinned by
+        tests/test_ops.py::test_ivf_recall."""
+        _tune_context()
+        emb = _read(sf_dir, "embeddings")
+        q = emb.filter(expr="vec_id == 0").take(1)[0]["embedding"]
+        idx = ann.build_ivf(emb, ncells=8)
+        return idx.search(np.asarray(q), k=10, nprobe=4)[["vec_id"]]
+
     def embedding_dup_pairs_q(sf_dir):
         # testdata embeddings are near-orthogonal (max offdiag cosine
         # ~0.51 at sf0.01), so the near-dup threshold sits below that.
@@ -747,6 +759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_docs": minhash_dedup_docs,
         "ngram_jaccard_docs": ngram_jaccard_docs,
         "ann_top10": ann_top10,
+        "ann_ivf_top10": ann_ivf_top10,
         "embedding_dup_pairs": embedding_dup_pairs_q,
         "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh,
         "embedding_norms": embedding_norms,
