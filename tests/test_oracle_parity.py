@@ -34,6 +34,9 @@ SUBSET = [
     "doc_pii_scrub",
     "doc_top_terms",
     "event_sessions",
+    "doc_hash_split",
+    "cust_no_orders",
+    "cust_running_revenue",
     "simhash_dup_pairs_docs",
     "ann_top10",
     "embedding_dup_pairs",
