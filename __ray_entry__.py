@@ -73,6 +73,13 @@ def _oracle_truth_path(n_entities: int) -> str:
     return f"/tmp/er_oracle_corpus_n{n_entities}/truth.parquet"
 
 
+def _ivf_index_path(n_entities: int) -> str:
+    """IVF index dir the ann_ivf_top10 query writes and its oracle
+    reads — n-keyed like the er_* corpus so concurrent harnesses at
+    different scales don't clobber each other (see _oracle_corpus_path)."""
+    return f"/tmp/er_ivf_n{n_entities}"
+
+
 @lru_cache(maxsize=4)
 def _write_oracle_corpus(n_entities: int):
     """Write the er_* corpus (transcripts + truth labels) to n-keyed
@@ -564,14 +571,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def ann_ivf_top10(sf_dir):
         """IVF approximate nearest neighbors (the scale path: seeded
-        kmeans centroids on a random sample, per-cell storage keyed by
-        `_cell`, nprobe-cell probe).  Deterministic but approximate —
-        rows-only here; recall vs brute force is pinned by
-        tests/test_ops.py::test_ivf_recall."""
+        kmeans centroids on a random sample, storage written as
+        CELL-PARTITIONED parquet, nprobe-cell probe that reads ONLY the
+        probed cell directories).  Value-oracled: the DuckDB SQL replays
+        the probe — nearest-nprobe cells from centroids.parquet, exact
+        cosine top-k over just those cells' files; recall vs brute force
+        is additionally pinned by tests/test_ops.py::test_ivf_recall."""
+        import shutil
+
         _tune_context()
         emb = _read(sf_dir, "embeddings")
         q = emb.filter(expr="vec_id == 0").take(1)[0]["embedding"]
-        idx = ann.build_ivf(emb, ncells=8)
+        ipath = _ivf_index_path(_corpus_entities(sf_dir))
+        shutil.rmtree(ipath, ignore_errors=True)  # fresh build, no stale files
+        idx = ann.build_ivf(emb, ncells=8, index_path=ipath)
         return idx.search(np.asarray(q), k=10, nprobe=4)[["vec_id"]]
 
     def embedding_dup_pairs_q(sf_dir):
@@ -1801,6 +1814,31 @@ def oracle_sql() -> dict[str, str]:
                 embedding,
                 (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,
                 vec_id
+            LIMIT 10
+        """,
+        # replays the IVF probe from the index the Ray query persisted:
+        # nearest-nprobe cells from centroids.parquet (ties by cell id,
+        # matching IVFIndex.probe_cells), exact cosine top-k over ONLY
+        # those cells' partition directories (hive `_cell=` layout)
+        "ann_ivf_top10": f"""
+            WITH q AS (
+              SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings WHERE vec_id = 0
+            ),
+            probed AS (
+              SELECT cell
+              FROM read_parquet('{_ivf_index_path(_oracle_n())}/centroids.parquet'), q
+              ORDER BY list_cosine_similarity(centroid, q.e) DESC, cell
+              LIMIT 4
+            )
+            SELECT v.vec_id
+            FROM read_parquet(
+                '{_ivf_index_path(_oracle_n())}/cells/*/*.parquet',
+                hive_partitioning = 1) v, q
+            WHERE CAST(v._cell AS BIGINT) IN (SELECT cell FROM probed)
+            ORDER BY list_cosine_similarity(
+                list_transform(v.embedding, x -> CAST(x AS DOUBLE)), q.e)
+                DESC, v.vec_id
             LIMIT 10
         """,
         "embedding_norms": """

@@ -5,16 +5,27 @@
   (``ray.put`` once, fetched once per actor) and emits only its local
   top-k candidates; the driver merges #blocks x k rows.  This is the
   baseline and the oracle for the approximate variants.
-* ivf_topk — IVF-style scale path: k-means centroids (seeded, fit on a
-  driver-side sample), every vector assigned to its nearest centroid
-  inside ``map_batches``; a query probes only the ``nprobe`` nearest
-  cells.  At cluster scale the assignment is a partition key — probing
-  reads a small fraction of the data.
+* build_ivf / IVFIndex — IVF scale path: k-means centroids (seeded,
+  fit on a driver-side sample), every vector assigned to its nearest
+  centroid inside ``map_batches``, and the assignment PERSISTED as
+  cell-partitioned Parquet (``partition_cols=["_cell"]``).  A query
+  probes only the ``nprobe`` nearest cells by reading ONLY those cell
+  directories — physical partition pruning, so at 100 TB a probe
+  touches nprobe/ncells of the bytes, not a filter over everything.
+  The index directory layout::
+
+      <index_path>/centroids.parquet        (cell, centroid list<double>)
+      <index_path>/cells/_cell=<i>/*.parquet (id_col, vec_col)
+
+  and ``IVFIndex.load(path)`` reopens a previously built index (the
+  checkpoint-or-recompute story: the build is the expensive shuffle,
+  the search is cheap and repeatable).
 """
 
 from __future__ import annotations
 
-import heapq
+import os
+import tempfile
 
 import numpy as np
 import pandas as pd
@@ -89,33 +100,72 @@ def _kmeans(X: np.ndarray, ncells: int, iters: int = 15,
 
 
 class IVFIndex:
-    """IVF state: centroids + per-cell storage as a Dataset with a
-    ``_cell`` column (the partition key a multi-node layout shards by)."""
+    """IVF state: centroids + cell-partitioned Parquet storage.  ``_cell``
+    is a PHYSICAL partition key (hive directories), so ``search`` reads
+    only the probed cells' files — the pruning a multi-node layout
+    shards by, not a filter over the full dataset."""
 
-    def __init__(self, centroids: np.ndarray, assigned_ds, vec_col, id_col):
-        self.centroids = centroids
-        self.ds = assigned_ds
+    def __init__(self, centroids: np.ndarray, index_path: str,
+                 vec_col: str = "embedding", id_col: str = "vec_id"):
+        self.centroids = np.asarray(centroids, dtype=np.float64)
+        self.path = index_path
         self.vec_col = vec_col
         self.id_col = id_col
+
+    @classmethod
+    def load(cls, index_path: str, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> "IVFIndex":
+        """Reopen a persisted index (checkpoint-or-recompute: the build
+        shuffle is the expensive part; search rereads only metadata)."""
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(os.path.join(index_path, "centroids.parquet"))
+        cent = np.stack([np.asarray(c, dtype=np.float64)
+                         for c in t.sort_by("cell")["centroid"].to_pylist()])
+        return cls(cent, index_path, vec_col=vec_col, id_col=id_col)
+
+    def probe_cells(self, queries: np.ndarray, nprobe: int = 4) -> list[int]:
+        """The nprobe nearest cells per query (union across queries),
+        ties broken by ascending cell id — deterministic, so the DuckDB
+        oracle can replay the probe from centroids.parquet."""
+        queries = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+        Qn = _normalize(queries)
+        Cn = _normalize(self.centroids)
+        S = Qn @ Cn.T
+        cells: set[int] = set()
+        for qi in range(S.shape[0]):
+            # sort by (-cosine, cell): stable + explicit secondary key
+            order = np.lexsort((np.arange(S.shape[1]), -S[qi]))
+            cells.update(int(c) for c in order[:nprobe])
+        return sorted(cells)
 
     def search(self, queries: np.ndarray, k: int = 10,
                nprobe: int = 4) -> pd.DataFrame:
         queries = np.atleast_2d(np.asarray(queries, dtype=np.float64))
-        Qn = _normalize(queries)
-        Cn = _normalize(self.centroids)
-        order = np.argsort(-(Qn @ Cn.T), axis=1)[:, :nprobe]  # cells per query
-        cells = sorted({int(c) for row in order for c in row})
-        sub = self.ds.filter(
-            expr=f"_cell in {cells}" if len(cells) > 1 else f"_cell == {cells[0]}")
-        res = brute_force_topk(sub, queries, k=k, vec_col=self.vec_col,
-                               id_col=self.id_col)
-        return res
+        cells = self.probe_cells(queries, nprobe=nprobe)
+        import ray.data as rd
+
+        # physical pruning: list ONLY the probed cells' files
+        import glob
+
+        paths = [f for c in cells for f in sorted(glob.glob(
+            os.path.join(self.path, "cells", f"_cell={c}", "*.parquet")))]
+        sub = rd.read_parquet(paths, columns=[self.id_col, self.vec_col])
+        return brute_force_topk(sub, queries, k=k, vec_col=self.vec_col,
+                                id_col=self.id_col)
 
 
 def build_ivf(ds, ncells: int = 16, vec_col: str = "embedding",
               id_col: str = "vec_id", sample_size: int = 10_000,
-              seed: int = 11) -> IVFIndex:
-    """Fit centroids on a sample, assign every vector to a cell."""
+              seed: int = 11, index_path: str | None = None) -> IVFIndex:
+    """Fit centroids on a sample, assign every vector to a cell, and
+    persist the assignment as cell-partitioned Parquet at ``index_path``
+    (a fresh temp dir under /tmp when omitted)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if index_path is None:
+        index_path = tempfile.mkdtemp(prefix="ivf_index_")
     n = ds.count()
     if n > sample_size:
         # seeded random_sample: unbiased across the whole dataset (limit()
@@ -134,12 +184,19 @@ def build_ivf(ds, ncells: int = 16, vec_col: str = "embedding",
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             V = _normalize(np.stack(df[vec_col].to_numpy()).astype(np.float64))
-            out = df.copy()
+            out = df[[id_col, vec_col]].copy()
             out["_cell"] = (V @ self.C.T).argmax(axis=1).astype(np.int64)
             return out
 
     from ..util import stateful_map
 
-    assigned = stateful_map(ds, Assign, (cref,),
-                            batch_format="pandas").materialize()
-    return IVFIndex(C, assigned, vec_col, id_col)
+    os.makedirs(index_path, exist_ok=True)
+    pq.write_table(
+        pa.table({"cell": pa.array(range(len(C)), pa.int64()),
+                  "centroid": pa.array([list(map(float, c)) for c in C],
+                                       pa.list_(pa.float64()))}),
+        os.path.join(index_path, "centroids.parquet"))
+    stateful_map(ds, Assign, (cref,), batch_format="pandas") \
+        .write_parquet(os.path.join(index_path, "cells"),
+                       partition_cols=["_cell"])
+    return IVFIndex(C, index_path, vec_col=vec_col, id_col=id_col)

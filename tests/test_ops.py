@@ -184,6 +184,36 @@ def test_ivf_recall(ray_session):
     assert len(set(brute) & set(approx)) >= 6
 
 
+def test_ivf_partition_pruning(ray_session, tmp_path):
+    """The IVF index is PHYSICALLY cell-partitioned: search lists only
+    the probed cells' parquet files, and load() reopens it from disk."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    ds, V = _emb_ds(n=200)
+    ipath = str(tmp_path / "ivf")
+    idx = ann.build_ivf(ds, ncells=8, index_path=ipath)
+    assert (tmp_path / "ivf" / "centroids.parquet").exists()
+    cell_dirs = sorted(p.name for p in (tmp_path / "ivf" / "cells").iterdir())
+    assert all(c.startswith("_cell=") for c in cell_dirs)
+    assert len(cell_dirs) > 1
+
+    q = V[5].astype(np.float64)
+    probed = idx.probe_cells(q, nprobe=2)
+    assert len(probed) == 2
+    # pruning is physical: the probed directories hold a strict subset
+    probed_rows = sum(
+        pq.read_metadata(f).num_rows for c in probed
+        for f in glob.glob(f"{ipath}/cells/_cell={c}/*.parquet"))
+    assert 0 < probed_rows < 200
+
+    # a reloaded index returns the identical result
+    r1 = idx.search(q, k=5, nprobe=2)["vec_id"].tolist()
+    r2 = ann.IVFIndex.load(ipath).search(q, k=5, nprobe=2)["vec_id"].tolist()
+    assert r1 == r2 and r1[0] == 5
+
+
 # ---- multimodal ----
 
 def test_media_pipeline_fake(ray_session):
