@@ -622,23 +622,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ---- multimodal plumbing (stubbed decode, real Ray plumbing) ----
 
     def media_features(sf_dir):
+        """Decode (deterministic fake codec) -> persist the decoded pixel
+        tensors -> nearest-neighbor resize -> channel/luminance features,
+        VALUE-ORACLED: the DuckDB SQL replays the resize index arithmetic
+        and the integer-exact feature math over the persisted decode
+        output (the same replay-the-downstream pattern as the er_*
+        oracles over the synth corpus)."""
         _tune_context()
+        import pyarrow as pa
+        import pyarrow.parquet as pq
         import ray.data as rd
 
         from aml_entity_resolution_assignment_ray.ops import multimodal as mm
 
         media = rd.from_arrow(mm.make_fake_media_table(n=48))
         images = media.filter(expr="mime == 'image/png'")
-        feats = mm.image_features(
-            mm.resize_images(mm.decode_images(images, fake=True)))
+        decoded = mm.decode_images(images, fake=True).materialize()
 
-        def shape_only(df: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({
-                "media_id": df["media_id"],
-                "n_features": df["features"].str.len().astype("int64"),
-            })
+        dec_df = decoded.to_pandas()  # 16 rows — driver-small by design
+        os.makedirs("/tmp/er_media", exist_ok=True)
+        pq.write_table(pa.table({
+            "media_id": pa.array(dec_df["media_id"], pa.string()),
+            "pixels": pa.array([np.asarray(p, dtype=np.int32).tolist()
+                                for p in dec_df["pixels"]],
+                               pa.list_(pa.int32())),
+            "shape": pa.array([list(map(int, s)) for s in dec_df["shape"]],
+                              pa.list_(pa.int64())),
+        }), "/tmp/er_media/decoded.parquet")
 
-        return feats.map_batches(shape_only, batch_format="pandas")
+        feats = mm.image_features(mm.resize_images(decoded), as_columns=True)
+
+        def rounded(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({"media_id": df["media_id"]})
+            for c in mm.ImageFeatures.FEATURE_COLS:
+                out[c] = _round_half_away(df[c], 6)
+            return out
+
+        return feats.map_batches(rounded, batch_format="pandas")
 
     def media_meta(sf_dir):
         """Binary-payload plumbing, value-checked: the fake media table
@@ -1542,9 +1562,51 @@ def _emb_lsh_sql(threshold: float = 0.4, nplanes: int = 8,
     """
 
 
+def _media_features_sql(out: int = 32) -> str:
+    """Replays ops/multimodal ResizeImage + ImageFeatures over the
+    decoded pixel tensors the media_features query persists: the
+    nearest-neighbor source-index arithmetic is integer, and every
+    feature is one fixed float64 expression over exact integer sums —
+    bit-identical to the numpy kernel (see ImageFeatures docstring)."""
+    npix = out * out
+    sums, chans = [], {"r": 1, "g": 2, "b": 3}
+    for name, off in chans.items():
+        sums.append(
+            f"CAST(list_extract(d.pixels, ((oy*h)//{out})*(w*3)"
+            f" + ((ox*w)//{out})*3 + {off}) AS BIGINT) AS {name}")
+    feat = []
+    for name in chans:
+        feat.append(f"round((CAST(sum({name}) AS DOUBLE)/{npix})/255.0, 6)"
+                    f" AS mean_{name}")
+    for name in chans:
+        m = f"(CAST(sum({name}) AS DOUBLE)/{npix})"
+        feat.append(
+            f"round(sqrt(greatest(CAST(sum({name}*{name}) AS DOUBLE)/{npix}"
+            f" - {m}*{m}, 0))/255.0, 6) AS std_{name}")
+    for k in range(8):
+        feat.append(
+            f"round(CAST(sum(CASE WHEN (r+g+b)//96 = {k} THEN 1 ELSE 0 END)"
+            f" AS DOUBLE)/{npix}, 6) AS h{k}")
+    return f"""
+        WITH dec AS (
+          SELECT media_id, pixels,
+                 CAST(shape[1] AS BIGINT) AS h,
+                 CAST(shape[2] AS BIGINT) AS w
+          FROM read_parquet('/tmp/er_media/decoded.parquet')
+        ),
+        rgb AS (
+          SELECT d.media_id, {", ".join(sums)}
+          FROM dec d, range({out}) AS ys(oy), range({out}) AS xs(ox)
+        )
+        SELECT media_id, {", ".join(feat)}
+        FROM rgb GROUP BY media_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "doc_fingerprints": _fingerprints_sql(),
+        "media_features": _media_features_sql(),
         "embedding_dup_pairs_lsh": _emb_lsh_sql(threshold=0.4),
         "minhash_dup_pairs_docs": _minhash_pairs_sql(threshold=0.5),
         "minhash_dedup_docs": _minhash_dedup_sql(threshold=0.8),
@@ -1849,9 +1911,10 @@ def oracle_sql() -> dict[str, str]:
                        AS l2_norm
             FROM embeddings
         """,
-        # fingerprints (64-bit rolling-hash winnowing), minhash/simhash
-        # signature dedup, the RHP-LSH embedding variant, multimodal and
-        # the downstream ER stages (pairs/classified/clusters: model +
-        # rule cascade + union-find) are not SQL-expressible ->
-        # rows-only checks; er_profiles IS oracled above.
+        # Every queries() entry is value-oracled: the non-SQL-native ones
+        # (fingerprint winnowing, minhash/simhash banding, RHP-LSH, GBDT
+        # + rule cascade, union-find closure, IVF probe, fake-decode
+        # features) are replayed above either by compiling the exact
+        # kernel into SQL or by reading the deterministic intermediates
+        # the query persists (er_* corpus, /tmp/er_media, /tmp/er_ivf_*).
     }

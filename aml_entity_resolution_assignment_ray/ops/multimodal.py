@@ -88,48 +88,98 @@ class DecodeImage:
         })
 
 
+def _shape_groups(df: pd.DataFrame):
+    """Row indices grouped by identical (h, w, c) — batches mix shapes,
+    but each group stacks into ONE dense tensor for vectorized kernels
+    (no per-row Python in the hot path)."""
+    shapes = [tuple(int(x) for x in s) for s in df["shape"]]
+    groups: dict[tuple, list[int]] = {}
+    for i, s in enumerate(shapes):
+        groups.setdefault(s, []).append(i)
+    return groups
+
+
 class ResizeImage:
-    """Actor-pool stage: nearest-neighbor resize (pure numpy — real)."""
+    """Actor-pool stage: nearest-neighbor resize, vectorized per shape
+    group (one fancy-index gather over the stacked (g, h, w, c) tensor
+    per distinct input shape)."""
 
     def __init__(self, out_w: int = 32, out_h: int = 32):
         self.out_w = out_w
         self.out_h = out_h
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for flat, shape in zip(df["pixels"], df["shape"]):
-            h, w, c = int(shape[0]), int(shape[1]), int(shape[2])
-            arr = np.asarray(flat, dtype=np.uint8).reshape(h, w, c)
-            yi = (np.arange(self.out_h) * h // self.out_h)
-            xi = (np.arange(self.out_w) * w // self.out_w)
-            out.append(arr[yi][:, xi].reshape(-1))
+        n = len(df)
+        pixels_col = df["pixels"].to_numpy()
+        out = np.empty(n, dtype=object)
+        for (h, w, c), idxs in _shape_groups(df).items():
+            A = np.stack([np.asarray(pixels_col[i], dtype=np.uint8)
+                          for i in idxs]).reshape(len(idxs), h, w, c)
+            yi = (np.arange(self.out_h) * h) // self.out_h
+            xi = (np.arange(self.out_w) * w) // self.out_w
+            R = A[:, yi][:, :, xi].reshape(len(idxs), -1)
+            for j, i in enumerate(idxs):
+                out[i] = R[j]
         return pd.DataFrame({
             "media_id": df["media_id"].to_numpy(),
             "pixels": out,
-            "shape": [[self.out_h, self.out_w, 3]] * len(df),
+            "shape": [[self.out_h, self.out_w, 3]] * n,
         })
 
 
 class ImageFeatures:
     """Actor-pool stage: pixel tensor -> small feature vector (channel
-    means/stds + 8-bin luminance histogram — pure numpy, real)."""
+    means/stds + 8-bin luminance histogram), vectorized per shape group.
+
+    The statistics are computed from EXACT integer sums (sum, sum of
+    squares, integer r+g+b luminance bins) and then divided in one fixed
+    float64 expression per feature, so a SQL oracle summing the same
+    integers reproduces every value bit-for-bit:
+
+        mean_c = (sum_c / n) / 255
+        std_c  = sqrt(max(sumsq_c/n - (sum_c/n)^2, 0)) / 255
+        hist_k = count[(r+g+b) // 96 == k] / n        (k = 0..7)
+
+    ((r+g+b)//96 == floor(((r+g+b)/3)/32), the original 8-bin 0..256
+    luminance histogram, exactly, for integer channel values.)
+
+    ``as_columns=True`` emits the same values as float64 scalar columns
+    (mean_r..std_b, h0..h7) instead of one float32 vector — the
+    value-oracled layout."""
+
+    FEATURE_COLS = ["mean_r", "mean_g", "mean_b", "std_r", "std_g",
+                    "std_b"] + [f"h{k}" for k in range(8)]
+
+    def __init__(self, as_columns: bool = False):
+        self.as_columns = as_columns
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        feats = []
-        for flat, shape in zip(df["pixels"], df["shape"]):
-            h, w, c = int(shape[0]), int(shape[1]), int(shape[2])
-            arr = np.asarray(flat, dtype=np.float64).reshape(h, w, c)
-            lum = arr.mean(axis=2)
-            hist, _ = np.histogram(lum, bins=8, range=(0, 256))
-            f = np.concatenate([
-                arr.mean(axis=(0, 1)) / 255.0,
-                arr.std(axis=(0, 1)) / 255.0,
-                hist / lum.size,
-            ])
-            feats.append(f.astype(np.float32))
+        n = len(df)
+        pixels_col = df["pixels"].to_numpy()
+        F = np.empty((n, 14), dtype=np.float64)
+        for (h, w, c), idxs in _shape_groups(df).items():
+            g = len(idxs)
+            npix = h * w
+            P = np.stack([np.asarray(pixels_col[i], dtype=np.int64)
+                          for i in idxs]).reshape(g, npix, c)
+            s = P.sum(axis=1)                      # (g, c) exact ints
+            ss = (P * P).sum(axis=1)               # (g, c)
+            m = s / npix
+            var = np.maximum(ss / npix - m * m, 0.0)
+            means = m / 255.0
+            stds = np.sqrt(var) / 255.0
+            bins = P.sum(axis=2) // (32 * c)       # integer luminance bin
+            flat = (np.arange(g)[:, None] * 8 + bins).reshape(-1)
+            hist = np.bincount(flat, minlength=g * 8).reshape(g, 8) / npix
+            F[idxs] = np.concatenate([means, stds, hist], axis=1)
+        if self.as_columns:
+            out = pd.DataFrame({"media_id": df["media_id"].to_numpy()})
+            for j, col in enumerate(self.FEATURE_COLS):
+                out[col] = F[:, j]
+            return out
         return pd.DataFrame({
             "media_id": df["media_id"].to_numpy(),
-            "features": feats,
+            "features": list(F.astype(np.float32)),
         })
 
 
@@ -181,8 +231,10 @@ def resize_images(ds, out_w: int = 32, out_h: int = 32,
                           concurrency=concurrency)
 
 
-def image_features(ds, batch_size: int = 64, concurrency=(1, 4)):
-    return ds.map_batches(ImageFeatures, batch_format="pandas",
+def image_features(ds, batch_size: int = 64, concurrency=(1, 4),
+                   as_columns: bool = False):
+    return ds.map_batches(ImageFeatures, fn_constructor_args=(as_columns,),
+                          batch_format="pandas",
                           batch_size=batch_size, concurrency=concurrency)
 
 

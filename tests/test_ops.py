@@ -233,6 +233,41 @@ def test_media_pipeline_fake(ray_session):
     assert frames.groupby("media_id").size().max() <= 3
 
 
+def test_image_features_scalar_reference():
+    """Vectorized shape-grouped resize + integer-exact features agree
+    with a direct per-row reference on a mixed-shape batch."""
+    rng = np.random.RandomState(3)
+    shapes = [(5, 7), (4, 4), (5, 7)]
+    df = pd.DataFrame({
+        "media_id": [f"m{i}" for i in range(3)],
+        "pixels": [rng.randint(0, 256, h * w * 3).astype(np.uint8)
+                   for h, w in shapes],
+        "shape": [[h, w, 3] for h, w in shapes],
+    })
+    rz = multimodal.ResizeImage(out_w=3, out_h=2)(df)
+    for i, (h, w) in enumerate(shapes):
+        arr = np.asarray(df["pixels"][i], dtype=np.uint8).reshape(h, w, 3)
+        yi = (np.arange(2) * h) // 2
+        xi = (np.arange(3) * w) // 3
+        assert np.array_equal(np.asarray(rz["pixels"][i]),
+                              arr[yi][:, xi].reshape(-1))
+
+    ft = multimodal.ImageFeatures(as_columns=True)(rz)
+    arr0 = np.asarray(rz["pixels"][0], dtype=np.int64).reshape(2, 3, 3)
+    assert ft["mean_g"][0] == (arr0[:, :, 1].sum() / 6) / 255.0
+    m = arr0[:, :, 2].sum() / 6
+    assert np.isclose(ft["std_b"][0],
+                      np.sqrt(arr0[:, :, 2].astype(float).std() ** 2) / 255.0,
+                      atol=1e-12)
+    bins = arr0.sum(axis=2).reshape(-1) // 96
+    assert ft["h0"][0] == (bins == 0).sum() / 6
+    # vector mode carries the same values as float32
+    vec = multimodal.ImageFeatures()(rz)
+    assert np.allclose(np.asarray(vec["features"][0], dtype=np.float64),
+                       ft[multimodal.ImageFeatures.FEATURE_COLS]
+                       .iloc[0].to_numpy(), atol=1e-6)
+
+
 def test_media_decode_strict_raises(ray_session):
     import ray.data as rd
 
