@@ -367,7 +367,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _tune_context()
         return text.token_stats(
             _read(sf_dir, "documents").select_columns(["doc_id", "text"])
-        ).select_columns(["doc_id", "n_tokens", "n_bpe_tokens"])
+        ).select_columns(["doc_id", "n_tokens", "n_bpe_tokens",
+                          "n_bpe_merged_tokens"])
 
     def doc_quality(sf_dir):
         _tune_context()
@@ -1562,6 +1563,27 @@ def _emb_lsh_sql(threshold: float = 0.4, nplanes: int = 8,
     """
 
 
+def _bpe_merged_sql_expr(col: str = "text") -> str:
+    """The merge-table BPE count as one SQL expression, compiled from
+    the SAME ``_BPE_MERGES`` table and pretokenizer regex as
+    ops/text.bpe_merge_token_count: char-space each pretoken (single
+    spaces inside, double between), apply each merge as two
+    left-to-right non-overlapping replace() calls (Python str.replace
+    semantics), count the space-separated units."""
+    from aml_entity_resolution_assignment_ray.ops.text import _BPE_MERGES
+
+    expr = (
+        "' ' || array_to_string(list_transform("
+        f"regexp_extract_all(lower(coalesce({col}, '')), "
+        r"'[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+'), "
+        r"p -> trim(regexp_replace(p, '(.)', '\1 ', 'g'))), '  ') || ' '"
+    )
+    for a, b in _BPE_MERGES:
+        pat, rep = f" {a} {b} ", f" {a}{b} "
+        expr = f"replace(replace({expr}, '{pat}', '{rep}'), '{pat}', '{rep}')"
+    return f"CAST(length(regexp_extract_all({expr}, '[^ ]+')) AS BIGINT)"
+
+
 def _media_features_sql(out: int = 32) -> str:
     """Replays ops/multimodal ResizeImage + ImageFeatures over the
     decoded pixel tensors the media_features query persists: the
@@ -1720,13 +1742,14 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_docs": """
             SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text
         """,
-        "doc_token_counts": r"""
+        "doc_token_counts": rf"""
             SELECT doc_id,
                    CASE WHEN length(trim(text)) = 0 THEN 0
                         ELSE array_length(regexp_split_to_array(trim(text), '\s+'))
                    END AS n_tokens,
                    array_length(regexp_extract_all(
-                        text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+')) AS n_bpe_tokens
+                        text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+')) AS n_bpe_tokens,
+                   {_bpe_merged_sql_expr()} AS n_bpe_merged_tokens
             FROM documents
         """,
         "doc_quality": r"""

@@ -100,11 +100,22 @@ def _restored(df: pd.DataFrame, casts: dict[str, str]) -> pd.DataFrame:
 
 
 def _to_arrow(fn, schema: pa.Schema):
+    """Conform a prep output to the unified union schema.  The other
+    side's INTEGER columns are zero-filled (not null-filled): they are
+    never read from the wrong side, and a null-free int column survives
+    the Arrow -> pandas hop as exact int64 instead of float64 — so
+    64-bit ids above 2^53 round-trip bit-exactly.  (Integer columns
+    whose OWN data contains nulls still floatify in pandas blocks; the
+    2^53 exactness bound applies only to those.)"""
+
     def wrapped(df: pd.DataFrame) -> pa.Table:
         out = fn(df)
-        for f in schema.names:
-            if f not in out.columns:
-                out[f] = pd.Series([None] * len(out), dtype="object")
+        for f in schema:
+            if f.name not in out.columns:
+                if pa.types.is_integer(f.type):
+                    out[f.name] = np.zeros(len(out), dtype=np.int64)
+                else:
+                    out[f.name] = pd.Series([None] * len(out), dtype="object")
         return pa.Table.from_pandas(out[list(schema.names)], schema=schema,
                                     preserve_index=False)
 
@@ -122,9 +133,12 @@ def asof_join(left, right, *, key: str, left_ts: str, right_ts: str,
     """For each left row, attach ``right_cols`` of the single right row
     with the same ``key`` and the greatest ``right_ts`` <= ``left_ts``
     (inclusive; "most recent prior").  Ties on right_ts break by the
-    greatest ``right_id`` — deterministic output.  Inner semantics:
-    left rows with no prior right row are dropped.  Both sides must
-    carry the key under the same column name (rename upstream).
+    greatest ``right_id`` when it is an integer column; a non-integer
+    ``right_id`` is hashed to the tiebreak (still deterministic, but
+    the winner is the greatest HASH, not the greatest value).  Inner
+    semantics: left rows with no prior right row are dropped.  Both
+    sides must carry the key under the same column name (rename
+    upstream).
 
     Shape: both sides are projected, tagged and unioned into ONE table
     that hash-shuffles once on ``key``; each block then sorts by
@@ -158,7 +172,12 @@ def asof_join(left, right, *, key: str, left_ts: str, right_ts: str,
             out[f"__r_{c}"] = df[c].to_numpy()
         out["__t"] = _ts_int64(df[right_ts])
         out["__side"] = np.zeros(len(df), dtype=np.int8)
-        out["__tb"] = df[right_id].to_numpy(dtype=np.int64)
+        try:
+            out["__tb"] = df[right_id].to_numpy(dtype=np.int64)
+        except (ValueError, TypeError):
+            # non-integer tiebreaker: deterministic vectorized hash
+            out["__tb"] = pd.util.hash_array(
+                df[right_id].to_numpy(dtype=object)).astype(np.int64)
         return out
 
     both = left.map_batches(_to_arrow(prep_left, schema),
@@ -433,8 +452,12 @@ def anti_join(left, right, *, on: list[str],
     from ..util import safe_join, stateful_map
 
     if right_rows is not None and right_rows <= cfg.broadcast_max_rows:
-        rk = right.select_columns(list(on)).to_pandas()
-        ref = ray.put(pd.MultiIndex.from_frame(rk[list(on)].astype(str)))
+        # SQL NOT EXISTS semantics: null-keyed right rows match nothing
+        # (dropped from the index), null-keyed left rows are always kept;
+        # values compare natively (1 == 1.0, no string rendering)
+        rk = right.select_columns(list(on)).to_pandas() \
+            .dropna(subset=list(on))
+        ref = ray.put(pd.MultiIndex.from_frame(rk[list(on)]))
 
         class _Filter:
             def __init__(self, r):
@@ -443,8 +466,10 @@ def anti_join(left, right, *, on: list[str],
             def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
                 if not len(df):
                     return df
-                ix = pd.MultiIndex.from_frame(df[list(on)].astype(str))
-                return df.loc[~ix.isin(self.index)].reset_index(drop=True)
+                ix = pd.MultiIndex.from_frame(df[list(on)])
+                keep = ~ix.isin(self.index) | df[list(on)].isna().any(axis=1) \
+                    .to_numpy()
+                return df.loc[keep].reset_index(drop=True)
 
         return stateful_map(left, _Filter, (ref,), batch_format="pandas")
 

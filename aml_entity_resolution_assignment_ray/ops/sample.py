@@ -54,15 +54,33 @@ def _bucket_strs(ids, n_buckets: int) -> np.ndarray:
 def hash_bucket(ds, id_col: str, n_buckets: int = 100,
                 out_col: str = "bucket"):
     """Append a deterministic ``[0, n_buckets)`` bucket column derived
-    from ``id_col`` — stateless vectorized map, no shuffle."""
+    from ``id_col`` — stateless vectorized map, no shuffle.
+
+    Integer-LIKE columns (numpy ints, pandas nullable Int64, object
+    arrays of ints, floats holding integral values) are normalized to
+    int64 first so the same logical id always lands in the same bucket
+    regardless of physical dtype; anything unconvertible (strings,
+    nulls) takes the string-polynomial path.  Ids are assumed
+    NON-NEGATIVE: negative ids wrap through uint64 here but DuckDB's
+    signed ``%`` does not, so the doc_hash_split oracle parity only
+    holds for ids >= 0."""
 
     def tag(df: pd.DataFrame) -> pd.DataFrame:
         out = df.copy()
-        vals = df[id_col].to_numpy()
+        s = df[id_col]
+        vals = s.to_numpy()
         if np.issubdtype(vals.dtype, np.integer):
             out[out_col] = _bucket_ints(vals, n_buckets)
-        else:
+            return out
+        try:
+            ints = s.to_numpy(dtype=np.int64)
+        except (ValueError, TypeError):
             out[out_col] = _bucket_strs(vals, n_buckets)
+            return out
+        if np.issubdtype(vals.dtype, np.floating) and not (vals == ints).all():
+            out[out_col] = _bucket_strs(vals, n_buckets)  # true floats
+        else:
+            out[out_col] = _bucket_ints(ints, n_buckets)
         return out
 
     return ds.map_batches(tag, batch_format="pandas")

@@ -61,9 +61,53 @@ _LANG_RES = {lang: _token_set_pattern(_STOPWORDS[lang]) for lang in _LANGS}
 _WORD_CHAR_RE = re.compile(r"[A-Za-zÀ-ÿ]")
 
 
+# rank-ordered BPE merge table (small in-repo vocabulary of common
+# English pair merges, learned-BPE style).  Merges are applied to the
+# space-joined character sequence of each pretoken as left-to-right
+# non-overlapping string replaces, run twice per rank (the second pass
+# catches occurrences that shared a boundary space with a replaced one).
+# Python str.replace and SQL replace() share those exact semantics, so
+# the resulting token count is value-checkable in DuckDB.
+_BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"),
+    ("o", "n"), ("r", "e"), ("a", "t"), ("e", "n"), ("o", "r"),
+    ("an", "d"), ("in", "g"), ("t", "o"), ("o", "u"), ("i", "t"),
+    ("e", "s"), ("o", "f"), ("a", "l"), ("a", "r"), ("s", "t"),
+    ("o", "m"), ("i", "s"), ("e", "d"), ("i", "c"), ("l", "l"),
+    ("e", "l"), ("s", "e"), ("l", "e"), ("r", "o"), ("en", "t"),
+    ("u", "s"), ("v", "e"), ("l", "y"), ("th", "at"), ("w", "h"),
+    ("c", "h"), ("o", "o"), ("b", "e"), ("s", "h"), ("w", "as"),
+]
+
+
+def _bpe_spaced(text_lower: pd.Series) -> pd.Series:
+    """Lower-cased text -> ' c h a r s  o f  p r e t o k e n s ' with
+    single spaces inside a pretoken and double spaces between pretokens
+    (a merge pattern ' a b ' can never cross a pretoken boundary)."""
+
+    def build(t: str) -> str:
+        return " " + "  ".join(
+            " ".join(p) for p in _BPE_RE.findall(t)) + " "
+
+    return text_lower.map(build)
+
+
+def bpe_merge_token_count(text: pd.Series) -> np.ndarray:
+    """Subword token count after applying the ``_BPE_MERGES`` table in
+    rank order.  Each merge is two vectorized non-overlapping replaces
+    over the whole column; the final count is the number of space-
+    separated units."""
+    s = _bpe_spaced(text.str.lower())
+    for a, b in _BPE_MERGES:
+        pat, rep = f" {a} {b} ", f" {a}{b} "
+        s = s.str.replace(pat, rep, regex=False)
+        s = s.str.replace(pat, rep, regex=False)
+    return s.str.count(" [^ ]").to_numpy(dtype=np.int64)
+
+
 def token_count_batch(df: pd.DataFrame, col: str = "text") -> pd.DataFrame:
-    """Adds ``n_tokens`` (whitespace) and ``n_bpe_tokens`` (pretokenizer
-    pieces) columns."""
+    """Adds ``n_tokens`` (whitespace), ``n_bpe_tokens`` (pretokenizer
+    pieces) and ``n_bpe_merged_tokens`` (merge-table BPE) columns."""
     text = df[col].fillna("").astype(str)
     out = df.copy()
     stripped = text.str.strip()
@@ -71,6 +115,7 @@ def token_count_batch(df: pd.DataFrame, col: str = "text") -> pd.DataFrame:
         stripped.str.len() == 0, 0, stripped.str.split(_WS_RE).str.len()
     ).astype(np.int64)
     out["n_bpe_tokens"] = text.str.findall(_BPE_RE).str.len().astype(np.int64)
+    out["n_bpe_merged_tokens"] = bpe_merge_token_count(text)
     return out
 
 

@@ -15,9 +15,8 @@ from ..config import DEFAULT_CONFIG, EngineConfig
 from ..stages.block import emit_keys, keys_per_profile_bound
 from ..stages.cluster import resolve_entities
 from ..stages.pairs import generate_pairs
-from ..stages.score import score_pairs_broadcast
 from ..state.checkpoint import CheckpointManager
-from .flagship import build_profiles
+from .flagship import build_profiles, classify_pairs_gated
 
 
 def run_flagship_checkpointed(transcripts_path: str, checkpoint_root: str,
@@ -45,7 +44,11 @@ def run_flagship_checkpointed(transcripts_path: str, checkpoint_root: str,
     )
     classified = mgr.stage(
         "classified",
-        lambda: score_pairs_broadcast(pairs, profiles, cfg),
+        # same broadcast/join strategy gate as run_flagship — a checkpoint
+        # resume at scale must not force the profile table into one heap
+        lambda: classify_pairs_gated(pairs, profiles, cfg,
+                                     n_profiles=profiles.count(),
+                                     n_pairs=pairs.count()),
         deps=["profiles", "pairs"],
     )
     clusters = mgr.stage(

@@ -38,6 +38,24 @@ def build_profiles(transcripts, cfg: EngineConfig = DEFAULT_CONFIG,
         assemble_profiles(transcripts, cfg, n_rows=n_rows), cfg)
 
 
+def classify_pairs_gated(pairs, norm, cfg: EngineConfig,
+                         n_profiles: int, n_pairs: int):
+    """The broadcast/join hydration strategy switch, shared by the
+    flagship and checkpointed pipelines: a profile table at or below
+    ``cfg.broadcast_max_rows`` takes the fused broadcast-hydrate+score
+    path (the wide hydrated table never hits the object store); anything
+    larger hydrates via two hash joins — at scale the profile table
+    won't fit one heap, so the gate must hold on EVERY entry point."""
+    strategy = cfg.hydrate_strategy
+    if strategy == "auto":
+        strategy = ("broadcast" if n_profiles <= cfg.broadcast_max_rows
+                    else "join")
+    if strategy == "broadcast":
+        return score_pairs_broadcast(pairs, norm, cfg, n_rows=n_pairs)
+    hydrated = hydrate_pairs(pairs, norm, cfg, n_profiles=n_profiles)
+    return score_pairs(hydrated, cfg, n_rows=n_pairs)
+
+
 def run_flagship(transcripts, cfg: EngineConfig = DEFAULT_CONFIG,
                  truth=None, with_stats: bool = False) -> dict:
     """Full pipeline. Returns a dict of named Datasets (lazy where
@@ -88,17 +106,9 @@ def run_flagship(transcripts, cfg: EngineConfig = DEFAULT_CONFIG,
     target_blocks = max(1, n_pairs // 100_000)
     if target_blocks > pairs.num_blocks() * 1.5:
         pairs = pairs.repartition(target_blocks).materialize()
-    strategy = cfg.hydrate_strategy
-    if strategy == "auto":
-        strategy = ("broadcast" if n_profiles <= cfg.broadcast_max_rows
-                    else "join")
-    if strategy == "broadcast":
-        # fused hydrate+score: the wide hydrated table never materializes
-        classified = score_pairs_broadcast(pairs, norm, cfg,
-                                           n_rows=n_pairs).materialize()
-    else:
-        hydrated = hydrate_pairs(pairs, norm, cfg, n_profiles=n_profiles)
-        classified = score_pairs(hydrated, cfg, n_rows=n_pairs).materialize()
+    classified = classify_pairs_gated(
+        pairs, norm, cfg, n_profiles=n_profiles, n_pairs=n_pairs
+    ).materialize()
     predictions = resolve_entities(
         classified, norm.select_columns(["conv_id"]), cfg).materialize()
 

@@ -56,14 +56,13 @@ def resolve_record(record: dict, norm_profiles, keys,
 
     class KeyFilter:
         def __init__(self, r):
-            self.keys = ray.get(r)
+            # MultiIndex membership: one vectorized isin per batch
+            self.index = pd.MultiIndex.from_tuples(sorted(ray.get(r)))
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            mask = [
-                (kt, kv) in self.keys
-                for kt, kv in zip(df["key_type"], df["key_value"])
-            ]
-            return df.loc[mask, ["conv_id"]]
+            ix = pd.MultiIndex.from_arrays(
+                [df["key_type"], df["key_value"]])
+            return df.loc[ix.isin(self.index), ["conv_id"]]
 
     from ..util import stateful_map
 

@@ -11,9 +11,13 @@ Ray Data aggregate rounds:
 * labels start as ``label[v] = v`` for EVERY conv_id — singletons are
   preserved exactly as the reference's ``G.add_nodes_from(all)`` does
   (matching.py:580);
-* each round: propagate labels across edges (both directions) and take
-  the per-node min — ``edges ⋈ labels`` (hash join on node) followed by
-  ``groupby(node).min(label)``;
+* each round: propagate labels across edges (both directions) AND
+  pointer-jump through the label table itself (``labels ⋈ labels`` on
+  ``label = node`` — label[v] <- label[label[v]]), then take the
+  per-node min.  The edge step alone moves a label ONE hop per round
+  (O(diameter) rounds — a long chain would exceed any fixed round
+  budget); the jump step halves every label chain, so convergence is
+  O(log diameter) rounds like the large-star/small-star constructions;
 * stop at fixpoint, detected by a cheap per-round label checksum (an
   aggregate, no extra shuffle) — min-propagation is monotone, so an
   unchanged checksum means converged;
@@ -28,8 +32,6 @@ round and making each round a natural checkpoint boundary (north_rule:
 """
 
 from __future__ import annotations
-
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -56,14 +58,17 @@ def _bidir(edges):
 
 
 def _label_checksum(labels) -> int:
-    """Order-independent uint64 checksum of (node, label) rows."""
+    """Order-independent uint64 checksum of (node, label) rows —
+    vectorized ``pd.util.hash_array`` per column, mixed so the binding
+    node<->label matters, summed with uint64 wraparound (no per-row
+    Python: this runs over node-scale data every round)."""
 
     def crc_batch(df: pd.DataFrame) -> pd.DataFrame:
-        h = np.fromiter(
-            (zlib.crc32((a + "\x00" + b).encode()) for a, b in
-             zip(df["node"].astype(str), df["label"].astype(str))),
-            count=len(df), dtype=np.uint64,
-        )
+        hn = pd.util.hash_array(df["node"].to_numpy(dtype=object))
+        hl = pd.util.hash_array(df["label"].to_numpy(dtype=object))
+        with np.errstate(over="ignore"):
+            h = (hn ^ np.uint64(0x9E3779B97F4A7C15)) \
+                * np.uint64(0xBF58476D1CE4E5B9) + hl
         return pd.DataFrame({"h": h})
 
     return int(labels.map_batches(crc_batch, batch_format="pandas").sum("h"))
@@ -120,16 +125,18 @@ def _apply_touched_labels(all_nodes, touched: dict):
         def __init__(self, r):
             self.touched = ray.get(r)
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            nodes = t["conv_id"].to_pylist()
-            labels = [self.touched.get(n, n) for n in nodes]
+        def __call__(self, df: pd.DataFrame) -> pa.Table:
+            nodes = df["conv_id"]
+            # Series.map(dict) is the vectorized dict-lookup path;
+            # untouched nodes label themselves
+            labels = nodes.map(self.touched).fillna(nodes)
             return pa.table({"node": pa.array(nodes, pa.string()),
                              "label": pa.array(labels, pa.string())})
 
     from ..util import stateful_map
 
     return stateful_map(all_nodes, Apply, (ref,),
-                        batch_format="pyarrow").materialize()
+                        batch_format="pandas").materialize()
 
 
 def connected_components(edges, all_nodes, cfg: EngineConfig = DEFAULT_CONFIG,
@@ -169,13 +176,35 @@ def connected_components(edges, all_nodes, cfg: EngineConfig = DEFAULT_CONFIG,
             }), batch_format="pyarrow")
         .materialize()
     )
+    from ..util import scrub_empty_blocks
+
     prev_sum = _label_checksum(labels)
     for _ in range(max_rounds):
-        prop = safe_join(
-            edges_bd, labels.rename_columns({"node": "src"}),
-            join_type="inner", num_partitions=nparts, on=("src",),
+        # NOTE empty join-output blocks skip the select/rename map UDFs
+        # and would reach the groupby with raw join columns — scrub them
+        # off both propagation branches first.
+        prop = scrub_empty_blocks(
+            safe_join(
+                edges_bd, labels.rename_columns({"node": "src"}),
+                join_type="inner", num_partitions=nparts, on=("src",),
+            ),
+            pa.schema([("src", pa.string()), ("dst", pa.string()),
+                       ("label", pa.string())]),
         ).select_columns(["dst", "label"]).rename_columns({"dst": "node"})
-        merged = labels.union(prop)
+        # pointer jumping: label[v] <- label[label[v]].  Every label is
+        # itself an edge-touched node (labels are mins over node ids),
+        # so the inner self-join is total.
+        jump = scrub_empty_blocks(
+            safe_join(
+                labels.rename_columns({"label": "_mid"}),
+                labels.rename_columns({"node": "_mid", "label": "_jlabel"}),
+                join_type="inner", num_partitions=nparts, on=("_mid",),
+            ),
+            pa.schema([("node", pa.string()), ("_mid", pa.string()),
+                       ("_jlabel", pa.string())]),
+        ).select_columns(["node", "_jlabel"]) \
+            .rename_columns({"_jlabel": "label"})
+        merged = labels.union(prop).union(jump)
         new_labels = (
             merged.groupby("node").min("label")
             .rename_columns({"min(label)": "label"})

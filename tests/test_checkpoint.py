@@ -56,6 +56,31 @@ def test_checkpointed_run_and_resume(ray_session, corpus_dir, tmp_path):
     assert pred1.equals(pred3)
 
 
+def test_checkpointed_join_strategy(ray_session, corpus_dir, tmp_path):
+    """The checkpointed pipeline honors the hydrate-strategy gate: a
+    forced join path (what 'auto' picks when profiles exceed
+    broadcast_max_rows) builds, resumes, and matches the broadcast run."""
+    cfg_b = EngineConfig(join_num_partitions=4, hydrate_strategy="broadcast")
+    cfg_j = EngineConfig(join_num_partitions=4, hydrate_strategy="join")
+
+    res_b = run_flagship_checkpointed(corpus_dir, str(tmp_path / "b"), cfg_b)
+    pred_b = res_b["predictions"].to_pandas().sort_values("conv_id") \
+        .reset_index(drop=True)
+
+    res_j = run_flagship_checkpointed(corpus_dir, str(tmp_path / "j"), cfg_j)
+    pred_j = res_j["predictions"].to_pandas().sort_values("conv_id") \
+        .reset_index(drop=True)
+    assert pred_b.equals(pred_j)
+
+    # join-path resume: all four stages reused, identical predictions
+    res_j2 = run_flagship_checkpointed(corpus_dir, str(tmp_path / "j"), cfg_j)
+    ev = {e["stage"]: e["action"] for e in res_j2["manager"].events}
+    assert set(ev.values()) == {"reused"}
+    pred_j2 = res_j2["predictions"].to_pandas().sort_values("conv_id") \
+        .reset_index(drop=True)
+    assert pred_j.equals(pred_j2)
+
+
 def test_manifest_contents(ray_session, corpus_dir, tmp_path):
     root = str(tmp_path / "ck2")
     cfg = EngineConfig(join_num_partitions=4)

@@ -61,6 +61,32 @@ def test_connected_components_random_graph(ray_session, cfg):
     assert got == expected
 
 
+def test_connected_components_distributed_large(ray_session):
+    """Forced-distributed min-label rounds on a 10k-node / 15k-edge
+    random graph (well above any driver gate): exercises the vectorized
+    checksum + label-apply helpers on node-scale data and must agree
+    with the driver DSU oracle exactly."""
+    import ray.data as rd
+
+    rng = np.random.RandomState(7)
+    n = 10_000
+    nodes = [f"n{i:05d}" for i in range(n)]
+    # edges clustered into ~500-node neighborhoods -> small diameters,
+    # many components, plus ~2k isolated nodes
+    a = rng.randint(0, 8_000, size=15_000)
+    b = a + rng.randint(1, 40, size=15_000)
+    edges = sorted({(nodes[x], nodes[min(y, n - 1)]) for x, y in zip(a, b)})
+    expected = _py_components(nodes, edges)
+
+    nodes_ds = rd.from_arrow(pa.table({"conv_id": nodes}))
+    edges_ds = rd.from_arrow(pa.table({
+        "id_a": [e[0] for e in edges], "id_b": [e[1] for e in edges]}))
+    labels = connected_components(edges_ds, nodes_ds, CFG_DIST).to_pandas()
+    assert len(labels) == n
+    got = dict(zip(labels["node"], labels["label"]))
+    assert got == expected
+
+
 def test_resolve_entities_singletons(ray_session):
     """Nodes with no match edges keep their own cluster
     (reference matching.py:580 adds ALL record ids as nodes)."""

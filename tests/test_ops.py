@@ -23,6 +23,20 @@ def test_token_counts():
     assert out["n_bpe_tokens"].tolist()[4] == 8
 
 
+def test_bpe_merged_tokens():
+    """Merge-table BPE: hand-checked merges in rank order.
+    'the' -> (t,h) -> (th,e) -> 1 token; 'cat'/'hat' -> (a,t) -> 2;
+    'in' -> 1; total for the sentence below = 7."""
+    df = pd.DataFrame({"text": ["the cat in the hat", "", None, "12 34"]})
+    out = text.token_count_batch(df)
+    # digits have no merges -> '1 2' + '3 4' stays 4 subword tokens
+    assert out["n_bpe_merged_tokens"].tolist() == [7, 0, 0, 4]
+    # merged count never exceeds character count, never below piece count
+    df2 = pd.DataFrame({"text": ["another thing was shipped"]})
+    o2 = text.token_count_batch(df2)
+    assert (o2["n_bpe_merged_tokens"] >= o2["n_bpe_tokens"]).all()
+
+
 def test_quality_scores():
     df = pd.DataFrame({"text": [
         "The quick brown fox jumps over the lazy dog and runs far away.",
@@ -426,3 +440,31 @@ def test_hash_split_deterministic(ray_session):
            .sort_values("k").reset_index(drop=True))
     exp = sdf.sort_values("k").reset_index(drop=True)["k"].map(scalar)
     assert (got["bucket"].to_numpy() == exp.to_numpy()).all()
+
+
+def test_hash_bucket_dtype_normalization(ray_session):
+    """The same logical integer id buckets identically whatever the
+    physical dtype (int64 / object-of-int / integral float64); true
+    floats and strings fall to the string path instead of silently
+    truncating."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.sample import hash_bucket
+
+    ids = list(range(50))
+
+    def buckets(series):
+        df = pd.DataFrame({"k": series})
+        return hash_bucket(rd.from_pandas(df), "k",
+                           n_buckets=10).to_pandas()["k"], \
+            hash_bucket(rd.from_pandas(df), "k",
+                        n_buckets=10).to_pandas()["bucket"].tolist()
+
+    _, b_int = buckets(pd.Series(ids, dtype=np.int64))
+    _, b_obj = buckets(pd.Series(ids, dtype=object))
+    _, b_flt = buckets(pd.Series([float(i) for i in ids]))
+    assert b_int == b_obj == b_flt
+
+    # non-integral floats do NOT truncate to the int path
+    _, b_true_float = buckets(pd.Series([i + 0.5 for i in ids]))
+    assert b_true_float != b_int

@@ -109,3 +109,64 @@ def test_probe_identity_conflict(probe_env):
         # at least assert nothing auto-matched the frankenstein record
         # with high confidence on BOTH signals
         assert top["match_type"] in ("match", "review", "no_match")
+
+
+# ---- serving shim (reference api.py /resolve + /health + /metrics) ----
+
+def _http_json(method, url, body=None):
+    import json
+    import urllib.request
+
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(url, data=data, method=method,
+                                 headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=60) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_serve_resolve_and_health(probe_env):
+    """stdlib HTTP shim: /resolve returns the reference response shape,
+    /health and /metrics work, state loads once per server."""
+    from aml_entity_resolution_assignment_ray.serve import (
+        ResolveService, start_server)
+
+    svc = ResolveService(probe_env["norm"], probe_env["keys"],
+                         probe_env["cfg"])
+    server, _ = start_server(svc)
+    try:
+        port = server.server_address[1]
+        base = f"http://127.0.0.1:{port}"
+
+        code, health = _http_json("GET", base + "/health")
+        assert code == 200
+        assert health["status"] == "ok" and "model_loaded" in health
+
+        rec = probe_env["records"][0]
+        code, resp = _http_json("POST", base + "/resolve", body=rec)
+        assert code == 200
+        assert set(resp) == {"status", "matches", "best_match",
+                             "candidates_checked", "processing_time_ms"}
+        assert resp["status"] == "match"
+        best = resp["best_match"]
+        assert best["candidate_id"] == rec["conv_id"]
+        assert best["confidence_score"] >= 0.9
+        assert set(best["scores"]) == {"name", "national_id", "email",
+                                       "phone", "address"}
+        assert isinstance(best["explanation"], list) and best["explanation"]
+        assert resp["candidates_checked"] >= 1
+        assert resp["processing_time_ms"] > 0
+
+        # gibberish -> no_match with empty matches
+        code, resp2 = _http_json("POST", base + "/resolve", body={
+            "first_name": "Zzq", "last_name": "Vvwk"})
+        assert code == 200
+        assert resp2["status"] == "no_match" and resp2["best_match"] is None
+
+        # metrics counted both requests
+        import urllib.request
+
+        with urllib.request.urlopen(base + "/metrics", timeout=30) as r:
+            text = r.read().decode()
+        assert "er_requests_total 2" in text
+    finally:
+        server.shutdown()

@@ -95,6 +95,53 @@ def test_asof_join_no_match_user_dropped(ray_session):
                  _asof_oracle(left, right)) if len(res) else None
 
 
+def test_asof_join_bigint_ids_exact(ray_session):
+    """Integer columns above 2^53 round-trip exactly through the union
+    schema (zero-sentinel fill, no float64 hop) — snowflake-style ids."""
+    import ray.data as rd
+
+    base = 2 ** 61
+    left = pd.DataFrame({
+        "k": np.array([1, 1, 2], dtype=np.int64),
+        "lid": np.array([base + 1, base + 2, base + 3], dtype=np.int64),
+        "ts": np.array([10, 20, 30], dtype=np.int64),
+    })
+    right = pd.DataFrame({
+        "k": np.array([1, 2], dtype=np.int64),
+        "rid": np.array([base + 11, base + 12], dtype=np.int64),
+        "ots": np.array([5, 25], dtype=np.int64),
+    })
+    for cfg in (SHUFFLE_CFG, GATHER_CFG):
+        res = asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                        key="k", left_ts="ts", right_ts="ots",
+                        right_cols=["rid"], right_id="rid",
+                        cfg=cfg).to_pandas().sort_values("lid",
+                                                         ignore_index=True)
+        assert res["lid"].tolist() == [base + 1, base + 2, base + 3]
+        assert res["rid"].tolist() == [base + 11, base + 11, base + 12]
+
+
+def test_asof_join_string_tiebreak_deterministic(ray_session):
+    """A non-integer right_id no longer raises: ties on right_ts break
+    by a deterministic hash of the id (documented semantics)."""
+    import ray.data as rd
+
+    left = pd.DataFrame({"k": np.array([1], dtype=np.int64),
+                         "ts": np.array([10], dtype=np.int64)})
+    right = pd.DataFrame({"k": np.array([1, 1], dtype=np.int64),
+                          "rid": ["a", "b"],
+                          "ots": np.array([5, 5], dtype=np.int64)})
+    picks = set()
+    for _ in range(2):
+        res = asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                        key="k", left_ts="ts", right_ts="ots",
+                        right_cols=["rid"], right_id="rid",
+                        cfg=GATHER_CFG).to_pandas()
+        assert len(res) == 1 and res["rid"][0] in {"a", "b"}
+        picks.add(res["rid"][0])
+    assert len(picks) == 1  # deterministic across runs
+
+
 def _range_oracle(left, right, lo_s, hi_s, rcols, key=None):
     if key is not None:
         m = left.merge(right, on=key)
@@ -301,3 +348,20 @@ def test_anti_join(ray_session, right_rows):
     exp = left[~left["k"].isin(right["k"])].reset_index(drop=True)
     got = got.sort_values("k").reset_index(drop=True)
     assert got.equals(exp.astype(got.dtypes.to_dict()))
+
+
+def test_anti_join_broadcast_null_and_numeric_keys(ray_session):
+    """Broadcast path follows SQL NOT EXISTS semantics: null right keys
+    match nothing, null left keys are kept, and numeric keys compare
+    natively (2 == 2.0) instead of via string rendering."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.relational import anti_join
+
+    left = pd.DataFrame({"k": [1.0, 2.0, None, 3.0],
+                         "v": list("abcd")})
+    right = pd.DataFrame({"k": pd.array([2, None], dtype="Int64")})
+    got = anti_join(rd.from_pandas(left), rd.from_pandas(right),
+                    on=["k"], cfg=SHUFFLE_CFG,
+                    right_rows=len(right)).to_pandas()
+    assert sorted(got["v"]) == ["a", "c", "d"]  # 2.0 dropped, null kept
