@@ -102,6 +102,35 @@ def cmd_probe(args):
     ray.shutdown()
 
 
+def cmd_serve(args):
+    """Serve POST /resolve + GET /health + GET /metrics over a
+    checkpointed run — the reference's `uvicorn src.api:app`
+    (README.MD:46-48), on stdlib http.server."""
+    _init_ray(args.num_cpus)
+    import ray
+
+    from .config import EngineConfig
+    from .pipelines.checkpointed import run_flagship_checkpointed
+    from .serve import ResolveService, start_server
+    from .stages.block import emit_keys
+
+    cfg = EngineConfig(**({"model_path": args.model} if args.model else {}))
+    res = run_flagship_checkpointed(
+        os.path.join(args.corpus, "transcripts"), args.checkpoints, cfg)
+    profiles = res["profiles"]
+    svc = ResolveService(profiles, emit_keys(profiles, cfg), cfg,
+                         limit=args.limit)
+    server, thread = start_server(svc, host=args.host, port=args.port)
+    print(json.dumps({"serving": list(server.server_address),
+                      "endpoints": ["/resolve", "/health", "/metrics"]}),
+          flush=True)
+    try:
+        thread.join()
+    except KeyboardInterrupt:
+        server.shutdown()
+        ray.shutdown()
+
+
 def cmd_evaluate(args):
     _init_ray(args.num_cpus)
     import ray
@@ -158,6 +187,16 @@ def main(argv=None):
     pr.add_argument("--limit", type=int, default=50)
     pr.set_defaults(fn=cmd_probe)
     m.set_defaults(fn=cmd_match)
+
+    sv = sub.add_parser("serve", help="HTTP /resolve service over a "
+                                      "checkpointed run")
+    sv.add_argument("--corpus", required=True)
+    sv.add_argument("--checkpoints", required=True)
+    sv.add_argument("--model", default=None)
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8000)
+    sv.add_argument("--limit", type=int, default=50)
+    sv.set_defaults(fn=cmd_serve)
 
     e = sub.add_parser("evaluate", help="pipeline + pairwise F1 vs truth")
     e.add_argument("--corpus", required=True)
