@@ -90,8 +90,9 @@ def _kmeans(X: np.ndarray, ncells: int, iters: int = 15,
     rng = np.random.RandomState(seed)
     C = X[rng.choice(len(X), size=min(ncells, len(X)), replace=False)].copy()
     for _ in range(iters):
-        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
+        # argmin ||x-c||^2 == argmin (||c||^2 - 2 x·c): matmul distances,
+        # no (n, k, d) broadcast temporary
+        assign = ((C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)).argmin(axis=1)
         for c in range(len(C)):
             pts = X[assign == c]
             if len(pts):
