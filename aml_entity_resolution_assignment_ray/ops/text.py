@@ -80,29 +80,27 @@ _BPE_MERGES = [
 ]
 
 
-def _bpe_spaced(text_lower: pd.Series) -> pd.Series:
-    """Lower-cased text -> ' c h a r s  o f  p r e t o k e n s ' with
-    single spaces inside a pretoken and double spaces between pretokens
-    (a merge pattern ' a b ' can never cross a pretoken boundary)."""
-
-    def build(t: str) -> str:
-        return " " + "  ".join(
-            " ".join(p) for p in _BPE_RE.findall(t)) + " "
-
-    return text_lower.map(build)
-
-
 def bpe_merge_token_count(text: pd.Series) -> np.ndarray:
     """Subword token count after applying the ``_BPE_MERGES`` table in
-    rank order.  Each merge is two vectorized non-overlapping replaces
-    over the whole column; the final count is the number of space-
-    separated units."""
-    s = _bpe_spaced(text.str.lower())
+    rank order.
+
+    Layout: each doc becomes ' c h a r s  o f  p r e t o k e n s '
+    (single spaces inside a pretoken, double spaces between — a merge
+    pattern ' a b ' can never cross a pretoken boundary); all docs are
+    joined with a control separator so every merge is ONE C-level
+    ``str.replace`` pass over one buffer instead of a per-row pass.
+    The count is the number of space-separated units per doc."""
+    sep = "\x1e"  # cannot appear in the spaced alphabet
+    low = text.str.lower()
+    big = sep.join(
+        " " + "  ".join(" ".join(p) for p in _BPE_RE.findall(t)) + " "
+        for t in low)
     for a, b in _BPE_MERGES:
         pat, rep = f" {a} {b} ", f" {a}{b} "
-        s = s.str.replace(pat, rep, regex=False)
-        s = s.str.replace(pat, rep, regex=False)
-    return s.str.count(" [^ ]").to_numpy(dtype=np.int64)
+        big = big.replace(pat, rep)
+        big = big.replace(pat, rep)
+    return np.fromiter((len(p.split()) for p in big.split(sep)),
+                       dtype=np.int64, count=len(text))
 
 
 def token_count_batch(df: pd.DataFrame, col: str = "text") -> pd.DataFrame:
