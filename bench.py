@@ -160,15 +160,32 @@ def run_queries() -> dict:
             batch_format="pandas").take_all()
         return sum(p[col] for p in parts)
 
+    def read_docs_pruned():
+        # same single-row-group spread as read_docs, with column pruning
+        return rd.read_parquet(
+            docs_path, columns=["doc_id", "text"]).repartition(8)
+
     timed("token_stats", lambda: partial_sum(text.token_stats(
-        rd.read_parquet(docs_path, columns=["doc_id", "text"])), "n_tokens"))
+        read_docs_pruned()), "n_tokens"))
     timed("quality", lambda: partial_sum(text.quality(
-        rd.read_parquet(docs_path, columns=["doc_id", "text"])),
-        "quality_score"))
+        read_docs_pruned()), "quality_score"))
 
     emb = rd.read_parquet(emb_path)
     q = np.asarray(emb.take(1)[0]["embedding"])
     timed("ann_brute_top10", lambda: ann.brute_force_topk(emb, q, k=10))
+
+    def ivf():
+        import shutil
+        import tempfile
+
+        ipath = tempfile.mkdtemp(prefix="bench_ivf_")
+        try:
+            idx = ann.build_ivf(emb, ncells=16, index_path=ipath)
+            return idx.search(q, k=10, nprobe=4)
+        finally:
+            shutil.rmtree(ipath, ignore_errors=True)
+
+    timed("ann_ivf_build_search", ivf)
     return timings
 
 
