@@ -212,8 +212,10 @@ def main():
         # corrupts the ratio in either direction
         n_reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
         results = {}
+        samples = {}
         for cpus in (n_small, n_big):
             best = None
+            samples[cpus] = []
             for _ in range(n_reps):
                 out = subprocess.run(
                     [sys.executable, __file__, "--headline-json"],
@@ -224,6 +226,7 @@ def main():
                 line = [l for l in out.stdout.splitlines()
                         if l.startswith("{")][-1]
                 r = json.loads(line)
+                samples[cpus].append(round(r["turns_per_sec"], 1))
                 if best is None or r["wall_sec"] < best["wall_sec"]:
                     best = r
             results[cpus] = best
@@ -240,6 +243,10 @@ def main():
             "scaling_efficiency": round(eff, 3),
             f"wall_{n_small}cpu": round(results[n_small]["wall_sec"], 2),
             f"wall_{n_big}cpu": round(results[n_big]["wall_sec"], 2),
+            # all per-rep samples: the shared sandbox host has 2-4x
+            # noisy-neighbor variance, so the distribution matters
+            f"samples_{n_small}cpu": samples[n_small],
+            f"samples_{n_big}cpu": samples[n_big],
         }))
         return
 
