@@ -370,6 +370,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).select_columns(["doc_id", "n_tokens", "n_bpe_tokens",
                           "n_bpe_merged_tokens"])
 
+    def doc_repetition(sf_dir):
+        """Gopher-style repetition filters: duplicate-line fraction and
+        duplicate word-trigram fraction per document."""
+        _tune_context()
+        rep = text.repetition(
+            _read(sf_dir, "documents", spread=True)
+            .select_columns(["doc_id", "text"]))
+
+        def rounded(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "doc_id": df["doc_id"],
+                "dup_line_frac": _round_half_away(df["dup_line_frac"], 6),
+                "dup_trigram_frac": _round_half_away(
+                    df["dup_trigram_frac"], 6),
+            })
+
+        return rep.map_batches(rounded, batch_format="pandas")
+
     def doc_quality(sf_dir):
         _tune_context()
         return text.quality(
@@ -775,6 +793,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_event_types": distinct_event_types,
         "exact_dedup_docs": exact_dedup_docs,
         "doc_token_counts": doc_token_counts,
+        "doc_repetition": doc_repetition,
         "doc_quality": doc_quality,
         "doc_lang_id": doc_lang_id,
         "doc_fingerprints": doc_fingerprints,
@@ -1751,6 +1770,51 @@ def oracle_sql() -> dict[str, str]:
                         text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+')) AS n_bpe_tokens,
                    {_bpe_merged_sql_expr()} AS n_bpe_merged_tokens
             FROM documents
+        """,
+        # Gopher-style repetition: the fractions are single float64
+        # expressions (1 - distinct/total) over exact integer counts,
+        # identical to ops/text.repetition_batch
+        "doc_repetition": r"""
+            WITH l AS (
+              SELECT doc_id,
+                     trim(unnest(regexp_split_to_array(
+                          coalesce(text, ''), '\n')),
+                          ' ' || chr(9) || chr(13)) AS line
+              FROM documents
+            ),
+            lc AS (
+              SELECT doc_id, count(*) AS t, count(DISTINCT line) AS d
+              FROM l WHERE line <> '' GROUP BY doc_id
+            ),
+            w AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(
+                         lower(coalesce(text, '')), '[a-z0-9]+')) AS w,
+                     generate_subscripts(regexp_extract_all(
+                         lower(coalesce(text, '')), '[a-z0-9]+'), 1) AS i
+              FROM documents
+            ),
+            tri AS (
+              SELECT doc_id,
+                     w || ' ' || lead(w, 1) OVER win
+                       || ' ' || lead(w, 2) OVER win AS t3,
+                     lead(w, 2) OVER win AS ok
+              FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+            ),
+            tc AS (
+              SELECT doc_id, count(*) AS t, count(DISTINCT t3) AS d
+              FROM tri WHERE ok IS NOT NULL GROUP BY doc_id
+            )
+            SELECT d0.doc_id,
+                   round(CASE WHEN lc.t > 0
+                              THEN 1 - CAST(lc.d AS DOUBLE) / lc.t
+                              ELSE 0 END, 6) AS dup_line_frac,
+                   round(CASE WHEN tc.t > 0
+                              THEN 1 - CAST(tc.d AS DOUBLE) / tc.t
+                              ELSE 0 END, 6) AS dup_trigram_frac
+            FROM documents d0
+            LEFT JOIN lc USING (doc_id)
+            LEFT JOIN tc USING (doc_id)
         """,
         "doc_quality": r"""
             SELECT doc_id,

@@ -189,6 +189,73 @@ def fingerprint_batch(df: pd.DataFrame, col: str = "text",
     return out
 
 
+def repetition_batch(df: pd.DataFrame, col: str = "text",
+                     id_col: str = "doc_id") -> pd.DataFrame:
+    """Gopher-style repetition signals per document:
+
+    * ``dup_line_frac``  — 1 - distinct/total over non-empty stripped
+      lines (0 when the doc has no lines);
+    * ``dup_trigram_frac`` — 1 - distinct/total over word 3-grams of
+      the lowercased ``[a-z0-9]+`` token stream (0 when < 3 words).
+
+    Both are computed with explode + groupby (C-level, no per-row
+    Python) and are SQL-replayable: the fraction is the single float64
+    expression ``1 - distinct/total`` on exact integer counts."""
+    text = df[col].fillna("").astype(str)
+    n = len(df)
+    idx = np.arange(n)
+
+    # --- duplicate-line fraction ---
+    lines = text.str.split("\n")
+    lens = lines.str.len().to_numpy(dtype=np.int64)
+    lf = pd.DataFrame({
+        "i": np.repeat(idx, lens),
+        "line": np.concatenate(lines.to_numpy()) if lens.sum() else
+        np.array([], dtype=object),
+    })
+    lf["line"] = lf["line"].str.strip(" \t\r")
+    lf = lf[lf["line"] != ""]
+    g = lf.groupby("i")["line"]
+    ltot = g.size().reindex(idx, fill_value=0).to_numpy(dtype=np.int64)
+    ldis = g.nunique().reindex(idx, fill_value=0).to_numpy(dtype=np.int64)
+    dup_line = np.where(ltot > 0, 1.0 - ldis / np.maximum(ltot, 1), 0.0)
+
+    # --- duplicate word-trigram fraction ---
+    words = text.str.lower().str.findall(_TERM_RE)
+    wl = words.str.len().to_numpy(dtype=np.int64)
+    flat = pd.Series(
+        np.concatenate(words.to_numpy()) if wl.sum() else
+        np.array([], dtype=object))
+    wdoc = np.repeat(idx, wl)
+    # trigram at position k is valid when positions k..k+2 share a doc
+    if len(flat) >= 3:
+        same = (wdoc[:-2] == wdoc[2:])
+        tri = (flat.iloc[:-2].reset_index(drop=True) + " "
+               + flat.iloc[1:-1].reset_index(drop=True) + " "
+               + flat.iloc[2:].reset_index(drop=True))[same]
+        tdoc = wdoc[:-2][same]
+        tg = pd.DataFrame({"i": tdoc, "t": tri.to_numpy()}).groupby("i")["t"]
+        ttot = tg.size().reindex(idx, fill_value=0).to_numpy(dtype=np.int64)
+        tdis = tg.nunique().reindex(idx, fill_value=0) \
+            .to_numpy(dtype=np.int64)
+    else:
+        ttot = tdis = np.zeros(n, dtype=np.int64)
+    dup_tri = np.where(ttot > 0, 1.0 - tdis / np.maximum(ttot, 1), 0.0)
+
+    return pd.DataFrame({
+        id_col: df[id_col].to_numpy(),
+        "dup_line_frac": dup_line,
+        "dup_trigram_frac": dup_tri,
+    })
+
+
+def repetition(ds, col: str = "text", id_col: str = "doc_id"):
+    """documents Dataset -> per-doc repetition signals (streaming)."""
+    return ds.map_batches(
+        repetition_batch, fn_kwargs={"col": col, "id_col": id_col},
+        batch_format="pandas")
+
+
 def token_stats(ds, col: str = "text"):
     """documents Dataset -> per-doc token counts (streaming kernel)."""
     return ds.map_batches(token_count_batch, fn_kwargs={"col": col},

@@ -23,6 +23,25 @@ def test_token_counts():
     assert out["n_bpe_tokens"].tolist()[4] == 8
 
 
+def test_repetition_signals():
+    """Gopher-style repetition: hand-checked duplicate-line and
+    duplicate-trigram fractions."""
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "same line\nsame line\nother\n\n  same line  ",  # 4 ne lines, 2 distinct
+            "a b c a b c a b c",   # trigrams: 7 total, 3 distinct
+            "one two",             # <3 words -> 0
+            None,                  # empty -> 0, 0
+        ],
+    })
+    out = text.repetition_batch(df)
+    assert out["dup_line_frac"].tolist() == pytest.approx(
+        [1 - 2 / 4, 0.0, 0.0, 0.0])
+    assert out["dup_trigram_frac"].tolist() == pytest.approx(
+        [0.0, 1 - 3 / 7, 0.0, 0.0])
+
+
 def test_bpe_merged_tokens():
     """Merge-table BPE: hand-checked merges in rank order.
     'the' -> (t,h) -> (th,e) -> 1 token; 'cat'/'hat' -> (a,t) -> 2;

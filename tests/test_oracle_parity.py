@@ -29,6 +29,7 @@ SUBSET = [
     "hourly_user_events",
     "exact_dedup_docs",
     "doc_token_counts",
+    "doc_repetition",
     "doc_quality",
     "doc_fingerprints",
     "doc_pii_scrub",
