@@ -388,6 +388,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return rep.map_batches(rounded, batch_format="pandas")
 
+    def doc_line_dedup(sf_dir):
+        """C4/Falcon-style boilerplate-line removal over the documents
+        table reshaped into deterministic 4-word lines (the raw docs are
+        single-line, so the reshape manufactures the cross-document
+        shared-line structure the operator exists for): any line shared
+        by >= 3 distinct docs is dropped, survivors rejoin in order."""
+        _tune_context()
+        import re as _re
+
+        word_re = _re.compile(r"[a-z0-9]+")
+
+        def to_lines(df: pd.DataFrame) -> pd.DataFrame:
+            words = df["text"].fillna("").astype(str).str.lower() \
+                .str.findall(word_re)
+            text2 = words.map(lambda ws: "\n".join(
+                " ".join(ws[i:i + 4]) for i in range(0, len(ws), 4)))
+            return pd.DataFrame({"doc_id": df["doc_id"], "text": text2})
+
+        lined = _read(sf_dir, "documents", spread=True) \
+            .select_columns(["doc_id", "text"]) \
+            .map_batches(to_lines, batch_format="pandas")
+        return dedup.common_line_dedup(lined, min_docs=3)
+
     def doc_quality(sf_dir):
         _tune_context()
         return text.quality(
@@ -794,6 +817,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_docs": exact_dedup_docs,
         "doc_token_counts": doc_token_counts,
         "doc_repetition": doc_repetition,
+        "doc_line_dedup": doc_line_dedup,
         "doc_quality": doc_quality,
         "doc_lang_id": doc_lang_id,
         "doc_fingerprints": doc_fingerprints,
@@ -1770,6 +1794,37 @@ def oracle_sql() -> dict[str, str]:
                         text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+')) AS n_bpe_tokens,
                    {_bpe_merged_sql_expr()} AS n_bpe_merged_tokens
             FROM documents
+        """,
+        # boilerplate-line removal over deterministic 4-word lines:
+        # chunks shared by >= 3 distinct docs are dropped, survivors
+        # rejoin by \n in order (ops/dedup.common_line_dedup semantics)
+        "doc_line_dedup": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(
+                         lower(coalesce(text, '')), '[a-z0-9]+')) AS w,
+                     generate_subscripts(regexp_extract_all(
+                         lower(coalesce(text, '')), '[a-z0-9]+'), 1) AS i
+              FROM documents
+            ),
+            chunk AS (
+              SELECT doc_id, (i - 1) // 4 AS c,
+                     string_agg(w, ' ' ORDER BY i) AS line
+              FROM w GROUP BY doc_id, (i - 1) // 4
+            ),
+            common AS (
+              SELECT line FROM chunk
+              GROUP BY line HAVING count(DISTINCT doc_id) >= 3
+            )
+            SELECT d.doc_id,
+                   coalesce((SELECT string_agg(ch.line, chr(10)
+                                               ORDER BY ch.c)
+                             FROM chunk ch
+                             WHERE ch.doc_id = d.doc_id
+                               AND ch.line NOT IN
+                                   (SELECT line FROM common)), '')
+                       AS clean_text
+            FROM documents d
         """,
         # Gopher-style repetition: the fractions are single float64
         # expressions (1 - distinct/total) over exact integer counts,

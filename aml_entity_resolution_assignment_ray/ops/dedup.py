@@ -18,6 +18,10 @@
                           buckets + exact cosine filter
 * exact_cosine_pairs    — exact all-pairs cosine >= threshold
                           (distributed block x broadcast-matrix)
+* common_line_dedup     — C4/Falcon boilerplate-line removal: lines in
+                          >= min_docs distinct docs are dropped (exact
+                          per-batch distinct-doc partials, one digest
+                          shuffle, broadcast strip set)
 
 Scale contract: all candidate generation is bucketed (never all-pairs
 except ``exact_cosine_pairs``, which is exact by definition), and NO
@@ -90,6 +94,98 @@ def exact_dedup(ds, col: str = "text", id_col: str = "doc_id",
 # --------------------------------------------------------------------------
 # payload hydration (shared by every verify stage)
 # --------------------------------------------------------------------------
+
+
+_LINE_STRIP = " \t\r"
+
+
+def common_line_dedup(ds, col: str = "text", id_col: str = "doc_id",
+                      min_docs: int = 2,
+                      cfg: EngineConfig = DEFAULT_CONFIG,
+                      n_rows: int | None = None):
+    """C4/Falcon-style boilerplate-line removal: drop every line whose
+    STRIPPED form occurs in at least ``min_docs`` DISTINCT documents
+    (nav bars, cookie banners, template footers).  Empty lines never
+    count and are always kept.  Output: ``(id_col, clean_text)`` with
+    the surviving lines rejoined by ``\\n`` in original order.
+
+    Scale shape: each batch emits a (line -> distinct-doc-count)
+    partial — exact, because a document's lines live in one batch, so
+    per-batch distinct-doc counts are disjoint and SUM to the global
+    document frequency.  ONE hash shuffle on the line digest combines
+    the partials; the surviving common-line set (boilerplate — small by
+    nature, like a stopword list) is broadcast via ``ray.put`` and the
+    strip pass is a stateless vectorized map.  Document bytes move
+    zero times for counting and once for stripping."""
+    import ray
+
+    from ..util import scrub_empty_blocks, stateful_map
+
+    def line_partials(df: pd.DataFrame) -> pd.DataFrame:
+        text = df[col].fillna("").astype(str)
+        lines = text.str.split("\n")
+        lens = lines.str.len().to_numpy(dtype=np.int64)
+        f = pd.DataFrame({
+            "doc": np.repeat(df[id_col].to_numpy(), lens),
+            "sline": np.concatenate(lines.to_numpy()) if lens.sum()
+            else np.array([], dtype=object),
+        })
+        f["sline"] = f["sline"].str.strip(_LINE_STRIP)
+        f = f[f["sline"] != ""]
+        g = (f.drop_duplicates().groupby("sline", sort=False).size()
+             .reset_index(name="df_part"))
+        g["lh"] = pd.util.hash_array(g["sline"].to_numpy(dtype=object))
+        return g
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("sline", sort=False)["df_part"].sum()
+               .reset_index())
+        return out.loc[out["df_part"] >= min_docs, ["sline"]]
+
+    if n_rows is None:
+        try:
+            n_rows = ds._meta_count()
+        except Exception:
+            n_rows = None
+    partial = scrub_empty_blocks(
+        ds.map_batches(line_partials, batch_format="pandas"),
+        pa.schema([("sline", pa.string()), ("df_part", pa.int64()),
+                   ("lh", pa.uint64())]))
+    if (n_rows is not None and cfg.gather_max_keys > 0
+            and n_rows <= cfg.gather_max_keys):
+        common = partial.repartition(1).map_batches(
+            combine, batch_format="pandas", batch_size=None)
+    else:
+        common = partial.repartition(
+            cfg.resolve_join_partitions(), keys=["lh"]).map_batches(
+            combine, batch_format="pandas", batch_size=None)
+    # boilerplate set is stopword-list-sized; broadcast once
+    common_df = common.to_pandas()
+    ref = ray.put(frozenset(common_df["sline"]) if len(common_df)
+                  else frozenset())
+
+    class StripCommon:
+        def __init__(self, r):
+            self.common = ray.get(r)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            text = df[col].fillna("").astype(str)
+            lines = text.str.split("\n")
+            lens = lines.str.len().to_numpy(dtype=np.int64)
+            idx = np.arange(len(df))
+            f = pd.DataFrame({
+                "i": np.repeat(idx, lens),
+                "line": np.concatenate(lines.to_numpy()) if lens.sum()
+                else np.array([], dtype=object),
+            })
+            s = f["line"].str.strip(_LINE_STRIP)
+            kept = f[(s == "") | ~s.isin(self.common)]
+            joined = kept.groupby("i", sort=True)["line"].agg("\n".join)
+            out = joined.reindex(idx, fill_value="")
+            return pd.DataFrame({id_col: df[id_col].to_numpy(),
+                                 "clean_text": out.to_numpy()})
+
+    return stateful_map(ds, StripCommon, (ref,), batch_format="pandas")
 
 
 def _payload_refs(payload):

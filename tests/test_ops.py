@@ -23,6 +23,39 @@ def test_token_counts():
     assert out["n_bpe_tokens"].tolist()[4] == 8
 
 
+def test_common_line_dedup(ray_session):
+    """Boilerplate lines (shared by >= min_docs distinct docs) are
+    stripped; unique lines and empties survive in original order."""
+    import ray.data as rd
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [
+            "COOKIE BANNER\nreal content zero\n\nCOOKIE BANNER",
+            "  COOKIE BANNER \nreal content one",
+            "real content two\nfooter text\nfooter text",
+        ],
+    })
+    out = dedup.common_line_dedup(
+        rd.from_pandas(docs), min_docs=2, cfg=CFG, n_rows=3
+    ).to_pandas().sort_values("doc_id", ignore_index=True)
+    # 'COOKIE BANNER' (stripped) appears in docs 0 and 1 -> dropped
+    # everywhere, including repeats and the padded variant; 'footer
+    # text' repeats only inside doc 2 -> kept (distinct-doc count = 1)
+    assert out["clean_text"].tolist() == [
+        "real content zero\n",
+        "real content one",
+        "real content two\nfooter text\nfooter text",
+    ]
+    # forced shuffle path agrees
+    cfg_shuffle = EngineConfig(model_path="", join_num_partitions=4,
+                               gather_max_keys=0)
+    out2 = dedup.common_line_dedup(
+        rd.from_pandas(docs), min_docs=2, cfg=cfg_shuffle, n_rows=3
+    ).to_pandas().sort_values("doc_id", ignore_index=True)
+    assert out2["clean_text"].tolist() == out["clean_text"].tolist()
+
+
 def test_repetition_signals():
     """Gopher-style repetition: hand-checked duplicate-line and
     duplicate-trigram fractions."""

@@ -30,6 +30,7 @@ SUBSET = [
     "exact_dedup_docs",
     "doc_token_counts",
     "doc_repetition",
+    "doc_line_dedup",
     "doc_quality",
     "doc_fingerprints",
     "doc_pii_scrub",
