@@ -1613,13 +1613,16 @@ def _bpe_merged_sql_expr(col: str = "text") -> str:
     spaces inside, double between), apply each merge as two
     left-to-right non-overlapping replace() calls (Python str.replace
     semantics), count the space-separated units."""
-    from aml_entity_resolution_assignment_ray.ops.text import _BPE_MERGES
+    from aml_entity_resolution_assignment_ray.ops.text import (
+        _BPE_MERGES, ws_normalize_sql)
 
+    # coalesce: DuckDB's array_to_string returns NULL (not '') on an
+    # empty list, i.e. on empty/whitespace-only documents
     expr = (
-        "' ' || array_to_string(list_transform("
-        f"regexp_extract_all(lower(coalesce({col}, '')), "
+        "' ' || coalesce(array_to_string(list_transform("
+        f"regexp_extract_all(lower({ws_normalize_sql(col)}), "
         r"'[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+'), "
-        r"p -> trim(regexp_replace(p, '(.)', '\1 ', 'g'))), '  ') || ' '"
+        r"p -> trim(regexp_replace(p, '(.)', '\1 ', 'g'))), '  '), '') || ' '"
     )
     for a, b in _BPE_MERGES:
         pat, rep = f" {a} {b} ", f" {a}{b} "
@@ -1669,6 +1672,9 @@ def _media_features_sql(out: int = 32) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from aml_entity_resolution_assignment_ray.ops.text import ws_normalize_sql
+
+    _WS_NORM_TEXT = ws_normalize_sql("text")
     return {
         "doc_fingerprints": _fingerprints_sql(),
         "media_features": _media_features_sql(),
@@ -1785,15 +1791,26 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_docs": """
             SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text
         """,
+        # tokenization reads through the whitespace normalization
+        # (ops/text.ws_normalize_sql) and trims the exact Python-strip
+        # charset, so C0/Unicode-space inputs count identically in RE2
+        # and Python re
         "doc_token_counts": rf"""
+            WITH t AS (
+                SELECT doc_id,
+                       trim({_WS_NORM_TEXT},
+                            ' ' || chr(9) || chr(10) || chr(12) || chr(13)
+                       ) AS txt
+                FROM documents
+            )
             SELECT doc_id,
-                   CASE WHEN length(trim(text)) = 0 THEN 0
-                        ELSE array_length(regexp_split_to_array(trim(text), '\s+'))
+                   CASE WHEN length(txt) = 0 THEN 0
+                        ELSE array_length(regexp_split_to_array(txt, '\s+'))
                    END AS n_tokens,
                    array_length(regexp_extract_all(
-                        text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+')) AS n_bpe_tokens,
-                   {_bpe_merged_sql_expr()} AS n_bpe_merged_tokens
-            FROM documents
+                        txt, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+')) AS n_bpe_tokens,
+                   {_bpe_merged_sql_expr("txt")} AS n_bpe_merged_tokens
+            FROM t
         """,
         # boilerplate-line removal over deterministic 4-word lines:
         # chunks shared by >= 3 distinct docs are dropped, survivors

@@ -120,7 +120,13 @@ class IVFIndex:
         shuffle is the expensive part; search rereads only metadata)."""
         import pyarrow.parquet as pq
 
-        t = pq.read_table(os.path.join(index_path, "centroids.parquet"))
+        cent_path = os.path.join(index_path, "centroids.parquet")
+        if not os.path.exists(cent_path):
+            raise FileNotFoundError(
+                f"IVF index at {index_path!r} is missing centroids.parquet "
+                "— not an index directory (wrong/stale path, or build_ivf "
+                "never completed there)")
+        t = pq.read_table(cent_path)
         cent = np.stack([np.asarray(c, dtype=np.float64)
                          for c in t.sort_by("cell")["centroid"].to_pylist()])
         return cls(cent, index_path, vec_col=vec_col, id_col=id_col)
@@ -133,12 +139,11 @@ class IVFIndex:
         Qn = _normalize(queries)
         Cn = _normalize(self.centroids)
         S = Qn @ Cn.T
-        cells: set[int] = set()
-        for qi in range(S.shape[0]):
-            # sort by (-cosine, cell): stable + explicit secondary key
-            order = np.lexsort((np.arange(S.shape[1]), -S[qi]))
-            cells.update(int(c) for c in order[:nprobe])
-        return sorted(cells)
+        # one vectorized stable argsort for the whole query batch: ties
+        # on -cosine keep original (ascending cell-id) order, matching
+        # the per-query lexsort((cell, -cos)) the oracle replays
+        order = np.argsort(-S, axis=1, kind="stable")[:, :nprobe]
+        return sorted(int(c) for c in np.unique(order))
 
     def search(self, queries: np.ndarray, k: int = 10,
                nprobe: int = 4) -> pd.DataFrame:
@@ -146,28 +151,48 @@ class IVFIndex:
         cells = self.probe_cells(queries, nprobe=nprobe)
         import ray.data as rd
 
-        # physical pruning: list ONLY the probed cells' files
+        cells_root = os.path.join(self.path, "cells")
+        if not os.path.isdir(cells_root):
+            raise FileNotFoundError(
+                f"IVF index at {self.path!r} has no cells/ directory — "
+                "wrong/stale index path, or build_ivf never wrote it")
+        # physical pruning: list ONLY the probed cells' files.  A k-means
+        # cell with zero assigned vectors has no _cell=<i> directory —
+        # skipping it is correct (nothing to scan there).
         import glob
 
         paths = [f for c in cells for f in sorted(glob.glob(
-            os.path.join(self.path, "cells", f"_cell={c}", "*.parquet")))]
+            os.path.join(cells_root, f"_cell={c}", "*.parquet")))]
+        if not paths:
+            # every probed cell was empty: a valid (if useless) probe —
+            # return an empty top-k frame rather than crash read_parquet
+            return pd.DataFrame({
+                "query_idx": pd.Series([], dtype=np.int64),
+                self.id_col: pd.Series([], dtype=object),
+                "cosine": pd.Series([], dtype=np.float64),
+            })
         sub = rd.read_parquet(paths, columns=[self.id_col, self.vec_col])
         return brute_force_topk(sub, queries, k=k, vec_col=self.vec_col,
                                 id_col=self.id_col)
 
 
-def build_ivf(ds, ncells: int = 16, vec_col: str = "embedding",
+def build_ivf(ds, ncells: int | None = 16, vec_col: str = "embedding",
               id_col: str = "vec_id", sample_size: int = 10_000,
               seed: int = 11, index_path: str | None = None) -> IVFIndex:
     """Fit centroids on a sample, assign every vector to a cell, and
     persist the assignment as cell-partitioned Parquet at ``index_path``
-    (a fresh temp dir under /tmp when omitted)."""
+    (a fresh temp dir under /tmp when omitted).  ``ncells=None`` picks
+    the standard ~sqrt(n) heuristic (clamped to [4, 65536]), which keeps
+    both the probe fan-in (nprobe/ncells of the data) and the per-cell
+    scan size balanced as n grows."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     if index_path is None:
         index_path = tempfile.mkdtemp(prefix="ivf_index_")
     n = ds.count()
+    if ncells is None:
+        ncells = int(min(max(round(n ** 0.5), 4), 65_536))
     if n > sample_size:
         # seeded random_sample: unbiased across the whole dataset (limit()
         # would only ever see the first blocks)

@@ -475,17 +475,74 @@ def anti_join(left, right, *, on: list[str],
 
     cols = list(left.schema().names)
 
+    # dtype-mismatched NUMERIC keys: Arrow's hash join matches raw
+    # physical types, while the broadcast path above matches by Python
+    # equality (2 == 2.0 across int/float).  Promote mismatched numeric
+    # key columns to their common super-type via temp join columns so
+    # the two strategy paths always agree; the temp columns never reach
+    # the output (null_filter projects back to the original columns).
+    import pyarrow.compute as pc
+
+    def _arrow_types(ds) -> dict:
+        """name -> arrow type; robust to pandas-block schemas whose
+        extension dtypes (Int64 etc.) Ray's Schema.types can't map."""
+        s = ds.schema()
+        base = getattr(s, "base_schema", None)
+        if isinstance(base, pa.Schema):
+            return {f.name: f.type for f in base}
+        out = {}
+        for name, dt in zip(s.names, getattr(base, "types", [])):
+            try:
+                out[name] = pa.from_numpy_dtype(dt)
+            except Exception:
+                try:  # pandas extension dtypes round-trip via an
+                    out[name] = pa.array(pd.array([], dtype=dt)).type
+                except Exception:  # empty typed array
+                    out[name] = None
+        return out
+
+    lt = _arrow_types(left)
+    rt = _arrow_types(right)
+
+    def _num(t):
+        return t is not None and (
+            pa.types.is_integer(t) or pa.types.is_floating(t))
+
+    promote = {}
+    for c in on:
+        a, b = lt.get(c), rt.get(c)
+        if a is not None and b is not None and a != b \
+                and _num(a) and _num(b):
+            promote[c] = (
+                pa.float64()
+                if pa.types.is_floating(a) or pa.types.is_floating(b)
+                else pa.int64())
+    join_on = [f"_ak_{c}" if c in promote else c for c in on]
+
     def dk(t):
         # per-block distinct is a combiner; cross-block duplicate keys
         # just mark a matched left row more than once — still dropped
         keys = t.select(list(on)).group_by(list(on)).aggregate([])
+        for c, tgt in promote.items():
+            i = keys.schema.get_field_index(c)
+            keys = keys.set_column(
+                i, f"_ak_{c}", pc.cast(keys.column(c), tgt))
         return keys.append_column(
             "_r", pa.array(np.ones(len(keys), dtype=np.int8)))
 
+    left_in = left
+    if promote:
+        def addk(t):
+            for c, tgt in promote.items():
+                t = t.append_column(f"_ak_{c}", pc.cast(t.column(c), tgt))
+            return t
+
+        left_in = left.map_batches(addk, batch_format="pyarrow")
+
     marked = right.map_batches(dk, batch_format="pyarrow")
-    joined = safe_join(left, marked, join_type="left_outer",
+    joined = safe_join(left_in, marked, join_type="left_outer",
                        num_partitions=cfg.resolve_join_partitions(),
-                       on=tuple(on))
+                       on=tuple(join_on))
 
     def null_filter(df: pd.DataFrame) -> pd.DataFrame:
         if "_r" not in df.columns:

@@ -56,14 +56,16 @@ def hash_bucket(ds, id_col: str, n_buckets: int = 100,
     """Append a deterministic ``[0, n_buckets)`` bucket column derived
     from ``id_col`` — stateless vectorized map, no shuffle.
 
-    Integer-LIKE columns (numpy ints, pandas nullable Int64, object
-    arrays of ints, floats holding integral values) are normalized to
-    int64 first so the same logical id always lands in the same bucket
-    regardless of physical dtype; anything unconvertible (strings,
-    nulls) takes the string-polynomial path.  Ids are assumed
-    NON-NEGATIVE: negative ids wrap through uint64 here but DuckDB's
-    signed ``%`` does not, so the doc_hash_split oracle parity only
-    holds for ids >= 0."""
+    The int-vs-string path is decided PER ELEMENT, never per batch, so
+    bucket assignment is a pure function of the value and cannot depend
+    on Ray block boundaries: integer values (numpy ints, Python ints in
+    object / nullable-Int64 columns, floats holding an integral value)
+    are normalized to int64 and take the Knuth path; everything else —
+    strings (including all-digit strings like ``'123'``), true floats,
+    nulls — takes the string-polynomial path, matching a DuckDB
+    VARCHAR-hash oracle.  Ids are assumed NON-NEGATIVE: negative ids
+    wrap through uint64 here but DuckDB's signed ``%`` does not, so the
+    doc_hash_split oracle parity only holds for ids >= 0."""
 
     def tag(df: pd.DataFrame) -> pd.DataFrame:
         out = df.copy()
@@ -72,15 +74,31 @@ def hash_bucket(ds, id_col: str, n_buckets: int = 100,
         if np.issubdtype(vals.dtype, np.integer):
             out[out_col] = _bucket_ints(vals, n_buckets)
             return out
-        try:
-            ints = s.to_numpy(dtype=np.int64)
-        except (ValueError, TypeError):
-            out[out_col] = _bucket_strs(vals, n_buckets)
-            return out
-        if np.issubdtype(vals.dtype, np.floating) and not (vals == ints).all():
-            out[out_col] = _bucket_strs(vals, n_buckets)  # true floats
+        if np.issubdtype(vals.dtype, np.floating):
+            # per-element: integral floats -> int path, the rest
+            # (true fractions, nan/inf) -> string path
+            integral = np.isfinite(vals) & (np.floor(vals) == vals)
         else:
-            out[out_col] = _bucket_ints(ints, n_buckets)
+            # object / extension arrays: only genuine Python/numpy ints
+            # take the int path — numeric STRINGS must not (their bucket
+            # would otherwise depend on whether a batchmate forced the
+            # string path)
+            integral = np.fromiter(
+                (isinstance(v, (int, np.integer))
+                 and not isinstance(v, (bool, np.bool_)) for v in vals),
+                count=len(vals), dtype=bool)
+        b = np.empty(len(vals), dtype=np.int64)
+        if integral.any():
+            picked = vals[integral]
+            ints = (picked.astype(np.int64)
+                    if np.issubdtype(vals.dtype, np.floating)
+                    else np.asarray([int(v) for v in picked],
+                                    dtype=np.int64))
+            b[integral] = _bucket_ints(ints, n_buckets)
+        rest = ~integral
+        if rest.any():
+            b[rest] = _bucket_strs(list(vals[rest]), n_buckets)
+        out[out_col] = b
         return out
 
     return ds.map_batches(tag, batch_format="pandas")

@@ -22,6 +22,26 @@ _BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+")
 _PUNCT_RE = re.compile(r"[^\w\s]")
 _WORD_RE = re.compile(r"[A-Za-zÀ-ÿ]+")
 
+# Python re's \s is wider than RE2's (DuckDB): RE2 matches only
+# [\t\n\f\r ].  Both sides of the token-count oracle normalize the
+# disagreement set — vertical tab, the \x1c-\x1f separators, NEL, NBSP
+# and the Unicode space block — to a plain space before tokenizing, so
+# documents carrying those characters pretokenize identically in
+# Python and in SQL (a no-op for Python, which already treated them as
+# whitespace; it is the SQL side the rewrite actually changes).
+_WS_DISAGREE_RE = re.compile(
+    "[\x0b\x1c-\x1f\x85\xa0\u1680\u2000-\u200a\u2028\u2029\u202f\u205f\u3000]")
+WS_DISAGREE_SQL_CLASS = (
+    r"[\x{0B}\x{1C}-\x{1F}\x{85}\x{A0}\x{1680}\x{2000}-\x{200A}"
+    r"\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]")
+
+
+def ws_normalize_sql(col: str = "text") -> str:
+    """DuckDB expression mirroring the Python-side ``_WS_DISAGREE_RE``
+    space-normalization (see comment above)."""
+    return (f"regexp_replace(coalesce({col}, ''), "
+            f"'{WS_DISAGREE_SQL_CLASS}', ' ', 'g')")
+
 # tiny per-language stopword profiles (public high-frequency words);
 # enough for an n-gram/stopword-voting heuristic, NOT a real LID model
 _STOPWORDS = {
@@ -106,7 +126,8 @@ def bpe_merge_token_count(text: pd.Series) -> np.ndarray:
 def token_count_batch(df: pd.DataFrame, col: str = "text") -> pd.DataFrame:
     """Adds ``n_tokens`` (whitespace), ``n_bpe_tokens`` (pretokenizer
     pieces) and ``n_bpe_merged_tokens`` (merge-table BPE) columns."""
-    text = df[col].fillna("").astype(str)
+    text = (df[col].fillna("").astype(str)
+            .str.replace(_WS_DISAGREE_RE, " ", regex=True))
     out = df.copy()
     stripped = text.str.strip()
     out["n_tokens"] = np.where(

@@ -53,6 +53,11 @@ class ResolveService:
         self.request_count = 0
         self.latency_sum = 0.0
         self._lock = threading.Lock()
+        # Ray Data execution is not documented thread-safe, and
+        # ThreadingHTTPServer gives each POST its own thread: serialize
+        # the Ray-driving section so concurrent /resolve requests can't
+        # race the streaming executor.  Metrics keep the finer _lock.
+        self._resolve_lock = threading.Lock()
 
     # -- response assembly (reference api.py:297-385) --
 
@@ -77,8 +82,9 @@ class ResolveService:
 
     def resolve(self, record: dict) -> dict:
         t0 = time.time()
-        scored = resolve_record(record, self.norm_profiles, self.keys,
-                                self.cfg, limit=self.limit)
+        with self._resolve_lock:
+            scored = resolve_record(record, self.norm_profiles, self.keys,
+                                    self.cfg, limit=self.limit)
         if len(scored):
             potential = scored[scored["match_type"].isin(["match", "review"])]
             matches = [self._match_result(r) for _, r in potential.iterrows()]

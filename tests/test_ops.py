@@ -89,6 +89,35 @@ def test_bpe_merged_tokens():
     assert (o2["n_bpe_merged_tokens"] >= o2["n_bpe_tokens"]).all()
 
 
+def test_token_count_control_char_oracle_parity():
+    """Docs carrying chars Python's \\s accepts but RE2's does not
+    (\\x1c-\\x1f, VT, NBSP, Unicode spaces) tokenize identically in the
+    engine and in the DuckDB oracle SQL — both sides normalize the
+    disagreement set to plain space (ops/text.ws_normalize_sql)."""
+    import duckdb
+
+    import __ray_entry__ as entry
+
+    df = pd.DataFrame({
+        "doc_id": list(range(6)),
+        "text": [
+            "plain text here",
+            "a\x1cb\x1dc\x1ed\x1fe",          # C0 separators between words
+            "\x1f leading and trailing \x0b",  # strip parity
+            "nb\xa0sp and em-space",      # latin-1 + unicode spaces
+            "tabs\tand\nnewlines\x0care fine",  # the agreed-on set
+            "",
+        ],
+    })
+    got = text.token_count_batch(df)
+    con = duckdb.connect()
+    con.register("documents", df)
+    exp = con.execute(entry.oracle_sql()["doc_token_counts"]).df() \
+        .sort_values("doc_id", ignore_index=True)
+    for c in ["n_tokens", "n_bpe_tokens", "n_bpe_merged_tokens"]:
+        assert got[c].tolist() == exp[c].tolist(), c
+
+
 def test_quality_scores():
     df = pd.DataFrame({"text": [
         "The quick brown fox jumps over the lazy dog and runs far away.",
@@ -278,6 +307,61 @@ def test_ivf_partition_pruning(ray_session, tmp_path):
     r1 = idx.search(q, k=5, nprobe=2)["vec_id"].tolist()
     r2 = ann.IVFIndex.load(ipath).search(q, k=5, nprobe=2)["vec_id"].tolist()
     assert r1 == r2 and r1[0] == 5
+
+
+def test_ivf_ncells_heuristic_and_recall_curve(ray_session):
+    """ncells=None picks ~sqrt(n); recall@10 improves monotonically-ish
+    with nprobe and stays above the pinned floor at a non-default cell
+    count."""
+    ds, V = _emb_ds(n=400)
+    idx = ann.build_ivf(ds, ncells=None)          # sqrt(400) = 20 cells
+    assert len(idx.centroids) == 20
+    q = V[[11, 42, 99]].astype(np.float64)
+    brute = ann.brute_force_topk(ds, q, k=10)
+    recalls = []
+    for nprobe in (1, 4, 12):
+        got = idx.search(q, k=10, nprobe=nprobe)
+        r = 0.0
+        for qi in range(3):
+            b = set(brute[brute["query_idx"] == qi]["vec_id"])
+            g = set(got[got["query_idx"] == qi]["vec_id"])
+            r += len(b & g) / 10
+        recalls.append(r / 3)
+    assert recalls[-1] >= recalls[0]
+    assert recalls[1] >= 0.6        # pinned floor at nprobe=4, ncells=20
+    assert recalls[-1] >= 0.9       # probing 12/20 cells ~= exhaustive
+
+
+def test_ivf_error_paths(ray_session, tmp_path):
+    """load() on a non-index path raises a descriptive error; a probe
+    that hits only empty cells returns an empty frame, not a crash."""
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="centroids.parquet"):
+        ann.IVFIndex.load(str(tmp_path / "nope"))
+
+    ds, V = _emb_ds(n=60)
+    ipath = str(tmp_path / "ivf_small")
+    idx = ann.build_ivf(ds, ncells=4, index_path=ipath)
+    # stale/deleted cells dir -> descriptive error
+    import shutil
+
+    shutil.move(f"{ipath}/cells", f"{ipath}/cells_gone")
+    with _pytest.raises(FileNotFoundError, match="cells"):
+        idx.search(V[0], k=3, nprobe=1)
+    shutil.move(f"{ipath}/cells_gone", f"{ipath}/cells")
+
+    # empty probed cells: point the index at centroids that attract no
+    # vectors, so every probed cell directory is absent
+    empty = ann.IVFIndex(np.full((3, V.shape[1]), -1.0), ipath)
+    # all data cells were written by the REAL centroids; fake cell ids
+    # 0..2 may collide with real dirs, so instead delete the one probed
+    probed = empty.probe_cells(V[0], nprobe=3)
+    for c in probed:
+        shutil.rmtree(f"{ipath}/cells/_cell={c}", ignore_errors=True)
+    res = empty.search(V[0], k=3, nprobe=3)
+    assert len(res) == 0
+    assert list(res.columns) == ["query_idx", "vec_id", "cosine"]
 
 
 # ---- multimodal ----
@@ -520,3 +604,42 @@ def test_hash_bucket_dtype_normalization(ray_session):
     # non-integral floats do NOT truncate to the int path
     _, b_true_float = buckets(pd.Series([i + 0.5 for i in ids]))
     assert b_true_float != b_int
+
+
+def test_hash_bucket_block_boundary_independent(ray_session):
+    """A value's bucket is a pure function of the value, never of its
+    batchmates: an all-digit string like '123' buckets via the STRING
+    path even in an all-numeric-string batch, and a mixed float column
+    buckets identically however Ray splits it into blocks."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.sample import (
+        _bucket_strs, hash_bucket)
+
+    # numeric strings: same bucket whether batched alone, with other
+    # numeric strings, or with a non-numeric batchmate
+    pure = pd.DataFrame({"k": ["123", "456", "789"]})
+    mixed = pd.DataFrame({"k": ["123", "456", "789", "abc", None]})
+    bp = (hash_bucket(rd.from_pandas(pure), "k", n_buckets=10)
+          .to_pandas().set_index("k")["bucket"])
+    bm = (hash_bucket(rd.from_pandas(mixed), "k", n_buckets=10)
+          .to_pandas().dropna(subset=["k"]).set_index("k")["bucket"])
+    for k in ["123", "456", "789"]:
+        assert bp[k] == bm[k]
+    # and both equal the string-polynomial hash, NOT the int hash
+    assert bp["123"] == _bucket_strs(["123"], 10)[0]
+
+    # mixed integral/fractional float column: invariant under block
+    # boundaries (single block vs 5-way repartition)
+    fdf = pd.DataFrame({"k": [1.0, 2.5, 3.0, 4.25, 5.0] * 4,
+                        "i": list(range(20))})
+    one = (hash_bucket(rd.from_pandas(fdf), "k", n_buckets=10)
+           .to_pandas().sort_values("i")["bucket"].tolist())
+    many = (hash_bucket(rd.from_pandas(fdf).repartition(5), "k",
+                        n_buckets=10)
+            .to_pandas().sort_values("i")["bucket"].tolist())
+    assert one == many
+    # integral floats joined the int path, fractional ones the str path
+    from aml_entity_resolution_assignment_ray.ops.sample import _bucket_ints
+    assert one[0] == _bucket_ints(np.array([1], dtype=np.int64), 10)[0]
+    assert one[1] == _bucket_strs([str(2.5)], 10)[0]

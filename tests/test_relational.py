@@ -350,10 +350,13 @@ def test_anti_join(ray_session, right_rows):
     assert got.equals(exp.astype(got.dtypes.to_dict()))
 
 
-def test_anti_join_broadcast_null_and_numeric_keys(ray_session):
-    """Broadcast path follows SQL NOT EXISTS semantics: null right keys
-    match nothing, null left keys are kept, and numeric keys compare
-    natively (2 == 2.0) instead of via string rendering."""
+@pytest.mark.parametrize("strategy", ["broadcast", "shuffle"])
+def test_anti_join_null_and_numeric_keys(ray_session, strategy):
+    """BOTH strategy paths follow SQL NOT EXISTS semantics on the same
+    mixed-dtype fixture: null right keys match nothing, null left keys
+    are kept, and numeric keys compare natively across physical dtypes
+    (float64 2.0 matches Int64 2 — the shuffle path promotes mismatched
+    numeric keys to a common super-type before the Arrow hash join)."""
     import ray.data as rd
 
     from aml_entity_resolution_assignment_ray.ops.relational import anti_join
@@ -361,7 +364,24 @@ def test_anti_join_broadcast_null_and_numeric_keys(ray_session):
     left = pd.DataFrame({"k": [1.0, 2.0, None, 3.0],
                          "v": list("abcd")})
     right = pd.DataFrame({"k": pd.array([2, None], dtype="Int64")})
+    rr = len(right) if strategy == "broadcast" else None
     got = anti_join(rd.from_pandas(left), rd.from_pandas(right),
                     on=["k"], cfg=SHUFFLE_CFG,
-                    right_rows=len(right)).to_pandas()
+                    right_rows=rr).to_pandas()
     assert sorted(got["v"]) == ["a", "c", "d"]  # 2.0 dropped, null kept
+    assert list(got.columns) == ["k", "v"]      # no temp join columns
+
+
+def test_anti_join_int_width_mismatch_shuffle(ray_session):
+    """int32 left keys vs int64 right keys promote to int64 on the
+    shuffle path and match exactly."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.relational import anti_join
+
+    left = pd.DataFrame({"k": np.arange(20, dtype=np.int32), "v": range(20)})
+    right = pd.DataFrame({"k": np.arange(0, 20, 4, dtype=np.int64)})
+    got = anti_join(rd.from_pandas(left), rd.from_pandas(right),
+                    on=["k"], cfg=SHUFFLE_CFG, right_rows=None).to_pandas()
+    exp = sorted(i for i in range(20) if i % 4 != 0)
+    assert sorted(got["k"].tolist()) == exp
