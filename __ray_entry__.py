@@ -999,7 +999,7 @@ def _er_pairs_exact_sql() -> str:
     """
 
 
-def _er_pairs_chain_cte(cap: int = 1000) -> str:
+def _er_pairs_chain_cte(cap: int | None = None) -> str:
     """CTE chain (assumes ``profiles`` is in scope) for the FULL
     candidate-pair engine in SQL, ending in ``cand(id_a, id_b)``: exact
     keys (B2-B5) UNION MinHash band keys (B1) over the profile full
@@ -1013,6 +1013,11 @@ def _er_pairs_chain_cte(cap: int = 1000) -> str:
     from aml_entity_resolution_assignment_ray.config import DEFAULT_CONFIG
     from aml_entity_resolution_assignment_ray.functions import minhash as mh
 
+    if cap is None:
+        # the flagship's effective purge cap: hard_block_cap with the
+        # default salt-instead-of-purge, max_block_records with salting
+        # off — the SQL replay must drop exactly the groups Ray drops
+        cap = DEFAULT_CONFIG.pair_emission_cap(DEFAULT_CONFIG.salt_pairs)
     threshold = DEFAULT_CONFIG.lsh_threshold
     num_perm = DEFAULT_CONFIG.lsh_num_perm
     bands, rows = mh.optimal_param(threshold, num_perm)

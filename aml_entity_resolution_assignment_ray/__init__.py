@@ -18,4 +18,23 @@ reference's client record (reference: generation.py:235 ``record_id``).
 
 __version__ = "0.1.0"
 
+import logging as _logging
+
+# The driver-generated testdata parquet carries pandas schema metadata;
+# Ray's unify_schemas tries hash(schema) on it and logs a benign
+# "Failed to hash the schemas (for deduplication): unhashable type:
+# 'dict'" warning PER BLOCK (its guarded fallback path is correct, just
+# noisy).  Scope-silence exactly that logger; this runs in every Ray
+# worker too, because workers import this package when deserializing
+# the engine's UDFs.  ray.data must be imported FIRST: its dictConfig
+# resets child loggers of "ray.data", wiping a level set before it
+# (every consumer of this package imports ray.data anyway).
+try:
+    import ray.data as _rd  # noqa: F401
+except Exception:  # pragma: no cover - ray always present in this env
+    pass
+_logging.getLogger(
+    "ray.data._internal.arrow_ops.transform_pyarrow"
+).setLevel(_logging.ERROR)
+
 from .config import EngineConfig  # noqa: F401

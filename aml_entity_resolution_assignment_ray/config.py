@@ -109,6 +109,37 @@ class EngineConfig:
     salt_min_group: int = field(
         default_factory=lambda: _env_int("ER_SALT_MIN_GROUP", 512)
     )
+    # Salt-instead-of-purge (flagship default): with salting on, hot key
+    # groups up to hard_block_cap emit ALL their pairs (spread across
+    # triangle cells) — the reference never drops candidates, it only
+    # warns (matching.py:71-73).  max_block_records remains the skew
+    # MONITOR threshold (blocking_stats) and the purge cap when salting
+    # is off; hard_block_cap is the safety valve for degenerate keys
+    # (100k members = 5e9 pairs from one key).
+    salt_pairs: bool = field(
+        default_factory=lambda: _env_int("ER_SALT_PAIRS", 1) != 0
+    )
+    hard_block_cap: int = field(
+        default_factory=lambda: _env_int("ER_HARD_BLOCK_CAP", 100_000)
+    )
+
+    def pair_emission_cap(self, salt: bool) -> int:
+        """Effective per-key-group emission cap for generate_pairs:
+        salting raises the purge cap to hard_block_cap (never lowering
+        an explicitly-raised max_block_records, e.g. the uncapped
+        cluster-evaluation path)."""
+        if salt:
+            return max(self.max_block_records, self.hard_block_cap)
+        return self.max_block_records
+
+    # training collect bound: the labeled candidate-pair feature table
+    # is driver-collected for the final fit; above this row count it is
+    # first thinned by a deterministic hash-sample (repartition- and
+    # cluster-size-invariant), so the collect can never exceed a known
+    # driver budget at corpus scale.  0 disables the bound.
+    train_max_pairs: int = field(
+        default_factory=lambda: _env_int("ER_TRAIN_MAX_PAIRS", 5_000_000)
+    )
 
     # connected components: edge lists at or below this size finish on
     # the driver with an array DSU (match graphs are vastly smaller than

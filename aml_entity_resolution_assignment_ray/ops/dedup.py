@@ -113,10 +113,17 @@ def common_line_dedup(ds, col: str = "text", id_col: str = "doc_id",
     partial — exact, because a document's lines live in one batch, so
     per-batch distinct-doc counts are disjoint and SUM to the global
     document frequency.  ONE hash shuffle on the line digest combines
-    the partials; the surviving common-line set (boilerplate — small by
-    nature, like a stopword list) is broadcast via ``ray.put`` and the
-    strip pass is a stateless vectorized map.  Document bytes move
-    zero times for counting and once for stripping."""
+    the partials.  The STRIP is strategy-gated on the common-line
+    count (``cfg.broadcast_max_rows``, the engine-wide gate): a small
+    set is broadcast via ``ray.put`` and stripped in a stateless
+    vectorized map (document bytes move zero extra times); above the
+    gate the common-line table NEVER lands on the driver or in a
+    worker heap — documents explode to (doc, line_no, line), hash
+    LEFT-OUTER join against the common table marks boilerplate lines,
+    and survivors re-aggregate per doc in line order (one extra
+    doc-keyed shuffle).  At 100-TB crawl scale the boilerplate set is
+    billions of lines, so the join path is the default regime; the
+    broadcast path is the small-corpus fast path."""
     import ray
 
     from ..util import scrub_empty_blocks, stateful_map
@@ -159,8 +166,13 @@ def common_line_dedup(ds, col: str = "text", id_col: str = "doc_id",
         common = partial.repartition(
             cfg.resolve_join_partitions(), keys=["lh"]).map_batches(
             combine, batch_format="pandas", batch_size=None)
-    # boilerplate set is stopword-list-sized; broadcast once
-    common_df = common.to_pandas()
+    common_mat = scrub_empty_blocks(
+        common, pa.schema([("sline", pa.string())]))
+    if common_mat.count() > cfg.broadcast_max_rows:
+        return _strip_common_joined(ds, common_mat, col, id_col, cfg)
+
+    # small boilerplate set: broadcast once
+    common_df = common_mat.to_pandas()
     ref = ray.put(frozenset(common_df["sline"]) if len(common_df)
                   else frozenset())
 
@@ -186,6 +198,66 @@ def common_line_dedup(ds, col: str = "text", id_col: str = "doc_id",
                                  "clean_text": out.to_numpy()})
 
     return stateful_map(ds, StripCommon, (ref,), batch_format="pandas")
+
+
+def _strip_common_joined(ds, common, col: str, id_col: str,
+                         cfg: EngineConfig):
+    """Distributed strip for ``common_line_dedup`` when the boilerplate
+    set exceeds the broadcast gate: explode docs to (doc, line_no,
+    line), LEFT-OUTER hash join against the common-line table (a
+    marker column flags boilerplate; empty lines never match — the
+    counting stage drops them — so they are always kept), then one
+    doc-keyed shuffle re-aggregates the surviving lines per document
+    in original order.  Bit-identical to the broadcast strip; costs
+    one extra pass of the document bytes through the shuffle instead
+    of a whole-set worker-heap broadcast."""
+    from ..util import safe_join
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        text = df[col].fillna("").astype(str)
+        lines = text.str.split("\n")
+        lens = lines.str.len().to_numpy(dtype=np.int64)
+        total = int(lens.sum())
+        csum = np.cumsum(lens)
+        out = pd.DataFrame({
+            id_col: np.repeat(df[id_col].to_numpy(), lens),
+            "_ln": np.arange(total, dtype=np.int64)
+            - np.repeat(csum - lens, lens),
+            "_line": np.concatenate(lines.to_numpy()) if total
+            else np.array([], dtype=object),
+        })
+        out["_sline"] = out["_line"].str.strip(_LINE_STRIP)
+        return out
+
+    def mark(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["_sline"])
+        return t.append_column(
+            "_r", pa.array(np.ones(len(t), dtype=np.int8)))
+
+    from ..util import scrub_empty_blocks
+
+    exploded = ds.map_batches(explode, batch_format="pandas")
+    marked = common.map_batches(mark, batch_format="pyarrow")
+    joined = scrub_empty_blocks(safe_join(
+        exploded, marked, join_type="left_outer",
+        num_partitions=cfg.resolve_join_partitions(), on=("_sline",)))
+
+    def rejoin(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({id_col: np.array([], dtype=object),
+                                 "clean_text": np.array([], dtype=object)})
+        kept = df[df["_r"].isna()] if "_r" in df.columns else df
+        s = kept.sort_values([id_col, "_ln"], kind="stable")
+        agg = s.groupby(id_col, sort=False)["_line"].agg("\n".join)
+        # every doc emits a row, even when all its lines were stripped
+        all_ids = pd.unique(df[id_col])
+        out = agg.reindex(all_ids, fill_value="")
+        return pd.DataFrame({id_col: out.index.to_numpy(),
+                             "clean_text": out.to_numpy()})
+
+    return joined.repartition(
+        cfg.resolve_join_partitions(), keys=[id_col]).map_batches(
+        rejoin, batch_format="pandas", batch_size=None)
 
 
 def _payload_refs(payload):

@@ -44,6 +44,25 @@ def build_training_frame(transcripts, truth,
         truth, cfg,
     )
     drop = ["is_match", "match_type"]
+    labeled = labeled.materialize()
+    n = labeled.count()
+    if cfg.train_max_pairs > 0 and n > cfg.train_max_pairs:
+        # bounded driver collect: at corpus scale the labeled candidate
+        # table is billions of rows — thin it with a DETERMINISTIC
+        # hash-sample of the pair key (pure per-row function: same rows
+        # survive at any repartitioning / cluster size) before to_pandas
+        from ..ops.sample import _bucket_strs
+
+        nb = 100_000
+        keep = max(1, (cfg.train_max_pairs * nb) // n)
+
+        def sample(df: pd.DataFrame) -> pd.DataFrame:
+            key = (df["id_a"].astype(str) + "|"
+                   + df["id_b"].astype(str)).to_numpy(dtype=object)
+            return df.loc[_bucket_strs(key, nb) < keep] \
+                .reset_index(drop=True)
+
+        labeled = labeled.map_batches(sample, batch_format="pandas")
     return labeled.to_pandas().drop(columns=drop)
 
 

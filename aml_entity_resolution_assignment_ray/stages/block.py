@@ -192,6 +192,7 @@ def blocking_stats(keys, total_records: int, pairs_count: int,
     O(#blocks x #key_types x 3) rows — never the full distinct-key
     table."""
     cap = cfg.max_block_records
+    purge_cap = cfg.pair_emission_cap(cfg.salt_pairs)
     sizes = keys.groupby(["key_type", "key_value"]).count()
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -199,15 +200,18 @@ def blocking_stats(keys, total_records: int, pairs_count: int,
         # so per-block top-3 + oversize sums combine exactly on the driver
         df = df.rename(columns={"count()": "cnt"})
         top = df.sort_values("cnt", ascending=False).groupby("key_type").head(3)
-        over = df[df["cnt"] > cap]
+        over = df[df["cnt"] > cap]          # the reference's warn monitor
+        purged = df[df["cnt"] > purge_cap]  # actual recall loss
         summary = pd.DataFrame({
             "key_type": ["__oversized__"],
             "key_value": [""],
             "cnt": [0],
             "n_over": [int(len(over))],
             "rows_over": [int(over["cnt"].sum())],
+            "n_purged": [int(len(purged))],
+            "rows_purged": [int(purged["cnt"].sum())],
         })
-        top = top.assign(n_over=0, rows_over=0)
+        top = top.assign(n_over=0, rows_over=0, n_purged=0, rows_purged=0)
         return pd.concat([top, summary], ignore_index=True)
 
     small = sizes.map_batches(partial, batch_format="pandas").to_pandas()
@@ -227,7 +231,14 @@ def blocking_stats(keys, total_records: int, pairs_count: int,
         "reduction_ratio": float(reduction),
         "pairs_per_record": float(pairs_count / total_records) if total_records else 0.0,
         "top_blocks": top,
+        # monitor (reference matching.py:51-74 warn threshold) vs actual
+        # purge loss: with salting on, oversized blocks still emit their
+        # pairs — only blocks over pair_emission_cap lose candidates
         "oversized_blocks": int(over_rows["n_over"].sum()),
-        "oversized_rows_purged": int(over_rows["rows_over"].sum()),
+        "oversized_rows": int(over_rows["rows_over"].sum()),
+        "purged_blocks": int(over_rows["n_purged"].sum()),
+        "purged_rows": int(over_rows["rows_purged"].sum()),
         "max_block_records": cap,
+        "pair_emission_cap": purge_cap,
+        "salted": bool(cfg.salt_pairs),
     }

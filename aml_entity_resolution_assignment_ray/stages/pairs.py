@@ -10,11 +10,14 @@ every (key_type, key_value) group of size m emits its m(m-1)/2 pairs.
 
 Scale design (explicit skew + shuffle handling per north_rule):
 
-* groups larger than ``cfg.max_block_records`` are *purged* (emitted as
-  zero pairs) — the reference only warns about such blocks
-  (matching.py:71-73 "danger zone"); at 10^12-turn scale a hot key would
-  otherwise emit O(m^2) pairs.  Purged counts are reported by
-  ``blocking_stats``.
+* hot key groups SALT instead of purging (default ``cfg.salt_pairs``):
+  groups above ``cfg.salt_min_group`` split into sorted sub-chunks
+  re-shuffled as triangle cells, spreading one key's O(m^2) emission
+  across tasks with zero recall loss — the reference only warns about
+  such blocks (matching.py:71-73 "danger zone").  Only degenerate
+  groups above ``cfg.hard_block_cap`` are purged (with salting off,
+  the purge cap is ``cfg.max_block_records``); purged counts are
+  reported by ``blocking_stats``.
 * keys are first folded to ONE fixed-width uint64 (``kh``) so the
   shuffle moves 8-byte keys, not long strings.
 * the shuffle is a HASH repartition on ``kh``
@@ -267,7 +270,7 @@ def _expand_salted(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def generate_pairs(keys, cfg: EngineConfig = DEFAULT_CONFIG,
-                   n_rows: int | None = None, salt: bool = False):
+                   n_rows: int | None = None, salt: bool | None = None):
     """key table Dataset -> distinct candidate pair Dataset (id_a, id_b).
 
     Two hash shuffles (co-locate key groups; co-locate pair copies),
@@ -279,15 +282,19 @@ def generate_pairs(keys, cfg: EngineConfig = DEFAULT_CONFIG,
     shuffle costs ~1s of fixed aggregator-actor setup, which dominates
     small inputs (the same reasoning as broadcast-vs-join hydration).
 
-    ``salt=True`` adds the explicit SALTED repartition the north_rule
-    names: groups larger than ``cfg.salt_min_group`` are split into
-    sorted sub-chunks and re-shuffled as triangle cells, so one hot
-    key's O(m^2) emission spreads over ~c^2/2 tasks instead of one
-    straggler.  Costs a third hash shuffle — use it on UNCAPPED pair
-    paths (cluster-pair evaluation, where a mega-cluster is one giant
-    key group); the capped candidate path already bounds per-key work
-    via ``max_block_records``."""
-    cap = cfg.max_block_records
+    ``salt`` (default ``cfg.salt_pairs``, ON) adds the explicit SALTED
+    repartition the north_rule names: groups larger than
+    ``cfg.salt_min_group`` are split into sorted sub-chunks and
+    re-shuffled as triangle cells, so one hot key's O(m^2) emission
+    spreads over ~c^2/2 tasks instead of one straggler — and the purge
+    cap rises to ``cfg.hard_block_cap``, so hot keys SALT instead of
+    losing recall (the reference never purges, it only warns,
+    matching.py:71-73).  Costs a third hash shuffle on the shuffle
+    path; the gather path just emits under the raised cap (one task,
+    nothing to spread)."""
+    if salt is None:
+        salt = cfg.salt_pairs
+    cap = cfg.pair_emission_cap(salt)
     hashed = keys.map_batches(_hash_keys, batch_format="pandas")
     if (n_rows is not None and cfg.gather_max_keys > 0
             and n_rows <= cfg.gather_max_keys):

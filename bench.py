@@ -53,9 +53,29 @@ def _corpus_rows(cdir: str) -> int:
                for f in os.listdir(tdir) if f.endswith(".parquet"))
 
 
+def _quiet_data_logging_env():
+    """Point RAY_DATA_LOGGING_CONFIG at Ray's own default config with
+    ONE logger raised to ERROR: the benign per-block "Failed to hash
+    the schemas (for deduplication)" warning that metadata-bearing
+    testdata parquet triggers inside ReadParquet tasks (which never
+    import the engine package, so the package-level suppression can't
+    reach them).  Must run before ray.init so workers inherit it."""
+    import yaml
+    from ray.data._internal.logging import DEFAULT_CONFIG
+
+    cfg = json.loads(json.dumps(DEFAULT_CONFIG))
+    cfg["loggers"]["ray.data._internal.arrow_ops.transform_pyarrow"] = {
+        "level": "ERROR"}
+    path = "/tmp/ray_data_logging_quiet.yaml"
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    os.environ["RAY_DATA_LOGGING_CONFIG"] = path
+
+
 def _init_ray(num_cpus: int, n_rows: int = 0):
     import ray
 
+    _quiet_data_logging_env()
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
                  logging_level="ERROR")
@@ -247,6 +267,7 @@ def main():
             # noisy-neighbor variance, so the distribution matters
             f"samples_{n_small}cpu": samples[n_small],
             f"samples_{n_big}cpu": samples[n_big],
+            "load_avg_end": [round(x, 2) for x in os.getloadavg()],
         }))
         return
 
@@ -258,14 +279,16 @@ def main():
         ray.shutdown()
         return
 
-    # two in-session runs, best-of reported: this sandbox is a shared
+    # best-of-N in-session runs (default 3): this sandbox is a shared
     # VM with noisy neighbors (observed 2-4x wall variance on identical
-    # runs); the warm best-of-2 is the reproducible number.  On a real
+    # runs); the warm best-of-N is the reproducible number.  On a real
     # cluster run 1 doubles as the worker/import warm-up every
-    # long-lived job already has.
-    h = run_headline(NUM_CPUS)
-    h2 = run_headline(NUM_CPUS)
-    best = h if h["wall_sec"] <= h2["wall_sec"] else h2
+    # long-lived job already has.  The launch load average is recorded
+    # so a degraded sample can be adjudicated without a rerun.
+    load_avg = list(os.getloadavg())
+    n_reps = max(1, int(os.environ.get("GRAFT_BENCH_REPS", "3")))
+    runs = [run_headline(NUM_CPUS) for _ in range(n_reps)]
+    best = min(runs, key=lambda r: r["wall_sec"])
     qt = run_queries()
     print(json.dumps({
         "metric": "flagship_er_pipeline_sec",
@@ -276,9 +299,10 @@ def main():
         "num_cpus": NUM_CPUS,
         "flagship_turns_per_sec": round(best["turns_per_sec"], 1),
         "flagship_n_turns": best["n_turns"],
-        "runs": 2,
-        "flagship_runs_sec": [round(h["wall_sec"], 3),
-                              round(h2["wall_sec"], 3)],
+        "runs": n_reps,
+        "flagship_runs_sec": [round(r["wall_sec"], 3) for r in runs],
+        "load_avg": [round(x, 2) for x in load_avg],
+        "load_avg_end": [round(x, 2) for x in os.getloadavg()],
     }))
     import ray
 

@@ -84,16 +84,21 @@ def test_pairs_canonical_and_distinct(pipeline):
 
 
 def test_block_cap_purges_oversized(ray_session):
-    """Groups above max_block_records emit no pairs (skew purge)."""
+    """With salting OFF, groups above max_block_records emit no pairs
+    (skew purge); the default (salt_pairs ON) keeps them — see
+    test_skew.test_hot_key_salted_by_default."""
     rows = [{"conv_id": f"c{i:03d}", "key_type": "nid", "key_value": "HOT"}
             for i in range(50)]
     rows += [{"conv_id": "a1", "key_type": "nid", "key_value": "ok"},
              {"conv_id": "a2", "key_type": "nid", "key_value": "ok"}]
     keys = rd.from_items(rows)
-    cfg = EngineConfig(max_block_records=10)
+    cfg = EngineConfig(max_block_records=10, salt_pairs=False)
     pairs = generate_pairs(keys, cfg).to_pandas()
     assert len(pairs) == 1
     assert pairs.iloc[0].tolist() == ["a1", "a2"]
+    # default config: the hot group now emits all its pairs instead
+    dflt = generate_pairs(keys, EngineConfig()).to_pandas()
+    assert len(dflt) == 50 * 49 // 2 + 1
 
 
 def test_recall_of_true_entity_pairs(pipeline, small_corpus):

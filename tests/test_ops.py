@@ -47,13 +47,31 @@ def test_common_line_dedup(ray_session):
         "real content one",
         "real content two\nfooter text\nfooter text",
     ]
-    # forced shuffle path agrees
+    # forced shuffle path (count combine) agrees
     cfg_shuffle = EngineConfig(model_path="", join_num_partitions=4,
                                gather_max_keys=0)
     out2 = dedup.common_line_dedup(
         rd.from_pandas(docs), min_docs=2, cfg=cfg_shuffle, n_rows=3
     ).to_pandas().sort_values("doc_id", ignore_index=True)
     assert out2["clean_text"].tolist() == out["clean_text"].tolist()
+
+    # forced DISTRIBUTED strip (broadcast gate zeroed -> explode +
+    # left-outer join + doc-keyed re-aggregate) is bit-exact with the
+    # broadcast strip, including the all-lines-stripped document
+    docs3 = pd.concat([docs, pd.DataFrame({
+        "doc_id": [3], "text": ["COOKIE BANNER"]})], ignore_index=True)
+    cfg_join = EngineConfig(model_path="", join_num_partitions=4,
+                            gather_max_keys=0, broadcast_max_rows=0)
+    base = dedup.common_line_dedup(
+        rd.from_pandas(docs3), min_docs=2, cfg=CFG, n_rows=4
+    ).to_pandas().sort_values("doc_id", ignore_index=True)
+    dist = dedup.common_line_dedup(
+        rd.from_pandas(docs3).repartition(3), min_docs=2, cfg=cfg_join,
+        n_rows=4
+    ).to_pandas().sort_values("doc_id", ignore_index=True)
+    assert dist["doc_id"].tolist() == base["doc_id"].tolist()
+    assert dist["clean_text"].tolist() == base["clean_text"].tolist()
+    assert base.loc[3, "clean_text"] == ""   # fully-boilerplate doc kept
 
 
 def test_repetition_signals():

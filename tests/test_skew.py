@@ -2,14 +2,15 @@
 
 The engine's skew story for candidate generation (stages/pairs.py):
 
-* capped path — any key group over ``max_block_records`` is purged
-  instead of emitting its O(m^2) pairs (the reference only WARNS at
-  >50 / >1000, matching.py:71-73; at 10^12-turn scale purge-and-log is
-  mandatory), and purges are surfaced by ``blocking_stats``;
-* uncapped paths (cluster-pair evaluation) — ``generate_pairs(...,
-  salt=True)`` splits hot groups into sorted sub-chunks and re-shuffles
-  them as triangle cells (the explicit SALTED repartition), spreading
-  one hot key's pair emission over ~c^2/2 tasks.
+* default (``cfg.salt_pairs`` ON) — hot key groups over
+  ``salt_min_group`` split into sorted sub-chunks re-shuffled as
+  triangle cells (the explicit SALTED repartition), spreading one hot
+  key's O(m^2) emission over ~c^2/2 tasks with ZERO recall loss (the
+  reference never purges, it only warns at >50 / >1000,
+  matching.py:71-73); only degenerate groups over ``hard_block_cap``
+  are purged;
+* with salting OFF, any group over ``max_block_records`` is purged,
+  and purges are surfaced by ``blocking_stats``.
 """
 
 import numpy as np
@@ -38,10 +39,11 @@ def _keys_table(hot_size: int, normal_groups: int = 20):
     })
 
 
-def test_hot_key_purged(ray_session):
+def test_hot_key_purged_when_salting_off(ray_session):
     import ray.data as rd
 
-    cfg = EngineConfig(max_block_records=100, join_num_partitions=4)
+    cfg = EngineConfig(max_block_records=100, join_num_partitions=4,
+                       salt_pairs=False)
     keys = rd.from_arrow(_keys_table(hot_size=2000))
     pairs = generate_pairs(keys, cfg).to_pandas()
     # the hot key must contribute ZERO pairs (2000 > cap -> purged);
@@ -52,9 +54,41 @@ def test_hot_key_purged(ray_session):
     stats = blocking_stats(keys, total_records=2060, pairs_count=len(pairs),
                            cfg=cfg)
     assert stats["oversized_blocks"] == 1
-    assert stats["oversized_rows_purged"] == 2000
+    assert stats["oversized_rows"] == 2000
+    assert stats["purged_blocks"] == 1
+    assert stats["purged_rows"] == 2000
     top = [t for t in stats["top_blocks"] if t["key_type"] == "email"]
     assert top and top[0]["cnt"] == 2000
+
+
+def test_hot_key_salted_by_default(ray_session):
+    """The FLAGSHIP default (salt unset -> cfg.salt_pairs, ON): a group
+    over max_block_records emits ALL its pairs via the salted cells —
+    no recall loss — and blocking_stats reports it as oversized
+    (monitor) but NOT purged."""
+    import ray.data as rd
+
+    cfg = EngineConfig(max_block_records=100, salt_min_group=64,
+                       join_num_partitions=4, gather_max_keys=0)
+    keys_tbl = _keys_table(hot_size=300, normal_groups=5)
+    pairs = generate_pairs(rd.from_arrow(keys_tbl), cfg).to_pandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert len(pairs) == len(got)
+    assert got == _naive_pairs(keys_tbl)        # hot pairs all present
+    assert len(got) == 300 * 299 // 2 + 5 * 3
+
+    stats = blocking_stats(rd.from_arrow(keys_tbl), total_records=315,
+                           pairs_count=len(pairs), cfg=cfg)
+    assert stats["oversized_blocks"] == 1       # still monitored
+    assert stats["purged_blocks"] == 0          # but nothing dropped
+    assert stats["salted"] is True
+
+    # gather path honors the same raised cap
+    cfg_g = EngineConfig(max_block_records=100, salt_min_group=64,
+                         join_num_partitions=4)
+    pairs_g = generate_pairs(rd.from_arrow(keys_tbl), cfg_g,
+                             n_rows=keys_tbl.num_rows).to_pandas()
+    assert set(zip(pairs_g["id_a"], pairs_g["id_b"])) == got
 
 
 def test_cap_boundary_inclusive(ray_session):
@@ -113,13 +147,14 @@ def test_salted_pairs_exact(ray_session, gather):
     assert (pairs["id_a"] < pairs["id_b"]).all()
 
 
-def test_salted_respects_cap(ray_session):
-    """Purge semantics are identical under salting: a group over
-    max_block_records emits nothing even on the salted path."""
+def test_salted_respects_hard_cap(ray_session):
+    """The safety valve holds under salting: a group over
+    hard_block_cap emits nothing even on the salted path."""
     import ray.data as rd
 
     keys_tbl = _keys_table(hot_size=300, normal_groups=5)
-    cfg = EngineConfig(max_block_records=100, salt_min_group=64,
+    cfg = EngineConfig(max_block_records=100, hard_block_cap=100,
+                       salt_min_group=64,
                        join_num_partitions=4, gather_max_keys=0)
     pairs = generate_pairs(rd.from_arrow(keys_tbl), cfg, salt=True).to_pandas()
     assert not pairs["id_a"].str.startswith("h").any()

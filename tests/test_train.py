@@ -36,6 +36,32 @@ def frame(ray_session):
         rd.from_arrow(transcripts), rd.from_arrow(truth), cfg)
 
 
+def test_train_collect_bound(ray_session, frame):
+    """cfg.train_max_pairs bounds the driver collect via a deterministic
+    hash-sample: a forced tiny cap yields a strict, reproducible subset
+    of the unbounded frame."""
+    import ray.data as rd
+
+    transcripts, truth, _ = generate_corpus(
+        n_entities=150, seed=47, doppelganger_rate=0.0)
+    cap = max(10, len(frame) // 4)
+    cfg = EngineConfig(model_path="", join_num_partitions=4,
+                       train_max_pairs=cap)
+    small = build_training_frame(
+        rd.from_arrow(transcripts), rd.from_arrow(truth), cfg)
+    assert 0 < len(small) < len(frame)
+    # the hash-sample over-/under-shoots only by bucket granularity
+    assert len(small) <= cap * 1.5
+    # subset of the full frame, deterministic across runs
+    full_keys = set(frame["id_a"].astype(str) + "|" + frame["id_b"].astype(str))
+    small_keys = set(small["id_a"].astype(str) + "|" + small["id_b"].astype(str))
+    assert small_keys <= full_keys
+    again = build_training_frame(
+        rd.from_arrow(transcripts), rd.from_arrow(truth), cfg)
+    assert set(again["id_a"].astype(str) + "|"
+               + again["id_b"].astype(str)) == small_keys
+
+
 def test_cv_auc_and_determinism(frame):
     model, rep = train_from_frame(frame, kind="gbdt")
     assert rep["cv_auc_mean"] is not None and rep["cv_auc_mean"] > 0.95
