@@ -702,6 +702,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return feats.map_batches(rounded, batch_format="pandas")
 
+    def audio_features(sf_dir):
+        """REAL WAV decode (in-repo RIFF/PCM codec, strict mode — no
+        fake) -> persist the decoded sample tensors -> integer-exact
+        audio features (duration/mean/rms/peak/zero-crossings),
+        VALUE-ORACLED: the DuckDB SQL unnests the persisted samples and
+        reproduces every feature bit-for-bit (see AudioFeatures
+        docstring)."""
+        _tune_context()
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from aml_entity_resolution_assignment_ray.ops import multimodal as mm
+
+        audio = rd.from_arrow(mm.make_audio_table(n=32))
+        decoded = mm.decode_audio(audio, fake=False).materialize()
+
+        dec_df = decoded.to_pandas()  # 32 rows — driver-small by design
+        os.makedirs("/tmp/er_media", exist_ok=True)
+        pq.write_table(pa.table({
+            "media_id": pa.array(dec_df["media_id"], pa.string()),
+            "samples": pa.array([np.asarray(s, dtype=np.int32).tolist()
+                                 for s in dec_df["samples"]],
+                                pa.list_(pa.int32())),
+            "n_samples": pa.array(dec_df["n_samples"], pa.int64()),
+            "channels": pa.array(dec_df["channels"], pa.int64()),
+            "sample_rate": pa.array(dec_df["sample_rate"], pa.int64()),
+        }), "/tmp/er_media/audio_decoded.parquet")
+
+        feats = mm.audio_features(decoded)
+
+        def rounded(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.copy()
+            for c in ["duration_sec", "mean_amp", "rms", "peak"]:
+                out[c] = _round_half_away(out[c], 6)
+            return out
+
+        return feats.map_batches(rounded, batch_format="pandas")
+
     def media_meta(sf_dir):
         """Binary-payload plumbing, value-checked: the fake media table
         is written to parquet, read back through Ray as binary-typed
@@ -841,6 +880,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh,
         "embedding_norms": embedding_norms,
         "media_features": media_features,
+        "audio_features": audio_features,
         "media_meta": media_meta,
         "er_profiles": er_profiles,
         "er_pairs": er_pairs,
@@ -1683,6 +1723,50 @@ def oracle_sql() -> dict[str, str]:
     return {
         "doc_fingerprints": _fingerprints_sql(),
         "media_features": _media_features_sql(),
+        "audio_features": """
+            WITH dec AS (
+              SELECT media_id, samples, n_samples, channels, sample_rate
+              FROM read_parquet('/tmp/er_media/audio_decoded.parquet')
+            ),
+            ex AS (
+              SELECT media_id, channels,
+                     unnest(samples) AS s,
+                     unnest(range(len(samples))) AS i
+              FROM dec
+            ),
+            agg AS (
+              SELECT media_id, count(*) AS n_el,
+                     sum(CAST(s AS BIGINT)) AS ssum,
+                     sum(CAST(s AS BIGINT) * CAST(s AS BIGINT)) AS ssq,
+                     max(abs(CAST(s AS BIGINT))) AS pk
+              FROM ex GROUP BY media_id
+            ),
+            ch0 AS (
+              SELECT media_id, i, (s >= 0) AS nn,
+                     lag(s >= 0) OVER (PARTITION BY media_id ORDER BY i)
+                       AS pnn
+              FROM ex WHERE i % channels = 0
+            ),
+            zc AS (
+              SELECT media_id,
+                     CAST(sum(CASE WHEN pnn IS NOT NULL AND nn != pnn
+                              THEN 1 ELSE 0 END) AS BIGINT)
+                       AS zero_crossings
+              FROM ch0 GROUP BY media_id
+            )
+            SELECT d.media_id, d.n_samples, d.channels, d.sample_rate,
+                   round(CAST(d.n_samples AS DOUBLE) / d.sample_rate, 6)
+                     AS duration_sec,
+                   round((CAST(a.ssum AS DOUBLE) / a.n_el) / 32768.0, 6)
+                     AS mean_amp,
+                   round(sqrt(CAST(a.ssq AS DOUBLE) / a.n_el) / 32768.0, 6)
+                     AS rms,
+                   round(CAST(a.pk AS DOUBLE) / 32768.0, 6) AS peak,
+                   z.zero_crossings
+            FROM dec d
+            JOIN agg a USING (media_id)
+            JOIN zc z USING (media_id)
+        """,
         "embedding_dup_pairs_lsh": _emb_lsh_sql(threshold=0.4),
         "minhash_dup_pairs_docs": _minhash_pairs_sql(threshold=0.5),
         "minhash_dedup_docs": _minhash_dedup_sql(threshold=0.8),

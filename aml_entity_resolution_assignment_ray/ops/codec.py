@@ -1,0 +1,211 @@
+"""Minimal in-repo image codecs for UNCOMPRESSED container formats.
+
+This container ships no image libraries, so compressed codecs (PNG/JPEG)
+stay stubbed — but nothing stops a real decoder for the uncompressed
+formats, which makes ``DecodeImage(fake=False)`` a working stage on real
+bytes instead of a NotImplementedError:
+
+* BMP — 24-bit BI_RGB (the classic Windows DIB): 14-byte file header,
+  BITMAPINFOHEADER (or any >= 40-byte DIB header), BGR pixel rows padded
+  to 4 bytes, bottom-up unless height is negative (top-down).
+* PPM — binary P6 (netpbm): ASCII header ``P6 <w> <h> <maxval>`` with
+  ``#`` comments, then raw RGB bytes.
+* WAV — RIFF/WAVE with uncompressed integer PCM (format tag 1, 8- or
+  16-bit): chunk walk to ``fmt `` + ``data``, samples normalized to
+  int16 ``(n_samples, channels)``.
+
+Both decoders are numpy-vectorized over the pixel payload (one
+``frombuffer`` + stride reshape; no per-pixel Python) and return the
+same ``(h, w, 3) uint8`` RGB layout the fake decoder produces, so every
+downstream stage (resize / features / oracle) is codec-agnostic.
+Encoders exist for tests and for writing decode outputs back out.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_BMP_FILE_HEADER = 14
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed (BI_RGB) BMP -> (h, w, 3) uint8 RGB."""
+    if len(payload) < _BMP_FILE_HEADER + 40 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    off = int.from_bytes(payload[10:14], "little")
+    dib = int.from_bytes(payload[14:18], "little")
+    if dib < 40:
+        raise ValueError(f"unsupported DIB header size {dib} (< 40)")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise ValueError(
+            f"only 24-bit BI_RGB BMP is supported (bpp={bpp}, "
+            f"compression={comp})")
+    top_down = h < 0
+    h = abs(h)
+    if w <= 0 or h == 0:
+        raise ValueError(f"bad BMP dimensions {w}x{h}")
+    stride = (w * 3 + 3) & ~3
+    need = off + stride * h
+    if len(payload) < need:
+        raise ValueError(
+            f"truncated BMP: need {need} bytes, have {len(payload)}")
+    data = np.frombuffer(payload, dtype=np.uint8, count=stride * h,
+                         offset=off)
+    rows = data.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return np.ascontiguousarray(rows[..., ::-1])  # BGR -> RGB
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> 24-bit bottom-up BI_RGB BMP bytes."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3), got {arr.shape}")
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # RGB -> BGR
+    off = _BMP_FILE_HEADER + 40
+    size = off + stride * h
+    header = (
+        b"BM" + size.to_bytes(4, "little") + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + (stride * h).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2       # 72 dpi
+        + (0).to_bytes(4, "little") * 2
+    )
+    return header + body.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary netpbm P6 -> (h, w, 3) uint8 RGB (maxval <= 255)."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header tokens: whitespace-separated, '#' comments run to newline
+    pos, tokens = 2, []
+    n = len(payload)
+    while len(tokens) < 3 and pos < n:
+        c = payload[pos:pos + 1]
+        if c == b"#":
+            while pos < n and payload[pos:pos + 1] != b"\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            start = pos
+            while pos < n and not payload[pos:pos + 1].isspace():
+                pos += 1
+            tokens.append(payload[start:pos])
+    if len(tokens) < 3:
+        raise ValueError("truncated PPM header")
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval > 255:
+        raise ValueError(f"16-bit PPM (maxval={maxval}) not supported")
+    pos += 1  # exactly one whitespace byte after maxval
+    need = w * h * 3
+    if len(payload) - pos < need:
+        raise ValueError(
+            f"truncated PPM: need {need} bytes, have {len(payload) - pos}")
+    return (np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
+            .reshape(h, w, 3).copy())
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> binary P6 bytes."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3), got {arr.shape}")
+    h, w, _ = arr.shape
+    return f"P6\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE integer PCM -> ((n_samples, channels) int16, rate).
+
+    Walks the RIFF chunk list (chunks may appear in any order and carry
+    odd-length padding), requires format tag 1 (plain PCM) with 8- or
+    16-bit samples; 8-bit WAV is unsigned by spec and is recentered to
+    int16 as ``(x - 128) << 8``."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = data = None
+    pos, n = 12, len(payload)
+    while pos + 8 <= n:
+        cid = payload[pos:pos + 4]
+        clen = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("truncated WAV: missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise ValueError("truncated WAV fmt chunk")
+    tag = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if tag != 1 or bits not in (8, 16):
+        raise ValueError(
+            f"only 8/16-bit integer PCM WAV is supported (format tag "
+            f"{tag}, {bits}-bit)")
+    if channels < 1 or rate < 1:
+        raise ValueError(f"bad WAV header: channels={channels} rate={rate}")
+    bytes_per = bits // 8
+    frames = len(data) // (bytes_per * channels)
+    if frames == 0:
+        raise ValueError("empty WAV data chunk")
+    count = frames * channels
+    if bits == 16:
+        samples = np.frombuffer(data, dtype="<i2", count=count)
+    else:
+        samples = (np.frombuffer(data, dtype=np.uint8, count=count)
+                   .astype(np.int16) - 128) << 8
+    return samples.reshape(frames, channels).astype(np.int16, copy=False), rate
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """(n_samples, channels) int16 -> 16-bit PCM RIFF/WAVE bytes."""
+    samples = np.asarray(samples, dtype=np.int16)
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    if samples.ndim != 2:
+        raise ValueError(f"expected (n, channels), got {samples.shape}")
+    frames, channels = samples.shape
+    data = samples.astype("<i2").tobytes()
+    block = channels * 2
+    fmt = ((1).to_bytes(2, "little") + channels.to_bytes(2, "little")
+           + int(rate).to_bytes(4, "little")
+           + (int(rate) * block).to_bytes(4, "little")
+           + block.to_bytes(2, "little") + (16).to_bytes(2, "little"))
+    body = (b"WAVE"
+            + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+            + b"data" + len(data).to_bytes(4, "little") + data)
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+#: mime -> decoder for the formats the strict DecodeImage path supports
+DECODERS = {
+    "image/bmp": decode_bmp,
+    "image/x-ms-bmp": decode_bmp,
+    "image/x-portable-pixmap": decode_ppm,
+}
+
+#: mime -> decoder for the strict DecodeAudio path
+AUDIO_DECODERS = {
+    "audio/wav": decode_wav,
+    "audio/x-wav": decode_wav,
+    "audio/wave": decode_wav,
+}

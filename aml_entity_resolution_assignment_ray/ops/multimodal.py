@@ -4,11 +4,13 @@ Image/audio/video payloads are opaque ``binary`` columns with sidecar
 metadata columns (mime, width/height or sample rate, n_frames).  The
 decode / feature-extract / resize / frame-sample stages are ACTOR-POOL
 ``map_batches`` steps whose Ray-side plumbing (schema, batch sizing,
-actor signature, output layout) is real and tested; the codec itself is
-STUBBED — this container ships no image/audio libraries — behind either
+actor signature, output layout) is real and tested.  Image decode is
+REAL for the uncompressed formats (24-bit BMP, binary PPM) and audio
+decode is REAL for integer-PCM WAV — the in-repo numpy codecs in
+ops/codec.py; compressed codecs (PNG/JPEG/MP3) and video remain
+stubbed — this container ships no media libraries — behind
 ``NotImplementedError`` (strict) or a deterministic fake decoder
-(``fake=True``) whose output shape/dtype matches what a real decoder
-would produce.
+(``fake=True``) whose output shape/dtype matches a real decode.
 
 Batch sizes for binary payloads must be SMALL: ``batch_size`` here is
 rows, and a row can be megabytes — size so batch x concurrency fits the
@@ -63,24 +65,44 @@ def _fake_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
 
 class DecodeImage:
     """Actor-pool stage: payload -> decoded pixel tensor (flat uint8 list
-    column + shape columns). Real decode requires an image library absent
-    from this container; ``fake=True`` substitutes the deterministic
-    stand-in so the pipeline plumbing is testable."""
+    column + shape columns).
+
+    Strict mode (``fake=False``) REALLY decodes the uncompressed formats
+    the in-repo codec supports (24-bit BMP, binary PPM — ops/codec.py)
+    and raises NotImplementedError only for compressed mimes (PNG/JPEG
+    need an image library this container doesn't ship).  ``fake=True``
+    substitutes the deterministic payload-digest stand-in for ANY mime,
+    which is what the value oracle replays.  The decode loop is per row
+    by nature — a ragged binary payload is the codec's unit of work —
+    but each decode is one numpy frombuffer/reshape, not per-pixel
+    Python."""
 
     def __init__(self, fake: bool = False):
+        # codec table resolved ONCE per actor (the "open the codec in
+        # __init__" slot a real library would use)
+        from .codec import DECODERS
+
         self.fake = fake
-        # a real implementation would open/initialize the codec ONCE here
+        self.decoders = DECODERS
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        if not self.fake:
-            raise NotImplementedError(
-                "image decoding requires an image codec library; "
-                "re-run with fake=True for the deterministic stub")
         pixels, shapes = [], []
-        for payload, w, h in zip(df["payload"], df["width"], df["height"]):
-            arr = _fake_pixels(payload, int(w), int(h))
+        mimes = df["mime"] if "mime" in df.columns else [None] * len(df)
+        for payload, w, h, mime in zip(df["payload"], df["width"],
+                                       df["height"], mimes):
+            if self.fake:
+                arr = _fake_pixels(payload, int(w), int(h))
+            else:
+                dec = self.decoders.get(str(mime))
+                if dec is None:
+                    raise NotImplementedError(
+                        f"no in-repo codec for mime {mime!r} (only "
+                        f"{sorted(self.decoders)} decode without an "
+                        "image library); re-run with fake=True for the "
+                        "deterministic stub")
+                arr = dec(bytes(payload))
             pixels.append(arr.reshape(-1))
-            shapes.append([int(h), int(w), 3])
+            shapes.append([int(arr.shape[0]), int(arr.shape[1]), 3])
         return pd.DataFrame({
             "media_id": df["media_id"].to_numpy(),
             "pixels": pixels,
@@ -183,6 +205,156 @@ class ImageFeatures:
         })
 
 
+AUDIO_SCHEMA = pa.schema([
+    ("media_id", pa.string()),
+    ("mime", pa.string()),
+    ("payload", pa.binary()),
+    ("sample_rate", pa.int32()),
+    ("n_samples", pa.int32()),
+    ("channels", pa.int32()),
+])
+
+
+def make_audio_table(n: int = 32, seed: int = 11,
+                     max_frames: int = 2000) -> pa.Table:
+    """Deterministic audio rows whose payloads are REAL 16-bit PCM WAV
+    bytes (ops/codec.py::encode_wav), so the strict decode path is the
+    one exercised end to end."""
+    from .codec import encode_wav
+
+    rng = np.random.RandomState(seed)
+    ids, mimes, payloads, rates, nsamp, chans = [], [], [], [], [], []
+    for i in range(n):
+        rate = [8000, 16000, 22050][i % 3]
+        ch = 1 + (i % 2)
+        frames = int(rng.randint(200, max_frames))
+        samples = rng.randint(-32768, 32768, (frames, ch)).astype(np.int16)
+        ids.append(f"a{i:05d}")
+        mimes.append("audio/wav")
+        payloads.append(encode_wav(samples, rate))
+        rates.append(rate)
+        nsamp.append(frames)
+        chans.append(ch)
+    return pa.table({
+        "media_id": pa.array(ids), "mime": pa.array(mimes),
+        "payload": pa.array(payloads, pa.binary()),
+        "sample_rate": pa.array(rates, pa.int32()),
+        "n_samples": pa.array(nsamp, pa.int32()),
+        "channels": pa.array(chans, pa.int32()),
+    })
+
+
+def _fake_samples(payload: bytes, n_samples: int, channels: int) -> np.ndarray:
+    """Deterministic stand-in for a real audio decode: payload-digest-
+    seeded int16 (n_samples, channels) array."""
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[4:8], "little")
+    rng = np.random.RandomState(seed)
+    return rng.randint(-32768, 32768,
+                       size=(n_samples, channels)).astype(np.int16)
+
+
+class DecodeAudio:
+    """Actor-pool stage: payload -> int16 sample tensor (flat list column
+    + layout columns).
+
+    Strict mode (``fake=False``) REALLY decodes integer-PCM WAV via the
+    in-repo RIFF codec (ops/codec.py::decode_wav) and raises
+    NotImplementedError for compressed mimes; ``fake=True`` substitutes
+    the deterministic digest stand-in (any mime), honoring the sidecar
+    ``n_samples``/``channels``/``sample_rate`` columns."""
+
+    def __init__(self, fake: bool = False):
+        from .codec import AUDIO_DECODERS
+
+        self.fake = fake
+        self.decoders = AUDIO_DECODERS
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        samples, nsamp, chans, rates = [], [], [], []
+        for payload, mime, ns, ch, rate in zip(
+                df["payload"], df["mime"], df["n_samples"], df["channels"],
+                df["sample_rate"]):
+            if self.fake:
+                arr, r = _fake_samples(payload, int(ns), int(ch)), int(rate)
+            else:
+                dec = self.decoders.get(str(mime))
+                if dec is None:
+                    raise NotImplementedError(
+                        f"no in-repo codec for mime {mime!r} (only "
+                        f"{sorted(self.decoders)} decode without an audio "
+                        "library); re-run with fake=True for the "
+                        "deterministic stub")
+                arr, r = dec(bytes(payload))
+            samples.append(arr.reshape(-1))
+            nsamp.append(arr.shape[0])
+            chans.append(arr.shape[1])
+            rates.append(r)
+        return pd.DataFrame({
+            "media_id": df["media_id"].to_numpy(),
+            "samples": samples,
+            "n_samples": pd.array(nsamp, dtype="int64"),
+            "channels": pd.array(chans, dtype="int64"),
+            "sample_rate": pd.array(rates, dtype="int64"),
+        })
+
+
+class AudioFeatures:
+    """Actor-pool stage: sample tensor -> scalar audio features, fully
+    vectorized across the RAGGED batch (one concatenate + reduceat per
+    statistic — no per-row Python).
+
+    Like ImageFeatures, every statistic is an EXACT integer sum/count
+    divided in one fixed float64 expression, so a SQL oracle unnesting
+    the same persisted samples reproduces each value bit-for-bit:
+
+        duration_sec   = n_samples / sample_rate
+        mean_amp       = (sum(s)  / n_el) / 32768     (n_el = n*channels)
+        rms            = sqrt(sum(s^2) / n_el) / 32768
+        peak           = max(|s|) / 32768
+        zero_crossings = #{i : sign(ch0[i]) != sign(ch0[i-1])}   (s>=0)
+    """
+
+    FEATURE_COLS = ["n_samples", "channels", "sample_rate", "duration_sec",
+                    "mean_amp", "rms", "peak", "zero_crossings"]
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        if n == 0:
+            out = pd.DataFrame({"media_id": pd.Series([], dtype=object)})
+            for c in self.FEATURE_COLS:
+                out[c] = pd.Series([], dtype="float64")
+            return out
+        rows = [np.asarray(s, dtype=np.int64) for s in df["samples"]]
+        lens = np.array([len(r) for r in rows], dtype=np.int64)
+        offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        cat = np.concatenate(rows)
+        ssum = np.add.reduceat(cat, offs)
+        ssq = np.add.reduceat(cat * cat, offs)
+        peak = np.maximum.reduceat(np.abs(cat), offs)
+        ch = df["channels"].to_numpy(dtype=np.int64)
+        rate = df["sample_rate"].to_numpy(dtype=np.int64)
+        frames = df["n_samples"].to_numpy(dtype=np.int64)
+        # channel-0 zero crossings, row-boundary-masked
+        row_id = np.repeat(np.arange(n), lens)
+        pos = np.arange(len(cat)) - np.repeat(offs, lens)
+        ch0 = pos % np.repeat(ch, lens) == 0
+        nn = (cat >= 0)[ch0]
+        zrow = row_id[ch0]
+        flip = (nn[1:] != nn[:-1]) & (zrow[1:] == zrow[:-1])
+        zc = np.bincount(zrow[1:][flip], minlength=n)
+        return pd.DataFrame({
+            "media_id": df["media_id"].to_numpy(),
+            "n_samples": frames,
+            "channels": ch,
+            "sample_rate": rate,
+            "duration_sec": frames / rate,
+            "mean_amp": ssum / lens / 32768.0,
+            "rms": np.sqrt(ssq / lens) / 32768.0,
+            "peak": peak / 32768.0,
+            "zero_crossings": zc.astype(np.int64),
+        })
+
+
 class SampleFrames:
     """Actor-pool stage: video payload -> k evenly spaced frame indices
     plus (stubbed/fake) per-frame decode."""
@@ -235,6 +407,20 @@ def image_features(ds, batch_size: int = 64, concurrency=(1, 4),
                    as_columns: bool = False):
     return ds.map_batches(ImageFeatures, fn_constructor_args=(as_columns,),
                           batch_format="pandas",
+                          batch_size=batch_size, concurrency=concurrency)
+
+
+def decode_audio(ds, fake: bool = False, batch_size: int = 16,
+                 concurrency=(1, 4)):
+    """audio Dataset -> decoded samples Dataset (actor pool; small
+    batches because payload rows are large)."""
+    return ds.map_batches(DecodeAudio, fn_constructor_args=(fake,),
+                          batch_format="pandas", batch_size=batch_size,
+                          concurrency=concurrency)
+
+
+def audio_features(ds, batch_size: int = 64, concurrency=(1, 4)):
+    return ds.map_batches(AudioFeatures, batch_format="pandas",
                           batch_size=batch_size, concurrency=concurrency)
 
 

@@ -30,8 +30,11 @@ Scale design (explicit skew + shuffle handling per north_rule):
   co-located (this is exact — unlike a range sort, hash partitioning
   cannot split ties across block boundaries).
 
-The whole operator is 2 hash shuffles + 3 map stages, fully streaming
-(no ``materialize``/``count``/``union`` in the plan).
+The unsalted plan is 2 hash shuffles + 3 map stages, fully streaming
+(no ``materialize``/``count``/``union`` in the plan).  The default
+salted plan adds one combiner-reduced key-frequency pre-pass (tiny
+shuffle + hot-key broadcast) and keeps the SAME two heavy data
+shuffles — see the routed-salting comment block below.
 """
 
 from __future__ import annotations
@@ -149,6 +152,134 @@ def _gathered_pairs(df: pd.DataFrame, cap: int) -> pd.DataFrame:
 
 
 _SALT_P = np.uint64(0x9E3779B97F4A7C15)  # cell-key hash mix (splitmix64 odd)
+
+
+# --------------------------------------------------------------------------
+# routed salting (the default salted plan): two-pass skew handling with
+# the SAME heavy-shuffle count as the unsalted plan
+# --------------------------------------------------------------------------
+#
+#   pass 1  exact key-frequency count: per-block (kh, partial) combiner,
+#           ONE tiny shuffle of distinct-keys-per-block 16-byte rows,
+#           driver gathers ONLY the hot keys (count > salt_min_group);
+#   pass 2  ONE data shuffle: cold rows route on kh (key-group
+#           co-location, as the plain plan), hot rows replicate to their
+#           c = ceil(m / salt_min_group) triangle cells with chunk =
+#           hash(conv_id) % c — each unordered pair of a hot key meets
+#           in EXACTLY one cell (sorted chunk-index pair), so emission
+#           is exact with no extra dedup;
+#   then    the usual ph shuffle + per-block Arrow distinct.
+#
+# The legacy 3-shuffle plan (key-shuffle -> cell re-shuffle -> ph
+# shuffle, no broadcast) remains as _partition_pairs_salted /
+# _expand_salted and is used as the fallback when the hot-key set
+# itself is too large to broadcast.
+
+
+def _count_partial(df: pd.DataFrame) -> pd.DataFrame:
+    g = df.groupby("kh", sort=False).size().reset_index(name="c")
+    return g
+
+
+def _hot_filter(df: pd.DataFrame, thr: int) -> pd.DataFrame:
+    out = df.groupby("kh", sort=False)["c"].sum().reset_index()
+    return out.loc[out["c"] > thr].reset_index(drop=True)
+
+
+class _RouteSalted:
+    """Stateful route kernel: broadcast hot-key counts fetched once per
+    worker.  Emits the unified (h: uint64, id: str, s: int8) routing
+    frame — s = -1 for cold member rows (h = kh), s = 0/1 for a hot
+    member's side within its triangle cell."""
+
+    def __init__(self, hot_ref, salt_min_group: int, cap: int):
+        import ray
+
+        hot = ray.get(hot_ref)  # pd.DataFrame (kh, c)
+        self.hot = dict(zip(hot["kh"].to_numpy(), hot["c"].to_numpy()))
+        self.smg = max(int(salt_min_group), 1)
+        self.cap = cap
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        kh = df["kh"].to_numpy()
+        ids = df["conv_id"].astype(str).to_numpy(dtype=object)
+        cnt = pd.Series(kh).map(self.hot)
+        cold = cnt.isna().to_numpy()
+        out = [pd.DataFrame({
+            "h": kh[cold],
+            "id": ids[cold],
+            "s": np.full(int(cold.sum()), -1, dtype=np.int8),
+        })]
+        hotm = ~cold & (cnt.to_numpy() <= self.cap)  # over-cap -> purged
+        if hotm.any():
+            m = cnt.to_numpy()[hotm].astype(np.int64)
+            c_row = -(-m // self.smg)                 # cells per member
+            kh_h = kh[hotm]
+            id_h = ids[hotm]
+            chunk = (pd.util.hash_array(id_h)
+                     % c_row.astype(np.uint64)).astype(np.int64)
+            total = int(c_row.sum())
+            csum = np.cumsum(c_row)
+            other = np.arange(total, dtype=np.int64) \
+                - np.repeat(csum - c_row, c_row)
+            ch = np.repeat(chunk, c_row)
+            cr = np.repeat(c_row, c_row)
+            i = np.minimum(ch, other)
+            j = np.maximum(ch, other)
+            cell = (np.repeat(kh_h, c_row).astype(np.uint64) * _SALT_P
+                    + (i * cr + j).astype(np.uint64)) * _SALT_P
+            out.append(pd.DataFrame({
+                "h": cell,
+                "id": np.repeat(id_h, c_row),
+                "s": np.where(ch == i, 0, 1).astype(np.int8),
+            }))
+        return pd.concat(out, ignore_index=True)
+
+
+def _emit_routed(df: pd.DataFrame, cap: int) -> pd.DataFrame:
+    """Post-route emission: cold key groups (s == -1, complete within
+    the block) take the vectorized all-groups triangle; each hot cell
+    crosses its side-0 x side-1 members (or triangles a diagonal cell),
+    with elementwise min/max giving the canonical id_a < id_b order —
+    chunks are hash-assigned, so sides are NOT globally ordered."""
+    empty = pd.DataFrame(_EMPTY_PAIRS)
+    empty["ph"] = pd.Series([], dtype="uint64")
+    if not len(df):
+        return empty
+    df = df.sort_values(["h", "s", "id"], kind="stable")
+    h = df["h"].to_numpy()
+    s = df["s"].to_numpy()
+    ids = df["id"].to_numpy()
+    n = len(h)
+    bounds = np.concatenate([[0], np.where(h[1:] != h[:-1])[0] + 1, [n]])
+    starts, sizes = bounds[:-1], np.diff(bounds)
+    cold_groups = s[starts] == -1     # sorted by s: a group is cold iff
+    out = []                          # its first row is (collision-free)
+    pairs = _emit_group_pairs(ids, starts[cold_groups],
+                              sizes[cold_groups], cap)
+    pairs = pairs.drop_duplicates(ignore_index=True)
+    if len(pairs):
+        out.append(pairs)
+    for g in np.where(~cold_groups)[0]:
+        lo, hi = starts[g], starts[g] + sizes[g]
+        split = lo + int((s[lo:hi] == 0).sum())
+        a, b = ids[lo:split], ids[split:hi]
+        if len(b) == 0:
+            # diagonal cell: triangle within the (sorted) chunk
+            p = _emit_group_pairs(a, np.array([0]),
+                                  np.array([len(a)]), 1 << 62)
+        else:
+            x = np.repeat(a, len(b))
+            y = np.tile(b, len(a))
+            p = pd.DataFrame({"id_a": np.minimum(x, y),
+                              "id_b": np.maximum(x, y)})
+        if len(p):
+            out.append(p)
+    if not out:
+        return empty
+    allp = pd.concat(out, ignore_index=True)
+    allp["ph"] = _pair_hash(allp["id_a"], allp["id_b"])
+    return allp
 
 
 def _partition_pairs_salted(df: pd.DataFrame, cap: int,
@@ -284,14 +415,16 @@ def generate_pairs(keys, cfg: EngineConfig = DEFAULT_CONFIG,
 
     ``salt`` (default ``cfg.salt_pairs``, ON) adds the explicit SALTED
     repartition the north_rule names: groups larger than
-    ``cfg.salt_min_group`` are split into sorted sub-chunks and
-    re-shuffled as triangle cells, so one hot key's O(m^2) emission
-    spreads over ~c^2/2 tasks instead of one straggler — and the purge
-    cap rises to ``cfg.hard_block_cap``, so hot keys SALT instead of
+    ``cfg.salt_min_group`` are split into hash-assigned chunks and
+    routed to triangle cells, so one hot key's O(m^2) emission spreads
+    over ~c^2/2 tasks instead of one straggler — and the purge cap
+    rises to ``cfg.hard_block_cap``, so hot keys SALT instead of
     losing recall (the reference never purges, it only warns,
-    matching.py:71-73).  Costs a third hash shuffle on the shuffle
-    path; the gather path just emits under the raised cap (one task,
-    nothing to spread)."""
+    matching.py:71-73).  Cost over the unsalted plan: one TINY
+    combiner-reduced key-frequency shuffle + a hot-key broadcast — the
+    heavy data-shuffle count is unchanged (see the routed-salting
+    comment block above).  The gather path just emits under the raised
+    cap (one task, nothing to spread)."""
     if salt is None:
         salt = cfg.salt_pairs
     cap = cfg.pair_emission_cap(salt)
@@ -309,20 +442,60 @@ def generate_pairs(keys, cfg: EngineConfig = DEFAULT_CONFIG,
         )
     nparts = cfg.resolve_join_partitions()
     if salt:
-        return (
-            hashed
+        import ray
+
+        from ..util import stateful_map
+
+        # pass 1 — exact key frequencies: per-block combiner, one TINY
+        # shuffle of 16-byte (kh, count) partials, driver gathers only
+        # the hot keys.  hashed is materialized because both passes
+        # consume it (8-byte keys + ids — the smallest representation
+        # of the input this operator ever holds).
+        hashed = hashed.materialize()
+        hot = (
+            hashed.map_batches(_count_partial, batch_format="pandas")
             .repartition(nparts, keys=["kh"])
-            .map_batches(_partition_pairs_salted,
-                         fn_kwargs={"cap": cap,
-                                    "salt_min_group": cfg.salt_min_group},
+            .map_batches(_hot_filter, fn_kwargs={"thr": cfg.salt_min_group},
                          batch_format="pandas", batch_size=None)
-            .repartition(nparts, keys=["h"])  # the salted repartition
-            .map_batches(_expand_salted, batch_format="pandas",
-                         batch_size=None)
-            .repartition(nparts, keys=["ph"])
-            .map_batches(_distinct_block, batch_format="pyarrow",
-                         batch_size=None)
-        )
+        ).to_pandas()
+        if len(hot) == 0:
+            pass  # no hot keys anywhere: the plain plan below is exact
+        elif len(hot) <= cfg.broadcast_max_rows:
+            # pass 2 — ONE data shuffle: cold rows co-locate by kh, hot
+            # rows replicate to their triangle cells.  Same heavy-
+            # shuffle count as the unsalted plan.
+            hot_ref = ray.put(hot)
+            routed = stateful_map(
+                hashed, _RouteSalted,
+                (hot_ref, cfg.salt_min_group, cap),
+                batch_format="pandas")
+            return (
+                routed
+                .repartition(nparts, keys=["h"])  # the salted repartition
+                .map_batches(_emit_routed, fn_kwargs={"cap": cap},
+                             batch_format="pandas", batch_size=None)
+                .repartition(nparts, keys=["ph"])
+                .map_batches(_distinct_block, batch_format="pyarrow",
+                             batch_size=None)
+            )
+        else:
+            # degenerate: the hot-key SET itself exceeds the broadcast
+            # gate — fall back to the broadcast-free 3-shuffle plan
+            # (key shuffle -> cell re-shuffle -> ph shuffle)
+            return (
+                hashed
+                .repartition(nparts, keys=["kh"])
+                .map_batches(_partition_pairs_salted,
+                             fn_kwargs={"cap": cap,
+                                        "salt_min_group": cfg.salt_min_group},
+                             batch_format="pandas", batch_size=None)
+                .repartition(nparts, keys=["h"])
+                .map_batches(_expand_salted, batch_format="pandas",
+                             batch_size=None)
+                .repartition(nparts, keys=["ph"])
+                .map_batches(_distinct_block, batch_format="pyarrow",
+                             batch_size=None)
+            )
     return (
         hashed
         .repartition(nparts, keys=["kh"])

@@ -81,7 +81,17 @@ def scrub_empty_blocks(ds, empty_schema=None):
     ``empty_schema``: when EVERY block is empty (a dataset of only
     zero-column poison blocks — e.g. a pair table with no candidates),
     return a clean empty dataset with this pyarrow schema instead, so
-    downstream joins see real columns."""
+    downstream joins see real columns.
+
+    Lineage tag: the returned dataset is marked ``_er_scrubbed``; a
+    dataset that already carries the mark (e.g. a safe_join output fed
+    straight into another safe_join) is returned untouched — the
+    second scrub's materialize/metadata walk is skipped entirely.  Any
+    TRANSFORM of a scrubbed dataset yields a new object without the
+    mark, so the tag can never leak past an operation that could
+    reintroduce empty blocks."""
+    if getattr(ds, "_er_scrubbed", False):
+        return ds
     mat = ds.materialize()
     items = [
         (ref, meta)
@@ -89,13 +99,20 @@ def scrub_empty_blocks(ds, empty_schema=None):
         for ref, meta in bundle.blocks
     ]
     if items and all(meta.num_rows for _, meta in items):
+        mat._er_scrubbed = True
         return mat
     refs = [ref for ref, meta in items if meta.num_rows]
     if not refs:
         if empty_schema is not None:
-            return ray.data.from_arrow(empty_schema.empty_table())
+            out = ray.data.from_arrow(empty_schema.empty_table())
+            out._er_scrubbed = True
+            return out
+        # all-empty with no replacement schema: the poison blocks are
+        # still in there — deliberately NOT tagged clean
         return mat
-    return ray.data.from_arrow_refs([_as_arrow.remote(r) for r in refs])
+    out = ray.data.from_arrow_refs([_as_arrow.remote(r) for r in refs])
+    out._er_scrubbed = True
+    return out
 
 
 # --------------------------------------------------------------------------

@@ -401,6 +401,176 @@ def test_media_pipeline_fake(ray_session):
     assert frames.groupby("media_id").size().max() <= 3
 
 
+def test_codec_roundtrip():
+    """In-repo BMP/PPM codecs: encode -> decode is the identity,
+    including BMP row padding (width not a multiple of 4) and PPM
+    header comments; hand-built bytes decode to known pixels."""
+    from aml_entity_resolution_assignment_ray.ops import codec
+
+    rng = np.random.RandomState(9)
+    for h, w in [(1, 1), (2, 3), (5, 7), (4, 4)]:
+        arr = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(codec.decode_bmp(codec.encode_bmp(arr)), arr)
+        assert np.array_equal(codec.decode_ppm(codec.encode_ppm(arr)), arr)
+
+    # hand-built 2x1 bottom-up BMP: bottom row red, top row blue —
+    # BGR on disk, rows bottom-up, 1px row padded 3 -> 4 bytes
+    px = b"\x00\x00\xff\x00" + b"\xff\x00\x00\x00"   # red row, blue row
+    hdr = (b"BM" + (54 + 8).to_bytes(4, "little") + b"\x00\x00\x00\x00"
+           + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+           + (1).to_bytes(4, "little", signed=True)
+           + (2).to_bytes(4, "little", signed=True)
+           + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+           + (0).to_bytes(4, "little") + (8).to_bytes(4, "little")
+           + bytes(16))
+    got = codec.decode_bmp(hdr + px)
+    assert got.shape == (2, 1, 3)
+    assert got[1, 0].tolist() == [255, 0, 0]   # bottom row = red
+    assert got[0, 0].tolist() == [0, 0, 255]   # top row = blue
+
+    # top-down BMP (negative height) keeps row order
+    arr = rng.randint(0, 256, (3, 2, 3), dtype=np.uint8)
+    b = bytearray(codec.encode_bmp(arr))
+    b[22:26] = (-3).to_bytes(4, "little", signed=True)
+    flipped = codec.decode_bmp(bytes(b))
+    assert np.array_equal(flipped, arr[::-1])
+
+    # PPM with a comment in the header
+    ppm = b"P6\n# a comment\n2 1\n255\n" + bytes([1, 2, 3, 4, 5, 6])
+    assert codec.decode_ppm(ppm).reshape(-1).tolist() == [1, 2, 3, 4, 5, 6]
+
+    with pytest.raises(ValueError, match="BM"):
+        codec.decode_bmp(b"nope")
+    with pytest.raises(ValueError, match="truncated"):
+        codec.decode_ppm(b"P6\n4 4\n255\n\x00")
+
+
+def test_media_pipeline_strict_bmp(ray_session):
+    """DecodeImage(fake=False) REALLY decodes BMP payloads through the
+    actor pool; unsupported mimes still raise NotImplementedError."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops import codec
+
+    rng = np.random.RandomState(21)
+    arrs = [rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+            for h, w in [(6, 5), (4, 4), (6, 5), (3, 7)]]
+    media = pa.table({
+        "media_id": pa.array([f"b{i}" for i in range(4)]),
+        "mime": pa.array(["image/bmp"] * 3 + ["image/x-portable-pixmap"]),
+        "payload": pa.array([codec.encode_bmp(a) for a in arrs[:3]]
+                            + [codec.encode_ppm(arrs[3])], pa.binary()),
+        "width": pa.array([a.shape[1] for a in arrs], pa.int32()),
+        "height": pa.array([a.shape[0] for a in arrs], pa.int32()),
+        "n_frames": pa.array([1] * 4, pa.int32()),
+    })
+    decoded = multimodal.decode_images(
+        rd.from_arrow(media), fake=False).to_pandas() \
+        .set_index("media_id")
+    for i, a in enumerate(arrs):
+        assert decoded.loc[f"b{i}", "shape"] == list(a.shape)
+        assert np.array_equal(
+            np.asarray(decoded.loc[f"b{i}", "pixels"], dtype=np.uint8),
+            a.reshape(-1))
+
+    # the decoded tensors feed the downstream stages unchanged
+    feats = multimodal.image_features(multimodal.resize_images(
+        multimodal.decode_images(rd.from_arrow(media), fake=False),
+        out_w=4, out_h=4)).to_pandas()
+    assert len(feats) == 4 and all(len(f) == 14 for f in feats["features"])
+
+    # compressed mimes stay honestly stubbed
+    png = rd.from_arrow(multimodal.make_fake_media_table(n=3)) \
+        .filter(expr="mime == 'image/png'")
+    with pytest.raises(Exception, match="no in-repo codec"):
+        multimodal.decode_images(png, fake=False).materialize()
+
+
+def test_wav_codec_roundtrip():
+    """In-repo RIFF/PCM WAV codec: encode -> decode is the identity for
+    mono/stereo 16-bit; hand-built 8-bit and out-of-order-chunk payloads
+    decode correctly; malformed payloads raise."""
+    from aml_entity_resolution_assignment_ray.ops import codec
+
+    rng = np.random.RandomState(13)
+    for frames, ch, rate in [(1, 1, 8000), (7, 2, 16000), (500, 1, 22050)]:
+        arr = rng.randint(-32768, 32768, (frames, ch)).astype(np.int16)
+        got, r = codec.decode_wav(codec.encode_wav(arr, rate))
+        assert r == rate and np.array_equal(got, arr)
+
+    # 8-bit unsigned PCM recenters to int16 ((x - 128) << 8)
+    fmt = ((1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+           + (8000).to_bytes(4, "little") + (8000).to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + (8).to_bytes(2, "little"))
+    data = bytes([0, 128, 255])
+    body = (b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+            + b"data" + len(data).to_bytes(4, "little") + data)
+    wav8 = b"RIFF" + len(body).to_bytes(4, "little") + body
+    got, r = codec.decode_wav(wav8)
+    assert r == 8000
+    assert got.reshape(-1).tolist() == [-32768, 0, 32512]
+
+    # extra chunk before fmt/data (LIST), odd-length padding honored
+    extra = b"LIST" + (3).to_bytes(4, "little") + b"abc\x00"
+    body2 = (b"WAVE" + extra + b"fmt "
+             + len(fmt).to_bytes(4, "little") + fmt
+             + b"data" + len(data).to_bytes(4, "little") + data)
+    wav_l = b"RIFF" + len(body2).to_bytes(4, "little") + body2
+    got2, _ = codec.decode_wav(wav_l)
+    assert np.array_equal(got2, got)
+
+    with pytest.raises(ValueError, match="RIFF"):
+        codec.decode_wav(b"nope")
+    with pytest.raises(ValueError, match="missing fmt"):
+        codec.decode_wav(b"RIFF" + (4).to_bytes(4, "little") + b"WAVE")
+
+
+def test_audio_pipeline_strict_wav(ray_session):
+    """DecodeAudio(fake=False) REALLY decodes WAV payloads through the
+    actor pool, AudioFeatures agrees with a direct per-row reference,
+    and unsupported mimes stay honestly stubbed."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops import codec
+
+    tbl = multimodal.make_audio_table(n=9, seed=3, max_frames=400)
+    decoded = multimodal.decode_audio(rd.from_arrow(tbl), fake=False)
+    feats = multimodal.audio_features(decoded).to_pandas() \
+        .set_index("media_id")
+    src = tbl.to_pandas().set_index("media_id")
+    assert len(feats) == 9
+    for mid, row in src.iterrows():
+        arr, rate = codec.decode_wav(bytes(row["payload"]))
+        s = arr.reshape(-1).astype(np.int64)
+        f = feats.loc[mid]
+        assert f["n_samples"] == arr.shape[0]
+        assert f["channels"] == arr.shape[1]
+        assert f["sample_rate"] == rate
+        assert f["duration_sec"] == arr.shape[0] / rate
+        assert f["mean_amp"] == s.sum() / len(s) / 32768.0
+        assert f["rms"] == np.sqrt((s * s).sum() / len(s)) / 32768.0
+        assert f["peak"] == np.abs(s).max() / 32768.0
+        c0 = arr[:, 0] >= 0
+        assert f["zero_crossings"] == int((c0[1:] != c0[:-1]).sum())
+
+    # fake mode honors the sidecar layout columns
+    fake = multimodal.audio_features(
+        multimodal.decode_audio(rd.from_arrow(tbl), fake=True)).to_pandas()
+    assert sorted(fake.columns) == sorted(feats.reset_index().columns)
+    assert fake["n_samples"].tolist() == src["n_samples"].tolist()
+
+    # compressed mimes raise in strict mode
+    bad = pa.table({
+        "media_id": pa.array(["x"]), "mime": pa.array(["audio/mpeg"]),
+        "payload": pa.array([b"\xff\xfb"], pa.binary()),
+        "sample_rate": pa.array([44100], pa.int32()),
+        "n_samples": pa.array([10], pa.int32()),
+        "channels": pa.array([1], pa.int32()),
+    })
+    with pytest.raises(Exception, match="no in-repo codec"):
+        multimodal.decode_audio(rd.from_arrow(bad), fake=False).materialize()
+
+
 def test_image_features_scalar_reference():
     """Vectorized shape-grouped resize + integer-exact features agree
     with a direct per-row reference on a mixed-shape batch."""

@@ -385,3 +385,26 @@ def test_anti_join_int_width_mismatch_shuffle(ray_session):
                     on=["k"], cfg=SHUFFLE_CFG, right_rows=None).to_pandas()
     exp = sorted(i for i in range(20) if i % 4 != 0)
     assert sorted(got["k"].tolist()) == exp
+
+
+def test_scrub_lineage_tag(ray_session):
+    """scrub_empty_blocks marks its output; a second scrub of the same
+    object is a no-op fast path (same object back), while a TRANSFORM of
+    a scrubbed dataset loses the mark and scrubs again."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.util import scrub_empty_blocks
+
+    ds = rd.from_pandas(pd.DataFrame({"x": range(10)})).repartition(4)
+    s1 = scrub_empty_blocks(ds)
+    assert getattr(s1, "_er_scrubbed", False)
+    assert scrub_empty_blocks(s1) is s1
+    mapped = s1.map_batches(lambda df: df, batch_format="pandas")
+    assert not getattr(mapped, "_er_scrubbed", False)
+    s2 = scrub_empty_blocks(mapped)
+    assert s2.count() == 10 and getattr(s2, "_er_scrubbed", False)
+
+    # the all-empty/no-schema result stays untagged (poison blocks kept)
+    empty = scrub_empty_blocks(
+        rd.from_pandas(pd.DataFrame({"x": []})).repartition(2))
+    assert not getattr(empty, "_er_scrubbed", False)

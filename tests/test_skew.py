@@ -128,17 +128,22 @@ def _overlap_keys_table(hot_size: int):
     })
 
 
-@pytest.mark.parametrize("gather", [0, 500_000])
-def test_salted_pairs_exact(ray_session, gather):
-    """salt=True (the triangle-cell salted repartition) emits EXACTLY
-    the naive distinct pair set — hot key split across cells, cold keys
-    on the direct path, cross-path duplicate pairs deduped — on both the
-    shuffle and gather plans."""
+@pytest.mark.parametrize("plan", ["routed", "legacy", "gather"])
+def test_salted_pairs_exact(ray_session, plan):
+    """salt=True emits EXACTLY the naive distinct pair set — hot key
+    split across cells, cold keys on the direct path, cross-path
+    duplicate pairs deduped — on all three plans: the default ROUTED
+    two-pass (broadcast hot set, one data shuffle), the LEGACY
+    broadcast-free 3-shuffle fallback (forced by zeroing the broadcast
+    gate), and the single-task gather."""
     import ray.data as rd
 
     keys_tbl = _overlap_keys_table(hot_size=700)
-    cfg = EngineConfig(max_block_records=1 << 30, salt_min_group=64,
-                       join_num_partitions=4, gather_max_keys=gather)
+    cfg = EngineConfig(
+        max_block_records=1 << 30, salt_min_group=64,
+        join_num_partitions=4,
+        gather_max_keys=500_000 if plan == "gather" else 0,
+        broadcast_max_rows=0 if plan == "legacy" else 2_000_000)
     pairs = generate_pairs(rd.from_arrow(keys_tbl), cfg,
                            n_rows=keys_tbl.num_rows, salt=True).to_pandas()
     got = set(zip(pairs["id_a"], pairs["id_b"]))
