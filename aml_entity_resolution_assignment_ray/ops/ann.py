@@ -38,18 +38,34 @@ def _normalize(M: np.ndarray) -> np.ndarray:
 
 
 class _BlockTopK:
-    """Per-batch exact cosine: batch x queries matmul, local top-k."""
+    """Per-batch exact cosine: batch x queries matmul, local top-k.
 
-    def __init__(self, queries_ref, k, vec_col, id_col):
+    ``mask_ref`` (optional) is a broadcast (ncells, n_queries) bool
+    matrix + the centroid matrix: each row's cell is recomputed from the
+    centroids (one small extra matmul) and scores for (row, query) pairs
+    the query did NOT probe are masked out — per-query IVF semantics
+    over a single shared scan of the probed-cell union."""
+
+    _MASKED = -2.0  # below any cosine; filtered after the driver merge
+
+    def __init__(self, queries_ref, k, vec_col, id_col, mask_ref=None):
         self.Q = _normalize(np.asarray(ray.get(queries_ref), dtype=np.float64))
         self.k = k
         self.vec_col = vec_col
         self.id_col = id_col
+        if mask_ref is None:
+            self.mask = self.C = None
+        else:
+            self.mask, C = ray.get(mask_ref)
+            self.C = _normalize(np.asarray(C, dtype=np.float64))
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         V = _normalize(np.stack(df[self.vec_col].to_numpy()).astype(np.float64))
         ids = df[self.id_col].to_numpy()
         S = V @ self.Q.T                      # (batch, n_queries)
+        if self.mask is not None:
+            cell = (V @ self.C.T).argmax(axis=1)
+            S = np.where(self.mask[cell], S, self._MASKED)
         k = min(self.k, len(df))
         out_id, out_q, out_cos = [], [], []
         for qi in range(S.shape[1]):
@@ -66,7 +82,7 @@ class _BlockTopK:
 
 def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
                      vec_col: str = "embedding", id_col: str = "vec_id",
-                     batch_size: int = 4096) -> pd.DataFrame:
+                     batch_size: int = 4096, _mask_ref=None) -> pd.DataFrame:
     """Exact cosine top-k for each query row. Returns a DataFrame
     (query_idx, id_col, cosine) sorted by (query_idx, -cosine, id)."""
     queries = np.atleast_2d(np.asarray(queries, dtype=np.float64))
@@ -74,9 +90,11 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
     from ..util import stateful_map
 
     cand = stateful_map(
-        ds, _BlockTopK, (qref, k, vec_col, id_col),
+        ds, _BlockTopK, (qref, k, vec_col, id_col, _mask_ref),
         batch_format="pandas", batch_size=batch_size,
     ).to_pandas()          # #blocks x k x n_queries rows — driver-small
+    if _mask_ref is not None:
+        cand = cand[cand["cosine"] > _BlockTopK._MASKED + 0.5]
     cand = cand.sort_values(
         ["query_idx", "cosine", id_col], ascending=[True, False, True],
         kind="stable")
@@ -131,10 +149,10 @@ class IVFIndex:
                          for c in t.sort_by("cell")["centroid"].to_pylist()])
         return cls(cent, index_path, vec_col=vec_col, id_col=id_col)
 
-    def probe_cells(self, queries: np.ndarray, nprobe: int = 4) -> list[int]:
-        """The nprobe nearest cells per query (union across queries),
-        ties broken by ascending cell id — deterministic, so the DuckDB
-        oracle can replay the probe from centroids.parquet."""
+    def probe_matrix(self, queries: np.ndarray, nprobe: int = 4) -> np.ndarray:
+        """(n_queries, nprobe) nearest cells PER QUERY, ties broken by
+        ascending cell id — deterministic, so the DuckDB oracle can
+        replay the probe from centroids.parquet."""
         queries = np.atleast_2d(np.asarray(queries, dtype=np.float64))
         Qn = _normalize(queries)
         Cn = _normalize(self.centroids)
@@ -142,13 +160,25 @@ class IVFIndex:
         # one vectorized stable argsort for the whole query batch: ties
         # on -cosine keep original (ascending cell-id) order, matching
         # the per-query lexsort((cell, -cos)) the oracle replays
-        order = np.argsort(-S, axis=1, kind="stable")[:, :nprobe]
-        return sorted(int(c) for c in np.unique(order))
+        return np.argsort(-S, axis=1, kind="stable")[:, :nprobe]
+
+    def probe_cells(self, queries: np.ndarray, nprobe: int = 4) -> list[int]:
+        """Union of the per-query probed cells (the file set one shared
+        scan touches)."""
+        return sorted(int(c)
+                      for c in np.unique(self.probe_matrix(queries, nprobe)))
 
     def search(self, queries: np.ndarray, k: int = 10,
                nprobe: int = 4) -> pd.DataFrame:
+        """Multi-query batched IVF search with per-query semantics: the
+        probed-cell UNION is scanned once (each cell file read once no
+        matter how many queries probe it), but every query is scored
+        only against its OWN nprobe cells — batched search returns
+        exactly what each query searched alone would (pinned by
+        tests/test_ops.py::test_ivf_multi_query_batching)."""
         queries = np.atleast_2d(np.asarray(queries, dtype=np.float64))
-        cells = self.probe_cells(queries, nprobe=nprobe)
+        pm = self.probe_matrix(queries, nprobe=nprobe)
+        cells = sorted(int(c) for c in np.unique(pm))
         import ray.data as rd
 
         cells_root = os.path.join(self.path, "cells")
@@ -172,8 +202,14 @@ class IVFIndex:
                 "cosine": pd.Series([], dtype=np.float64),
             })
         sub = rd.read_parquet(paths, columns=[self.id_col, self.vec_col])
+        # (ncells, n_queries) allow-mask; a worker recomputes each row's
+        # cell from the (broadcast) centroids — no _cell column needed
+        mask = np.zeros((len(self.centroids), len(queries)), dtype=bool)
+        for qi in range(len(queries)):
+            mask[pm[qi], qi] = True
+        mask_ref = ray.put((mask, self.centroids))
         return brute_force_topk(sub, queries, k=k, vec_col=self.vec_col,
-                                id_col=self.id_col)
+                                id_col=self.id_col, _mask_ref=mask_ref)
 
 
 def build_ivf(ds, ncells: int | None = 16, vec_col: str = "embedding",

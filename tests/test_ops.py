@@ -350,6 +350,26 @@ def test_ivf_ncells_heuristic_and_recall_curve(ray_session):
     assert recalls[-1] >= 0.9       # probing 12/20 cells ~= exhaustive
 
 
+def test_ivf_multi_query_batching(ray_session):
+    """Batched multi-query search has PER-QUERY semantics: one shared
+    scan of the probed-cell union, but each query scored only against
+    its own nprobe cells — so the batched result equals running every
+    query alone, even when queries probe different cells."""
+    ds, V = _emb_ds(n=300)
+    idx = ann.build_ivf(ds, ncells=12)
+    qs = V[[7, 123, 250, 42]].astype(np.float64)
+    # the premise: the queries do NOT all probe the same cells
+    pm = idx.probe_matrix(qs, nprobe=3)
+    assert len({tuple(r) for r in pm.tolist()}) > 1
+    batched = idx.search(qs, k=5, nprobe=3)
+    for qi in range(4):
+        alone = idx.search(qs[qi], k=5, nprobe=3)
+        got = batched[batched["query_idx"] == qi]
+        assert got["vec_id"].tolist() == alone["vec_id"].tolist()
+        assert np.allclose(got["cosine"].to_numpy(),
+                           alone["cosine"].to_numpy())
+
+
 def test_ivf_error_paths(ray_session, tmp_path):
     """load() on a non-index path raises a descriptive error; a probe
     that hits only empty cells returns an empty frame, not a crash."""
