@@ -478,6 +478,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(finalize, batch_format="pandas")
 
+    def doc_contamination(sf_dir):
+        """Benchmark decontamination (ops/contamination.py): docs with
+        doc_id % 20 == 0 act as the held-out benchmark; every other doc
+        is flagged with how many of its distinct token 4-grams appear in
+        the benchmark (4 rather than the published 13 so the synthetic
+        corpus yields a dense nonzero signal to hash).  Broadcast path
+        at this scale (the benchmark gram set is small); the distributed
+        semi-join path is pinned equal in
+        tests/test_ops.py::test_contamination_paths_agree."""
+        _tune_context()
+        from aml_entity_resolution_assignment_ray.ops.contamination import (
+            ngram_contamination,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+        bench = docs.map_batches(lambda d: d[d["doc_id"] % 20 == 0],
+                                 batch_format="pandas")
+        corpus = docs.map_batches(lambda d: d[d["doc_id"] % 20 != 0],
+                                  batch_format="pandas")
+        out = ngram_contamination(corpus, bench, n=4)
+
+        def finalize(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_contaminated_grams":
+                    df["n_contaminated_grams"].astype("int64"),
+                "contaminated": df["contaminated"].astype(bool),
+            })
+
+        return out.map_batches(finalize, batch_format="pandas")
+
     def event_sessions(sf_dir):
         _tune_context()
         from aml_entity_resolution_assignment_ray.ops.events import sessionize
@@ -864,6 +895,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_terms": doc_top_terms,
         "doc_tfidf_top5": doc_tfidf_top5,
         "doc_hash_split": doc_hash_split,
+        "doc_contamination": doc_contamination,
         "event_sessions": event_sessions,
         "sliding_event_counts": sliding_event_counts,
         "orders_asof": orders_asof,
@@ -2150,6 +2182,45 @@ def oracle_sql() -> dict[str, str]:
                 list_transform(v.embedding, x -> CAST(x AS DOUBLE)), q.e)
                 DESC, v.vec_id
             LIMIT 10
+        """,
+        # decontamination: distinct token 8-grams (same lower + ws-
+        # normalize + single-space tokenize contract as the token-count
+        # oracles; n=4 for signal density on the synthetic corpus),
+        # benchmark = doc_id % 20 == 0, count of shared grams
+        # per remaining doc
+        "doc_contamination": f"""
+            WITH norm AS (
+              SELECT doc_id,
+                     lower(trim(regexp_replace({ws_normalize_sql("text")},
+                                               '\\s+', ' ', 'g'))) AS t
+              FROM documents
+            ),
+            tok AS (
+              SELECT doc_id, string_split(t, ' ') AS toks
+              FROM norm WHERE t <> ''
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(list_slice(toks, i, i + 3), ' ') AS gram
+              FROM (
+                SELECT doc_id, toks,
+                       unnest(generate_series(1, len(toks) - 3)) AS i
+                FROM tok WHERE len(toks) >= 4)
+            ),
+            bench AS (
+              SELECT DISTINCT gram FROM grams WHERE doc_id % 20 = 0
+            ),
+            hits AS (
+              SELECT c.doc_id, count(*) AS n
+              FROM grams c JOIN bench b USING (gram)
+              WHERE c.doc_id % 20 <> 0
+              GROUP BY c.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated_grams,
+                   coalesce(h.n, 0) > 0 AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+            LEFT JOIN hits h USING (doc_id)
         """,
         "embedding_norms": """
             SELECT vec_id,

@@ -350,6 +350,68 @@ def test_ivf_ncells_heuristic_and_recall_curve(ray_session):
     assert recalls[-1] >= 0.9       # probing 12/20 cells ~= exhaustive
 
 
+def test_contamination_paths_agree(ray_session):
+    """ngram_contamination: broadcast np.isin path and distributed
+    semi-join path (forced by zeroing the broadcast gate) emit identical
+    per-doc counts, matching a hand-computed reference; short docs
+    (< n tokens) come back clean with zero grams."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.config import EngineConfig
+    from aml_entity_resolution_assignment_ray.ops.contamination import (
+        ngram_contamination,
+    )
+
+    bench_rows = pd.DataFrame({
+        "doc_id": [100, 101],
+        "text": ["the quick brown fox jumps over the lazy dog",
+                 "pack my box with five dozen liquor jugs ok"],
+    })
+    corpus_rows = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            # shares 'the quick brown fox' 4-gram span with bench 100
+            "I saw the quick brown fox jumps yesterday",
+            # no 4-token overlap
+            "completely unrelated text about ray data pipelines here",
+            # exact copy of bench 101 -> many shared grams
+            "pack my box with five dozen liquor jugs ok",
+            "too short",  # < n tokens: zero grams, clean
+        ],
+    })
+
+    def reference(n=4):
+        def grams(t):
+            toks = t.lower().split()
+            return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+        bset = set().union(*(grams(t) for t in bench_rows["text"]))
+        return {d: len(grams(t) & bset)
+                for d, t in zip(corpus_rows["doc_id"], corpus_rows["text"])}
+
+    exp = reference()
+    assert exp[0] > 0 and exp[1] == 0 and exp[2] >= 6 and exp[3] == 0
+
+    results = {}
+    for label, cfg in [
+            ("broadcast", EngineConfig(join_num_partitions=4)),
+            ("join", EngineConfig(join_num_partitions=4,
+                                  broadcast_max_rows=0))]:
+        out = ngram_contamination(
+            rd.from_pandas(corpus_rows).repartition(3),
+            rd.from_pandas(bench_rows).repartition(2),
+            n=4, cfg=cfg).to_pandas().sort_values("doc_id")
+        results[label] = out
+        got = dict(zip(out["doc_id"], out["n_contaminated_grams"]))
+        assert got == exp, f"{label} path mismatch: {got} != {exp}"
+        assert (out["contaminated"].to_numpy()
+                == (out["n_contaminated_grams"].to_numpy() > 0)).all()
+    pd.testing.assert_frame_equal(
+        results["broadcast"].reset_index(drop=True).astype(
+            {"n_contaminated_grams": "int64"}),
+        results["join"].reset_index(drop=True).astype(
+            {"n_contaminated_grams": "int64"}))
+
+
 def test_ivf_multi_query_batching(ray_session):
     """Batched multi-query search has PER-QUERY semantics: one shared
     scan of the probed-cell union, but each query scored only against
