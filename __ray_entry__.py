@@ -509,6 +509,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(finalize, batch_format="pandas")
 
+    def corpus_prep_q(sf_dir):
+        """The composite LLM training-data prep pipeline
+        (pipelines/corpus_prep.py): exact dedup -> quality + language
+        filter -> 4-gram decontamination vs the doc_id%20 benchmark ->
+        token counts, one streaming Dataset composition.  The DuckDB
+        oracle replays the ENTIRE chain including the float64
+        quality_score expression and the stopword-voting LID."""
+        _tune_context()
+        from aml_entity_resolution_assignment_ray.pipelines.corpus_prep import (
+            corpus_prep,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+        bench = docs.map_batches(lambda d: d[d["doc_id"] % 20 == 0],
+                                 batch_format="pandas")
+        corpus = docs.map_batches(lambda d: d[d["doc_id"] % 20 != 0],
+                                  batch_format="pandas")
+        out = corpus_prep(corpus, bench, quality_min=0.35, lang="en",
+                          contamination_n=4)
+
+        def finalize(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_chars_text": df["n_chars_text"].astype("int64"),
+                "n_tokens": df["n_tokens"].astype("int64"),
+                "quality_score": _round_half_away(df["quality_score"], 6),
+            })
+
+        return out.map_batches(finalize, batch_format="pandas")
+
     def event_sessions(sf_dir):
         _tune_context()
         from aml_entity_resolution_assignment_ray.ops.events import sessionize
@@ -896,6 +926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tfidf_top5": doc_tfidf_top5,
         "doc_hash_split": doc_hash_split,
         "doc_contamination": doc_contamination,
+        "corpus_prep": corpus_prep_q,
         "event_sessions": event_sessions,
         "sliding_event_counts": sliding_event_counts,
         "orders_asof": orders_asof,
@@ -924,10 +955,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
-def _lang_id_sql() -> str:
-    """Stopword-voting LID as SQL, built from the SAME stopword lists and
-    token semantics as ops/text.py (tokens = maximal [A-Za-zÀ-ÿ]+ runs;
-    winner must strictly beat every other language and score > 0)."""
+def _lang_vote_sql_parts() -> tuple[list, list]:
+    """(per-language vote columns, CASE arms) for the stopword-voting
+    LID, built from the SAME stopword lists and token semantics as
+    ops/text.py (tokens = maximal [A-Za-zÀ-ÿ]+ runs; winner must
+    strictly beat every other language and score > 0).  Shared by the
+    doc_lang_id and corpus_prep oracles."""
     import re as _re
 
     from aml_entity_resolution_assignment_ray.ops.text import _STOPWORDS, _WORD_RE
@@ -945,10 +978,110 @@ def _lang_id_sql() -> str:
         others = " AND ".join(
             f"v_{lang} > v_{o}" for o in langs if o != lang)
         cases.append(f"WHEN v_{lang} > 0 AND {others} THEN '{lang}'")
+    return cols, cases
+
+
+def _lang_id_sql() -> str:
+    cols, cases = _lang_vote_sql_parts()
     return f"""
         WITH v AS (SELECT doc_id, {', '.join(cols)} FROM documents)
         SELECT doc_id, CASE {' '.join(cases)} ELSE 'und' END AS lang_pred
         FROM v
+    """
+
+
+def _corpus_prep_sql(quality_min: float = 0.35, lang: str = "en",
+                     gram_n: int = 4) -> str:
+    """The full corpus_prep pipeline replayed in SQL: exact dedup (min
+    doc_id per text) -> quality_score (the exact float64 expression of
+    ops/text.quality_batch, same operation order) + stopword-voting LID
+    -> filter -> 4-gram decontamination vs the doc_id%20 benchmark ->
+    whitespace token counts on survivors."""
+    import re as _re
+
+    from aml_entity_resolution_assignment_ray.ops.text import (
+        _STOPWORDS,
+        _WORD_RE,
+        ws_normalize_sql,
+    )
+
+    cols, cases = _lang_vote_sql_parts()
+    union = sorted(w for w in frozenset().union(*_STOPWORDS.values())
+                   if _re.fullmatch(_WORD_RE, w))
+    union_lst = ", ".join(f"'{w}'" for w in union)
+    g1, g2 = gram_n - 1, gram_n
+    ws = ws_normalize_sql("text")
+    return f"""
+        WITH dedup AS (
+          SELECT text, min(doc_id) AS doc_id FROM documents
+          WHERE doc_id % 20 <> 0 GROUP BY text
+        ),
+        q AS (
+          SELECT doc_id, text,
+                 length(text) AS n,
+                 length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS n_punct,
+                 length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+                 len(regexp_extract_all(lower(coalesce(text, '')),
+                     '[a-zA-ZÀ-ÿ]+')) AS n_words,
+                 len(list_filter(regexp_extract_all(lower(coalesce(text, '')),
+                     '[a-zA-ZÀ-ÿ]+'),
+                     t -> list_contains([{union_lst}], t))) AS n_stop,
+                 {', '.join(cols)}
+          FROM dedup
+        ),
+        scored AS (
+          SELECT doc_id, text,
+                 CASE WHEN n = 0 THEN 0.0 ELSE
+                   least(greatest(CAST(n AS DOUBLE) / 200.0, 0.0), 1.0) * 0.3
+                   + least(greatest(1.0 - (CAST(n_punct AS DOUBLE)
+                       / greatest(n, 1)) * 4, 0.0), 1.0) * 0.2
+                   + least(greatest(1.0 - (CAST(n_digit AS DOUBLE)
+                       / greatest(n, 1)) * 4, 0.0), 1.0) * 0.2
+                   + least(greatest((CAST(n_stop AS DOUBLE)
+                       / greatest(n_words, 1)) * 3, 0.0), 1.0) * 0.3
+                 END AS quality_score,
+                 CASE {' '.join(cases)} ELSE 'und' END AS lang_pred
+          FROM q
+        ),
+        kept AS (
+          SELECT doc_id, text, quality_score FROM scored
+          WHERE quality_score >= {quality_min} AND lang_pred = '{lang}'
+        ),
+        kgrams AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(list_slice(toks, i, i + {g1}), ' ') AS gram
+          FROM (
+            SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - {g1})) AS i
+            FROM (SELECT doc_id,
+                         string_split(lower(trim(regexp_replace({ws},
+                             '\\s+', ' ', 'g'))), ' ') AS toks
+                  FROM kept)
+            WHERE len(toks) >= {g2})
+        ),
+        bgrams AS (
+          SELECT DISTINCT
+                 array_to_string(list_slice(toks, i, i + {g1}), ' ') AS gram
+          FROM (
+            SELECT toks, unnest(generate_series(1, len(toks) - {g1})) AS i
+            FROM (SELECT string_split(lower(trim(regexp_replace({ws},
+                             '\\s+', ' ', 'g'))), ' ') AS toks
+                  FROM documents WHERE doc_id % 20 = 0)
+            WHERE len(toks) >= {g2})
+        ),
+        dirty AS (
+          SELECT DISTINCT doc_id FROM kgrams JOIN bgrams USING (gram)
+        )
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_text,
+               CAST(CASE WHEN length(txt) = 0 THEN 0
+                    ELSE array_length(regexp_split_to_array(txt, '\\s+'))
+               END AS BIGINT) AS n_tokens,
+               round(quality_score, 6) AS quality_score
+        FROM (SELECT *, trim({ws},
+                   ' ' || chr(9) || chr(10) || chr(12) || chr(13)) AS txt
+              FROM kept)
+        WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
     """
 
 
@@ -1755,6 +1888,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "doc_fingerprints": _fingerprints_sql(),
         "media_features": _media_features_sql(),
+        "corpus_prep": _corpus_prep_sql(),
         "audio_features": """
             WITH dec AS (
               SELECT media_id, samples, n_samples, channels, sample_rate

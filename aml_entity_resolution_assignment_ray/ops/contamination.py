@@ -71,11 +71,13 @@ class _BroadcastCount:
     once per worker; each batch counts contaminated grams per doc with
     one np.isin over its exploded digests."""
 
-    def __init__(self, bench_ref, col: str, id_col: str, n: int):
+    def __init__(self, bench_ref, col: str, id_col: str, n: int,
+                 keep_cols: tuple = ()):
         self.bench = ray.get(bench_ref)  # sorted uint64 array
         self.col = col
         self.id_col = id_col
         self.n = n
+        self.keep_cols = keep_cols
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         ids, counts, digests = _doc_gram_digests(
@@ -86,11 +88,14 @@ class _BroadcastCount:
         offs = np.concatenate([[0], np.cumsum(counts)[:-1]])
         csum = np.concatenate([[0], np.cumsum(hit.astype(np.int64))])
         nhits = csum[np.cumsum(counts)] - csum[offs]
-        return pd.DataFrame({
+        out = pd.DataFrame({
             self.id_col: ids,
             "n_contaminated_grams": nhits.astype(np.int64),
             "contaminated": nhits > 0,
         })
+        for c in self.keep_cols:  # rows align with the input batch order
+            out[c] = df[c].to_numpy()
+        return out
 
 
 def _corpus_grams_batch(df: pd.DataFrame, col: str, id_col: str,
@@ -104,13 +109,16 @@ def _corpus_grams_batch(df: pd.DataFrame, col: str, id_col: str,
 
 def ngram_contamination(corpus, benchmark, n: int = 8, col: str = "text",
                         id_col: str = "doc_id",
+                        keep_cols: tuple = (),
                         cfg: EngineConfig = DEFAULT_CONFIG):
     """Per corpus doc: how many of its DISTINCT token ``n``-grams appear
     anywhere in ``benchmark``, plus the boolean flag.  Docs with fewer
     than ``n`` tokens have zero grams and are clean by definition.
 
     Returns a Dataset (id_col, n_contaminated_grams:int64,
-    contaminated:bool) with one row per corpus doc."""
+    contaminated:bool, *keep_cols passed through) with one row per
+    corpus doc — ``keep_cols`` lets a pipeline keep filtering inline
+    (flag -> filter -> next stage) without a join back to the corpus."""
     from ..util import safe_join, stateful_map
 
     bench_grams = (
@@ -133,7 +141,8 @@ def ngram_contamination(corpus, benchmark, n: int = 8, col: str = "text",
                       .astype(np.uint64)) if n_grams else \
             np.array([], dtype=np.uint64)
         ref = ray.put(arr)
-        return stateful_map(corpus, _BroadcastCount, (ref, col, id_col, n),
+        return stateful_map(corpus, _BroadcastCount,
+                            (ref, col, id_col, n, keep_cols),
                             batch_format="pandas")
     # distributed semi-join path: corpus gram digests x benchmark digests
     corp = corpus.map_batches(
@@ -148,17 +157,20 @@ def ngram_contamination(corpus, benchmark, n: int = 8, col: str = "text",
             lambda d: d.groupby(id_col, sort=False).size()
             .reset_index(name="n_contaminated_grams"),
             batch_format="pandas", batch_size=None))
-    all_ids = corpus.select_columns([id_col])
+    all_ids = corpus.select_columns([id_col, *keep_cols])
     out = safe_join(all_ids, counts, "left_outer", nparts, (id_col,))
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
         c = (df["n_contaminated_grams"].fillna(0).astype(np.int64)
              if "n_contaminated_grams" in df.columns
              else pd.Series(np.zeros(len(df), dtype=np.int64)))
-        return pd.DataFrame({
+        res = pd.DataFrame({
             id_col: df[id_col],
             "n_contaminated_grams": c,
             "contaminated": c > 0,
         })
+        for kc in keep_cols:
+            res[kc] = df[kc].to_numpy()
+        return res
 
     return out.map_batches(finalize, batch_format="pandas")

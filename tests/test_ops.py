@@ -350,6 +350,52 @@ def test_ivf_ncells_heuristic_and_recall_curve(ray_session):
     assert recalls[-1] >= 0.9       # probing 12/20 cells ~= exhaustive
 
 
+def test_corpus_prep_pipeline(ray_session):
+    """The composite prep pipeline drops exact dupes (min id wins),
+    low-quality docs, non-target-language docs and benchmark-
+    contaminated docs, and reports whitespace token counts for the
+    survivors."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.config import EngineConfig
+    from aml_entity_resolution_assignment_ray.pipelines.corpus_prep import (
+        corpus_prep,
+    )
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "it runs back home to rest for the evening with friends "
+            "because that is what it always does at the end of the day")
+    german = ("der hund und die katze sind nicht mit dem vogel auf "
+              "der wiese aber sie werden auch aus dem haus gehen und "
+              "das ist auch gut für sie denn sie haben es ja") * 2
+    bench_text = ("this sentence lives in the benchmark set and it "
+                  "must never appear in the training corpus at all "
+                  "because that would be evaluation contamination today")
+    tail = " plus a tail that makes it a distinct document ok"
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "text": [
+            good,                    # kept
+            good,                    # exact dup of 1 -> dropped
+            "9" * 300,               # digit soup -> quality-dropped
+            german,                  # lang-dropped
+            "start padding words " + bench_text,  # contaminated
+            good + tail,             # kept
+        ],
+    })
+    bench = pd.DataFrame({"doc_id": [100], "text": [bench_text]})
+    out = corpus_prep(
+        rd.from_pandas(docs).repartition(3), rd.from_pandas(bench),
+        quality_min=0.35, lang="en", contamination_n=4,
+        cfg=EngineConfig(join_num_partitions=4)).to_pandas() \
+        .sort_values("doc_id")
+    assert out["doc_id"].tolist() == [1, 6]
+    assert out["n_tokens"].tolist() == [len(good.split()),
+                                        len((good + tail).split())]
+    assert out["n_chars_text"].tolist() == [len(good), len(good + tail)]
+    assert (out["quality_score"] >= 0.35).all()
+
+
 def test_contamination_paths_agree(ray_session):
     """ngram_contamination: broadcast np.isin path and distributed
     semi-join path (forced by zeroing the broadcast gate) emit identical
