@@ -802,6 +802,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return feats.map_batches(rounded, batch_format="pandas")
 
+    def audio_frames(sf_dir):
+        """Frame-level audio energy (windowed RMS over channel 0, the
+        VAD/silence-trim contour): REAL WAV decode -> persist ->
+        per-256-sample-frame RMS, VALUE-ORACLED by grouping the
+        persisted samples in SQL."""
+        _tune_context()
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from aml_entity_resolution_assignment_ray.ops import multimodal as mm
+
+        audio = rd.from_arrow(mm.make_audio_table(n=32))
+        decoded = mm.decode_audio(audio, fake=False).materialize()
+
+        dec_df = decoded.to_pandas()  # 32 rows — driver-small by design
+        os.makedirs("/tmp/er_media", exist_ok=True)
+        pq.write_table(pa.table({
+            "media_id": pa.array(dec_df["media_id"], pa.string()),
+            "samples": pa.array([np.asarray(s, dtype=np.int32).tolist()
+                                 for s in dec_df["samples"]],
+                                pa.list_(pa.int32())),
+            "channels": pa.array(dec_df["channels"], pa.int64()),
+        }), "/tmp/er_media/audio_frames_decoded.parquet")
+
+        frames = mm.audio_frame_energy(decoded, frame=256)
+
+        def rounded(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.copy()
+            out["frame_rms"] = _round_half_away(out["frame_rms"], 6)
+            return out
+
+        return frames.map_batches(rounded, batch_format="pandas")
+
     def media_meta(sf_dir):
         """Binary-payload plumbing, value-checked: the fake media table
         is written to parquet, read back through Ray as binary-typed
@@ -944,6 +978,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_norms": embedding_norms,
         "media_features": media_features,
         "audio_features": audio_features,
+        "audio_frames": audio_frames,
         "media_meta": media_meta,
         "er_profiles": er_profiles,
         "er_pairs": er_pairs,
@@ -1889,6 +1924,26 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": _fingerprints_sql(),
         "media_features": _media_features_sql(),
         "corpus_prep": _corpus_prep_sql(),
+        "audio_frames": """
+            WITH dec AS (
+              SELECT media_id, samples, channels
+              FROM read_parquet('/tmp/er_media/audio_frames_decoded.parquet')
+            ),
+            ex AS (
+              SELECT media_id, channels,
+                     unnest(samples) AS s,
+                     unnest(range(len(samples))) AS i
+              FROM dec
+            )
+            SELECT media_id,
+                   CAST((i // channels) // 256 AS BIGINT) AS frame_idx,
+                   round(sqrt(CAST(sum(CAST(s AS BIGINT) * CAST(s AS BIGINT))
+                                   AS DOUBLE) / 256) / 32768.0, 6)
+                     AS frame_rms
+            FROM ex WHERE i % channels = 0
+            GROUP BY media_id, (i // channels) // 256
+            HAVING count(*) = 256
+        """,
         "audio_features": """
             WITH dec AS (
               SELECT media_id, samples, n_samples, channels, sample_rate

@@ -355,6 +355,54 @@ class AudioFeatures:
         })
 
 
+class AudioFrameEnergy:
+    """Actor-pool stage: channel-0 samples -> fixed-size frame RMS rows
+    (media_id, frame_idx, frame_rms) — the windowed energy contour a
+    VAD / silence-trim stage works from.  The tail shorter than
+    ``frame`` is dropped (every emitted frame has exactly ``frame``
+    samples).
+
+    Integer-exact like the other feature stages: per-frame sum of
+    squares is an exact int64, divided once in float64 —
+    ``rms = sqrt(sumsq / frame) / 32768`` — so the SQL oracle grouping
+    the same persisted samples by ``(i // channels) // frame``
+    reproduces every value bit-for-bit."""
+
+    def __init__(self, frame: int = 256):
+        self.frame = frame
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        ids_out, idx_out, rms_out = [], [], []
+        for mid, s, ch in zip(df["media_id"], df["samples"], df["channels"]):
+            c0 = np.asarray(s, dtype=np.int64)[::int(ch)]
+            nf = len(c0) // self.frame
+            if nf == 0:
+                continue
+            F = c0[: nf * self.frame].reshape(nf, self.frame)
+            rms = np.sqrt((F * F).sum(axis=1) / self.frame) / 32768.0
+            ids_out.append(np.repeat(mid, nf))
+            idx_out.append(np.arange(nf, dtype=np.int64))
+            rms_out.append(rms)
+        if not ids_out:
+            return pd.DataFrame({
+                "media_id": pd.Series([], dtype=object),
+                "frame_idx": pd.Series([], dtype="int64"),
+                "frame_rms": pd.Series([], dtype="float64"),
+            })
+        return pd.DataFrame({
+            "media_id": np.concatenate(ids_out),
+            "frame_idx": np.concatenate(idx_out),
+            "frame_rms": np.concatenate(rms_out),
+        })
+
+
+def audio_frame_energy(ds, frame: int = 256, batch_size: int = 64,
+                       concurrency=(1, 4)):
+    return ds.map_batches(AudioFrameEnergy, fn_constructor_args=(frame,),
+                          batch_format="pandas", batch_size=batch_size,
+                          concurrency=concurrency)
+
+
 class SampleFrames:
     """Actor-pool stage: video payload -> k evenly spaced frame indices
     plus (stubbed/fake) per-frame decode."""

@@ -206,6 +206,26 @@ def run_queries() -> dict:
             shutil.rmtree(ipath, ignore_errors=True)
 
     timed("ann_ivf_build_search", ivf)
+
+    from aml_entity_resolution_assignment_ray.ops.contamination import (
+        ngram_contamination,
+    )
+    from aml_entity_resolution_assignment_ray.pipelines.corpus_prep import (
+        corpus_prep,
+    )
+
+    def split_docs():
+        docs = read_docs_pruned()
+        bench_side = docs.map_batches(lambda d: d[d["doc_id"] % 20 == 0],
+                                      batch_format="pandas")
+        corpus_side = docs.map_batches(lambda d: d[d["doc_id"] % 20 != 0],
+                                       batch_format="pandas")
+        return corpus_side, bench_side
+
+    timed("contamination", lambda: ngram_contamination(
+        *split_docs(), n=4, cfg=cfg_docs).count())
+    timed("corpus_prep", lambda: corpus_prep(
+        *split_docs(), cfg=cfg_docs).count())
     return timings
 
 

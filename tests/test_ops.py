@@ -699,6 +699,42 @@ def test_audio_pipeline_strict_wav(ray_session):
         multimodal.decode_audio(rd.from_arrow(bad), fake=False).materialize()
 
 
+def test_audio_frame_energy(ray_session):
+    """Per-frame RMS over channel 0: agrees with a direct reference,
+    drops the sub-frame tail, and skips docs shorter than one frame."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops import codec
+
+    rng = np.random.RandomState(17)
+    specs = [(700, 1, 8000), (520, 2, 16000), (100, 1, 8000)]  # last: 0 frames
+    arrs = [rng.randint(-32768, 32768, (f, c)).astype(np.int16)
+            for f, c, _ in specs]
+    tbl = pa.table({
+        "media_id": pa.array([f"w{i}" for i in range(3)]),
+        "mime": pa.array(["audio/wav"] * 3),
+        "payload": pa.array([codec.encode_wav(a, r)
+                             for a, (_, _, r) in zip(arrs, specs)],
+                            pa.binary()),
+        "sample_rate": pa.array([r for _, _, r in specs], pa.int32()),
+        "n_samples": pa.array([f for f, _, _ in specs], pa.int32()),
+        "channels": pa.array([c for _, c, _ in specs], pa.int32()),
+    })
+    out = multimodal.audio_frame_energy(
+        multimodal.decode_audio(rd.from_arrow(tbl), fake=False),
+        frame=256).to_pandas()
+    assert set(out["media_id"]) == {"w0", "w1"}  # w2 has no full frame
+    for i, (f, c, _) in enumerate(specs[:2]):
+        got = out[out["media_id"] == f"w{i}"].sort_values("frame_idx")
+        nf = f // 256
+        assert got["frame_idx"].tolist() == list(range(nf))
+        c0 = arrs[i][:, 0].astype(np.int64)
+        for fi in range(nf):
+            seg = c0[fi * 256:(fi + 1) * 256]
+            assert got["frame_rms"].iloc[fi] == \
+                np.sqrt((seg * seg).sum() / 256) / 32768.0
+
+
 def test_image_features_scalar_reference():
     """Vectorized shape-grouped resize + integer-exact features agree
     with a direct per-row reference on a mixed-shape batch."""
