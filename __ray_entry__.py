@@ -509,6 +509,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(finalize, batch_format="pandas")
 
+    def doc_dup_grams(sf_dir):
+        """ExactSubstr-style duplicate-span signal (ops/dedup.py::
+        dup_gram_stats): per doc, the count and fraction of its distinct
+        token 8-grams occurring in >= 2 documents."""
+        _tune_context()
+        from aml_entity_resolution_assignment_ray.ops.dedup import dup_gram_stats
+
+        out = dup_gram_stats(
+            _read(sf_dir, "documents").select_columns(["doc_id", "text"]),
+            n=8)
+
+        def finalize(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_grams": df["n_grams"].astype("int64"),
+                "n_dup_grams": df["n_dup_grams"].astype("int64"),
+                "dup_fraction": _round_half_away(df["dup_fraction"], 6),
+            })
+
+        return out.map_batches(finalize, batch_format="pandas")
+
     def corpus_prep_q(sf_dir):
         """The composite LLM training-data prep pipeline
         (pipelines/corpus_prep.py): exact dedup -> quality + language
@@ -961,6 +982,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_hash_split": doc_hash_split,
         "doc_contamination": doc_contamination,
         "corpus_prep": corpus_prep_q,
+        "doc_dup_grams": doc_dup_grams,
         "event_sessions": event_sessions,
         "sliding_event_counts": sliding_event_counts,
         "orders_asof": orders_asof,
@@ -1924,6 +1946,45 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": _fingerprints_sql(),
         "media_features": _media_features_sql(),
         "corpus_prep": _corpus_prep_sql(),
+        # duplicate-span signal: distinct token 8-grams (same tokenize
+        # contract as doc_contamination), gram doc-frequency >= 2
+        "doc_dup_grams": f"""
+            WITH norm AS (
+              SELECT doc_id,
+                     lower(trim(regexp_replace({ws_normalize_sql("text")},
+                                               '\\s+', ' ', 'g'))) AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+              FROM (
+                SELECT doc_id, toks,
+                       unnest(generate_series(1, len(toks) - 7)) AS i
+                FROM (SELECT doc_id, string_split(t, ' ') AS toks
+                      FROM norm WHERE t <> '')
+                WHERE len(toks) >= 8)
+            ),
+            tot AS (
+              SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
+            ),
+            dfq AS (
+              SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2
+            ),
+            dupc AS (
+              SELECT g.doc_id, count(*) AS n_dup
+              FROM grams g JOIN dfq USING (gram) GROUP BY g.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(t.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(c.n_dup, 0) AS BIGINT) AS n_dup_grams,
+                   round(CAST(coalesce(c.n_dup, 0) AS DOUBLE)
+                         / greatest(coalesce(t.n_grams, 0), 1), 6)
+                     AS dup_fraction
+            FROM (SELECT doc_id FROM documents) d
+            LEFT JOIN tot t USING (doc_id)
+            LEFT JOIN dupc c USING (doc_id)
+        """,
         "audio_frames": """
             WITH dec AS (
               SELECT media_id, samples, channels

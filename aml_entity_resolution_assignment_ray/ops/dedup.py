@@ -22,6 +22,10 @@
                           >= min_docs distinct docs are dropped (exact
                           per-batch distinct-doc partials, one digest
                           shuffle, broadcast strip set)
+* dup_gram_stats        — ExactSubstr-style duplication signal: per doc,
+                          how many of its distinct token n-grams occur
+                          in >= 2 docs (gram-digest doc-frequency via
+                          one combiner-reduced shuffle + one semi-join)
 
 Scale contract: all candidate generation is bucketed (never all-pairs
 except ``exact_cosine_pairs``, which is exact by definition), and NO
@@ -824,3 +828,72 @@ def exact_cosine_pairs(ds, vec_col: str = "embedding", id_col: str = "vec_id",
     refs = _payload_refs(vecs)
     return stateful_map(vecs, _AllPairsCosine, (refs, threshold),
                         batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# cross-document duplicate-span signal (ExactSubstr-style)
+# --------------------------------------------------------------------------
+
+
+def dup_gram_stats(ds, n: int = 8, col: str = "text", id_col: str = "doc_id",
+                   cfg: EngineConfig = DEFAULT_CONFIG):
+    """Per doc: how many of its DISTINCT token ``n``-grams occur in at
+    least 2 documents — the duplicate-span signal ExactSubstr-style
+    dedup ranks documents by (a doc whose spans are mostly shared is a
+    near-copy even when no single whole-doc match fires).
+
+    Returns (id_col, n_grams:int64, n_dup_grams:int64,
+    dup_fraction:float64), one row per input doc (short docs have zero
+    grams and dup_fraction 0).
+
+    Scale shape: gram identity travels as a uint64 digest; the gram
+    doc-frequency is ONE combiner-reduced keyed shuffle of (digest,
+    partial-count) rows; flagged digests semi-join back onto the
+    per-doc gram table and re-aggregate per doc.  Document text never
+    moves after the gram explode."""
+    from .contamination import _corpus_grams_batch, _doc_gram_digests
+
+    kw = {"col": col, "id_col": id_col, "n": n}
+    grams = ds.map_batches(_corpus_grams_batch, fn_kwargs=kw,
+                           batch_format="pandas").materialize()
+    nparts = cfg.resolve_join_partitions()
+
+    def _partial_df(d: pd.DataFrame) -> pd.DataFrame:
+        return (d.groupby("gram_h", sort=False).size()
+                .reset_index(name="c"))
+
+    dup = (
+        grams.map_batches(_partial_df, batch_format="pandas")
+        .repartition(nparts, keys=["gram_h"])
+        .map_batches(
+            lambda d: d.groupby("gram_h", sort=False)["c"].sum()
+            .reset_index().loc[lambda x: x["c"] >= 2, ["gram_h"]],
+            batch_format="pandas", batch_size=None))
+    hits = safe_join(grams, dup, "inner", nparts, ("gram_h",))
+    dup_counts = (
+        hits.repartition(nparts, keys=[id_col])
+        .map_batches(
+            lambda d: d.groupby(id_col, sort=False).size()
+            .reset_index(name="n_dup_grams"),
+            batch_format="pandas", batch_size=None))
+
+    def _totals(df: pd.DataFrame) -> pd.DataFrame:
+        ids, counts, _ = _doc_gram_digests(df, col, id_col, n)
+        return pd.DataFrame({id_col: ids, "n_grams": counts})
+
+    totals = ds.map_batches(_totals, batch_format="pandas")
+    out = safe_join(totals, dup_counts, "left_outer", nparts, (id_col,))
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        dupc = (df["n_dup_grams"].fillna(0).astype(np.int64)
+                if "n_dup_grams" in df.columns
+                else pd.Series(np.zeros(len(df), dtype=np.int64)))
+        tot = df["n_grams"].astype(np.int64)
+        return pd.DataFrame({
+            id_col: df[id_col],
+            "n_grams": tot,
+            "n_dup_grams": dupc,
+            "dup_fraction": dupc.to_numpy() / np.maximum(tot.to_numpy(), 1),
+        })
+
+    return out.map_batches(finalize, batch_format="pandas")

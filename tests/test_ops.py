@@ -350,6 +350,44 @@ def test_ivf_ncells_heuristic_and_recall_curve(ray_session):
     assert recalls[-1] >= 0.9       # probing 12/20 cells ~= exhaustive
 
 
+def test_dup_gram_stats(ray_session):
+    """Per-doc duplicate-span signal: grams shared across >= 2 docs are
+    counted exactly; unique docs report 0; short docs have zero grams."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.config import EngineConfig
+    from aml_entity_resolution_assignment_ray.ops.dedup import dup_gram_stats
+
+    shared = "one two three four five six"
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            shared + " alpha beta gamma delta",
+            shared + " epsilon zeta eta theta",
+            "totally different words with no overlap at all here",
+            "tiny",  # < n tokens
+        ],
+    })
+    out = dup_gram_stats(
+        rd.from_pandas(docs).repartition(3), n=4,
+        cfg=EngineConfig(join_num_partitions=4)).to_pandas() \
+        .sort_values("doc_id").set_index("doc_id")
+
+    def grams(t, n=4):
+        toks = t.split()
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    g1, g2 = grams(docs["text"][0]), grams(docs["text"][1])
+    ndup = len(g1 & g2)
+    assert ndup == 3  # the 4-grams inside the shared 6-token span
+    assert out.loc[1, "n_grams"] == len(g1)
+    assert out.loc[1, "n_dup_grams"] == ndup
+    assert out.loc[2, "n_dup_grams"] == ndup
+    assert out.loc[1, "dup_fraction"] == ndup / len(g1)
+    assert out.loc[3, "n_dup_grams"] == 0
+    assert out.loc[4, "n_grams"] == 0 and out.loc[4, "dup_fraction"] == 0.0
+
+
 def test_corpus_prep_pipeline(ray_session):
     """The composite prep pipeline drops exact dupes (min id wins),
     low-quality docs, non-target-language docs and benchmark-
