@@ -131,6 +131,31 @@ def cmd_serve(args):
         ray.shutdown()
 
 
+def cmd_prep(args):
+    """Checkpointed LLM training-data prep: exact dedup -> quality +
+    language gate -> benchmark decontamination -> token counts, each
+    stage a resumable Parquet checkpoint with lineage + metrics."""
+    _init_ray(args.num_cpus)
+    import ray
+
+    from .config import EngineConfig
+    from .pipelines.corpus_prep import run_corpus_prep_checkpointed
+
+    res = run_corpus_prep_checkpointed(
+        args.docs, args.benchmark, args.checkpoints,
+        quality_min=args.quality_min, lang=args.lang,
+        contamination_n=args.ngram, cfg=EngineConfig())
+    out = {
+        "stages": res["manager"].events,
+        "survivors": int(res["prepped"].count()),
+    }
+    if args.out:
+        res["prepped"].write_parquet(args.out)
+        out["out"] = args.out
+    print(json.dumps(out))
+    ray.shutdown()
+
+
 def cmd_evaluate(args):
     _init_ray(args.num_cpus)
     import ray
@@ -187,6 +212,20 @@ def main(argv=None):
     pr.add_argument("--limit", type=int, default=50)
     pr.set_defaults(fn=cmd_probe)
     m.set_defaults(fn=cmd_match)
+
+    pp = sub.add_parser("prep", help="checkpointed training-data prep "
+                                     "(dedup/quality/LID/decontaminate)")
+    pp.add_argument("--docs", required=True,
+                    help="documents parquet file or directory")
+    pp.add_argument("--benchmark", required=True,
+                    help="held-out benchmark parquet (decontamination set)")
+    pp.add_argument("--checkpoints", required=True)
+    pp.add_argument("--quality-min", type=float, default=0.35)
+    pp.add_argument("--lang", default="en")
+    pp.add_argument("--ngram", type=int, default=4)
+    pp.add_argument("--out", default=None,
+                    help="also export survivors as partitioned parquet")
+    pp.set_defaults(fn=cmd_prep)
 
     sv = sub.add_parser("serve", help="HTTP /resolve service over a "
                                       "checkpointed run")

@@ -73,6 +73,13 @@ class CheckpointManager:
     def _manifest_path(self, name: str) -> str:
         return os.path.join(self.base, f"{name}.manifest.json")
 
+    def register_input(self, name: str, path: str):
+        """Expose an external input as a dependency node: a stage that
+        lists ``name`` in its deps rebuilds when the input's content
+        fingerprint changes — and ONLY that stage (plus its dependents),
+        unlike config entries, which invalidate every stage."""
+        self._lineage[name] = input_fingerprint(path)
+
     def lineage_hash(self, name: str, deps: list[str]) -> str:
         h = hashlib.sha256()
         h.update(name.encode())
@@ -108,6 +115,27 @@ class CheckpointManager:
         tmp = sdir + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         ds.write_parquet(tmp)
+        if not os.path.isdir(tmp):
+            # Ray writes NO files (not even the directory) for a 0-row
+            # dataset; persist an empty parquet carrying the schema so
+            # the checkpoint stays readable on reuse
+            os.makedirs(tmp, exist_ok=True)
+            import pyarrow as pa
+
+            try:
+                base = ds.schema(fetch_if_missing=True).base_schema
+                if isinstance(base, pa.Schema):
+                    table = base.empty_table()
+                else:  # PandasBlockSchema: names + pandas dtypes
+                    import pandas as pd
+
+                    table = pa.Table.from_pandas(pd.DataFrame({
+                        n: pd.Series([], dtype=t)
+                        for n, t in zip(base.names, base.types)
+                    }), preserve_index=False)
+            except Exception:
+                table = pa.table({})
+            pq.write_table(table, os.path.join(tmp, "empty.parquet"))
         wall = time.time() - t0
         partitions = []
         rows = 0

@@ -140,3 +140,76 @@ def test_input_change_invalidates(ray_session, tmp_path):
     r2 = run_flagship_checkpointed(os.path.join(c2, "transcripts"), ck, cfg)
     assert all(e["action"] == "built" for e in r2["manager"].events)
     assert r2["predictions"].count() != n1
+
+
+def test_corpus_prep_checkpointed(ray_session, tmp_path):
+    """Checkpointed data prep: build -> full reuse -> touching the
+    BENCHMARK rebuilds only the decontamination stage (benchmark is a
+    registered input dep of `prepped`, not a config entry), while
+    touching the DOCS rebuilds everything."""
+    import time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aml_entity_resolution_assignment_ray.pipelines.corpus_prep import (
+        run_corpus_prep_checkpointed,
+    )
+
+    good = ("the quick brown fox jumps over the lazy dog and then it "
+            "runs back home to rest for the evening with friends and "
+            "that is what it always does at the end of the day")
+    docs_p = str(tmp_path / "docs.parquet")
+    bench_p = str(tmp_path / "bench.parquet")
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [good, good, good + " with a distinct suffix here ok"],
+    })), docs_p)
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame({
+        "doc_id": [9], "text": ["nothing shared with the corpus docs"],
+    })), bench_p)
+    root = str(tmp_path / "prep_ck")
+    cfg = EngineConfig(join_num_partitions=4)
+
+    def actions(res):
+        return {e["stage"]: e["action"] for e in res["manager"].events}
+
+    r1 = run_corpus_prep_checkpointed(docs_p, bench_p, root, cfg=cfg)
+    assert actions(r1) == {"deduped": "built", "filtered": "built",
+                           "prepped": "built"}
+    out1 = r1["prepped"].to_pandas().sort_values("doc_id")
+    assert out1["doc_id"].tolist() == [1, 3]  # doc 2 is an exact dup
+
+    r2 = run_corpus_prep_checkpointed(docs_p, bench_p, root, cfg=cfg)
+    assert actions(r2) == {"deduped": "reused", "filtered": "reused",
+                           "prepped": "reused"}
+
+    # new benchmark content -> ONLY the decontamination stage rebuilds,
+    # and a doc sharing its grams is now dropped
+    time.sleep(0.01)
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame({
+        "doc_id": [9], "text": [good],
+    })), bench_p)
+    r3 = run_corpus_prep_checkpointed(docs_p, bench_p, root, cfg=cfg)
+    assert actions(r3) == {"deduped": "reused", "filtered": "reused",
+                           "prepped": "built"}
+    assert r3["prepped"].count() == 0
+    # the empty checkpoint still carries the stage schema on disk
+    import glob
+
+    import pyarrow.parquet as _pq
+
+    files = glob.glob(os.path.join(root, "corpus_prep", "prepped",
+                                   "*.parquet"))
+    assert files and _pq.read_table(files[0]).schema.names == [
+        "doc_id", "n_chars_text", "n_tokens", "quality_score"]
+
+    # docs change -> root stage (and the chain) rebuilds
+    time.sleep(0.01)
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame({
+        "doc_id": [1], "text": [good],
+    })), docs_p)
+    r4 = run_corpus_prep_checkpointed(docs_p, bench_p, root, cfg=cfg)
+    assert actions(r4) == {"deduped": "built", "filtered": "built",
+                           "prepped": "built"}
