@@ -459,6 +459,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(finalize, batch_format="pandas")
 
+    def doc_stratified_sample(sf_dir):
+        """Deterministic stratified sample: the 25 docs per language
+        with the smallest Knuth id-hash, with per-group rank
+        (ops/sample.stratified_sample — combiner-bounded single keyed
+        shuffle)."""
+        from aml_entity_resolution_assignment_ray.ops.sample import stratified_sample
+
+        _tune_context()
+        out = stratified_sample(
+            _read(sf_dir, "documents").select_columns(["doc_id", "lang"]),
+            group_col="lang", id_col="doc_id", k=25, with_rank=True)
+
+        def finalize(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "doc_id": df["doc_id"].astype("int64"),
+                "lang": df["lang"],
+                "sample_rank": df["rank"].astype("int64"),
+            })
+
+        return out.map_batches(finalize, batch_format="pandas")
+
+    def doc_pack(sf_dir):
+        """Concat-and-chunk sequence packing: docs hash-assigned to 8
+        shards, concatenated in (hash, id) order, cut into 2048-unit
+        windows; each doc tagged with (shard, seq_id, seq_offset) of
+        its first unit (ops/sample.pack_sequences — one keyed
+        shuffle)."""
+        from aml_entity_resolution_assignment_ray.ops.sample import pack_sequences
+
+        _tune_context()
+        out = pack_sequences(
+            _read(sf_dir, "documents").select_columns(["doc_id", "n_chars"]),
+            id_col="doc_id", len_col="n_chars", seq_len=2048, n_shards=8)
+
+        def finalize(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "doc_id": df["doc_id"].astype("int64"),
+                "shard": df["shard"].astype("int64"),
+                "seq_id": df["seq_id"].astype("int64"),
+                "seq_offset": df["seq_offset"].astype("int64"),
+            })
+
+        return out.map_batches(finalize, batch_format="pandas")
+
     def doc_hash_split(sf_dir):
         """Deterministic 80/20 train/test split (Knuth multiplicative
         hash on doc_id — reproducible across runs, cluster sizes and
@@ -980,6 +1024,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_terms": doc_top_terms,
         "doc_tfidf_top5": doc_tfidf_top5,
         "doc_hash_split": doc_hash_split,
+        "doc_stratified_sample": doc_stratified_sample,
+        "doc_pack": doc_pack,
         "doc_contamination": doc_contamination,
         "corpus_prep": corpus_prep_q,
         "doc_dup_grams": doc_dup_grams,
@@ -2332,6 +2378,35 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 20
                         THEN 'test' ELSE 'train' END AS split
             FROM documents
+        """,
+        "doc_stratified_sample": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+                   CAST(r AS BIGINT) AS sample_rank
+            FROM (SELECT doc_id, lang,
+                         row_number() OVER (
+                             PARTITION BY lang
+                             ORDER BY (doc_id * 2654435761) % 4294967296,
+                                      doc_id) AS r
+                  FROM documents)
+            WHERE r <= 25
+        """,
+        "doc_pack": """
+            WITH h AS (
+              SELECT doc_id, n_chars,
+                     (doc_id * 2654435761) % 4294967296 AS h
+              FROM documents
+            ), c AS (
+              SELECT doc_id, h % 8 AS shard,
+                     SUM(n_chars) OVER (
+                         PARTITION BY h % 8 ORDER BY h, doc_id
+                         ROWS UNBOUNDED PRECEDING) - n_chars AS start_off
+              FROM h
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(shard AS BIGINT) AS shard,
+                   CAST(start_off // 2048 AS BIGINT) AS seq_id,
+                   CAST(start_off % 2048 AS BIGINT) AS seq_offset
+            FROM c
         """,
         "event_sessions": """
             WITH o AS (

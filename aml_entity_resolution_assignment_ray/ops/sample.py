@@ -27,12 +27,15 @@ _M32 = np.uint64(0xFFFFFFFF)
 _POLY_P = np.uint64(1_000_003)
 
 
+def _hash_ints(ids: np.ndarray) -> np.ndarray:
+    return (ids.astype(np.uint64) * _KNUTH) & _M32
+
+
 def _bucket_ints(ids: np.ndarray, n_buckets: int) -> np.ndarray:
-    h = (ids.astype(np.uint64) * _KNUTH) & _M32
-    return (h % np.uint64(n_buckets)).astype(np.int64)
+    return (_hash_ints(ids) % np.uint64(n_buckets)).astype(np.int64)
 
 
-def _bucket_strs(ids, n_buckets: int) -> np.ndarray:
+def _hash_strs(ids) -> np.ndarray:
     out = np.zeros(len(ids), dtype=np.uint64)
     # whole-string polynomial hash, vectorized over the padded char matrix
     texts = ["" if s is None else str(s) for s in ids]
@@ -48,7 +51,11 @@ def _bucket_strs(ids, n_buckets: int) -> np.ndarray:
         for c in range(lmax):
             active = c < lens
             out = np.where(active, (out * _POLY_P + mat[:, c]) & _M32, out)
-    return (out % np.uint64(n_buckets)).astype(np.int64)
+    return out
+
+
+def _bucket_strs(ids, n_buckets: int) -> np.ndarray:
+    return (_hash_strs(ids) % np.uint64(n_buckets)).astype(np.int64)
 
 
 def hash_bucket(ds, id_col: str, n_buckets: int = 100,
@@ -69,39 +76,119 @@ def hash_bucket(ds, id_col: str, n_buckets: int = 100,
 
     def tag(df: pd.DataFrame) -> pd.DataFrame:
         out = df.copy()
-        s = df[id_col]
-        vals = s.to_numpy()
-        if np.issubdtype(vals.dtype, np.integer):
-            out[out_col] = _bucket_ints(vals, n_buckets)
-            return out
-        if np.issubdtype(vals.dtype, np.floating):
-            # per-element: integral floats -> int path, the rest
-            # (true fractions, nan/inf) -> string path
-            integral = np.isfinite(vals) & (np.floor(vals) == vals)
-        else:
-            # object / extension arrays: only genuine Python/numpy ints
-            # take the int path — numeric STRINGS must not (their bucket
-            # would otherwise depend on whether a batchmate forced the
-            # string path)
-            integral = np.fromiter(
-                (isinstance(v, (int, np.integer))
-                 and not isinstance(v, (bool, np.bool_)) for v in vals),
-                count=len(vals), dtype=bool)
-        b = np.empty(len(vals), dtype=np.int64)
-        if integral.any():
-            picked = vals[integral]
-            ints = (picked.astype(np.int64)
-                    if np.issubdtype(vals.dtype, np.floating)
-                    else np.asarray([int(v) for v in picked],
-                                    dtype=np.int64))
-            b[integral] = _bucket_ints(ints, n_buckets)
-        rest = ~integral
-        if rest.any():
-            b[rest] = _bucket_strs(list(vals[rest]), n_buckets)
-        out[out_col] = b
+        out[out_col] = (_hash_values(df[id_col].to_numpy())
+                        % np.uint64(n_buckets)).astype(np.int64)
         return out
 
     return ds.map_batches(tag, batch_format="pandas")
+
+
+def _hash_values(vals: np.ndarray) -> np.ndarray:
+    """Raw 32-bit deterministic hash of each value, routed PER ELEMENT
+    (see hash_bucket's contract): integer values take the Knuth path,
+    everything else the string-polynomial path.  Returns uint64."""
+    if np.issubdtype(vals.dtype, np.integer):
+        return _hash_ints(vals)
+    if np.issubdtype(vals.dtype, np.floating):
+        # per-element: integral floats -> int path, the rest
+        # (true fractions, nan/inf) -> string path
+        integral = np.isfinite(vals) & (np.floor(vals) == vals)
+    else:
+        # object / extension arrays: only genuine Python/numpy ints
+        # take the int path — numeric STRINGS must not (their hash
+        # would otherwise depend on whether a batchmate forced the
+        # string path)
+        integral = np.fromiter(
+            (isinstance(v, (int, np.integer))
+             and not isinstance(v, (bool, np.bool_)) for v in vals),
+            count=len(vals), dtype=bool)
+    h = np.empty(len(vals), dtype=np.uint64)
+    if integral.any():
+        picked = vals[integral]
+        ints = (picked.astype(np.int64)
+                if np.issubdtype(vals.dtype, np.floating)
+                else np.asarray([int(v) for v in picked], dtype=np.int64))
+        h[integral] = _hash_ints(ints)
+    rest = ~integral
+    if rest.any():
+        h[rest] = _hash_strs(list(vals[rest]))
+    return h
+
+
+def stratified_sample(ds, *, group_col: str, id_col: str, k: int,
+                      with_rank: bool = False):
+    """Deterministic stratified sample: the ``k`` rows per group with
+    the smallest id hash (ties broken by id).  Equivalent to a uniform
+    per-group sample that is reproducible across runs, cluster sizes
+    and repartitionings — no RNG, no row-order dependence.
+
+    Composition: per-row hash column (stateless map) + group_topk's
+    per-block partial-top-k combiner, so at most k rows per (block,
+    group) enter the single keyed shuffle.  SQL-checkable as
+    ``row_number() OVER (PARTITION BY group ORDER BY hash, id) <= k``.
+    (The reference samples pairs driver-side via crc32 buckets,
+    train_model.py:70-75 — this is the dataset-level analogue for
+    balanced eval/train subset selection.)"""
+    from .relational import group_topk
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["_h"] = _hash_values(df[id_col].to_numpy()).astype(np.int64)
+        return out
+
+    picked = group_topk(
+        ds.map_batches(tag, batch_format="pandas"),
+        key=group_col, order_col="_h", k=k, tie_col=id_col,
+        descending=False, with_rank=with_rank)
+
+    def drop(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop(columns=["_h"])
+
+    return picked.map_batches(drop, batch_format="pandas")
+
+
+def pack_sequences(ds, *, id_col: str, len_col: str, seq_len: int,
+                   n_shards: int = 16, cfg=None):
+    """Concat-and-chunk sequence packing (the GPT-style training-data
+    layout): documents are deterministically assigned to ``n_shards``
+    streams by id hash, concatenated within each stream in (hash, id)
+    order, and the stream is cut into fixed ``seq_len`` windows.  Each
+    document is tagged with the shard, the window its FIRST token lands
+    in (``seq_id``) and its offset inside that window (``seq_offset``).
+
+    Deterministic: shard, order and offsets are pure functions of
+    (id, len), so the packing is identical across runs, cluster sizes
+    and repartitionings — and exactly replayable in SQL as a
+    ``SUM() OVER (PARTITION BY shard ORDER BY hash, id)`` window.
+
+    Scale: ONE keyed shuffle on shard (grouped_running_sum); shard
+    count bounds the largest group, so pick n_shards >> workers for
+    100-TB corpora.  ``len_col`` is any precomputed length column
+    (token counts come from ops/text.token_stats)."""
+    from .relational import grouped_running_sum
+    from ..config import DEFAULT_CONFIG
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        h = _hash_values(df[id_col].to_numpy())
+        out["_h"] = h.astype(np.int64)
+        out["shard"] = (h % np.uint64(n_shards)).astype(np.int64)
+        return out
+
+    cum = grouped_running_sum(
+        ds.map_batches(tag, batch_format="pandas"),
+        key="shard", order_cols=["_h", id_col], val_col=len_col,
+        out_col="_cum", cfg=cfg or DEFAULT_CONFIG)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        start = (df["_cum"].to_numpy().astype(np.int64)
+                 - df[len_col].to_numpy().astype(np.int64))
+        out = df.drop(columns=["_h", "_cum"]).copy()
+        out["seq_id"] = start // seq_len
+        out["seq_offset"] = start % seq_len
+        return out
+
+    return cum.map_batches(finalize, batch_format="pandas")
 
 
 def hash_split(ds, id_col: str, test_pct: int = 20,

@@ -1033,3 +1033,73 @@ def test_hash_bucket_block_boundary_independent(ray_session):
     from aml_entity_resolution_assignment_ray.ops.sample import _bucket_ints
     assert one[0] == _bucket_ints(np.array([1], dtype=np.int64), 10)[0]
     assert one[1] == _bucket_strs([str(2.5)], 10)[0]
+
+
+def test_stratified_sample(ray_session):
+    """k smallest-hash rows per group, deterministic across
+    repartitionings, ranks 1..k."""
+    import ray.data as rd
+    from aml_entity_resolution_assignment_ray.ops.sample import stratified_sample
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(200, dtype=np.int64),
+        "lang": ["en", "de", "fr", "es"] * 50,
+    })
+    out = stratified_sample(rd.from_pandas(df), group_col="lang",
+                            id_col="doc_id", k=5, with_rank=True) \
+        .to_pandas().sort_values(["lang", "rank"]).reset_index(drop=True)
+    assert (out.groupby("lang").size() == 5).all()
+    assert out.groupby("lang")["rank"].apply(
+        lambda s: s.tolist() == [1, 2, 3, 4, 5]).all()
+
+    # repartition-invariant (combiner correctness across block splits)
+    out2 = stratified_sample(rd.from_pandas(df).repartition(7),
+                             group_col="lang", id_col="doc_id", k=5,
+                             with_rank=True) \
+        .to_pandas().sort_values(["lang", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out2)
+
+    # matches the explicit pandas replay of the hash-rank definition
+    from aml_entity_resolution_assignment_ray.ops.sample import _hash_ints
+    df["_h"] = _hash_ints(df["doc_id"].to_numpy()).astype(np.int64)
+    exp = (df.sort_values(["_h", "doc_id"]).groupby("lang").head(5)
+           .sort_values(["lang", "_h"])["doc_id"].tolist())
+    assert out.sort_values(["lang", "rank"])["doc_id"].tolist() == exp
+
+
+def test_pack_sequences(ray_session):
+    """Within each shard, docs tile the concatenated stream exactly:
+    offsets are contiguous in (hash, id) order, seq boundaries at
+    multiples of seq_len."""
+    import ray.data as rd
+    from aml_entity_resolution_assignment_ray.ops.sample import (
+        pack_sequences, _hash_ints)
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame({
+        "doc_id": np.arange(300, dtype=np.int64),
+        "n_tok": rng.randint(1, 700, size=300).astype(np.int64),
+    })
+    out = pack_sequences(rd.from_pandas(df), id_col="doc_id",
+                         len_col="n_tok", seq_len=512, n_shards=4) \
+        .to_pandas()
+    assert set(out.columns) == {"doc_id", "n_tok", "shard", "seq_id",
+                                "seq_offset"}
+    out["_h"] = _hash_ints(out["doc_id"].to_numpy()).astype(np.int64)
+    for shard, g in out.groupby("shard"):
+        g = g.sort_values(["_h", "doc_id"])
+        starts = (g["seq_id"].to_numpy() * 512 + g["seq_offset"].to_numpy())
+        # doc k starts exactly where doc k-1 ended
+        assert starts[0] == 0
+        assert (starts[1:] == starts[:-1] + g["n_tok"].to_numpy()[:-1]).all()
+    # shard assignment is hash mod n_shards
+    assert (out["shard"].to_numpy()
+            == (out["_h"].to_numpy() % 4)).all()
+
+    # repartition-invariant
+    out2 = pack_sequences(rd.from_pandas(df).repartition(9),
+                          id_col="doc_id", len_col="n_tok", seq_len=512,
+                          n_shards=4).to_pandas()
+    a = out.drop(columns=["_h"]).sort_values("doc_id").reset_index(drop=True)
+    b = out2.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

@@ -37,6 +37,8 @@ SUBSET = [
     "doc_top_terms",
     "event_sessions",
     "doc_hash_split",
+    "doc_stratified_sample",
+    "doc_pack",
     "cust_no_orders",
     "cust_running_revenue",
     "simhash_dup_pairs_docs",
