@@ -73,6 +73,31 @@ def _oracle_truth_path(n_entities: int) -> str:
     return f"/tmp/er_oracle_corpus_n{n_entities}/truth.parquet"
 
 
+def _oracle_sf_dir() -> str:
+    """sf dir the table-round-trip oracle paths are keyed by: the
+    driver compares at sf0.01; other harnesses override via
+    GRAFT_ORACLE_SF."""
+    return os.environ.get("GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+
+
+def _table_rows(sf_dir: str, table: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(
+        os.path.join(sf_dir, f"{table}.parquet")).metadata.num_rows
+
+
+def _jsonl_events_path(n_rows: int) -> str:
+    """JSONL landing zone the events_jsonl_stats query writes and its
+    oracle reads — row-count-keyed so concurrent harnesses at different
+    scales don't clobber each other (see _oracle_corpus_path)."""
+    return f"/tmp/er_jsonl_events_n{n_rows}"
+
+
+def _csv_customer_path(n_rows: int) -> str:
+    return f"/tmp/er_csv_customer_n{n_rows}"
+
+
 def _ivf_index_path(n_entities: int) -> str:
     """IVF index dir the ann_ivf_top10 query writes and its oracle
     reads — n-keyed like the er_* corpus so concurrent harnesses at
@@ -330,6 +355,77 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "event_type": df["event_type"],
                 "total_value": _round_half_away(df["sum(value)"], 2),
                 "n_events": df["count()"].astype("int64"),
+            })
+
+        return g.map_batches(finalize, batch_format="pandas")
+
+    def events_jsonl_stats(sf_dir):
+        """Text-format ingest: events round-trip through newline-
+        delimited JSON shards (sources/files.export_jsonl ->
+        rd.read_json streams the files as blocks like parquet), then
+        the per-type aggregate runs over the JSONL-read Dataset.
+        Values are exported as integer cents so the sum is exact both
+        sides; the oracle reads the SAME files via read_json_auto."""
+        from aml_entity_resolution_assignment_ray.sources import files as fsrc
+
+        _tune_context()
+        path = _jsonl_events_path(_table_rows(sf_dir, "events"))
+        src = _read(sf_dir, "events").select_columns(
+            ["event_id", "event_type", "value"])
+
+        def to_cents(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "event_id": df["event_id"].astype("int64"),
+                "event_type": df["event_type"],
+                "value_cents": np.rint(
+                    df["value"].to_numpy() * 100).astype("int64"),
+            })
+
+        fsrc.export_jsonl(
+            src.map_batches(to_cents, batch_format="pandas"), path)
+        g = fsrc.read_jsonl(path).groupby("event_type") \
+            .aggregate(Sum("value_cents"), Count())
+
+        def finalize(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "event_type": df["event_type"],
+                "total_cents": df["sum(value_cents)"].astype("int64"),
+                "n_events": df["count()"].astype("int64"),
+            })
+
+        return g.map_batches(finalize, batch_format="pandas")
+
+    def customer_csv_stats(sf_dir):
+        """Text-format ingest: customer round-trips through headered
+        CSV shards (sources/files.export_csv -> rd.read_csv), then a
+        per-segment aggregate runs over the CSV-read Dataset; acctbal
+        exported as integer cents for exact-sum parity."""
+        from aml_entity_resolution_assignment_ray.sources import files as fsrc
+
+        _tune_context()
+        path = _csv_customer_path(_table_rows(sf_dir, "customer"))
+        src = _read(sf_dir, "customer").select_columns(
+            ["c_custkey", "c_mktsegment", "c_acctbal"])
+
+        def to_cents(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "c_custkey": df["c_custkey"].astype("int64"),
+                "c_mktsegment": df["c_mktsegment"],
+                "acctbal_cents": np.rint(
+                    df["c_acctbal"].to_numpy() * 100).astype("int64"),
+            })
+
+        fsrc.export_csv(
+            src.map_batches(to_cents, batch_format="pandas"), path)
+        g = fsrc.read_csv(path).groupby("c_mktsegment") \
+            .aggregate(Sum("acctbal_cents"), Count())
+
+        def finalize(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "c_mktsegment": df["c_mktsegment"],
+                "total_acctbal_cents":
+                    df["sum(acctbal_cents)"].astype("int64"),
+                "n_customers": df["count()"].astype("int64"),
             })
 
         return g.map_batches(finalize, batch_format="pandas")
@@ -1011,6 +1107,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cust_running_revenue": cust_running_revenue,
         "high_value_click_events": high_value_click_events,
         "event_type_stats": event_type_stats,
+        "events_jsonl_stats": events_jsonl_stats,
+        "customer_csv_stats": customer_csv_stats,
         "hourly_user_events": hourly_user_events,
         "distinct_event_types": distinct_event_types,
         "exact_dedup_docs": exact_dedup_docs,
@@ -2195,6 +2293,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, round(sum(value), 2) AS total_value,
                    count(*) AS n_events
             FROM events GROUP BY event_type
+        """,
+        # text-format round-trips: the oracle reads the SAME exported
+        # files the Ray query wrote (paths row-count-keyed, see
+        # _jsonl_events_path) — this checks the read_json / read_csv
+        # ingest path end to end, not just the aggregate
+        "events_jsonl_stats": f"""
+            SELECT event_type, sum(value_cents) AS total_cents,
+                   count(*) AS n_events
+            FROM read_json_auto(
+                '{_jsonl_events_path(_table_rows(_oracle_sf_dir(),
+                                                 "events"))}/*.json')
+            GROUP BY event_type
+        """,
+        "customer_csv_stats": f"""
+            SELECT c_mktsegment, sum(acctbal_cents) AS total_acctbal_cents,
+                   count(*) AS n_customers
+            FROM read_csv_auto(
+                '{_csv_customer_path(_table_rows(_oracle_sf_dir(),
+                                                 "customer"))}/*.csv')
+            GROUP BY c_mktsegment
         """,
         "hourly_user_events": """
             SELECT user_id,

@@ -1,0 +1,53 @@
+"""Text-format sources/sinks: JSONL and CSV.
+
+Ray Data reads both natively — ``read_json`` / ``read_csv`` stream file
+shards as blocks exactly like parquet, so a pipeline over a JSONL or
+CSV landing zone is the same streaming Dataset as a parquet one (the
+reference ingests its corpus from CSV shards, data_generator.py, and
+ships eval output as CSV, matching.py sinks).  The exporters here
+round-trip a Dataset through the text formats deterministically so the
+read path is value-checkable against a DuckDB ``read_json_auto`` /
+``read_csv_auto`` oracle over the same files.
+
+Scale notes: export writes one file per block (resumable, never one
+giant file); readers get ``file_extensions`` filters so stray files in
+a landing zone are ignored.  Text formats lose parquet's types — the
+exporters therefore take only columns that survive the round trip
+exactly (ints, strings, bools); floats should be converted to integer
+units (e.g. cents) upstream when exact parity matters.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import ray.data as rd
+
+
+def export_jsonl(ds, out_dir: str) -> str:
+    """Write ``ds`` as newline-delimited JSON shards (one ``.json`` file
+    per block).  The directory is replaced atomically-enough for a
+    single writer: wiped, then rewritten."""
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    ds.write_json(out_dir)
+    return out_dir
+
+
+def export_csv(ds, out_dir: str) -> str:
+    """Write ``ds`` as headered CSV shards (one ``.csv`` per block)."""
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    ds.write_csv(out_dir)
+    return out_dir
+
+
+def read_jsonl(path: str):
+    """Stream a JSONL directory/file as a Dataset."""
+    return rd.read_json(path, file_extensions=["json", "jsonl"])
+
+
+def read_csv(path: str):
+    """Stream a CSV directory/file as a Dataset."""
+    return rd.read_csv(path, file_extensions=["csv"])

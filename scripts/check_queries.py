@@ -81,6 +81,7 @@ def main():
 
     # point the er_* oracle SQL at the corpus sized for THIS sf_dir
     os.environ["GRAFT_ORACLE_N"] = str(entry_mod._corpus_entities(sf_dir))
+    os.environ["GRAFT_ORACLE_SF"] = sf_dir
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     con = oracle_con(sf_dir)

@@ -36,6 +36,8 @@ SUBSET = [
     "doc_pii_scrub",
     "doc_top_terms",
     "event_sessions",
+    "events_jsonl_stats",
+    "customer_csv_stats",
     "doc_hash_split",
     "doc_stratified_sample",
     "doc_pack",
@@ -63,6 +65,7 @@ def entry_mod(ray_session):
     # er_* oracle SQL must read the sf0.001-sized corpus (paths are
     # keyed by n_entities so a concurrent sf0.01 run can't clobber ours)
     os.environ["GRAFT_ORACLE_N"] = str(__ray_entry__._corpus_entities(SF_DIR))
+    os.environ["GRAFT_ORACLE_SF"] = SF_DIR
     return __ray_entry__
 
 
