@@ -555,6 +555,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(finalize, batch_format="pandas")
 
+    def doc_lm_score(sf_dir):
+        """Perplexity-style fluency score: per-doc mean bigram
+        log-probability under an add-one-smoothed bigram LM trained on
+        the corpus itself (ops/text.bigram_lm_score — combiner-reduced
+        count shuffles + two hash joins, no broadcast)."""
+        _tune_context()
+        out = text.bigram_lm_score(
+            _read(sf_dir, "documents", spread=True)
+            .select_columns(["doc_id", "text"]))
+
+        def finalize(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_bigrams": df["n_bigrams"].astype("int64"),
+                "avg_logp": _round_half_away(df["avg_logp"], 6),
+            })
+
+        return out.map_batches(finalize, batch_format="pandas")
+
     def doc_stratified_sample(sf_dir):
         """Deterministic stratified sample: the 25 docs per language
         with the smallest Knuth id-hash, with per-group rank
@@ -1122,6 +1141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_terms": doc_top_terms,
         "doc_tfidf_top5": doc_tfidf_top5,
         "doc_hash_split": doc_hash_split,
+        "doc_lm_score": doc_lm_score,
         "doc_stratified_sample": doc_stratified_sample,
         "doc_pack": doc_pack,
         "doc_contamination": doc_contamination,
@@ -2496,6 +2516,34 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 20
                         THEN 'test' ELSE 'train' END AS split
             FROM documents
+        """,
+        "doc_lm_score": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(
+                         lower(coalesce(text, '')), '[a-z0-9]+')) AS w,
+                     generate_subscripts(regexp_extract_all(
+                         lower(coalesce(text, '')), '[a-z0-9]+'), 1) AS i
+              FROM documents
+            ),
+            bg AS (
+              SELECT doc_id, w AS w1,
+                     lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+              FROM toks
+              QUALIFY w2 IS NOT NULL
+            ),
+            bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+            cc AS (SELECT w1, sum(c12) AS c1 FROM bc GROUP BY w1),
+            vv AS (SELECT count(*) AS v FROM
+                   (SELECT w1 AS w FROM bc UNION SELECT w2 FROM bc))
+            SELECT CAST(g.doc_id AS BIGINT) AS doc_id,
+                   count(*) AS n_bigrams,
+                   round(avg(ln((bc.c12 + 1.0) / (cc.c1 + vv.v))), 6)
+                       AS avg_logp
+            FROM bg g
+            JOIN bc ON g.w1 = bc.w1 AND g.w2 = bc.w2
+            JOIN cc ON g.w1 = cc.w1, vv
+            GROUP BY g.doc_id
         """,
         "doc_stratified_sample": """
             SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,

@@ -430,3 +430,152 @@ def doc_tfidf(ds, k: int = 5, col: str = "text", id_col: str = "doc_id",
     return group_topk(scored.map_batches(score, batch_format="pandas"),
                       key=id_col, order_col="score", k=k, tie_col="word",
                       cfg=cfg)
+
+
+# --------------------------------------------------------------------------
+# bigram language-model fluency score (the KenLM-perplexity-style
+# quality filter, self-trained on the corpus)
+# --------------------------------------------------------------------------
+
+
+def doc_bigram_tf_batch(df: pd.DataFrame, col: str = "text",
+                        id_col: str = "doc_id") -> pd.DataFrame:
+    """Per-batch (doc_id, w1, w2, tf) rows — one row per DISTINCT word
+    bigram per doc.  Vectorized: one flat token array per batch, doc
+    boundaries masked by id inequality on the shifted array."""
+    toks = df[col].fillna("").astype(str).str.lower().str.findall(_TERM_RE)
+    lens = toks.str.len().to_numpy(dtype=np.int64)
+    empty = pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                          "w1": pd.Series([], dtype="string"),
+                          "w2": pd.Series([], dtype="string"),
+                          "tf": pd.Series([], dtype="int64")})
+    if not lens.sum():
+        return empty
+    flat = np.concatenate([np.array(t, dtype=object) for t in toks])
+    ids = np.repeat(df[id_col].to_numpy(), lens)
+    if len(flat) < 2:
+        return empty
+    same = ids[:-1] == ids[1:]
+    if not same.any():
+        return empty
+    g = (pd.DataFrame({id_col: ids[:-1][same],
+                       "w1": flat[:-1][same].astype(str),
+                       "w2": flat[1:][same].astype(str)})
+         .groupby([id_col, "w1", "w2"], sort=False).size()
+         .reset_index(name="tf"))
+    g["tf"] = g["tf"].astype("int64")
+    return g
+
+
+def bigram_lm_score(ds, col: str = "text", id_col: str = "doc_id",
+                    cfg: EngineConfig = DEFAULT_CONFIG):
+    """Per-doc mean bigram log-probability under an add-one-smoothed
+    bigram LM trained on the corpus itself — the perplexity-style
+    fluency filter (docs full of never-seen-elsewhere word transitions
+    score low; boilerplate-like docs score high):
+
+        avg_logp(d) = mean over bigram tokens (w1,w2) of
+                      ln( (C(w1,w2) + 1) / (C(w1) + V) )
+
+    where C are corpus bigram / context counts and V is the corpus
+    bigram vocabulary size.  Output: (doc_id, n_bigrams, avg_logp) for
+    every doc with >= 2 tokens.
+
+    Shape: ONE tokenize pass emits the per-doc distinct-bigram table;
+    corpus counts are pre-aggregated groupbys over it (the shuffles
+    move per-batch unique bigrams, never tokens); counts attach back
+    via two hash joins when the model table is large, or one broadcast
+    merge below cfg.broadcast_max_rows (the engine-wide gate — both
+    paths share the scoring kernel, so they agree bit-exactly); the
+    per-doc mean is a combiner-reduced groupby.  The join path never
+    broadcasts, so the model table can exceed worker heap.
+    (The reference has no LM filter — this is the training-data
+    quality-scoring extension, same family as quality()/repetition().)
+    """
+    import ray
+
+    from ..util import safe_join
+
+    nparts = cfg.resolve_join_partitions()
+    bg = ds.map_batches(doc_bigram_tf_batch,
+                        fn_kwargs={"col": col, "id_col": id_col},
+                        batch_format="pandas").materialize()
+
+    def bc_partial(d: pd.DataFrame) -> pd.DataFrame:
+        g = d.groupby(["w1", "w2"], sort=False)["tf"].sum() \
+            .reset_index(name="c12")
+        g["c12"] = g["c12"].astype("int64")
+        return g
+
+    bc = (bg.map_batches(bc_partial, batch_format="pandas")
+          .groupby(["w1", "w2"]).sum("c12")
+          .map_batches(lambda d: d.rename(columns={"sum(c12)": "c12"}),
+                       batch_format="pandas")).materialize()
+
+    def score_kernel(d: pd.DataFrame, v: float) -> pd.DataFrame:
+        """(id, tf, c12, c1) rows -> per-doc (id, n, wlp) partials."""
+        tf = d["tf"].to_numpy(dtype=np.float64)
+        lp = np.log((d["c12"].to_numpy(dtype=np.float64) + 1.0)
+                    / (d["c1"].to_numpy(dtype=np.float64) + v))
+        g = pd.DataFrame({id_col: d[id_col], "n": tf, "wlp": tf * lp}) \
+            .groupby(id_col, sort=False).sum().reset_index()
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    n_model = bc.count()
+    if n_model <= cfg.broadcast_max_rows:
+        # small model: one driver gather, broadcast ONCE via ray.put,
+        # per-batch pandas merge — no shuffle joins
+        bc_pd = bc.to_pandas()
+        c1_pd = bc_pd.groupby("w1", sort=False)["c12"].sum() \
+            .reset_index(name="c1")
+        v = float(pd.unique(pd.concat([bc_pd["w1"], bc_pd["w2"]],
+                                      ignore_index=True)).shape[0])
+        model_ref = ray.put((bc_pd, c1_pd))
+
+        class Score:
+            def __init__(self, ref):
+                self._bc, self._c1 = ray.get(ref)
+
+            def __call__(self, d: pd.DataFrame) -> pd.DataFrame:
+                m = d.merge(self._bc, on=["w1", "w2"], how="left") \
+                     .merge(self._c1, on="w1", how="left")
+                return score_kernel(m, v)
+
+        agg = bg.map_batches(
+            Score, fn_constructor_args=(model_ref,),
+            batch_format="pandas", concurrency=(1, nparts)) \
+            .groupby(id_col).sum(["n", "wlp"])
+    else:
+        c1 = bc.groupby("w1").sum("c12").map_batches(
+            lambda d: pd.DataFrame({"w1": d["w1"],
+                                    "c1": d["sum(c12)"].astype("int64")}),
+            batch_format="pandas")
+
+        def vocab_partial(d: pd.DataFrame) -> pd.DataFrame:
+            w = np.unique(np.concatenate([d["w1"].to_numpy(dtype=object),
+                                          d["w2"].to_numpy(dtype=object)]))
+            return pd.DataFrame({"w": w.astype(str)})
+
+        v = float(bc.map_batches(vocab_partial, batch_format="pandas")
+                  .groupby("w").count().count())
+
+        joined = safe_join(
+            safe_join(bg, bc, join_type="inner", num_partitions=nparts,
+                      on=("w1", "w2")),
+            c1, join_type="inner", num_partitions=nparts, on=("w1",))
+
+        agg = joined.map_batches(
+            score_kernel, fn_kwargs={"v": v}, batch_format="pandas") \
+            .groupby(id_col).sum(["n", "wlp"])
+
+    def finalize(d: pd.DataFrame) -> pd.DataFrame:
+        n = d["sum(n)"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            id_col: d[id_col],
+            "n_bigrams": n,
+            "avg_logp": d["sum(wlp)"].to_numpy(dtype=np.float64)
+            / n.astype(np.float64),
+        })
+
+    return agg.map_batches(finalize, batch_format="pandas")

@@ -189,6 +189,8 @@ def run_queries() -> dict:
         read_docs_pruned()), "n_tokens"))
     timed("quality", lambda: partial_sum(text.quality(
         read_docs_pruned()), "quality_score"))
+    timed("lm_score", lambda: partial_sum(text.bigram_lm_score(
+        read_docs_pruned(), cfg=cfg_docs), "avg_logp"))
 
     emb = rd.read_parquet(emb_path)
     q = np.asarray(emb.take(1)[0]["embedding"])

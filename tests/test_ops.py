@@ -1103,3 +1103,41 @@ def test_pack_sequences(ray_session):
     a = out.drop(columns=["_h"]).sort_values("doc_id").reset_index(drop=True)
     b = out2.sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_bigram_lm_score_paths_agree(ray_session):
+    """Hand-checked add-one bigram LM scores; broadcast and join paths
+    agree bit-exactly."""
+    import ray.data as rd
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": ["a b", "a b", "a c", "x", "", "b a b a"],
+    })
+    # bc: (a,b)->3 [doc5 has 'b a','a b','b a'... recompute below],
+    # hand numbers asserted per doc0/doc2
+    bcast = text.bigram_lm_score(
+        rd.from_pandas(docs), cfg=EngineConfig(
+            model_path="", join_num_partitions=4,
+            broadcast_max_rows=10_000)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    joined = text.bigram_lm_score(
+        rd.from_pandas(docs).repartition(3), cfg=EngineConfig(
+            model_path="", join_num_partitions=4, broadcast_max_rows=0)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(bcast, joined)
+
+    # docs 3 ('x') and 4 ('') have no bigram -> absent
+    assert bcast["doc_id"].tolist() == [0, 1, 2, 5]
+    # corpus: bigrams (a,b)x2 + doc5's (b,a)x2,(a,b)x1 -> C(a,b)=3,
+    # C(b,a)=2, C(a,c)=1; contexts C(a)=4, C(b)=2; V=|{a,b,c}|=3
+    row0 = bcast[bcast["doc_id"] == 0].iloc[0]
+    assert row0["n_bigrams"] == 1
+    assert np.isclose(row0["avg_logp"], np.log((3 + 1) / (4 + 3.0)))
+    row2 = bcast[bcast["doc_id"] == 2].iloc[0]
+    assert np.isclose(row2["avg_logp"], np.log((1 + 1) / (4 + 3.0)))
+    row5 = bcast[bcast["doc_id"] == 5].iloc[0]
+    assert row5["n_bigrams"] == 3
+    exp5 = (np.log((3 + 1) / (4 + 3.0))
+            + 2 * np.log((2 + 1) / (2 + 3.0))) / 3.0
+    assert np.isclose(row5["avg_logp"], exp5)

@@ -39,6 +39,7 @@ SUBSET = [
     "events_jsonl_stats",
     "customer_csv_stats",
     "doc_hash_split",
+    "doc_lm_score",
     "doc_stratified_sample",
     "doc_pack",
     "cust_no_orders",
