@@ -618,6 +618,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(finalize, batch_format="pandas")
 
+    def doc_shuffle_index(sf_dir):
+        """Deterministic global training shuffle: (shard, pos) address
+        per doc — shard by id hash, pos = rank within shard in
+        (hash, id) order (ops/sample.shuffle_index; no random_shuffle
+        all-to-all, reproducible across cluster sizes)."""
+        from aml_entity_resolution_assignment_ray.ops.sample import shuffle_index
+
+        _tune_context()
+        out = shuffle_index(
+            _read(sf_dir, "documents").select_columns(["doc_id"]),
+            id_col="doc_id", n_shards=8)
+
+        def finalize(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "doc_id": df["doc_id"].astype("int64"),
+                "shard": df["shard"].astype("int64"),
+                "pos": df["pos"].astype("int64"),
+            })
+
+        return out.map_batches(finalize, batch_format="pandas")
+
     def doc_hash_split(sf_dir):
         """Deterministic 80/20 train/test split (Knuth multiplicative
         hash on doc_id — reproducible across runs, cluster sizes and
@@ -1142,6 +1163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tfidf_top5": doc_tfidf_top5,
         "doc_hash_split": doc_hash_split,
         "doc_lm_score": doc_lm_score,
+        "doc_shuffle_index": doc_shuffle_index,
         "doc_stratified_sample": doc_stratified_sample,
         "doc_pack": doc_pack,
         "doc_contamination": doc_contamination,
@@ -2555,6 +2577,16 @@ def oracle_sql() -> dict[str, str]:
                                       doc_id) AS r
                   FROM documents)
             WHERE r <= 25
+        """,
+        "doc_shuffle_index": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(h % 8 AS BIGINT) AS shard,
+                   CAST(row_number() OVER (
+                        PARTITION BY h % 8 ORDER BY h, doc_id) - 1
+                        AS BIGINT) AS pos
+            FROM (SELECT doc_id,
+                         (doc_id * 2654435761) % 4294967296 AS h
+                  FROM documents)
         """,
         "doc_pack": """
             WITH h AS (

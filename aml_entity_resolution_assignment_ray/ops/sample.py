@@ -191,6 +191,33 @@ def pack_sequences(ds, *, id_col: str, len_col: str, seq_len: int,
     return cum.map_batches(finalize, batch_format="pandas")
 
 
+def shuffle_index(ds, *, id_col: str, n_shards: int = 16, cfg=None):
+    """Deterministic global shuffle for training data: every row gets a
+    (shard, pos) address — shard by id hash, pos = 0-based rank within
+    the shard in (hash, id) order.  Reading shards round-robin by pos
+    yields a reproducible pseudo-random permutation of the dataset with
+    NO random_shuffle all-to-all: one keyed shuffle on shard, identical
+    across runs, cluster sizes and repartitionings.
+
+    Implementation: sequence packing with unit lengths and seq_len=1 —
+    pos is exactly the start offset of each unit-length doc."""
+
+    def unit(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["_one"] = np.ones(len(df), dtype=np.int64)
+        return out
+
+    packed = pack_sequences(ds.map_batches(unit, batch_format="pandas"),
+                            id_col=id_col, len_col="_one", seq_len=1,
+                            n_shards=n_shards, cfg=cfg)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.drop(columns=["_one", "seq_offset"]).copy()
+        return out.rename(columns={"seq_id": "pos"})
+
+    return packed.map_batches(finalize, batch_format="pandas")
+
+
 def hash_split(ds, id_col: str, test_pct: int = 20,
                out_col: str = "split"):
     """Append a deterministic 'train'/'test' split column: buckets

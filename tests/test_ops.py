@@ -1141,3 +1141,22 @@ def test_bigram_lm_score_paths_agree(ray_session):
     exp5 = (np.log((3 + 1) / (4 + 3.0))
             + 2 * np.log((2 + 1) / (2 + 3.0))) / 3.0
     assert np.isclose(row5["avg_logp"], exp5)
+
+
+def test_shuffle_index(ray_session):
+    """Every shard's positions are exactly 0..len(shard)-1 and the
+    address is repartition-invariant."""
+    import ray.data as rd
+    from aml_entity_resolution_assignment_ray.ops.sample import shuffle_index
+
+    df = pd.DataFrame({"doc_id": np.arange(150, dtype=np.int64)})
+    out = shuffle_index(rd.from_pandas(df), id_col="doc_id", n_shards=4) \
+        .to_pandas()
+    assert len(out) == 150
+    for _, g in out.groupby("shard"):
+        assert sorted(g["pos"].tolist()) == list(range(len(g)))
+    out2 = shuffle_index(rd.from_pandas(df).repartition(6),
+                         id_col="doc_id", n_shards=4).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("doc_id").reset_index(drop=True),
+        out2.sort_values("doc_id").reset_index(drop=True))

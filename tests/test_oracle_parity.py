@@ -42,6 +42,7 @@ SUBSET = [
     "doc_lm_score",
     "doc_stratified_sample",
     "doc_pack",
+    "doc_shuffle_index",
     "cust_no_orders",
     "cust_running_revenue",
     "simhash_dup_pairs_docs",
