@@ -555,6 +555,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(finalize, batch_format="pandas")
 
+    def exact_dedup_incremental(sf_dir):
+        """Continuous-ingestion exact dedup: the documents table
+        arrives as two increments (doc_id below / at-or-above the
+        midpoint); each ingest dedups against the PERSISTED survivor
+        index and appends its new survivors
+        (ops/dedup.incremental_exact_dedup — first-seen-wins across
+        increments, min-id within one).  Because the increments are
+        ordered by id, the accumulated index equals the one-shot
+        GROUP BY, which is the oracle."""
+        import shutil
+
+        _tune_context()
+        n = _table_rows(sf_dir, "documents")
+        ipath = f"/tmp/er_dedup_idx_n{n}"
+        shutil.rmtree(ipath, ignore_errors=True)
+        docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+        mid = n // 2
+        dedup.incremental_exact_dedup(
+            docs.filter(expr=f"doc_id < {mid}"), ipath)
+        dedup.incremental_exact_dedup(
+            docs.filter(expr=f"doc_id >= {mid}"), ipath)
+        out = dedup.read_dedup_index(ipath)
+
+        def finalize(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"text": df["text"],
+                                 "doc_id": df["doc_id"].astype("int64")})
+
+        return out.map_batches(finalize, batch_format="pandas")
+
     def doc_lm_score(sf_dir):
         """Perplexity-style fluency score: per-doc mean bigram
         log-probability under an add-one-smoothed bigram LM trained on
@@ -1152,6 +1181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_user_events": hourly_user_events,
         "distinct_event_types": distinct_event_types,
         "exact_dedup_docs": exact_dedup_docs,
+        "exact_dedup_incremental": exact_dedup_incremental,
         "doc_token_counts": doc_token_counts,
         "doc_repetition": doc_repetition,
         "doc_line_dedup": doc_line_dedup,
@@ -2366,6 +2396,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT event_type FROM events
         """,
         "exact_dedup_docs": """
+            SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        # id-ordered increments make streaming first-seen == global min
+        "exact_dedup_incremental": """
             SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text
         """,
         # tokenization reads through the whitespace normalization

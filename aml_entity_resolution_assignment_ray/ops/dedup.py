@@ -37,6 +37,8 @@ fetched once per verify actor — the driver only ever handles refs.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -897,3 +899,66 @@ def dup_gram_stats(ds, n: int = 8, col: str = "text", id_col: str = "doc_id",
         })
 
     return out.map_batches(finalize, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# incremental exact dedup (continuous ingestion against persisted state)
+# --------------------------------------------------------------------------
+
+
+def incremental_exact_dedup(new_ds, index_path: str, col: str = "text",
+                            id_col: str = "doc_id",
+                            cfg: EngineConfig = DEFAULT_CONFIG,
+                            n_rows: int | None = None):
+    """Streaming-ingest exact dedup: dedup one increment against a
+    PERSISTED index of everything seen so far, append the new
+    survivors to the index, return them.
+
+    Semantics: within an increment the smallest id wins (exact_dedup);
+    across increments FIRST SEEN wins (the reference probe's
+    first-seen-NID dedup, api-side J8, lifted to dataset scale).
+
+    State layout: ``index_path/inc_00000, inc_00001, ...`` — one
+    parquet directory per ingest (partitioned, append-only, resumable:
+    a crashed ingest leaves prior shards intact and is simply rerun).
+    The membership check is ops/relational.anti_join on the content
+    column itself — Arrow's hash join hashes the strings internally,
+    so this IS the digest-semi-join + exact-verify shape, with the
+    broadcast/shuffle gate anti_join already carries.  Nothing is ever
+    gathered to the driver; the index can exceed any single heap."""
+    import glob as _glob
+
+    import ray.data as rd
+
+    from .relational import anti_join
+
+    survivors = exact_dedup(new_ds, col, id_col, cfg, n_rows=n_rows)
+    os.makedirs(index_path, exist_ok=True)
+    shards = sorted(_glob.glob(os.path.join(index_path, "inc_*")))
+    files = sorted(f for s in shards
+                   for f in _glob.glob(os.path.join(s, "*.parquet")))
+    if files:
+        index = rd.read_parquet(files)
+        survivors = anti_join(survivors, index.select_columns([col]),
+                              on=[col], cfg=cfg)
+    survivors = survivors.select_columns([col, id_col]).materialize()
+    if survivors.count():
+        out_dir = os.path.join(index_path, f"inc_{len(shards):05d}")
+        survivors.write_parquet(out_dir)
+    return survivors
+
+
+def read_dedup_index(index_path: str):
+    """The accumulated survivor set (col, id) across every ingest."""
+    import glob as _glob
+
+    import ray.data as rd
+
+    files = sorted(
+        f for s in sorted(_glob.glob(os.path.join(index_path, "inc_*")))
+        for f in _glob.glob(os.path.join(s, "*.parquet")))
+    if not files:
+        raise FileNotFoundError(
+            f"no dedup index shards under {index_path!r} — run "
+            "incremental_exact_dedup first")
+    return rd.read_parquet(files)

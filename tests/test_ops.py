@@ -1160,3 +1160,45 @@ def test_shuffle_index(ray_session):
     pd.testing.assert_frame_equal(
         out.sort_values("doc_id").reset_index(drop=True),
         out2.sort_values("doc_id").reset_index(drop=True))
+
+
+def test_incremental_exact_dedup(ray_session, tmp_path):
+    """First-seen-wins ACROSS increments (even when a later increment
+    carries a smaller id), min-id within one; empty increments append
+    nothing; the index accumulates."""
+    import ray.data as rd
+
+    idx = str(tmp_path / "dedup_idx")
+    inc1 = pd.DataFrame({"doc_id": np.array([10, 11, 12], dtype=np.int64),
+                         "text": ["aaa", "bbb", "aaa"]})
+    inc2 = pd.DataFrame({"doc_id": np.array([1, 2, 3], dtype=np.int64),
+                         "text": ["aaa", "ccc", "ccc"]})
+    s1 = dedup.incremental_exact_dedup(rd.from_pandas(inc1), idx, cfg=CFG) \
+        .to_pandas().sort_values("text").reset_index(drop=True)
+    assert s1["text"].tolist() == ["aaa", "bbb"]
+    assert s1["doc_id"].tolist() == [10, 11]
+
+    s2 = dedup.incremental_exact_dedup(rd.from_pandas(inc2), idx, cfg=CFG) \
+        .to_pandas()
+    # 'aaa' already seen (id 10 stays canonical despite the smaller 1);
+    # 'ccc' is new, min id 2 wins within the increment
+    assert s2["text"].tolist() == ["ccc"]
+    assert s2["doc_id"].tolist() == [2]
+
+    # an increment with nothing new appends no shard and returns empty
+    s3 = dedup.incremental_exact_dedup(rd.from_pandas(inc1), idx, cfg=CFG)
+    assert s3.count() == 0
+
+    acc = dedup.read_dedup_index(idx).to_pandas() \
+        .sort_values("text").reset_index(drop=True)
+    assert acc["text"].tolist() == ["aaa", "bbb", "ccc"]
+    assert acc["doc_id"].tolist() == [10, 11, 2]
+
+    # forced shuffle path (broadcast gate zeroed) agrees
+    idx2 = str(tmp_path / "dedup_idx2")
+    cfg_j = EngineConfig(model_path="", join_num_partitions=4,
+                         broadcast_max_rows=0, gather_max_keys=0)
+    dedup.incremental_exact_dedup(rd.from_pandas(inc1), idx2, cfg=cfg_j)
+    s2j = dedup.incremental_exact_dedup(rd.from_pandas(inc2), idx2,
+                                        cfg=cfg_j).to_pandas()
+    assert s2j["text"].tolist() == ["ccc"] and s2j["doc_id"].tolist() == [2]

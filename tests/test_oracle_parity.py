@@ -28,6 +28,7 @@ SUBSET = [
     "top_orders",
     "hourly_user_events",
     "exact_dedup_docs",
+    "exact_dedup_incremental",
     "doc_token_counts",
     "doc_repetition",
     "doc_line_dedup",
