@@ -668,6 +668,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(finalize, batch_format="pandas")
 
+    def doc_pack_texts(sf_dir):
+        """Materialized packed training sequences: each shard's docs
+        concatenated in (hash, id) order, cut into fixed 512-char
+        windows (ops/sample.pack_sequence_texts — two keyed shuffles,
+        every piece moves once, no stream assembled in one place)."""
+        from aml_entity_resolution_assignment_ray.ops.sample import pack_sequence_texts
+
+        _tune_context()
+        return pack_sequence_texts(
+            _read(sf_dir, "documents").select_columns(["doc_id", "text"]),
+            id_col="doc_id", text_col="text", seq_len=512, n_shards=8)
+
     def doc_hash_split(sf_dir):
         """Deterministic 80/20 train/test split (Knuth multiplicative
         hash on doc_id — reproducible across runs, cluster sizes and
@@ -1196,6 +1208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_shuffle_index": doc_shuffle_index,
         "doc_stratified_sample": doc_stratified_sample,
         "doc_pack": doc_pack,
+        "doc_pack_texts": doc_pack_texts,
         "doc_contamination": doc_contamination,
         "corpus_prep": corpus_prep_q,
         "doc_dup_grams": doc_dup_grams,
@@ -2611,6 +2624,23 @@ def oracle_sql() -> dict[str, str]:
                                       doc_id) AS r
                   FROM documents)
             WHERE r <= 25
+        """,
+        "doc_pack_texts": """
+            WITH h AS (
+              SELECT doc_id, coalesce(text, '') AS text,
+                     (doc_id * 2654435761) % 4294967296 AS h
+              FROM documents
+            ), s AS (
+              SELECT h % 8 AS shard,
+                     string_agg(text, '' ORDER BY h, doc_id) AS stream
+              FROM h GROUP BY h % 8
+            )
+            SELECT CAST(shard AS BIGINT) AS shard,
+                   CAST(i AS BIGINT) AS seq_id,
+                   substring(stream, CAST(i * 512 + 1 AS BIGINT), 512)
+                       AS seq_text
+            FROM s, unnest(range(CAST(ceil(length(stream) / 512.0)
+                                      AS BIGINT))) AS t(i)
         """,
         "doc_shuffle_index": """
             SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -148,7 +148,8 @@ def stratified_sample(ds, *, group_col: str, id_col: str, k: int,
 
 
 def pack_sequences(ds, *, id_col: str, len_col: str, seq_len: int,
-                   n_shards: int = 16, cfg=None):
+                   n_shards: int = 16, cfg=None,
+                   _text_len_col: str | None = None):
     """Concat-and-chunk sequence packing (the GPT-style training-data
     layout): documents are deterministically assigned to ``n_shards``
     streams by id hash, concatenated within each stream in (hash, id)
@@ -170,6 +171,10 @@ def pack_sequences(ds, *, id_col: str, len_col: str, seq_len: int,
 
     def tag(df: pd.DataFrame) -> pd.DataFrame:
         out = df.copy()
+        if _text_len_col is not None:
+            # pack by character count of the text column itself
+            out[len_col] = df[_text_len_col].fillna("").astype(str) \
+                .str.len().astype(np.int64)
         h = _hash_values(df[id_col].to_numpy())
         out["_h"] = h.astype(np.int64)
         out["shard"] = (h % np.uint64(n_shards)).astype(np.int64)
@@ -189,6 +194,87 @@ def pack_sequences(ds, *, id_col: str, len_col: str, seq_len: int,
         return out
 
     return cum.map_batches(finalize, batch_format="pandas")
+
+
+def pack_sequence_texts(ds, *, id_col: str, text_col: str, seq_len: int,
+                        n_shards: int = 16, cfg=None):
+    """Materialize the packed training sequences themselves: each
+    shard's documents are concatenated in (hash, id) order and the
+    stream is cut into fixed ``seq_len``-character windows.  Output:
+    (shard, seq_id, seq_text) — every window except a shard's last has
+    exactly ``seq_len`` characters; documents spanning a boundary are
+    split across the adjacent windows (GPT-style packing, no padding).
+
+    Shape: pack_sequences assigns each doc its start offset (one keyed
+    shuffle); a vectorized explode slices each doc into its window
+    pieces (a doc of length L touches ceil((off+L)/seq_len) windows);
+    ONE more keyed shuffle on (shard, seq_id) re-aggregates pieces in
+    offset order (the sessionize rejoin pattern).  Every piece moves
+    exactly once; no stream is ever assembled in one place."""
+    from .relational import _keyed, _meta_rows
+    from ..config import DEFAULT_CONFIG
+
+    cfg = cfg or DEFAULT_CONFIG
+    n_rows = _meta_rows(ds)
+    packed = pack_sequences(ds, id_col=id_col, len_col="_len",
+                            seq_len=seq_len, n_shards=n_shards, cfg=cfg,
+                            _text_len_col=text_col)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "shard": pd.Series([], dtype="int64"),
+                "seq_id": pd.Series([], dtype="int64"),
+                "off": pd.Series([], dtype="int64"),
+                "piece": pd.Series([], dtype="string"),
+            })
+        txt = df[text_col].fillna("").astype(str).to_numpy(dtype=object)
+        lens = df["_len"].to_numpy(dtype=np.int64)
+        start = (df["seq_id"].to_numpy(dtype=np.int64) * seq_len
+                 + df["seq_offset"].to_numpy(dtype=np.int64))
+        end = start + lens
+        first = start // seq_len
+        last = np.maximum(first, (end - 1) // seq_len)  # empty doc -> 1 row
+        n_pieces = (last - first + 1)
+        ridx = np.repeat(np.arange(len(df)), n_pieces)
+        # window index of each piece within its doc
+        w = (np.arange(n_pieces.sum())
+             - np.repeat(np.cumsum(n_pieces) - n_pieces, n_pieces))
+        seq = first[ridx] + w
+        cut_lo = np.maximum(seq * seq_len, start[ridx])
+        cut_hi = np.minimum((seq + 1) * seq_len, end[ridx])
+        rel_lo = cut_lo - start[ridx]
+        rel_hi = cut_hi - start[ridx]
+        pieces = [t[a:b] for t, a, b in
+                  zip(txt[ridx], rel_lo, rel_hi)]
+        out = pd.DataFrame({
+            "shard": df["shard"].to_numpy()[ridx],
+            "seq_id": seq,
+            "off": cut_lo - seq * seq_len,
+            "piece": pieces,
+        })
+        # empty docs contribute nothing to any window
+        return out[rel_hi > rel_lo].reset_index(drop=True)
+
+    pieces = packed.map_batches(explode, batch_format="pandas")
+
+    def assemble(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "shard": pd.Series([], dtype="int64"),
+                "seq_id": pd.Series([], dtype="int64"),
+                "seq_text": pd.Series([], dtype="string"),
+            })
+        s = df.sort_values(["shard", "seq_id", "off"], kind="stable")
+        g = (s.groupby(["shard", "seq_id"], sort=False)["piece"]
+             .agg("".join).reset_index(name="seq_text"))
+        g["shard"] = g["shard"].astype("int64")
+        g["seq_id"] = g["seq_id"].astype("int64")
+        return g
+
+    return _keyed(pieces, ["shard", "seq_id"], cfg,
+                  n_rows).map_batches(assemble, batch_format="pandas",
+                                      batch_size=None)
 
 
 def shuffle_index(ds, *, id_col: str, n_shards: int = 16, cfg=None):

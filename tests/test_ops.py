@@ -1202,3 +1202,30 @@ def test_incremental_exact_dedup(ray_session, tmp_path):
     s2j = dedup.incremental_exact_dedup(rd.from_pandas(inc2), idx2,
                                         cfg=cfg_j).to_pandas()
     assert s2j["text"].tolist() == ["ccc"] and s2j["doc_id"].tolist() == [2]
+
+
+def test_pack_sequence_texts(ray_session):
+    """Materialized windows equal chunking each shard's concatenated
+    stream; all but the last window per shard are full length."""
+    import ray.data as rd
+    from aml_entity_resolution_assignment_ray.ops.sample import (
+        pack_sequence_texts, _hash_ints)
+
+    rng = np.random.RandomState(11)
+    texts = ["".join(rng.choice(list("abcdef "), size=rng.randint(0, 40)))
+             for _ in range(80)]
+    texts[5] = ""  # empty doc contributes nothing
+    df = pd.DataFrame({"doc_id": np.arange(80, dtype=np.int64),
+                       "text": texts})
+    out = pack_sequence_texts(rd.from_pandas(df).repartition(5),
+                              id_col="doc_id", text_col="text",
+                              seq_len=16, n_shards=3).to_pandas()
+
+    df["_h"] = _hash_ints(df["doc_id"].to_numpy()).astype(np.int64)
+    df["shard"] = df["_h"] % 3
+    for shard, g in df.groupby("shard"):
+        stream = "".join(g.sort_values(["_h", "doc_id"])["text"])
+        exp = [stream[i:i + 16] for i in range(0, len(stream), 16)]
+        got = out[out["shard"] == shard].sort_values("seq_id")
+        assert got["seq_text"].tolist() == exp
+        assert got["seq_id"].tolist() == list(range(len(exp)))

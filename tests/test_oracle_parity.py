@@ -43,6 +43,7 @@ SUBSET = [
     "doc_lm_score",
     "doc_stratified_sample",
     "doc_pack",
+    "doc_pack_texts",
     "doc_shuffle_index",
     "cust_no_orders",
     "cust_running_revenue",
