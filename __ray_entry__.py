@@ -430,6 +430,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return g.map_batches(finalize, batch_format="pandas")
 
+    def event_zscores(sf_dir):
+        """Per-type standardization of event values (z-scores; the
+        grouped outlier/anomaly primitive — ops/relational.
+        grouped_zscore: combiner-reduced stats, hash-join attach)."""
+        from aml_entity_resolution_assignment_ray.ops.relational import grouped_zscore
+
+        _tune_context()
+        out = grouped_zscore(
+            _read(sf_dir, "events").select_columns(
+                ["event_id", "event_type", "value"]),
+            key="event_type", col="value", keep_cols=["event_id"])
+
+        def finalize(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "event_id": df["event_id"].astype("int64"),
+                "event_type": df["event_type"],
+                "zscore": _round_half_away(df["zscore"], 6),
+            })
+
+        return out.map_batches(finalize, batch_format="pandas")
+
     def hourly_user_events(sf_dir):
         """Tumbling-window (1h) count per user — the windowed-aggregate
         pattern as derive-window-key + groupby."""
@@ -1189,6 +1210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "high_value_click_events": high_value_click_events,
         "event_type_stats": event_type_stats,
         "events_jsonl_stats": events_jsonl_stats,
+        "event_zscores": event_zscores,
         "customer_csv_stats": customer_csv_stats,
         "hourly_user_events": hourly_user_events,
         "distinct_event_types": distinct_event_types,
@@ -2378,6 +2400,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, round(sum(value), 2) AS total_value,
                    count(*) AS n_events
             FROM events GROUP BY event_type
+        """,
+        # same one-pass variance identity as grouped_zscore, so the
+        # float math replays exactly (round 6 absorbs sum-order ulps)
+        "event_zscores": """
+            WITH st AS (
+              SELECT event_type, count(*) AS n, sum(value) AS s,
+                     sum(value * value) AS ss
+              FROM events GROUP BY event_type
+            ), m AS (
+              SELECT event_type, s / n AS mu,
+                     sqrt(greatest(ss / n - (s / n) * (s / n), 0)) AS sd
+              FROM st
+            )
+            SELECT e.event_id, e.event_type,
+                   round(CASE WHEN m.sd > 0
+                              THEN (e.value - m.mu) / m.sd
+                              ELSE 0 END, 6) AS zscore
+            FROM events e JOIN m USING (event_type)
         """,
         # text-format round-trips: the oracle reads the SAME exported
         # files the Ray query wrote (paths row-count-keyed, see

@@ -550,3 +550,61 @@ def anti_join(left, right, *, on: list[str],
         return df.loc[df["_r"].isna(), cols].reset_index(drop=True)
 
     return joined.map_batches(null_filter, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# grouped standardization (z-scores) — the per-key outlier/anomaly signal
+# --------------------------------------------------------------------------
+
+
+def grouped_zscore(ds, *, key: str, col: str, keep_cols: list[str],
+                   out_col: str = "zscore",
+                   cfg: EngineConfig = DEFAULT_CONFIG):
+    """Standardize ``col`` within each ``key`` group:
+    z = (v - mean) / std_pop, 0 when the group is constant — the
+    per-group outlier / anomaly-score primitive (filter on |z| to get
+    an outlier op).
+
+    Shape: a per-batch (key, n, sum, sumsq) combiner feeds ONE tiny
+    groupby (one row per key moves per block), the stats attach back
+    via a hash join (group cardinality is unbounded, so no broadcast),
+    and the z map is stateless.  Variance uses the one-pass
+    sumsq/n - mean^2 identity — exact-replayable in SQL, numerically
+    fine while |mean| / std stays moderate (document inputs in the
+    1e6-offset regime should be centered first)."""
+    from ..util import safe_join
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].to_numpy(dtype=np.float64)
+        g = pd.DataFrame({key: df[key], "_n": 1, "_s": v, "_ss": v * v}) \
+            .groupby(key, sort=False).sum().reset_index()
+        g["_n"] = g["_n"].astype("int64")
+        return g
+
+    stats = ds.map_batches(partial, batch_format="pandas") \
+        .groupby(key).sum(["_n", "_s", "_ss"])
+
+    def finalize_stats(d: pd.DataFrame) -> pd.DataFrame:
+        n = d["sum(_n)"].to_numpy(dtype=np.float64)
+        mu = d["sum(_s)"].to_numpy(dtype=np.float64) / n
+        var = d["sum(_ss)"].to_numpy(dtype=np.float64) / n - mu * mu
+        return pd.DataFrame({key: d[key], "_mu": mu,
+                             "_sd": np.sqrt(np.maximum(var, 0.0))})
+
+    joined = safe_join(
+        ds.map_batches(lambda d: d[[*keep_cols, key, col]],
+                       batch_format="pandas"),
+        stats.map_batches(finalize_stats, batch_format="pandas"),
+        join_type="inner", num_partitions=cfg.resolve_join_partitions(),
+        on=(key,))
+
+    def z(d: pd.DataFrame) -> pd.DataFrame:
+        sd = d["_sd"].to_numpy(dtype=np.float64)
+        v = d[col].to_numpy(dtype=np.float64)
+        mu = d["_mu"].to_numpy(dtype=np.float64)
+        out = d[[*keep_cols, key, col]].copy()
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out[out_col] = np.where(sd > 0, (v - mu) / sd, 0.0)
+        return out
+
+    return joined.map_batches(z, batch_format="pandas")

@@ -37,6 +37,7 @@ SUBSET = [
     "doc_pii_scrub",
     "doc_top_terms",
     "event_sessions",
+    "event_zscores",
     "events_jsonl_stats",
     "customer_csv_stats",
     "doc_hash_split",

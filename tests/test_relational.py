@@ -408,3 +408,32 @@ def test_scrub_lineage_tag(ray_session):
     empty = scrub_empty_blocks(
         rd.from_pandas(pd.DataFrame({"x": []})).repartition(2))
     assert not getattr(empty, "_er_scrubbed", False)
+
+
+def test_grouped_zscore(ray_session):
+    """Z-scores match a pandas replay; constant groups get 0."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.relational import grouped_zscore
+
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame({
+        "event_id": np.arange(60, dtype=np.int64),
+        "k": ["a", "b", "c"] * 20,
+        "v": rng.uniform(0, 100, 60),
+    })
+    df.loc[df["k"] == "c", "v"] = 7.0  # constant group
+    out = grouped_zscore(rd.from_pandas(df).repartition(4), key="k",
+                         col="v", keep_cols=["event_id"], cfg=SHUFFLE_CFG) \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    exp = df.copy()
+    g = df.groupby("k")["v"]
+    mu = g.transform("mean")
+    sd = g.transform(lambda s: s.std(ddof=0))
+    exp["z"] = np.where(sd > 0, (df["v"] - mu) / sd, 0.0)
+    assert np.allclose(out["zscore"].to_numpy(),
+                       exp.sort_values("event_id")["z"].to_numpy(),
+                       rtol=1e-9, atol=1e-12)
+    assert (out[out["k"] == "c"]["zscore"] == 0.0).all()
