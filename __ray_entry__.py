@@ -985,6 +985,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return emb.map_batches(norms, batch_format="pandas")
 
+    def label_centroids(sf_dir):
+        """Per-label embedding centroids in long (label, dim, centroid)
+        form (ops/ann.grouped_centroids — per-batch vector-sum
+        combiner, one keyed shuffle; class prototypes for few-shot /
+        cluster-summary use)."""
+        from aml_entity_resolution_assignment_ray.ops.ann import grouped_centroids
+
+        _tune_context()
+        out = grouped_centroids(
+            _read(sf_dir, "embeddings").select_columns(
+                ["label", "embedding"]), key="label")
+
+        def finalize(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "label": df["label"].astype("int64"),
+                "dim": df["dim"].astype("int64"),
+                "centroid": _round_half_away(df["centroid"], 6),
+            })
+
+        return out.map_batches(finalize, batch_format="pandas")
+
     # ---- multimodal plumbing (stubbed decode, real Ray plumbing) ----
 
     def media_features(sf_dir):
@@ -1249,6 +1270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": embedding_dup_pairs_q,
         "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh,
         "embedding_norms": embedding_norms,
+        "label_centroids": label_centroids,
         "media_features": media_features,
         "audio_features": audio_features,
         "audio_frames": audio_frames,
@@ -2856,6 +2878,15 @@ def oracle_sql() -> dict[str, str]:
                        list_transform(embedding, x -> CAST(x AS DOUBLE)))), 4)
                        AS l2_norm
             FROM embeddings
+        """,
+        "label_centroids": """
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(dim - 1 AS BIGINT) AS dim,
+                   round(sum(CAST(x AS DOUBLE)) / count(*), 6) AS centroid
+            FROM (SELECT label, unnest(embedding) AS x,
+                         generate_subscripts(embedding, 1) AS dim
+                  FROM embeddings)
+            GROUP BY label, dim
         """,
         # Every queries() entry is value-oracled: the non-SQL-native ones
         # (fingerprint winnowing, minhash/simhash banding, RHP-LSH, GBDT

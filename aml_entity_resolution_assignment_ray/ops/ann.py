@@ -262,3 +262,50 @@ def build_ivf(ds, ncells: int | None = 16, vec_col: str = "embedding",
         .write_parquet(os.path.join(index_path, "cells"),
                        partition_cols=["_cell"])
     return IVFIndex(C, index_path, vec_col=vec_col, id_col=id_col)
+
+
+# --------------------------------------------------------------------------
+# grouped centroids — the class-prototype / cluster-summary aggregate
+# --------------------------------------------------------------------------
+
+
+def grouped_centroids(ds, *, key: str, vec_col: str = "embedding"):
+    """Mean vector per group (class prototypes, cluster summaries,
+    per-language embedding centroids).  Output LONG form
+    ``(key, dim, centroid)`` — Arrow-native and SQL-checkable.
+
+    Shape: a per-batch combiner sums vectors per key (matmul-free
+    pandas groupby over the stacked matrix), so one (key x dim) row
+    set leaves each block regardless of row count; ONE keyed shuffle
+    combines the partial sums; the mean is a stateless map.  Never
+    gathers vectors to the driver."""
+    import pandas as pd
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        V = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+        w = pd.DataFrame(V)
+        w["_k"] = df[key].to_numpy()
+        g = w.groupby("_k", sort=False)
+        sums = g.sum()
+        n = g.size()
+        dims = np.arange(V.shape[1], dtype=np.int64)
+        keys = sums.index.to_numpy()
+        return pd.DataFrame({
+            key: np.repeat(keys, len(dims)),
+            "dim": np.tile(dims, len(keys)),
+            "_s": sums.to_numpy().ravel(),
+            "_n": np.repeat(n.to_numpy().astype(np.int64), len(dims)),
+        })
+
+    agg = ds.map_batches(partial, batch_format="pandas") \
+        .groupby([key, "dim"]).sum(["_s", "_n"])
+
+    def finalize(d: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            key: d[key],
+            "dim": d["dim"].astype("int64"),
+            "centroid": d["sum(_s)"].to_numpy(dtype=np.float64)
+            / d["sum(_n)"].to_numpy(dtype=np.float64),
+        })
+
+    return agg.map_batches(finalize, batch_format="pandas")

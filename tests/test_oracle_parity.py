@@ -52,6 +52,7 @@ SUBSET = [
     "ann_top10",
     "embedding_dup_pairs",
     "embedding_norms",
+    "label_centroids",
     "er_pairs",
     "er_pairs_exact_keys",
     "er_classified",
