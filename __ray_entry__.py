@@ -624,6 +624,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(finalize, batch_format="pandas")
 
+    def doc_collocations(sf_dir):
+        """Collocation mining: top-50 word bigrams by PMI with a
+        min-count-5 support floor (ops/text.top_collocations —
+        combiner-reduced bigram counts, marginal hash joins, support
+        filter before the global sort+limit)."""
+        _tune_context()
+        return text.top_collocations(
+            _read(sf_dir, "documents", spread=True)
+            .select_columns(["doc_id", "text"]), k=50, min_count=5)
+
     def doc_stratified_sample(sf_dir):
         """Deterministic stratified sample: the 25 docs per language
         with the smallest Knuth id-hash, with per-group rank
@@ -1248,6 +1258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tfidf_top5": doc_tfidf_top5,
         "doc_hash_split": doc_hash_split,
         "doc_lm_score": doc_lm_score,
+        "doc_collocations": doc_collocations,
         "doc_shuffle_index": doc_shuffle_index,
         "doc_stratified_sample": doc_stratified_sample,
         "doc_pack": doc_pack,
@@ -2675,6 +2686,32 @@ def oracle_sql() -> dict[str, str]:
             JOIN bc ON g.w1 = bc.w1 AND g.w2 = bc.w2
             JOIN cc ON g.w1 = cc.w1, vv
             GROUP BY g.doc_id
+        """,
+        "doc_collocations": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(
+                         lower(coalesce(text, '')), '[a-z0-9]+')) AS w,
+                     generate_subscripts(regexp_extract_all(
+                         lower(coalesce(text, '')), '[a-z0-9]+'), 1) AS i
+              FROM documents
+            ),
+            bg AS (
+              SELECT doc_id, w AS w1,
+                     lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+              FROM toks
+              QUALIFY w2 IS NOT NULL
+            ),
+            bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+            c1 AS (SELECT w1, sum(c12) AS c1 FROM bc GROUP BY w1),
+            c2 AS (SELECT w2, sum(c12) AS c2 FROM bc GROUP BY w2),
+            t AS (SELECT CAST(sum(c12) AS DOUBLE) AS t FROM bc)
+            SELECT w1, w2, CAST(c12 AS BIGINT) AS cnt,
+                   round(ln((CAST(c12 AS DOUBLE) * t.t)
+                            / (CAST(c1.c1 AS DOUBLE) * c2.c2)), 6) AS pmi
+            FROM bc JOIN c1 USING (w1) JOIN c2 USING (w2), t
+            WHERE c12 >= 5
+            ORDER BY pmi DESC, w1, w2 LIMIT 50
         """,
         "doc_stratified_sample": """
             SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,

@@ -467,6 +467,84 @@ def doc_bigram_tf_batch(df: pd.DataFrame, col: str = "text",
     return g
 
 
+def corpus_bigram_counts(ds, col: str = "text", id_col: str = "doc_id"):
+    """(bg, bc): the per-doc distinct-bigram table and the corpus-wide
+    bigram count table, both materialized for multi-consumer reuse.
+    The bc shuffle moves per-batch UNIQUE bigrams, never tokens."""
+    bg = ds.map_batches(doc_bigram_tf_batch,
+                        fn_kwargs={"col": col, "id_col": id_col},
+                        batch_format="pandas").materialize()
+
+    def bc_partial(d: pd.DataFrame) -> pd.DataFrame:
+        g = d.groupby(["w1", "w2"], sort=False)["tf"].sum() \
+            .reset_index(name="c12")
+        g["c12"] = g["c12"].astype("int64")
+        return g
+
+    bc = (bg.map_batches(bc_partial, batch_format="pandas")
+          .groupby(["w1", "w2"]).sum("c12")
+          .map_batches(lambda d: d.rename(columns={"sum(c12)": "c12"}),
+                       batch_format="pandas")).materialize()
+    return bg, bc
+
+
+def top_collocations(ds, k: int = 50, min_count: int = 5,
+                     col: str = "text", id_col: str = "doc_id",
+                     cfg: EngineConfig = DEFAULT_CONFIG):
+    """Top-``k`` word bigrams by pointwise mutual information
+    (collocation mining: 'new york'-style fixed phrases score high,
+    chance co-occurrences low):
+
+        pmi(w1, w2) = ln( C(w1,w2) * T / (C(w1, *) * C(*, w2)) )
+
+    with T = total bigram tokens and a ``min_count`` support floor.
+    PMI is rounded to 6 places BEFORE ranking so the top-k boundary is
+    decided on the same values both here and in the SQL oracle (ties
+    then break by ascending (w1, w2)).
+
+    Shape: corpus bigram counts (one combiner-reduced shuffle), the
+    two marginal tables as groupbys over it, two hash joins to attach
+    marginals, the support filter BEFORE the global sort+limit."""
+    from ..util import safe_join
+
+    nparts = cfg.resolve_join_partitions()
+    _, bc = corpus_bigram_counts(ds, col=col, id_col=id_col)
+    total = float(bc.sum("c12") or 0.0)
+
+    c1 = bc.groupby("w1").sum("c12").map_batches(
+        lambda d: pd.DataFrame({"w1": d["w1"],
+                                "c1": d["sum(c12)"].astype("int64")}),
+        batch_format="pandas")
+    c2 = bc.groupby("w2").sum("c12").map_batches(
+        lambda d: pd.DataFrame({"w2": d["w2"],
+                                "c2": d["sum(c12)"].astype("int64")}),
+        batch_format="pandas")
+
+    kept = bc.map_batches(
+        lambda d, mc=min_count: d[d["c12"] >= mc].reset_index(drop=True),
+        batch_format="pandas")
+    joined = safe_join(
+        safe_join(kept, c1, join_type="inner", num_partitions=nparts,
+                  on=("w1",)),
+        c2, join_type="inner", num_partitions=nparts, on=("w2",))
+
+    def pmi(d: pd.DataFrame) -> pd.DataFrame:
+        c12 = d["c12"].to_numpy(dtype=np.float64)
+        val = np.log((c12 * total)
+                     / (d["c1"].to_numpy(dtype=np.float64)
+                        * d["c2"].to_numpy(dtype=np.float64)))
+        f = 1e6
+        val = np.where(val >= 0, np.floor(val * f + 0.5),
+                       np.ceil(val * f - 0.5)) / f
+        return pd.DataFrame({"w1": d["w1"], "w2": d["w2"],
+                             "cnt": d["c12"].astype("int64"),
+                             "pmi": val})
+
+    return joined.map_batches(pmi, batch_format="pandas") \
+        .sort(["pmi", "w1", "w2"], descending=[True, False, False]) \
+        .limit(k)
+
+
 def bigram_lm_score(ds, col: str = "text", id_col: str = "doc_id",
                     cfg: EngineConfig = DEFAULT_CONFIG):
     """Per-doc mean bigram log-probability under an add-one-smoothed
@@ -497,20 +575,7 @@ def bigram_lm_score(ds, col: str = "text", id_col: str = "doc_id",
     from ..util import safe_join
 
     nparts = cfg.resolve_join_partitions()
-    bg = ds.map_batches(doc_bigram_tf_batch,
-                        fn_kwargs={"col": col, "id_col": id_col},
-                        batch_format="pandas").materialize()
-
-    def bc_partial(d: pd.DataFrame) -> pd.DataFrame:
-        g = d.groupby(["w1", "w2"], sort=False)["tf"].sum() \
-            .reset_index(name="c12")
-        g["c12"] = g["c12"].astype("int64")
-        return g
-
-    bc = (bg.map_batches(bc_partial, batch_format="pandas")
-          .groupby(["w1", "w2"]).sum("c12")
-          .map_batches(lambda d: d.rename(columns={"sum(c12)": "c12"}),
-                       batch_format="pandas")).materialize()
+    bg, bc = corpus_bigram_counts(ds, col=col, id_col=id_col)
 
     def score_kernel(d: pd.DataFrame, v: float) -> pd.DataFrame:
         """(id, tf, c12, c1) rows -> per-doc (id, n, wlp) partials."""

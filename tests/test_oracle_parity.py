@@ -42,6 +42,7 @@ SUBSET = [
     "customer_csv_stats",
     "doc_hash_split",
     "doc_lm_score",
+    "doc_collocations",
     "doc_stratified_sample",
     "doc_pack",
     "doc_pack_texts",
