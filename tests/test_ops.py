@@ -1229,3 +1229,52 @@ def test_pack_sequence_texts(ray_session):
         got = out[out["shard"] == shard].sort_values("seq_id")
         assert got["seq_text"].tolist() == exp
         assert got["seq_id"].tolist() == list(range(len(exp)))
+
+
+def test_pack_sequence_texts_properties(ray_session):
+    """Property sweep over adversarial packing inputs: exact-boundary
+    docs, seq_len=1, unicode, all-empty shards."""
+    import ray.data as rd
+    from aml_entity_resolution_assignment_ray.ops.sample import (
+        pack_sequence_texts, _hash_ints)
+    from hypothesis import given, settings, strategies as st
+
+    def replay(df, seq_len, n_shards):
+        df = df.copy()
+        df["_h"] = _hash_ints(df["doc_id"].to_numpy()).astype(np.int64)
+        df["shard"] = df["_h"] % n_shards
+        exp = {}
+        for shard, g in df.groupby("shard"):
+            stream = "".join(g.sort_values(["_h", "doc_id"])["text"]
+                             .fillna(""))
+            exp[shard] = [stream[i:i + seq_len]
+                          for i in range(0, len(stream), seq_len)]
+        return exp
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        texts=st.lists(
+            st.text(alphabet="ab✓é \n", min_size=0, max_size=12),
+            min_size=1, max_size=25),
+        seq_len=st.sampled_from([1, 3, 7]),
+        n_shards=st.sampled_from([1, 2, 5]),
+    )
+    def check(texts, seq_len, n_shards):
+        df = pd.DataFrame({
+            "doc_id": np.arange(len(texts), dtype=np.int64),
+            "text": texts,
+        })
+        out = pack_sequence_texts(rd.from_pandas(df), id_col="doc_id",
+                                  text_col="text", seq_len=seq_len,
+                                  n_shards=n_shards).to_pandas()
+        exp = replay(df, seq_len, n_shards)
+        if not len(out):
+            # all-empty streams: Ray's to_pandas drops columns on a
+            # fully-empty dataset — just assert nothing was expected
+            assert all(len(s) == 0 for s in exp.values())
+            return
+        for shard, seqs in exp.items():
+            got = out[out["shard"] == shard].sort_values("seq_id")
+            assert got["seq_text"].tolist() == seqs
+
+    check()
