@@ -98,6 +98,10 @@ def _csv_customer_path(n_rows: int) -> str:
     return f"/tmp/er_csv_customer_n{n_rows}"
 
 
+def _partitioned_events_path(n_rows: int) -> str:
+    return f"/tmp/er_part_events_n{n_rows}"
+
+
 def _ivf_index_path(n_entities: int) -> str:
     """IVF index dir the ann_ivf_top10 query writes and its oracle
     reads — n-keyed like the er_* corpus so concurrent harnesses at
@@ -384,6 +388,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         fsrc.export_jsonl(
             src.map_batches(to_cents, batch_format="pandas"), path)
         g = fsrc.read_jsonl(path).groupby("event_type") \
+            .aggregate(Sum("value_cents"), Count())
+
+        def finalize(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "event_type": df["event_type"],
+                "total_cents": df["sum(value_cents)"].astype("int64"),
+                "n_events": df["count()"].astype("int64"),
+            })
+
+        return g.map_batches(finalize, batch_format="pandas")
+
+    def events_partitioned_stats(sf_dir):
+        """Hive-partitioned parquet sink + physically pruned read:
+        events are written one directory per event_type
+        (sources/files.export_partitioned_parquet — the resumable
+        100-TB output layout), then ONLY the 'click' partition
+        directory is read back and aggregated; the oracle reads the
+        same partition's files."""
+        from aml_entity_resolution_assignment_ray.sources import files as fsrc
+
+        _tune_context()
+        path = _partitioned_events_path(_table_rows(sf_dir, "events"))
+        src = _read(sf_dir, "events").select_columns(
+            ["event_id", "event_type", "value"])
+
+        def to_cents(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "event_id": df["event_id"].astype("int64"),
+                "event_type": df["event_type"],
+                "value_cents": np.rint(
+                    df["value"].to_numpy() * 100).astype("int64"),
+            })
+
+        fsrc.export_partitioned_parquet(
+            src.map_batches(to_cents, batch_format="pandas"), path,
+            partition_cols=["event_type"])
+        clicks = fsrc.read_partition(path, "event_type", "click")
+        g = clicks.groupby("event_type") \
             .aggregate(Sum("value_cents"), Count())
 
         def finalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -1241,6 +1283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "high_value_click_events": high_value_click_events,
         "event_type_stats": event_type_stats,
         "events_jsonl_stats": events_jsonl_stats,
+        "events_partitioned_stats": events_partitioned_stats,
         "event_zscores": event_zscores,
         "customer_csv_stats": customer_csv_stats,
         "hourly_user_events": hourly_user_events,
@@ -2463,6 +2506,14 @@ def oracle_sql() -> dict[str, str]:
                 '{_jsonl_events_path(_table_rows(_oracle_sf_dir(),
                                                  "events"))}/*.json')
             GROUP BY event_type
+        """,
+        "events_partitioned_stats": f"""
+            SELECT 'click' AS event_type, sum(value_cents) AS total_cents,
+                   count(*) AS n_events
+            FROM read_parquet(
+                '{_partitioned_events_path(_table_rows(_oracle_sf_dir(),
+                                                       "events"))}'
+                '/event_type=click/*.parquet')
         """,
         "customer_csv_stats": f"""
             SELECT c_mktsegment, sum(acctbal_cents) AS total_acctbal_cents,

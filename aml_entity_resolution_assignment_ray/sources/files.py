@@ -43,6 +43,24 @@ def export_csv(ds, out_dir: str) -> str:
     return out_dir
 
 
+def export_partitioned_parquet(ds, out_dir: str,
+                               partition_cols: list[str]) -> str:
+    """Write ``ds`` as hive-partitioned parquet
+    (``out_dir/col=value/...``) — the resumable-output layout: one
+    directory per key, so a consumer can read (and a restarted
+    producer can skip) single partitions by PATH, no row filtering."""
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    ds.write_parquet(out_dir, partition_cols=partition_cols)
+    return out_dir
+
+
+def read_partition(out_dir: str, col: str, value) -> "rd.Dataset":
+    """Stream ONE hive partition — physical pruning: only that
+    directory's files are listed or opened."""
+    return rd.read_parquet(os.path.join(out_dir, f"{col}={value}"))
+
+
 def read_jsonl(path: str):
     """Stream a JSONL directory/file as a Dataset."""
     return rd.read_json(path, file_extensions=["json", "jsonl"])

@@ -39,6 +39,7 @@ SUBSET = [
     "event_sessions",
     "event_zscores",
     "events_jsonl_stats",
+    "events_partitioned_stats",
     "customer_csv_stats",
     "doc_hash_split",
     "doc_lm_score",
