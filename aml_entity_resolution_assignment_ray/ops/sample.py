@@ -206,8 +206,10 @@ def pack_sequence_texts(ds, *, id_col: str, text_col: str, seq_len: int,
     split across the adjacent windows (GPT-style packing, no padding).
 
     Shape: pack_sequences assigns each doc its start offset (one keyed
-    shuffle); a vectorized explode slices each doc into its window
-    pieces (a doc of length L touches ceil((off+L)/seq_len) windows);
+    shuffle); the explode computes every piece's cut indices in one
+    vectorized pass (a doc of length L touches ceil((off+L)/seq_len)
+    windows) — only the final substring cuts are a per-piece loop,
+    inherent to ragged object strings (pieces ~ docs, not tokens);
     ONE more keyed shuffle on (shard, seq_id) re-aggregates pieces in
     offset order (the sessionize rejoin pattern).  Every piece moves
     exactly once; no stream is ever assembled in one place."""
