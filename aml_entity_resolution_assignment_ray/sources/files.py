@@ -14,7 +14,12 @@ giant file); readers get ``file_extensions`` filters so stray files in
 a landing zone are ignored.  Text formats lose parquet's types — the
 exporters therefore take only columns that survive the round trip
 exactly (ints, strings, bools); floats should be converted to integer
-units (e.g. cents) upstream when exact parity matters.
+units (e.g. cents) upstream when exact parity matters.  Content
+caveats (pinned in tests/test_files.py): JSONL round-trips every
+string exactly including the empty-vs-null distinction; CSV preserves
+quoted/escaped content (commas, quotes, embedded newlines, unicode)
+but COLLAPSES null-vs-empty — export only non-null string columns to
+CSV when that distinction matters.
 """
 
 from __future__ import annotations

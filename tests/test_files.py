@@ -1,0 +1,67 @@
+"""Text-format source/sink round-trips (sources/files.py)."""
+
+import numpy as np
+import pandas as pd
+
+
+HOSTILE = ["plain", "comma,inside", 'quote"inside', "new\nline",
+           "tab\tsep", "unicode ✓é"]
+
+
+def test_jsonl_roundtrip_hostile_strings(ray_session, tmp_path):
+    """JSONL preserves every string exactly (quotes, newlines,
+    unicode), plus the empty-vs-null distinction."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.sources import files as f
+
+    df = pd.DataFrame({"i": np.arange(8, dtype=np.int64),
+                       "s": HOSTILE + ["", None]})
+    d = str(tmp_path / "j")
+    f.export_jsonl(rd.from_pandas(df).repartition(3), d)
+    back = f.read_jsonl(d).to_pandas().sort_values("i").reset_index(drop=True)
+    assert back["s"].tolist()[:7] == HOSTILE + [""]
+    assert back["s"].iloc[7] is None or pd.isna(back["s"].iloc[7])
+
+    # DuckDB parses the same files identically (the oracle contract)
+    import duckdb
+    got = [r[0] for r in duckdb.sql(
+        f"SELECT s FROM read_json_auto('{d}/*.json') ORDER BY i").fetchall()]
+    assert got[:7] == HOSTILE + [""]
+
+
+def test_csv_roundtrip_and_null_caveat(ray_session, tmp_path):
+    """CSV preserves quoted/escaped content but collapses the
+    null-vs-empty distinction (why the CSV queries only export
+    non-null key columns)."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.sources import files as f
+
+    df = pd.DataFrame({"i": np.arange(6, dtype=np.int64), "s": HOSTILE})
+    d = str(tmp_path / "c")
+    f.export_csv(rd.from_pandas(df).repartition(2), d)
+    back = f.read_csv(d).to_pandas().sort_values("i").reset_index(drop=True)
+    assert back["s"].tolist() == HOSTILE
+
+    import duckdb
+    got = [r[0] for r in duckdb.sql(
+        f"SELECT s FROM read_csv_auto('{d}/*.csv') ORDER BY i").fetchall()]
+    assert got == HOSTILE
+
+
+def test_partitioned_parquet_pruned_read(ray_session, tmp_path):
+    """Single-partition reads restore the partition column and see
+    only that partition's rows."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.sources import files as f
+
+    df = pd.DataFrame({"k": ["a", "b"] * 10,
+                       "v": np.arange(20, dtype=np.int64)})
+    d = str(tmp_path / "p")
+    f.export_partitioned_parquet(rd.from_pandas(df).repartition(4), d,
+                                 partition_cols=["k"])
+    a = f.read_partition(d, "k", "a").to_pandas()
+    assert set(a["k"]) == {"a"} and len(a) == 10
+    assert sorted(a["v"].tolist()) == list(range(0, 20, 2))
