@@ -720,6 +720,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(finalize, batch_format="pandas")
 
+    def doc_weighted_sample(sf_dir):
+        """Quality-weighted deterministic downsampling: keep each doc
+        with probability min(1, n_chars / 2000), decided by the id
+        hash — integer-exact acceptance test, no RNG
+        (ops/sample.weighted_sample)."""
+        from aml_entity_resolution_assignment_ray.ops.sample import weighted_sample
+
+        _tune_context()
+        out = weighted_sample(
+            _read(sf_dir, "documents").select_columns(["doc_id", "n_chars"]),
+            id_col="doc_id", weight_col="n_chars", weight_scale=2000)
+
+        def finalize(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_chars": df["n_chars"].astype("int64"),
+            })
+
+        return out.map_batches(finalize, batch_format="pandas")
+
     def doc_shuffle_index(sf_dir):
         """Deterministic global training shuffle: (shard, pos) address
         per doc — shard by id hash, pos = rank within shard in
@@ -1303,6 +1323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lm_score": doc_lm_score,
         "doc_collocations": doc_collocations,
         "doc_shuffle_index": doc_shuffle_index,
+        "doc_weighted_sample": doc_weighted_sample,
         "doc_stratified_sample": doc_stratified_sample,
         "doc_pack": doc_pack,
         "doc_pack_texts": doc_pack_texts,
@@ -2791,6 +2812,13 @@ def oracle_sql() -> dict[str, str]:
                        AS seq_text
             FROM s, unnest(range(CAST(ceil(length(stream) / 512.0)
                                       AS BIGINT))) AS t(i)
+        """,
+        "doc_weighted_sample": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_chars AS BIGINT) AS n_chars
+            FROM documents
+            WHERE (((doc_id * 2654435761) % 4294967296) % 1000000) * 2000
+                  < n_chars * 1000000
         """,
         "doc_shuffle_index": """
             SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -279,6 +279,32 @@ def pack_sequence_texts(ds, *, id_col: str, text_col: str, seq_len: int,
                                       batch_size=None)
 
 
+def weighted_sample(ds, *, id_col: str, weight_col: str,
+                    weight_scale: int, resolution: int = 1_000_000):
+    """Importance-weighted deterministic downsampling: keep a row with
+    probability ``min(1, weight / weight_scale)``, decided by the row's
+    id hash instead of an RNG — reproducible across runs, cluster
+    sizes and repartitionings, and exactly SQL-replayable because the
+    acceptance test is pure integer arithmetic:
+
+        keep  <=>  (hash(id) % resolution) * weight_scale
+                       < weight * resolution
+
+    The quality-weighted corpus-sampling primitive (keep high-quality
+    documents with higher probability); stateless vectorized map, no
+    shuffle.  Weights must be non-negative integers (scale float
+    scores upstream)."""
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        h = _hash_values(df[id_col].to_numpy()) % np.uint64(resolution)
+        w = df[weight_col].to_numpy(dtype=np.int64)
+        mask = (h.astype(np.int64) * int(weight_scale)
+                < w * int(resolution))
+        return df[mask].reset_index(drop=True)
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
 def shuffle_index(ds, *, id_col: str, n_shards: int = 16, cfg=None):
     """Deterministic global shuffle for training data: every row gets a
     (shard, pos) address — shard by id hash, pos = 0-based rank within

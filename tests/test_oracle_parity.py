@@ -48,6 +48,7 @@ SUBSET = [
     "doc_pack",
     "doc_pack_texts",
     "doc_shuffle_index",
+    "doc_weighted_sample",
     "cust_no_orders",
     "cust_running_revenue",
     "simhash_dup_pairs_docs",
