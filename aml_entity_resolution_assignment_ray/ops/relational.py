@@ -608,3 +608,28 @@ def grouped_zscore(ds, *, key: str, col: str, keep_cols: list[str],
         return out
 
     return joined.map_batches(z, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# global top-k (no key) — partial top-k combiner, never a full sort
+# --------------------------------------------------------------------------
+
+
+def global_topk(ds, *, order_cols: list[str], descending: list[bool],
+                k: int):
+    """Top ``k`` rows of the whole dataset by ``order_cols`` — the
+    keyless analogue of group_topk: each block contributes at most its
+    own top-k (a row outside a block's top-k cannot be in the global
+    top-k), the <= k-per-block survivors gather to ONE block for the
+    final sort+head.  Replaces sort().limit(k)'s full all-to-all sort
+    with a combiner whose shuffle volume is blocks x k rows."""
+    cols = list(ds.schema().names)
+    asc = [not d for d in descending]
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(order_cols, ascending=asc,
+                              kind="stable").head(k)[cols]
+
+    return ds.map_batches(topk, batch_format="pandas") \
+        .repartition(1) \
+        .map_batches(topk, batch_format="pandas", batch_size=None)

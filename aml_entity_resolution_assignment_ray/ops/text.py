@@ -348,7 +348,11 @@ def term_count_batch(df: pd.DataFrame, col: str = "text") -> pd.DataFrame:
 def top_terms(ds, col: str = "text", k: int = 50):
     """documents Dataset -> the corpus's top-``k`` terms by total count
     (ties broken by word) — the canonical pre-aggregate-then-shuffle
-    shape: the all-to-all moves only per-batch unique words."""
+    shape: the all-to-all moves only per-batch unique words, and the
+    final ranking is a per-block top-k combiner (global_topk), not a
+    full sort."""
+    from .relational import global_topk
+
     agg = (ds.map_batches(term_count_batch, fn_kwargs={"col": col},
                           batch_format="pandas")
            .groupby("word").sum("cnt"))
@@ -357,7 +361,8 @@ def top_terms(ds, col: str = "text", k: int = 50):
         return df.rename(columns={"sum(cnt)": "cnt"})
 
     out = agg.map_batches(finalize, batch_format="pandas")
-    return out.sort(["cnt", "word"], descending=[True, False]).limit(k)
+    return global_topk(out, order_cols=["cnt", "word"],
+                       descending=[True, False], k=k)
 
 
 def doc_term_tf_batch(df: pd.DataFrame, col: str = "text",
@@ -540,9 +545,11 @@ def top_collocations(ds, k: int = 50, min_count: int = 5,
                              "cnt": d["c12"].astype("int64"),
                              "pmi": val})
 
-    return joined.map_batches(pmi, batch_format="pandas") \
-        .sort(["pmi", "w1", "w2"], descending=[True, False, False]) \
-        .limit(k)
+    from .relational import global_topk
+
+    return global_topk(joined.map_batches(pmi, batch_format="pandas"),
+                       order_cols=["pmi", "w1", "w2"],
+                       descending=[True, False, False], k=k)
 
 
 def bigram_lm_score(ds, col: str = "text", id_col: str = "doc_id",
