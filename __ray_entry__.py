@@ -81,10 +81,17 @@ def _oracle_sf_dir() -> str:
 
 
 def _table_rows(sf_dir: str, table: str) -> int:
+    """Row count from parquet metadata; 0 when the file is absent so
+    oracle_sql() can always BUILD its dict (only the affected
+    round-trip oracles would then point at an n0 path and fail, not
+    every oracle)."""
     import pyarrow.parquet as pq
 
-    return pq.ParquetFile(
-        os.path.join(sf_dir, f"{table}.parquet")).metadata.num_rows
+    try:
+        return pq.ParquetFile(
+            os.path.join(sf_dir, f"{table}.parquet")).metadata.num_rows
+    except (FileNotFoundError, OSError):
+        return 0
 
 
 def _jsonl_events_path(n_rows: int) -> str:
@@ -128,12 +135,11 @@ def _write_oracle_corpus(n_entities: int):
 
 
 def _round_half_away(x, decimals: int = 0):
-    """Half-away-from-zero rounding — the same tie behavior as DuckDB's
-    ``round()`` (pandas .round is half-to-even and diverges on exact .5)."""
-    f = 10.0 ** decimals
-    v = np.asarray(x, dtype=np.float64) * f
-    out = np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)) / f
-    return out
+    """Half-away-from-zero rounding (DuckDB round() ties) — shared
+    implementation in util.round_half_away."""
+    from aml_entity_resolution_assignment_ray.util import round_half_away
+
+    return round_half_away(x, decimals)
 
 
 @lru_cache(maxsize=4)

@@ -943,7 +943,19 @@ def incremental_exact_dedup(new_ds, index_path: str, col: str = "text",
                               on=[col], cfg=cfg)
     survivors = survivors.select_columns([col, id_col]).materialize()
     if survivors.count():
-        out_dir = os.path.join(index_path, f"inc_{len(shards):05d}")
+        # claim the next shard number atomically (mkdir is atomic), so
+        # a concurrent ingest cannot write into the same directory —
+        # but ingests must still be SERIALIZED for correct semantics:
+        # two increments running at once do not see each other's
+        # survivors (single-writer contract, like any append-only log)
+        k = len(shards)
+        while True:
+            out_dir = os.path.join(index_path, f"inc_{k:05d}")
+            try:
+                os.makedirs(out_dir, exist_ok=False)
+                break
+            except FileExistsError:
+                k += 1
         survivors.write_parquet(out_dir)
     return survivors
 

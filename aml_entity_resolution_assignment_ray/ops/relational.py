@@ -574,6 +574,10 @@ def grouped_zscore(ds, *, key: str, col: str, keep_cols: list[str],
     1e6-offset regime should be centered first)."""
     from ..util import safe_join
 
+    # two consumers (stats pass + join left side): materialize once so
+    # the upstream pipeline doesn't execute twice
+    ds = ds.materialize()
+
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         v = df[col].to_numpy(dtype=np.float64)
         g = pd.DataFrame({key: df[key], "_n": 1, "_s": v, "_ss": v * v}) \

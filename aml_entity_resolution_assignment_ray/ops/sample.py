@@ -213,11 +213,10 @@ def pack_sequence_texts(ds, *, id_col: str, text_col: str, seq_len: int,
     ONE more keyed shuffle on (shard, seq_id) re-aggregates pieces in
     offset order (the sessionize rejoin pattern).  Every piece moves
     exactly once; no stream is ever assembled in one place."""
-    from .relational import _keyed, _meta_rows
+    from .relational import _keyed
     from ..config import DEFAULT_CONFIG
 
     cfg = cfg or DEFAULT_CONFIG
-    n_rows = _meta_rows(ds)
     packed = pack_sequences(ds, id_col=id_col, len_col="_len",
                             seq_len=seq_len, n_shards=n_shards, cfg=cfg,
                             _text_len_col=text_col)
@@ -274,9 +273,14 @@ def pack_sequence_texts(ds, *, id_col: str, text_col: str, seq_len: int,
         g["seq_id"] = g["seq_id"].astype("int64")
         return g
 
+    # n_rows=None DELIBERATELY disables _keyed's small-input gather
+    # gate: `pieces` carries the corpus text itself (row count and
+    # bytes far exceed the doc count the gate would be fed), so
+    # gathering to one block would assemble every stream in one
+    # place — always take the keyed shuffle.
     return _keyed(pieces, ["shard", "seq_id"], cfg,
-                  n_rows).map_batches(assemble, batch_format="pandas",
-                                      batch_size=None)
+                  None).map_batches(assemble, batch_format="pandas",
+                                    batch_size=None)
 
 
 def weighted_sample(ds, *, id_col: str, weight_col: str,

@@ -450,7 +450,9 @@ def doc_bigram_tf_batch(df: pd.DataFrame, col: str = "text",
     boundaries masked by id inequality on the shifted array."""
     toks = df[col].fillna("").astype(str).str.lower().str.findall(_TERM_RE)
     lens = toks.str.len().to_numpy(dtype=np.int64)
-    empty = pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+    # empty frame keeps the CALLER's id dtype — a hardcoded int64 here
+    # would clash with string-id batches at schema-unification time
+    empty = pd.DataFrame({id_col: pd.Series([], dtype=df[id_col].dtype),
                           "w1": pd.Series([], dtype="string"),
                           "w2": pd.Series([], dtype="string"),
                           "tf": pd.Series([], dtype="int64")})
@@ -472,13 +474,20 @@ def doc_bigram_tf_batch(df: pd.DataFrame, col: str = "text",
     return g
 
 
-def corpus_bigram_counts(ds, col: str = "text", id_col: str = "doc_id"):
+def corpus_bigram_counts(ds, col: str = "text", id_col: str = "doc_id",
+                         need_bg: bool = True):
     """(bg, bc): the per-doc distinct-bigram table and the corpus-wide
-    bigram count table, both materialized for multi-consumer reuse.
-    The bc shuffle moves per-batch UNIQUE bigrams, never tokens."""
+    bigram count table, materialized for multi-consumer reuse.  The bc
+    shuffle moves per-batch UNIQUE bigrams, never tokens.  Callers
+    that only need the counts pass ``need_bg=False`` — bg (the largest
+    intermediate, one row per distinct bigram per doc) then streams
+    straight into the count partials without being pinned in the
+    object store, and ``None`` is returned in its place."""
     bg = ds.map_batches(doc_bigram_tf_batch,
                         fn_kwargs={"col": col, "id_col": id_col},
-                        batch_format="pandas").materialize()
+                        batch_format="pandas")
+    if need_bg:
+        bg = bg.materialize()
 
     def bc_partial(d: pd.DataFrame) -> pd.DataFrame:
         g = d.groupby(["w1", "w2"], sort=False)["tf"].sum() \
@@ -490,7 +499,7 @@ def corpus_bigram_counts(ds, col: str = "text", id_col: str = "doc_id"):
           .groupby(["w1", "w2"]).sum("c12")
           .map_batches(lambda d: d.rename(columns={"sum(c12)": "c12"}),
                        batch_format="pandas")).materialize()
-    return bg, bc
+    return (bg if need_bg else None), bc
 
 
 def top_collocations(ds, k: int = 50, min_count: int = 5,
@@ -513,7 +522,8 @@ def top_collocations(ds, k: int = 50, min_count: int = 5,
     from ..util import safe_join
 
     nparts = cfg.resolve_join_partitions()
-    _, bc = corpus_bigram_counts(ds, col=col, id_col=id_col)
+    _, bc = corpus_bigram_counts(ds, col=col, id_col=id_col,
+                                 need_bg=False)
     total = float(bc.sum("c12") or 0.0)
 
     c1 = bc.groupby("w1").sum("c12").map_batches(
@@ -535,12 +545,11 @@ def top_collocations(ds, k: int = 50, min_count: int = 5,
 
     def pmi(d: pd.DataFrame) -> pd.DataFrame:
         c12 = d["c12"].to_numpy(dtype=np.float64)
-        val = np.log((c12 * total)
-                     / (d["c1"].to_numpy(dtype=np.float64)
-                        * d["c2"].to_numpy(dtype=np.float64)))
-        f = 1e6
-        val = np.where(val >= 0, np.floor(val * f + 0.5),
-                       np.ceil(val * f - 0.5)) / f
+        from ..util import round_half_away
+
+        val = round_half_away(np.log(
+            (c12 * total) / (d["c1"].to_numpy(dtype=np.float64)
+                             * d["c2"].to_numpy(dtype=np.float64))), 6)
         return pd.DataFrame({"w1": d["w1"], "w2": d["w2"],
                              "cnt": d["c12"].astype("int64"),
                              "pmi": val})

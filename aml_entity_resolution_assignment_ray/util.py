@@ -199,3 +199,16 @@ def safe_join(left, right, join_type: str, num_partitions: int, on,
             return lmat
     return lmat.join(rmat, join_type=join_type,
                      num_partitions=num_partitions, on=on, **kwargs)
+
+
+def round_half_away(x, decimals: int = 0):
+    """Half-away-from-zero rounding — DuckDB ``round()`` tie behavior
+    (pandas/numpy .round are half-to-even and diverge on exact .5).
+    Shared by the driver-contract finalizers and any op that must
+    round BEFORE a ranking/filter decision so both sides of a SQL
+    oracle decide boundaries on identical values."""
+    import numpy as np
+
+    f = 10.0 ** decimals
+    v = np.asarray(x, dtype=np.float64) * f
+    return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)) / f
