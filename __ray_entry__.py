@@ -116,6 +116,13 @@ def _ivf_index_path(n_entities: int) -> str:
     return f"/tmp/er_ivf_n{n_entities}"
 
 
+def _semdedup_index_path(n_entities: int) -> str:
+    """k-means index dir the semdedup_* queries write and their oracles
+    read (separate from _ivf_index_path: same layout, different build
+    parameters)."""
+    return f"/tmp/er_semdedup_n{n_entities}"
+
+
 @lru_cache(maxsize=4)
 def _write_oracle_corpus(n_entities: int):
     """Write the er_* corpus (transcripts + truth labels) to n-keyed
@@ -1050,6 +1057,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "embeddings"), threshold=0.4, nplanes=8, nbands=4
         ).select_columns(["id_a", "id_b"])
 
+    def semdedup_pairs_q(sf_dir):
+        """SemDeDup candidate pairs (k-means cells -> within-cell exact
+        cosine; ops/dedup.semdedup_pairs).  Value-oracled: the index is
+        PERSISTED cell-partitioned parquet, so the DuckDB SQL replays
+        the assignment from disk and the within-cell self-join
+        exactly."""
+        import shutil
+
+        _tune_context()
+        emb = _read(sf_dir, "embeddings")
+        ipath = _semdedup_index_path(_corpus_entities(sf_dir))
+        shutil.rmtree(ipath, ignore_errors=True)
+        return dedup.semdedup_pairs(
+            emb, ncells=8, threshold=0.4, index_path=ipath
+        ).select_columns(["id_a", "id_b"])
+
+    def semdedup_keep_q(sf_dir):
+        """SemDeDup keep set (smallest-id member of every within-cell
+        duplicate relation survives; ops/dedup.semantic_dedup)."""
+        import shutil
+
+        _tune_context()
+        emb = _read(sf_dir, "embeddings")
+        ipath = _semdedup_index_path(_corpus_entities(sf_dir))
+        shutil.rmtree(ipath, ignore_errors=True)
+        return dedup.semantic_dedup(
+            emb, ncells=8, threshold=0.4, index_path=ipath)
+
     def embedding_norms(sf_dir):
         _tune_context()
         emb = _read(sf_dir, "embeddings").select_columns(["vec_id", "embedding"])
@@ -1350,6 +1385,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_top10": ann_ivf_top10,
         "embedding_dup_pairs": embedding_dup_pairs_q,
         "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh,
+        "semdedup_pairs": semdedup_pairs_q,
+        "semdedup_keep": semdedup_keep_q,
         "embedding_norms": embedding_norms,
         "label_centroids": label_centroids,
         "media_features": media_features,
@@ -2435,6 +2472,41 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(
                 list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
                 list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.4
+        """,
+        # SemDeDup replay: the cell assignment is read from the
+        # PERSISTED cell-partitioned index (the `_cell` hive key IS the
+        # assignment the Ray side wrote), then the within-cell self-join
+        # + exact cosine mirrors ops/dedup.semdedup_pairs; ids compare
+        # as VARCHAR (the candidate-pair canonical order)
+        "semdedup_pairs": f"""
+            WITH v AS (
+              SELECT CAST(vec_id AS VARCHAR) AS id,
+                     CAST(_cell AS BIGINT) AS cell,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM read_parquet(
+                  '{_semdedup_index_path(_oracle_n())}/cells/*/*.parquet',
+                  hive_partitioning = 1)
+            )
+            SELECT a.id AS id_a, b.id AS id_b
+            FROM v a JOIN v b ON a.cell = b.cell AND a.id < b.id
+            WHERE list_cosine_similarity(a.e, b.e) >= 0.4
+        """,
+        "semdedup_keep": f"""
+            WITH v AS (
+              SELECT CAST(vec_id AS VARCHAR) AS id,
+                     CAST(_cell AS BIGINT) AS cell,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM read_parquet(
+                  '{_semdedup_index_path(_oracle_n())}/cells/*/*.parquet',
+                  hive_partitioning = 1)
+            ),
+            dropped AS (
+              SELECT DISTINCT b.id
+              FROM v a JOIN v b ON a.cell = b.cell AND a.id < b.id
+              WHERE list_cosine_similarity(a.e, b.e) >= 0.4
+            )
+            SELECT vec_id FROM embeddings
+            WHERE CAST(vec_id AS VARCHAR) NOT IN (SELECT id FROM dropped)
         """,
         "doc_lang_id": _lang_id_sql(),
         "er_profiles": _er_profiles_sql(),

@@ -833,6 +833,119 @@ def exact_cosine_pairs(ds, vec_col: str = "embedding", id_col: str = "vec_id",
 
 
 # --------------------------------------------------------------------------
+# SemDeDup — semantic dedup via k-means cells (Abbas et al. 2023,
+# arXiv:2303.09540)
+# --------------------------------------------------------------------------
+
+
+def semdedup_pairs(ds, *, vec_col: str = "embedding",
+                   id_col: str = "vec_id", ncells: int | None = 8,
+                   threshold: float = 0.9, index_path: str | None = None,
+                   seed: int = 11, cfg: EngineConfig = DEFAULT_CONFIG):
+    """Semantic near-duplicate pairs, SemDeDup-style: cluster the
+    embeddings with k-means and compare EXACTLY only within a cluster.
+    Returns (id_a, id_b, cosine) with id_a < id_b in string order (the
+    candidate-pair canonical form).  Pairs whose members land in
+    different cells are missed — the paper's documented approximation
+    (cross-cluster duplicates are rare when duplicates are close in
+    embedding space and clusters are coarse).
+
+    Scale shape: the k-means index is built and PERSISTED by
+    ops/ann.build_ivf (seeded sample fit, distributed assign, CELL-
+    PARTITIONED parquet — reusable as an ANN index and replayable by a
+    SQL oracle).  Cells then become candidate key groups for the
+    skew-safe ``generate_pairs`` machinery (a hot cell salts into
+    triangle sub-cells instead of meeting in one task), and exact
+    cosine verifies via the gated broadcast-or-join hydration — the
+    O(n^2) compute is per-cell, never global, and nothing lands on the
+    driver."""
+    import ray
+
+    from .ann import build_ivf
+    from ..util import stateful_map
+
+    vecs = _vec_table(ds, vec_col, id_col)
+    n_docs = vecs.count()
+    if n_docs == 0:
+        return generate_pairs(
+            ds.map_batches(lambda df: pd.DataFrame(
+                {"key_type": [], "key_value": [], "conv_id": []}),
+                batch_format="pandas"), cfg)
+    idx = build_ivf(ds, ncells=ncells, vec_col=vec_col, id_col=id_col,
+                    seed=seed, index_path=index_path)
+    cref = ray.put(idx.centroids)
+
+    class EmitCell:
+        """Recomputes each row's cell from the broadcast centroids —
+        the identical normalized-float64 argmax build_ivf persisted, so
+        the emitted groups equal the on-disk partitions bit-for-bit
+        (no second read of the index)."""
+
+        def __init__(self, r):
+            C = np.asarray(ray.get(r), dtype=np.float64)
+            self.C = C / np.maximum(
+                np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            V = _vec_matrix(df["vec"])          # already L2-normalized
+            cell = (V @ self.C.T).argmax(axis=1)
+            return pd.DataFrame({
+                "key_type": np.full(len(df), "cell", dtype=object),
+                "key_value": cell.astype(np.int64).astype(str),
+                "conv_id": df["doc"].to_numpy(),
+            })
+
+    keyed = stateful_map(vecs, EmitCell, (cref,), batch_format="pandas")
+    pairs = generate_pairs(keyed, cfg, n_rows=n_docs)
+
+    def fn(a, b, pairs_df):
+        if a is None or not len(pairs_df):
+            return pairs_df.assign(cosine=np.zeros(len(pairs_df)))
+        cos = (_vec_matrix(a["vec"]) * _vec_matrix(b["vec"])).sum(axis=1)
+        out = pairs_df.assign(cosine=cos)
+        return out[out["cosine"] >= threshold].reset_index(drop=True)
+
+    return _verify_pairs(pairs, vecs, ["vec"], fn, cfg, n_docs=n_docs)
+
+
+def semantic_dedup(ds, *, vec_col: str = "embedding",
+                   id_col: str = "vec_id", ncells: int | None = 8,
+                   threshold: float = 0.9, index_path: str | None = None,
+                   seed: int = 11, cfg: EngineConfig = DEFAULT_CONFIG):
+    """SemDeDup keep set: the rows that SURVIVE semantic dedup, with
+    the input's id dtype.  A row is dropped when its cell holds a
+    duplicate with a smaller id (string order — the same canonical
+    order the pair table uses), i.e. the deterministic greedy that
+    'keep one representative per epsilon-ball' reduces to under a
+    fixed scan order: the smallest-id member of every duplicate
+    relation survives, every other member drops.
+
+    Scale shape: dropped ids are the per-batch-distinct ``id_b`` side
+    of the pair table; the keep set is an ``anti_join`` of the id
+    column against them (gated broadcast key-set below the config
+    threshold, hash-shuffle marker join above — never a driver set)."""
+    from .relational import anti_join
+
+    pairs = semdedup_pairs(ds, vec_col=vec_col, id_col=id_col,
+                           ncells=ncells, threshold=threshold,
+                           index_path=index_path, seed=seed, cfg=cfg)
+    drop = pairs.map_batches(
+        lambda df: pd.DataFrame({"_doc": pd.unique(df["id_b"])}),
+        batch_format="pandas").materialize()
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[id_col]].copy()
+        out["_doc"] = df[id_col].astype(str)
+        return out
+
+    left = ds.select_columns([id_col]).map_batches(
+        key, batch_format="pandas")
+    kept = anti_join(left, drop, on=["_doc"], cfg=cfg,
+                     right_rows=drop.count())
+    return kept.select_columns([id_col])
+
+
+# --------------------------------------------------------------------------
 # cross-document duplicate-span signal (ExactSubstr-style)
 # --------------------------------------------------------------------------
 

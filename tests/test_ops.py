@@ -252,6 +252,48 @@ def test_embedding_dup_pairs(ray_session):
     assert len(got) == 1
 
 
+def test_semdedup(ray_session, tmp_path):
+    import ray.data as rd
+
+    rng = np.random.RandomState(3)
+    b1, b2 = rng.randn(8), rng.randn(8)
+    vecs = ([b1, b1 + rng.randn(8) * 0.01, b1 + rng.randn(8) * 0.01,
+             b2, b2 + rng.randn(8) * 0.01]
+            + [rng.randn(8) for _ in range(10)])
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    }))
+    pairs = dedup.semdedup_pairs(
+        ds, ncells=4, threshold=0.95,
+        index_path=str(tmp_path / "idx"), cfg=CFG).to_pandas()
+    got = set(zip(pairs["id_a"].astype(int), pairs["id_b"].astype(int)))
+    # near-identical vectors share a nearest centroid, so both planted
+    # duplicate groups must meet inside their cells
+    assert {(0, 1), (0, 2), (1, 2), (3, 4)} <= got
+    # within-cell pairs are a SUBSET of the exact all-pairs result
+    exact = dedup.exact_cosine_pairs(ds, threshold=0.95, cfg=CFG).to_pandas()
+    assert got <= set(zip(exact["id_a"], exact["id_b"]))
+
+    kept = dedup.semantic_dedup(
+        ds, ncells=4, threshold=0.95,
+        index_path=str(tmp_path / "idx2"), cfg=CFG).to_pandas()
+    kept_ids = set(kept["vec_id"])
+    # keep = everything minus the larger member of each dup relation
+    drop = set(pairs["id_b"].astype(int))
+    assert kept_ids == set(range(len(vecs))) - drop
+    assert {0, 3} <= kept_ids and {1, 2, 4}.isdisjoint(kept_ids)
+
+    empty = rd.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32())),
+    }))
+    assert dedup.semdedup_pairs(
+        empty, ncells=4, threshold=0.95,
+        index_path=str(tmp_path / "idx3"), cfg=CFG).count() == 0
+
+
 # ---- ann ----
 
 def _emb_ds(n=200, d=16, seed=5):
