@@ -753,6 +753,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(finalize, batch_format="pandas")
 
+    def source_mixture(sf_dir):
+        """Data-mixing weight table: per-source token shares and the
+        sampling weights that reshape the corpus to a uniform token
+        mixture (ops/sample.source_mixture_weights — one combiner-
+        reduced groupby, text never shuffles)."""
+        from aml_entity_resolution_assignment_ray.ops.sample import (
+            source_mixture_weights,
+        )
+
+        _tune_context()
+        return source_mixture_weights(
+            _read(sf_dir, "documents").select_columns(["source", "text"]))
+
     def doc_shuffle_index(sf_dir):
         """Deterministic global training shuffle: (shard, pos) address
         per doc — shard by id hash, pos = rank within shard in
@@ -1365,6 +1378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_collocations": doc_collocations,
         "doc_shuffle_index": doc_shuffle_index,
         "doc_weighted_sample": doc_weighted_sample,
+        "source_mixture": source_mixture,
         "doc_stratified_sample": doc_stratified_sample,
         "doc_pack": doc_pack,
         "doc_pack_texts": doc_pack_texts,
@@ -2642,6 +2656,36 @@ def oracle_sql() -> dict[str, str]:
         # (ops/text.ws_normalize_sql) and trims the exact Python-strip
         # charset, so C0/Unicode-space inputs count identically in RE2
         # and Python re
+        # data-mixing weights: same whitespace-token contract as
+        # doc_token_counts; share and weight are round(x, 6) of the
+        # identical double quotients the Ray side rounds
+        "source_mixture": rf"""
+            WITH t AS (
+                SELECT source,
+                       trim({_WS_NORM_TEXT},
+                            ' ' || chr(9) || chr(10) || chr(12) || chr(13)
+                       ) AS txt
+                FROM documents
+            ),
+            s AS (
+                SELECT source, count(*) AS n_docs,
+                       sum(CASE WHEN length(txt) = 0 THEN 0
+                                ELSE array_length(
+                                    regexp_split_to_array(txt, '\s+'))
+                           END) AS n_tokens
+                FROM t GROUP BY source
+            ),
+            tot AS (
+                SELECT CAST(sum(n_tokens) AS DOUBLE) AS T,
+                       count(*) AS ns
+                FROM s
+            )
+            SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   round(CAST(n_tokens AS DOUBLE) / T, 6) AS token_share,
+                   round((1.0 / ns) / (CAST(n_tokens AS DOUBLE) / T), 6)
+                       AS weight
+            FROM s, tot
+        """,
         "doc_token_counts": rf"""
             WITH t AS (
                 SELECT doc_id,

@@ -350,3 +350,63 @@ def hash_split(ds, id_col: str, test_pct: int = 20,
         return out.drop(columns=["_b"])
 
     return tagged.map_batches(lab, batch_format="pandas")
+
+
+def source_mixture_weights(ds, *, key: str = "source",
+                           text_col: str = "text",
+                           target: dict[str, float] | None = None):
+    """Data-mixing weights (the DoReMi/Pile-style static mixture
+    table): per-source document and whitespace-token counts, each
+    source's token share of the corpus, and the sampling weight that
+    reshapes the corpus to a TARGET token mixture —
+
+        weight = target_share / token_share
+
+    ``target`` maps source -> desired share (missing sources get 0);
+    when omitted the target is uniform over the observed sources.
+    Feed the weight (scaled to an integer) into ``weighted_sample``
+    to apply the mixture.  ``token_share`` and ``weight`` are rounded
+    half-away at 6 places from the UNROUNDED double quotients — the
+    same boundary contract the SQL oracle replays.
+
+    Shape: one per-batch (key, n_docs, n_tokens) combiner — one row
+    per source per block regardless of row count — then a tiny keyed
+    groupby; the corpus totals are two scalar aggregates over the
+    source-cardinality table.  Document text never shuffles, nothing
+    input-sized lands on the driver.  Token counting shares the
+    doc_token_counts whitespace contract (text.py::_WS_DISAGREE_RE
+    normalize, strip, ``\\s+`` split)."""
+    from .text import _WS_DISAGREE_RE, _WS_RE
+    from ..util import round_half_away
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = (df[text_col].fillna("").astype(str)
+             .str.replace(_WS_DISAGREE_RE, " ", regex=True).str.strip())
+        ntok = np.where(t.str.len() == 0, 0,
+                        t.str.split(_WS_RE).str.len()).astype(np.int64)
+        g = pd.DataFrame({key: df[key], "_d": np.int64(1), "_t": ntok}) \
+            .groupby(key, sort=False).sum().reset_index()
+        return g
+
+    agg = ds.map_batches(partial, batch_format="pandas") \
+        .groupby(key).sum(["_d", "_t"]).materialize()
+    total = float(agg.sum("sum(_t)") or 0.0)
+    n_sources = agg.count()
+
+    def finalize(d: pd.DataFrame) -> pd.DataFrame:
+        toks = d["sum(_t)"].to_numpy(dtype=np.float64)
+        share = toks / total if total else np.zeros(len(d))
+        if target is None:
+            tgt = np.full(len(d), 1.0 / n_sources)
+        else:
+            tgt = np.array([float(target.get(s, 0.0)) for s in d[key]])
+        w = np.divide(tgt, share, out=np.zeros(len(d)), where=share > 0)
+        return pd.DataFrame({
+            key: d[key],
+            "n_docs": d["sum(_d)"].astype("int64"),
+            "n_tokens": d["sum(_t)"].astype("int64"),
+            "token_share": round_half_away(share, 6),
+            "weight": round_half_away(w, 6),
+        })
+
+    return agg.map_batches(finalize, batch_format="pandas")

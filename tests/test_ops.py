@@ -1185,6 +1185,36 @@ def test_bigram_lm_score_paths_agree(ray_session):
     assert np.isclose(row5["avg_logp"], exp5)
 
 
+def test_source_mixture_weights(ray_session):
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.sample import (
+        source_mixture_weights,
+    )
+
+    ds = rd.from_arrow(pa.table({
+        "source": ["web", "web", "books", "code", "code"],
+        "text": ["a b c d", "e f", None, "one two three", ""],
+    }))
+    # uniform target: 3 sources, shares 6/9, 0/9, 3/9
+    out = source_mixture_weights(ds).to_pandas() \
+        .set_index("source").sort_index()
+    assert out.loc["web", "n_docs"] == 2
+    assert out.loc["web", "n_tokens"] == 6
+    assert out.loc["books", "n_tokens"] == 0
+    assert out.loc["code", "n_tokens"] == 3
+    assert abs(out.loc["web", "token_share"] - round(6 / 9, 6)) < 1e-12
+    assert abs(out.loc["web", "weight"] - round((1 / 3) / (6 / 9), 6)) < 1e-12
+    assert out.loc["books", "weight"] == 0.0   # zero tokens -> weight 0
+
+    # explicit target: sources missing from the target get weight 0
+    tgt = source_mixture_weights(
+        ds, target={"web": 0.9, "books": 0.1}).to_pandas() \
+        .set_index("source")
+    assert abs(tgt.loc["web", "weight"] - round(0.9 / (6 / 9), 6)) < 1e-12
+    assert tgt.loc["code", "weight"] == 0.0
+
+
 def test_shuffle_index(ray_session):
     """Every shard's positions are exactly 0..len(shard)-1 and the
     address is repartition-invariant."""
