@@ -1002,6 +1002,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                  col="l_extendedprice",
                                  qs=[0.5, 0.9, 0.99])
 
+    def events_above_median(sf_dir):
+        """Per-group quantile gate: events at or above their OWN
+        event_type's exact median value (ops/relational.
+        filter_by_group_quantile — quantile_disc threshold join, the
+        per-language quality-gating shape).  Bit-exact: the threshold
+        is an actual group element, no rounding contract."""
+        from aml_entity_resolution_assignment_ray.ops.relational import (
+            filter_by_group_quantile,
+        )
+
+        _tune_context()
+        ev = _read(sf_dir, "events").select_columns(
+            ["event_id", "event_type", "value"])
+        return filter_by_group_quantile(
+            ev, key="event_type", col="value", q=0.5, keep="ge")
+
     def minhash_dup_pairs_docs(sf_dir):
         _tune_context()
         return dedup.minhash_lsh_dup_pairs(
@@ -1391,6 +1407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_ship_window": lineitem_ship_window,
         "cust_top_orders": cust_top_orders,
         "price_quantiles": price_quantiles,
+        "events_above_median": events_above_median,
         "minhash_dup_pairs_docs": minhash_dup_pairs_docs,
         "simhash_dup_pairs_docs": simhash_dup_pairs_docs,
         "minhash_dedup_docs": minhash_dedup_docs,
@@ -3036,6 +3053,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, 0.99,
                    quantile_disc(l_extendedprice, 0.99)
             FROM lineitem GROUP BY 1
+        """,
+        "events_above_median": """
+            WITH t AS (
+                SELECT event_type,
+                       quantile_disc(value, 0.5) AS thr
+                FROM events GROUP BY event_type
+            )
+            SELECT event_id, e.event_type, value
+            FROM events e JOIN t USING (event_type)
+            WHERE value >= thr
         """,
         "ann_top10": """
             SELECT vec_id FROM embeddings

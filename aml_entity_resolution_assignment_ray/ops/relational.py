@@ -402,6 +402,43 @@ def grouped_quantiles(ds, *, key: str, col: str, qs: list[float],
         final, batch_format="pandas", batch_size=None)
 
 
+def filter_by_group_quantile(ds, *, key: str, col: str, q: float = 0.5,
+                             keep: str = "ge",
+                             cfg: EngineConfig = DEFAULT_CONFIG):
+    """Keep rows whose ``col`` is >= (``keep="ge"``) or <= (``"le"``)
+    their OWN group's exact discrete ``q``-quantile — per-language
+    quality gating, per-source length floors, per-type outlier trims.
+
+    Exactness: the threshold is ``grouped_quantiles``' quantile_disc
+    value — an actual element of the group — so the comparison is
+    bit-exact against a SQL replay with no rounding contract needed.
+
+    Shape: the input materializes once (two consumers); thresholds are
+    one row per group (the distinct-value-bounded combiner shuffle),
+    hash-join-attached and filtered statelessly — the grouped_zscore
+    attach pattern, unbounded group cardinality, no driver state."""
+    from ..util import safe_join
+
+    if keep not in ("ge", "le"):
+        raise ValueError(f"keep must be 'ge' or 'le', got {keep!r}")
+    ds = ds.materialize()
+    cols = list(ds.schema().names)
+    thr = grouped_quantiles(ds, key=key, col=col, qs=[q], cfg=cfg) \
+        .map_batches(
+            lambda d: pd.DataFrame({key: d[key], "_thr": d["value"]}),
+            batch_format="pandas")
+    joined = safe_join(ds, thr, "inner",
+                       cfg.resolve_join_partitions(), (key,))
+
+    def filt(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].to_numpy()
+        t = df["_thr"].to_numpy()
+        m = v >= t if keep == "ge" else v <= t
+        return df.loc[m, cols].reset_index(drop=True)
+
+    return joined.map_batches(filt, batch_format="pandas")
+
+
 # --------------------------------------------------------------------------
 # grouped running (cumulative) sum — the sum() OVER (PARTITION BY key
 # ORDER BY ...) window

@@ -272,6 +272,39 @@ def test_grouped_quantiles_matches_duckdb(ray_session, cfg):
         check_dtype=False)
 
 
+def test_filter_by_group_quantile(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.relational import (
+        filter_by_group_quantile,
+    )
+
+    rng = np.random.RandomState(13)
+    df = pd.DataFrame({
+        "i": np.arange(400, dtype=np.int64),
+        "k": rng.choice(list("abc"), 400),
+        "x": (rng.rand(400) * 50).round(2),
+    })
+    ds = rd.from_pandas(df).repartition(5)
+    con = duckdb.connect()
+    con.register("t", df)
+    for keep, op in (("ge", ">="), ("le", "<=")):
+        res = filter_by_group_quantile(
+            ds, key="k", col="x", q=0.5, keep=keep,
+            cfg=SHUFFLE_CFG).to_pandas()
+        exp = con.execute(f"""
+            WITH thr AS (
+                SELECT k, quantile_disc(x, 0.5) AS t FROM t GROUP BY k)
+            SELECT i, t.k, x FROM t JOIN thr USING (k) WHERE x {op} thr.t
+        """).fetchdf()
+        pd.testing.assert_frame_equal(
+            _sorted(res[sorted(res.columns)]),
+            _sorted(exp[sorted(exp.columns)]), check_dtype=False)
+    with pytest.raises(ValueError):
+        filter_by_group_quantile(ds, key="k", col="x", keep="gt")
+
+
 def test_sliding_window_agg(ray_session):
     import ray.data as rd
 
