@@ -1114,6 +1114,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dedup.semantic_dedup(
             emb, ncells=8, threshold=0.4, index_path=ipath)
 
+    def embedding_quantized(sf_dir):
+        """Symmetric per-vector int8 quantization in long (vec_id, dim,
+        qval, scale) form (ops/ann.quantize_embeddings — the 4x
+        shuffle-byte reducer for embedding pipelines; stateless map,
+        no shuffle)."""
+        from aml_entity_resolution_assignment_ray.ops.ann import quantize_embeddings
+
+        _tune_context()
+        return quantize_embeddings(
+            _read(sf_dir, "embeddings").select_columns(
+                ["vec_id", "embedding"]), long_form=True)
+
     def embedding_norms(sf_dir):
         _tune_context()
         emb = _read(sf_dir, "embeddings").select_columns(["vec_id", "embedding"])
@@ -1418,6 +1430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh,
         "semdedup_pairs": semdedup_pairs_q,
         "semdedup_keep": semdedup_keep_q,
+        "embedding_quantized": embedding_quantized,
         "embedding_norms": embedding_norms,
         "label_centroids": label_centroids,
         "media_features": media_features,
@@ -3135,6 +3148,26 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.n, 0) > 0 AS contaminated
             FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
             LEFT JOIN hits h USING (doc_id)
+        """,
+        # int8 quantization replay: scale = max|x| (exact double of the
+        # same float32), qval = round(x*127/scale) with DuckDB's
+        # half-away ties matching util.round_half_away
+        "embedding_quantized": """
+            WITH s AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+                       list_max(list_transform(
+                           embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+                FROM embeddings
+            )
+            SELECT vec_id, CAST(dim - 1 AS BIGINT) AS dim,
+                   CAST(CASE WHEN scale > 0
+                             THEN round(x * 127 / scale)
+                             ELSE 0 END AS BIGINT) AS qval,
+                   coalesce(scale, 0.0) AS scale
+            FROM (SELECT vec_id, scale, unnest(e) AS x,
+                         generate_subscripts(e, 1) AS dim
+                  FROM s)
         """,
         "embedding_norms": """
             SELECT vec_id,

@@ -309,3 +309,59 @@ def grouped_centroids(ds, *, key: str, vec_col: str = "embedding"):
         })
 
     return agg.map_batches(finalize, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# int8 embedding quantization — the shuffle-byte reducer
+# --------------------------------------------------------------------------
+
+
+def quantize_embeddings(ds, *, vec_col: str = "embedding",
+                        id_col: str = "vec_id", long_form: bool = False):
+    """Symmetric per-vector int8 quantization:
+
+        scale = max|x|          (per vector)
+        q     = round_half_away(x * 127 / scale)   in [-127, 127]
+
+    (all-zero vectors get scale 0 and all-zero codes; dequantize with
+    x ~ q * scale / 127).  The embedding column shrinks 4x vs float32 /
+    8x vs float64 — at 100 TB this is the difference between an
+    embedding shuffle that fits the object store and one that spills;
+    ANN recall loss at int8 is negligible for cosine ranking.
+
+    Stateless vectorized map, no shuffle.  Default output is the wide
+    working form (id, scale, qvec list<int8>); ``long_form=True``
+    explodes to (id, dim, qval, scale) — SQL-checkable row-per-
+    component, the label_centroids convention."""
+    from ..util import round_half_away
+
+    def qz(df: pd.DataFrame) -> pd.DataFrame:
+        V = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+        n, d = V.shape
+        scale = np.abs(V).max(axis=1)
+        safe = np.maximum(scale, 1e-300)
+        q = np.where(scale[:, None] > 0,
+                     round_half_away(V * 127.0 / safe[:, None]),
+                     0.0).astype(np.int8)
+        if not long_form:
+            return pd.DataFrame({
+                id_col: df[id_col].to_numpy(),
+                "scale": scale,
+                "qvec": [row for row in q],
+            })
+        return pd.DataFrame({
+            id_col: np.repeat(df[id_col].to_numpy(), d),
+            "dim": np.tile(np.arange(d, dtype=np.int64), n),
+            "qval": q.ravel().astype(np.int64),
+            "scale": np.repeat(scale, d),
+        })
+
+    return ds.map_batches(qz, batch_format="pandas")
+
+
+def dequantize_matrix(qvecs, scales) -> np.ndarray:
+    """(n, d) float64 matrix from int8 codes + per-vector scales —
+    the kernel-side inverse for scoring over a quantized index."""
+    Q = np.stack([np.asarray(v, dtype=np.int8) for v in qvecs])
+    s = np.asarray(scales, dtype=np.float64)
+    return Q.astype(np.float64) * (s[:, None] / 127.0)

@@ -252,6 +252,33 @@ def test_embedding_dup_pairs(ray_session):
     assert len(got) == 1
 
 
+def test_quantize_embeddings(ray_session):
+    import ray.data as rd
+
+    rng = np.random.RandomState(9)
+    V = rng.randn(20, 16)
+    V[3] = 0.0                                   # zero vector edge
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(20), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in V],
+                              pa.list_(pa.float32())),
+    }))
+    wide = ann.quantize_embeddings(ds).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert wide.loc[3, "scale"] == 0.0
+    assert not np.asarray(wide.loc[3, "qvec"]).any()
+    # dequantized reconstruction error bounded by scale/254 per dim
+    D = ann.dequantize_matrix(wide["qvec"], wide["scale"])
+    V32 = V.astype(np.float32).astype(np.float64)
+    assert np.all(np.abs(D - V32)
+                  <= wide["scale"].to_numpy()[:, None] / 254 + 1e-12)
+    # long form agrees with wide form
+    long = ann.quantize_embeddings(ds, long_form=True).to_pandas()
+    got = long.sort_values(["vec_id", "dim"])["qval"] \
+        .to_numpy().reshape(20, 16)
+    assert (got == np.stack(wide["qvec"]).astype(np.int64)).all()
+
+
 def test_semdedup(ray_session, tmp_path):
     import ray.data as rd
 
