@@ -753,6 +753,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(finalize, batch_format="pandas")
 
+    def doc_chunks(sf_dir):
+        """Token-window chunking with overlap (ops/text.
+        chunk_documents — size 32 stride 24, the RAG/embedding-context
+        explode; stateless flat-map, no shuffle)."""
+        _tune_context()
+        return text.chunk_documents(
+            _read(sf_dir, "documents").select_columns(["doc_id", "text"]),
+            size=32, stride=24)
+
     def source_mixture(sf_dir):
         """Data-mixing weight table: per-source token shares and the
         sampling weights that reshape the corpus to a uniform token
@@ -1407,6 +1416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_shuffle_index": doc_shuffle_index,
         "doc_weighted_sample": doc_weighted_sample,
         "source_mixture": source_mixture,
+        "doc_chunks": doc_chunks,
         "doc_stratified_sample": doc_stratified_sample,
         "doc_pack": doc_pack,
         "doc_pack_texts": doc_pack_texts,
@@ -2686,6 +2696,38 @@ def oracle_sql() -> dict[str, str]:
         # (ops/text.ws_normalize_sql) and trims the exact Python-strip
         # charset, so C0/Unicode-space inputs count identically in RE2
         # and Python re
+        # token-window chunking: same whitespace tokenize as
+        # doc_token_counts; chunk text re-joined with single spaces
+        # (list_slice bounds are INCLUSIVE; starts step by the stride)
+        "doc_chunks": rf"""
+            WITH t AS (
+                SELECT doc_id,
+                       trim({_WS_NORM_TEXT},
+                            ' ' || chr(9) || chr(10) || chr(12) || chr(13)
+                       ) AS txt
+                FROM documents
+            ),
+            tok AS (
+                SELECT doc_id, regexp_split_to_array(txt, '\s+') AS toks,
+                       CASE WHEN length(txt) = 0 THEN 0
+                            ELSE array_length(
+                                regexp_split_to_array(txt, '\s+'))
+                       END AS n
+                FROM t
+            ),
+            ch AS (
+                SELECT doc_id, toks, n,
+                       unnest(generate_series(1, n, 24)) AS s
+                FROM tok WHERE n > 0
+            )
+            SELECT doc_id,
+                   CAST((s - 1) // 24 AS BIGINT) AS chunk_idx,
+                   array_to_string(
+                       list_slice(toks, s, least(s + 31, n)), ' ')
+                       AS chunk_text,
+                   CAST(least(s + 31, n) - s + 1 AS BIGINT) AS n_tokens
+            FROM ch
+        """,
         # data-mixing weights: same whitespace-token contract as
         # doc_token_counts; share and weight are round(x, 6) of the
         # identical double quotients the Ray side rounds

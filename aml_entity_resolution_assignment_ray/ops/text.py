@@ -660,3 +660,58 @@ def bigram_lm_score(ds, col: str = "text", id_col: str = "doc_id",
         })
 
     return agg.map_batches(finalize, batch_format="pandas")
+
+
+def chunk_documents(ds, *, size: int, stride: int | None = None,
+                    col: str = "text", id_col: str = "doc_id"):
+    """Token-window chunking — the RAG / embedding-context explode:
+    each document becomes chunks of ``size`` whitespace tokens whose
+    starts step by ``stride`` (= ``size`` when omitted: non-overlapping;
+    smaller: sliding overlap).  Output one row per chunk —
+    (id_col, chunk_idx 0-based, chunk_text single-space-joined,
+    n_tokens) — with the trailing partial chunk kept and empty docs
+    emitting nothing.  Tokenization shares the doc_token_counts
+    whitespace contract, and chunk_text is single-space re-joined
+    tokens (the doc_contamination gram-construction convention), so a
+    SQL list_slice/array_to_string replay is byte-identical.
+
+    Stateless flat-map, no shuffle: starts are fully vectorized
+    (repeat/arange over per-doc chunk counts); the only per-item work
+    is the irreducible chunk-string assembly, one join per OUTPUT
+    chunk, never a row loop over inputs."""
+    if size < 1 or (stride is not None and stride < 1):
+        raise ValueError("size and stride must be >= 1")
+    stride = stride or size
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        t = (df[col].fillna("").astype(str)
+             .str.replace(_WS_DISAGREE_RE, " ", regex=True).str.strip())
+        sub = t[t.str.len() > 0]
+        empty = pd.DataFrame({
+            id_col: pd.Series([], dtype=df[id_col].dtype),
+            "chunk_idx": pd.Series([], dtype="int64"),
+            "chunk_text": pd.Series([], dtype="string"),
+            "n_tokens": pd.Series([], dtype="int64"),
+        })
+        if not len(sub):
+            return empty
+        toks = sub.str.split(_WS_RE)
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        nch = (lens + stride - 1) // stride
+        total = int(nch.sum())
+        csum = np.cumsum(nch)
+        cidx = np.arange(total, dtype=np.int64) - np.repeat(csum - nch, nch)
+        starts = cidx * stride
+        tok_arr = toks.to_numpy()
+        doc_pos = np.repeat(np.arange(len(sub)), nch)
+        return pd.DataFrame({
+            id_col: np.repeat(df[id_col].to_numpy()[t.str.len() > 0], nch),
+            "chunk_idx": cidx,
+            "chunk_text": pd.array(
+                [" ".join(tok_arr[p][s:s + size])
+                 for p, s in zip(doc_pos, starts)], dtype="string"),
+            "n_tokens": (np.minimum(starts + size, np.repeat(lens, nch))
+                         - starts),
+        })
+
+    return ds.map_batches(explode, batch_format="pandas")

@@ -902,6 +902,37 @@ def test_pii_scrub_batch():
     ]
 
 
+def test_chunk_documents(ray_session):
+    import ray.data as rd
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(5, dtype=np.int64),
+        "text": ["one two three four five six seven",
+                 "a",
+                 "",
+                 None,
+                 "  x  y\tz  "],          # hostile whitespace
+    })
+    ds = rd.from_pandas(docs).repartition(3)
+    # non-overlapping: reassembling chunks in order rebuilds the
+    # normalized token stream exactly
+    out = text.chunk_documents(ds, size=3).to_pandas()
+    g = out.sort_values(["doc_id", "chunk_idx"]) \
+        .groupby("doc_id")["chunk_text"].agg(" ".join)
+    assert g[0] == "one two three four five six seven"
+    assert g[4] == "x y z"
+    assert set(out["doc_id"]) == {0, 1, 4}      # empty/null docs drop
+    assert out[out["doc_id"] == 0]["n_tokens"].tolist() == [3, 3, 1]
+
+    # overlap: starts step by stride, windows clipped at the doc end
+    ov = text.chunk_documents(ds, size=3, stride=2).to_pandas()
+    d0 = ov[ov["doc_id"] == 0].sort_values("chunk_idx")
+    assert d0["chunk_text"].tolist() == [
+        "one two three", "three four five", "five six seven", "seven"]
+    with pytest.raises(ValueError):
+        text.chunk_documents(ds, size=0)
+
+
 def test_sessionize_gaps(ray_session):
     import ray.data as rd
 
