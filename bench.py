@@ -228,6 +228,22 @@ def run_queries() -> dict:
         *split_docs(), n=4, cfg=cfg_docs).count())
     timed("corpus_prep", lambda: corpus_prep(
         *split_docs(), cfg=cfg_docs).count())
+
+    def semdedup():
+        import shutil
+        import tempfile
+
+        ipath = tempfile.mkdtemp(prefix="bench_semdedup_")
+        try:
+            return dedup.semantic_dedup(emb, ncells=16, threshold=0.4,
+                                        index_path=ipath,
+                                        cfg=cfg_docs).count()
+        finally:
+            shutil.rmtree(ipath, ignore_errors=True)
+
+    timed("semdedup", semdedup)
+    timed("doc_chunks", lambda: text.chunk_documents(
+        read_docs_pruned(), size=32, stride=24).count())
     return timings
 
 
