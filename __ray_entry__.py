@@ -1011,6 +1011,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                  col="l_extendedprice",
                                  qs=[0.5, 0.9, 0.99])
 
+    def event_type_approx_users(sf_dir):
+        """KMV distinct-count sketch: approximate distinct users per
+        event type (ops/sketch.kmv_distinct — k smallest distinct
+        Knuth hashes, <= k rows per block-key shuffle; deterministic
+        AND exactly SQL-replayable, so the oracle checks values, not
+        tolerances)."""
+        from aml_entity_resolution_assignment_ray.ops.sketch import kmv_distinct
+
+        _tune_context()
+        ev = _read(sf_dir, "events").select_columns(
+            ["event_type", "user_id"])
+        return kmv_distinct(ev, key="event_type", col="user_id", k=64,
+                            out_col="approx_users")
+
     def events_above_median(sf_dir):
         """Per-group quantile gate: events at or above their OWN
         event_type's exact median value (ops/relational.
@@ -1430,6 +1444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cust_top_orders": cust_top_orders,
         "price_quantiles": price_quantiles,
         "events_above_median": events_above_median,
+        "event_type_approx_users": event_type_approx_users,
         "minhash_dup_pairs_docs": minhash_dup_pairs_docs,
         "simhash_dup_pairs_docs": simhash_dup_pairs_docs,
         "minhash_dedup_docs": minhash_dedup_docs,
@@ -3108,6 +3123,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, 0.99,
                    quantile_disc(l_extendedprice, 0.99)
             FROM lineitem GROUP BY 1
+        """,
+        # KMV sketch replay: same Knuth hash in BIGINT arithmetic, same
+        # (k-1)*M/h_k estimator in double arithmetic, half-away round
+        "event_type_approx_users": """
+            WITH h AS (
+                SELECT DISTINCT event_type,
+                       (user_id * 2654435761) % 4294967296 AS hv
+                FROM events
+            ),
+            r AS (
+                SELECT event_type, hv,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY hv) AS rn
+                FROM h
+            ),
+            agg AS (
+                SELECT event_type, count(*) AS nd,
+                       max(CASE WHEN rn = 64 THEN hv END) AS hk
+                FROM r WHERE rn <= 64 GROUP BY event_type
+            )
+            SELECT event_type,
+                   CAST(CASE WHEN nd < 64 THEN nd
+                             ELSE round(63 * 4294967296.0 / hk)
+                        END AS BIGINT) AS approx_users
+            FROM agg
         """,
         "events_above_median": """
             WITH t AS (

@@ -1243,6 +1243,37 @@ def test_bigram_lm_score_paths_agree(ray_session):
     assert np.isclose(row5["avg_logp"], exp5)
 
 
+def test_kmv_distinct(ray_session):
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.sketch import kmv_distinct
+
+    rng = np.random.RandomState(17)
+    df = pd.DataFrame({
+        "k": np.repeat(["big", "small"], 6000),
+        # big: ~3000 distinct users; small: exactly 10 (below k -> exact)
+        "u": np.concatenate([rng.randint(0, 3000, 6000),
+                             np.arange(10).repeat(600)]).astype(np.int64),
+    })
+    truth = df.groupby("k")["u"].nunique()
+    res = kmv_distinct(rd.from_pandas(df).repartition(7), key="k",
+                       col="u", k=64, cfg=CFG).to_pandas() \
+        .set_index("k")["approx_distinct"]
+    assert res["small"] == truth["small"]            # < k -> exact
+    rel = abs(res["big"] - truth["big"]) / truth["big"]
+    assert rel < 4 / np.sqrt(62)                     # ~4 std errors
+
+    # repartition-invariant: the estimate is a pure function of the
+    # value set, not of block boundaries
+    res2 = kmv_distinct(rd.from_pandas(df).repartition(31), key="k",
+                        col="u", k=64, cfg=CFG).to_pandas() \
+        .set_index("k")["approx_distinct"]
+    assert (res.sort_index() == res2.sort_index()).all()
+
+    with pytest.raises(ValueError):
+        kmv_distinct(rd.from_pandas(df), key="k", col="u", k=1)
+
+
 def test_source_mixture_weights(ray_session):
     import ray.data as rd
 
