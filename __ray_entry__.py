@@ -356,11 +356,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return run.map_batches(finalize, batch_format="pandas")
 
     def high_value_click_events(sf_dir):
+        """Filter PUSHED INTO THE READ: the predicate goes to
+        read_parquet as a pyarrow dataset expression, so row groups
+        whose column statistics exclude it are never fetched and
+        non-matching rows never enter the object store — at 100 TB the
+        scan is the filter.  (The streaming ds.filter(expr=...) form
+        is equivalent post-read; this is the prune-at-the-source
+        variant.)"""
+        import pyarrow.dataset as pds
+        import ray.data as rd
+
         _tune_context()
-        ds = _read(sf_dir, "events").select_columns(
-            ["event_id", "event_type", "value"])
-        return ds.filter(expr="event_type == 'click' and value > 50.0") \
-            .select_columns(["event_id", "value"])
+        ds = rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "event_type", "value"],
+            filter=(pds.field("event_type") == "click")
+            & (pds.field("value") > 50.0))
+        return ds.select_columns(["event_id", "value"])
 
     def event_type_stats(sf_dir):
         _tune_context()
