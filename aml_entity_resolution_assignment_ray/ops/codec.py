@@ -1,9 +1,12 @@
-"""Minimal in-repo image codecs for UNCOMPRESSED container formats.
+"""Minimal in-repo media codecs — no image/audio library needed.
 
-This container ships no image libraries, so compressed codecs (PNG/JPEG)
-stay stubbed — but nothing stops a real decoder for the uncompressed
-formats, which makes ``DecodeImage(fake=False)`` a working stage on real
-bytes instead of a NotImplementedError:
+This container ships no image libraries, but stdlib zlib is enough for
+real PNG, and the uncompressed containers need only numpy — so
+``DecodeImage(fake=False)`` is a working stage on real bytes for:
+
+* PNG — 8-bit gray/RGB/gray+alpha/RGBA, non-interlaced: zlib-inflated
+  IDAT, per-scanline unfiltering (None/Sub/Up vectorized; Average/Paeth
+  within-row loops).  JPEG stays stubbed (a DCT codec is out of scope).
 
 * BMP — 24-bit BI_RGB (the classic Windows DIB): 14-byte file header,
   BITMAPINFOHEADER (or any >= 40-byte DIB header), BGR pixel rows padded
@@ -196,11 +199,128 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
     return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
+def decode_png(payload: bytes) -> np.ndarray:
+    """Real PNG decode via stdlib zlib — no image library needed.
+
+    Supports the mainstream subset: bit depth 8, color types 0 (gray),
+    2 (RGB), 4 (gray+alpha), 6 (RGBA), non-interlaced.  Alpha is
+    dropped and gray replicated so the output is the codec-agnostic
+    (h, w, 3) uint8 RGB every other decoder produces.
+
+    Unfiltering is per scanline (inherent: each row's filter depends on
+    the reconstructed row above) with the row math vectorized — None/Up
+    are one numpy op; Sub is a modular cumsum over the row's byte
+    lanes; only Average/Paeth rows fall back to a within-row loop
+    (encoders that cost-optimize emit mostly None/Sub/Up)."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, w = 8, None
+    idat = []
+    while pos + 8 <= len(payload):
+        (ln,), typ = struct.unpack(">I", payload[pos:pos + 4]), \
+            payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = \
+                struct.unpack(">IIBBBBB", data)
+            if depth != 8 or interlace:
+                raise NotImplementedError(
+                    f"PNG depth={depth} interlace={interlace} unsupported "
+                    "(in-repo codec handles 8-bit non-interlaced)")
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+            if channels is None:
+                raise NotImplementedError(f"PNG color type {ctype}")
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    stride = w * channels
+    rows = raw.reshape(h, stride + 1)
+    filters = rows[:, 0]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels
+    for y in range(h):
+        cur = rows[y, 1:].copy()
+        f = int(filters[y])
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if f == 0:
+            out[y] = cur
+        elif f == 1:                       # Sub: modular cumsum per lane
+            lanes = cur.reshape(-1, bpp).astype(np.uint64)
+            out[y] = (np.cumsum(lanes, axis=0) & 0xFF) \
+                .astype(np.uint8).reshape(-1)
+        elif f == 2:                       # Up
+            out[y] = cur + prev            # uint8 wraps mod 256
+        elif f == 3:                       # Average (x-sequential)
+            row = out[y]
+            for x in range(stride):
+                left = int(row[x - bpp]) if x >= bpp else 0
+                row[x] = (int(cur[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:                       # Paeth (x-sequential)
+            row = out[y]
+            for x in range(stride):
+                a = int(row[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c)
+                row[x] = (int(cur[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {f}")
+    px = out.reshape(h, w, channels)
+    if channels == 1:
+        return np.repeat(px, 3, axis=2)
+    if channels == 2:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3].copy()
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 1) -> bytes:
+    """(h, w, 3) uint8 -> 8-bit RGB PNG (single IDAT, zlib level 6).
+    ``filter_type`` 0 (None) or 1 (Sub) — both decode on the fully
+    vectorized path above; tests also hand-build Up/Average/Paeth."""
+    import struct
+    import zlib
+
+    h, w, _ = arr.shape
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if filter_type == 0:
+        body = np.concatenate(
+            [np.full((h, 1), 0, np.uint8), a.reshape(h, -1)], axis=1)
+    elif filter_type == 1:
+        flat = a.reshape(h, w, 3)
+        diff = flat.copy()
+        diff[:, 1:] = flat[:, 1:] - flat[:, :-1]     # uint8 wraps
+        body = np.concatenate(
+            [np.full((h, 1), 1, np.uint8), diff.reshape(h, -1)], axis=1)
+    else:
+        raise ValueError("encode_png supports filter 0 or 1")
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(body.tobytes(), 6))
+            + chunk(b"IEND", b""))
+
+
 #: mime -> decoder for the formats the strict DecodeImage path supports
 DECODERS = {
     "image/bmp": decode_bmp,
     "image/x-ms-bmp": decode_bmp,
     "image/x-portable-pixmap": decode_ppm,
+    "image/png": decode_png,
 }
 
 #: mime -> decoder for the strict DecodeAudio path

@@ -67,10 +67,10 @@ class DecodeImage:
     """Actor-pool stage: payload -> decoded pixel tensor (flat uint8 list
     column + shape columns).
 
-    Strict mode (``fake=False``) REALLY decodes the uncompressed formats
-    the in-repo codec supports (24-bit BMP, binary PPM — ops/codec.py)
-    and raises NotImplementedError only for compressed mimes (PNG/JPEG
-    need an image library this container doesn't ship).  ``fake=True``
+    Strict mode (``fake=False``) REALLY decodes the formats the in-repo
+    codec supports (24-bit BMP, binary PPM, and 8-bit PNG via stdlib
+    zlib — ops/codec.py) and raises NotImplementedError only for mimes
+    that genuinely need an external library (JPEG).  ``fake=True``
     substitutes the deterministic payload-digest stand-in for ANY mime,
     which is what the value oracle replays.  The decode loop is per row
     by nature — a ragged binary payload is the codec's unit of work —

@@ -721,6 +721,119 @@ def test_media_pipeline_strict_bmp(ray_session):
         multimodal.decode_images(png, fake=False).materialize()
 
 
+def _png_filter_rows(px: np.ndarray, ftypes: list[int]) -> bytes:
+    """Scalar reference PNG filterer (forward direction) for the test:
+    builds each scanline with the requested filter type."""
+    h, w, c = px.shape
+    out = bytearray()
+    prev = np.zeros(w * c, dtype=np.int64)
+    for y in range(h):
+        raw = px[y].reshape(-1).astype(np.int64)
+        f = ftypes[y]
+        out.append(f)
+        for x in range(w * c):
+            a = raw[x - c] if x >= c else 0
+            b = prev[x]
+            cc = prev[x - c] if x >= c else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else cc)
+            out.append(int((raw[x] - pred) & 0xFF))
+        prev = raw
+    return bytes(out)
+
+
+def test_png_codec():
+    """Stdlib-zlib PNG decode: encoder round-trips (None and Sub
+    filters), every filter type reconstructs against the scalar
+    reference filterer, gray/RGBA map to RGB, and unsupported depth
+    raises."""
+    import struct
+    import zlib
+
+    from aml_entity_resolution_assignment_ray.ops import codec
+
+    rng = np.random.RandomState(21)
+    for h, w in [(1, 1), (3, 5), (8, 8)]:
+        arr = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        for ft in (0, 1):
+            assert np.array_equal(
+                codec.decode_png(codec.encode_png(arr, filter_type=ft)),
+                arr)
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    def build(px, ftypes, ctype=2):
+        h, w = px.shape[:2]
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT",
+                        zlib.compress(_png_filter_rows(px, ftypes)))
+                + chunk(b"IEND", b""))
+
+    # all five filter types in one image
+    px = rng.randint(0, 256, (5, 4, 3), dtype=np.uint8)
+    assert np.array_equal(codec.decode_png(build(px, [0, 1, 2, 3, 4])), px)
+    # Paeth/Average on the FIRST row (prev row all zero) still correct
+    assert np.array_equal(codec.decode_png(build(px, [4, 3, 4, 3, 4])), px)
+
+    # grayscale replicates; RGBA drops alpha
+    g = rng.randint(0, 256, (3, 3, 1), dtype=np.uint8)
+    got = codec.decode_png(build(g, [0, 1, 2], ctype=0))
+    assert np.array_equal(got, np.repeat(g, 3, axis=2))
+    ra = rng.randint(0, 256, (2, 2, 4), dtype=np.uint8)
+    got = codec.decode_png(build(ra, [4, 2], ctype=6))
+    assert np.array_equal(got, ra[:, :, :3])
+
+    with pytest.raises(NotImplementedError, match="depth"):
+        ihdr16 = struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
+        codec.decode_png(b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr16)
+                         + chunk(b"IDAT", zlib.compress(b"\x00" * 7))
+                         + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="PNG"):
+        codec.decode_png(b"not a png at all")
+
+
+def test_media_pipeline_strict_png(ray_session):
+    """Real PNG bytes through the strict actor-pool decode stage."""
+    import ray.data as rd
+
+    rng = np.random.RandomState(31)
+    rows = []
+    for i, (h, w) in enumerate([(6, 4), (3, 3), (5, 8)]):
+        arr = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        from aml_entity_resolution_assignment_ray.ops import codec
+
+        rows.append({"media_id": i, "payload": codec.encode_png(arr),
+                     "width": w, "height": h, "mime": "image/png",
+                     "_truth": arr})
+    ds = rd.from_pandas(pd.DataFrame(
+        [{k: v for k, v in r.items() if k != "_truth"} for r in rows]))
+    from aml_entity_resolution_assignment_ray.util import stateful_map
+
+    out = stateful_map(ds, multimodal.DecodeImage, (False,),
+                       batch_format="pandas").to_pandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    for i, r in enumerate(rows):
+        shape = tuple(out.loc[i, "shape"])
+        assert shape == (r["_truth"].shape[0], r["_truth"].shape[1], 3)
+        assert np.array_equal(
+            np.asarray(out.loc[i, "pixels"], dtype=np.uint8)
+            .reshape(shape), r["_truth"])
+
+
 def test_wav_codec_roundtrip():
     """In-repo RIFF/PCM WAV codec: encode -> decode is the identity for
     mono/stereo 16-bit; hand-built 8-bit and out-of-order-chunk payloads
