@@ -1023,6 +1023,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                  col="l_extendedprice",
                                  qs=[0.5, 0.9, 0.99])
 
+    def gram_overlap_est(sf_dir):
+        """Benchmark-vs-corpus contamination rate estimated by KMV
+        sketch algebra (ops/sketch.kmv_overlap): distinct-4-gram
+        union/intersection/jaccard from two bounded sketches — each
+        side ONE combiner-reduced pass, no gram join, nothing
+        input-sized anywhere.  The exact counterpart is
+        doc_contamination's digest semi-join."""
+        from aml_entity_resolution_assignment_ray.ops.sketch import kmv_overlap
+
+        _tune_context()
+        docs = _read(sf_dir, "documents").select_columns(
+            ["doc_id", "text"])
+
+        def grams(side):
+            return text.chunk_documents(side, size=4, stride=1) \
+                .filter(expr="n_tokens == 4") \
+                .select_columns(["chunk_text"])
+
+        bench = docs.map_batches(lambda d: d[d["doc_id"] % 20 == 0],
+                                 batch_format="pandas")
+        corpus = docs.map_batches(lambda d: d[d["doc_id"] % 20 != 0],
+                                  batch_format="pandas")
+        return kmv_overlap(grams(bench), grams(corpus),
+                           col="chunk_text", k=256)
+
     def event_type_approx_users(sf_dir):
         """KMV distinct-count sketch: approximate distinct users per
         event type (ops/sketch.kmv_distinct — k smallest distinct
@@ -1457,6 +1482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantiles": price_quantiles,
         "events_above_median": events_above_median,
         "event_type_approx_users": event_type_approx_users,
+        "gram_overlap_est": gram_overlap_est,
         "minhash_dup_pairs_docs": minhash_dup_pairs_docs,
         "simhash_dup_pairs_docs": simhash_dup_pairs_docs,
         "minhash_dedup_docs": minhash_dedup_docs,
@@ -1482,6 +1508,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_clusters": er_clusters,
         "er_eval_metrics": er_eval_metrics,
     }
+
+
+def _poly_hash_sql(col: str) -> str:
+    """DuckDB replay of ops/sample._hash_strs (the whole-string
+    polynomial, 32-bit): left fold over codepoints — list_reduce's
+    first-element seed equals the Python loop's first step
+    ((0 * P + c0) & M32 == c0)."""
+    return (f"CASE WHEN length({col}) = 0 THEN 0 ELSE "
+            f"list_reduce(list_transform(generate_series(1, "
+            f"length({col})), i -> CAST(unicode({col}[i]) AS BIGINT)), "
+            f"(a, b) -> (a * 1000003 + b) % 4294967296) END")
 
 
 def _lang_vote_sql_parts() -> tuple[list, list]:
@@ -3135,6 +3172,73 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, 0.99,
                    quantile_disc(l_extendedprice, 0.99)
             FROM lineitem GROUP BY 1
+        """,
+        # KMV overlap replay: 4-gram construction shares the doc_chunks
+        # contract; the string hash is the engine's polynomial replayed
+        # by list_reduce over codepoints; sketches are ORDER BY hv
+        # LIMIT k; the estimator and sketch algebra are plain BIGINT/
+        # double arithmetic — checked on values, not tolerances
+        "gram_overlap_est": rf"""
+            WITH t AS (
+                SELECT doc_id,
+                       trim({_WS_NORM_TEXT},
+                            ' ' || chr(9) || chr(10) || chr(12) || chr(13)
+                       ) AS txt
+                FROM documents
+            ),
+            tok AS (
+                SELECT doc_id, regexp_split_to_array(txt, '\s+') AS toks,
+                       CASE WHEN length(txt) = 0 THEN 0
+                            ELSE array_length(
+                                regexp_split_to_array(txt, '\s+'))
+                       END AS n
+                FROM t
+            ),
+            g AS (
+                SELECT doc_id,
+                       array_to_string(list_slice(toks, s, s + 3), ' ')
+                           AS gram
+                FROM (SELECT doc_id, toks, n,
+                             unnest(generate_series(1, n - 3)) AS s
+                      FROM tok WHERE n >= 4)
+            ),
+            ha AS (SELECT DISTINCT {_poly_hash_sql('gram')} AS hv
+                   FROM g WHERE doc_id % 20 = 0),
+            hb AS (SELECT DISTINCT {_poly_hash_sql('gram')} AS hv
+                   FROM g WHERE doc_id % 20 <> 0),
+            sa AS (SELECT hv FROM ha ORDER BY hv LIMIT 256),
+            sb AS (SELECT hv FROM hb ORDER BY hv LIMIT 256),
+            u AS (SELECT hv FROM (SELECT hv FROM sa
+                                  UNION SELECT hv FROM sb)
+                  ORDER BY hv LIMIT 256),
+            est AS (SELECT
+                (SELECT count(*) FROM sa) AS na,
+                (SELECT max(hv) FROM sa) AS hka,
+                (SELECT count(*) FROM sb) AS nb,
+                (SELECT max(hv) FROM sb) AS hkb,
+                (SELECT count(*) FROM u) AS nu,
+                (SELECT max(hv) FROM u) AS hku,
+                (SELECT count(*) FROM u
+                 WHERE hv IN (SELECT hv FROM sa)
+                   AND hv IN (SELECT hv FROM sb)) AS ki),
+            fin AS (SELECT
+                CAST(CASE WHEN na < 256 THEN na
+                          ELSE round(255 * 4294967296.0 / hka)
+                     END AS BIGINT) AS est_distinct_a,
+                CAST(CASE WHEN nb < 256 THEN nb
+                          ELSE round(255 * 4294967296.0 / hkb)
+                     END AS BIGINT) AS est_distinct_b,
+                CAST(CASE WHEN nu < 256 THEN nu
+                          ELSE round(255 * 4294967296.0 / hku)
+                     END AS BIGINT) AS est_union,
+                CASE WHEN nu = 0 THEN 0.0
+                     ELSE CAST(ki AS DOUBLE) / nu END AS jr
+                FROM est)
+            SELECT est_distinct_a, est_distinct_b, est_union,
+                   CAST(round(jr * est_union) AS BIGINT)
+                       AS est_intersection,
+                   round(jr, 6) AS jaccard
+            FROM fin
         """,
         # KMV sketch replay: same Knuth hash in BIGINT arithmetic, same
         # (k-1)*M/h_k estimator in double arithmetic, half-away round

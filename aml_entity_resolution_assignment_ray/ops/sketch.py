@@ -82,3 +82,64 @@ def kmv_distinct(ds, *, key: str, col: str, k: int = 64,
         partial, batch_format="pandas")
     return _keyed(parts, [key], cfg, _meta_rows(ds)).map_batches(
         final, batch_format="pandas", batch_size=None)
+
+
+def _kmv_sketch(ds, col: str, k: int) -> np.ndarray:
+    """Distributed KMV sketch of a column: per-batch combiner keeps the
+    k smallest distinct hashes, the driver merges <= k*nblocks ints —
+    BOUNDED driver state (k is 64..1024), never the values."""
+    from .sample import _hash_values
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.unique(_hash_values(df[col].to_numpy()).astype(np.int64))
+        return pd.DataFrame({"_h": h[:k]})
+
+    parts = ds.select_columns([col]).map_batches(
+        partial, batch_format="pandas").to_pandas()
+    u = np.unique(parts["_h"].to_numpy())
+    return u[:k]
+
+
+def _kmv_est(s: np.ndarray, k: int) -> float:
+    from ..util import round_half_away
+
+    if len(s) < k:
+        return float(len(s))
+    return float(round_half_away((k - 1) * _M / float(s[k - 1])))
+
+
+def kmv_overlap(ds_a, ds_b, *, col: str, k: int = 256) -> pd.DataFrame:
+    """Set-overlap estimation between two datasets WITHOUT a join —
+    KMV sketch algebra [Beyer et al. 2007, "On synopses for distinct-
+    value estimation under multiset operations"]:
+
+        union sketch  = k smallest of (S_a ∪ S_b)
+        jaccard      ~= |union sketch ∩ S_a ∩ S_b| / |union sketch|
+        intersection ~= jaccard * est(union)
+
+    One-row output (est_distinct_a, est_distinct_b, est_union,
+    est_intersection, jaccard) — e.g. estimate the benchmark-vs-corpus
+    n-gram contamination rate from two bounded sketches instead of the
+    exact digest semi-join (ops/contamination.py): each side is one
+    combiner-reduced pass, nothing input-sized moves or lands anywhere.
+    Deterministic (fixed hash, no RNG) and exactly SQL-replayable,
+    like kmv_distinct."""
+    from ..util import round_half_away
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    sa = _kmv_sketch(ds_a, col, k)
+    sb = _kmv_sketch(ds_b, col, k)
+    union = np.unique(np.concatenate([sa, sb]))[:k]
+    est_a, est_b, est_u = (_kmv_est(s, k) for s in (sa, sb, union))
+    in_both = np.isin(union, sa) & np.isin(union, sb)
+    jr = float(in_both.sum()) / len(union) if len(union) else 0.0
+    return pd.DataFrame({
+        "est_distinct_a": pd.array([int(est_a)], dtype="int64"),
+        "est_distinct_b": pd.array([int(est_b)], dtype="int64"),
+        "est_union": pd.array([int(est_u)], dtype="int64"),
+        "est_intersection": pd.array(
+            [int(round_half_away(jr * est_u))], dtype="int64"),
+        "jaccard": pd.array([float(round_half_away(jr, 6))],
+                            dtype="float64"),
+    })

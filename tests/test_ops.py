@@ -1387,6 +1387,34 @@ def test_kmv_distinct(ray_session):
         kmv_distinct(rd.from_pandas(df), key="k", col="u", k=1)
 
 
+def test_kmv_overlap(ray_session):
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.sketch import kmv_overlap
+
+    a = pd.DataFrame({"v": np.arange(0, 5000, dtype=np.int64)})
+    b = pd.DataFrame({"v": np.arange(2500, 7500, dtype=np.int64)})
+    res = kmv_overlap(rd.from_pandas(a).repartition(5),
+                      rd.from_pandas(b).repartition(3), col="v", k=256) \
+        .iloc[0]
+    tol = 4 / np.sqrt(254)                       # ~4 relative std errors
+    assert abs(res["est_distinct_a"] - 5000) < 5000 * tol
+    assert abs(res["est_union"] - 7500) < 7500 * tol
+    assert abs(res["jaccard"] - 1 / 3) < (1 / 3) * 2 * tol
+    assert abs(res["est_intersection"] - 2500) < 2500 * 3 * tol
+
+    # pure function of the value sets: block layout can't change it
+    res2 = kmv_overlap(rd.from_pandas(a).repartition(17),
+                       rd.from_pandas(b), col="v", k=256).iloc[0]
+    assert (res == res2).all()
+
+    # disjoint sets -> zero intersection exactly
+    c = pd.DataFrame({"v": np.arange(90000, 95000, dtype=np.int64)})
+    z = kmv_overlap(rd.from_pandas(a), rd.from_pandas(c),
+                    col="v", k=256).iloc[0]
+    assert z["est_intersection"] == 0 and z["jaccard"] == 0.0
+
+
 def test_source_mixture_weights(ray_session):
     import ray.data as rd
 
