@@ -774,6 +774,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "documents").select_columns(["doc_id", "text"]),
             size=32, stride=24)
 
+    def bpe_learned_merges(sf_dir):
+        """Distributed BPE vocabulary induction (ops/text.
+        train_bpe_merges): learn 8 merges from the corpus — one
+        combiner-reduced pair-count shuffle per round, one stateless
+        replace map for the new merge, driver holds only the count
+        argmax.  The oracle replays all 8 rounds as a generated CTE
+        chain."""
+        _tune_context()
+        res = text.train_bpe_merges(
+            _read(sf_dir, "documents").select_columns(["text"]),
+            n_merges=8)
+        return res.rename(columns={"rank": "merge_rank"})
+
     def source_mixture(sf_dir):
         """Data-mixing weight table: per-source token shares and the
         sampling weights that reshape the corpus to a uniform token
@@ -1468,6 +1481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_weighted_sample": doc_weighted_sample,
         "source_mixture": source_mixture,
         "doc_chunks": doc_chunks,
+        "bpe_learned_merges": bpe_learned_merges,
         "doc_stratified_sample": doc_stratified_sample,
         "doc_pack": doc_pack,
         "doc_pack_texts": doc_pack_texts,
@@ -2382,6 +2396,66 @@ def _emb_lsh_sql(threshold: float = 0.4, nplanes: int = 8,
     """
 
 
+def _bpe_spaced_sql_expr(col: str = "text") -> str:
+    """The spaced BPE working layout (single spaces inside a pretoken,
+    double between, leading/trailing space) as a SQL expression —
+    shared by the merge-APPLY oracle (_bpe_merged_sql_expr) and the
+    merge-TRAINING oracle (_bpe_train_sql).
+
+    coalesce: DuckDB's array_to_string returns NULL (not '') on an
+    empty list, i.e. on empty/whitespace-only documents."""
+    from aml_entity_resolution_assignment_ray.ops.text import ws_normalize_sql
+
+    return (
+        "' ' || coalesce(array_to_string(list_transform("
+        f"regexp_extract_all(lower({ws_normalize_sql(col)}), "
+        r"'[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+'), "
+        r"p -> trim(regexp_replace(p, '(.)', '\1 ', 'g'))), '  '), '') || ' '"
+    )
+
+
+def _bpe_train_sql(n_merges: int = 8) -> str:
+    """BPE TRAINING replay, one generated CTE stage per round: count
+    adjacent within-pretoken pairs (every position, overlapping repeats
+    included), pick (count DESC, a, b) — binary VARCHAR order matching
+    the Python sort — then apply just that merge with the shared
+    double-replace semantics.  r/m stages are MATERIALIZED: each is
+    referenced twice and naive CTE inlining would re-derive the whole
+    prefix chain per reference."""
+    parts = [f"r1 AS MATERIALIZED (SELECT doc_id, "
+             f"{_bpe_spaced_sql_expr('text')} AS s FROM documents)"]
+    selects = []
+    for k in range(1, n_merges + 1):
+        parts.append(f"""
+        u{k} AS (
+          SELECT string_split(trim(pre), ' ') AS us
+          FROM (SELECT unnest(string_split(s, '  ')) AS pre FROM r{k})
+          WHERE trim(pre) <> ''
+        ),
+        p{k} AS (
+          SELECT us[i] AS a, us[i + 1] AS b, count(*) AS c
+          FROM (SELECT us, unnest(generate_series(1, len(us) - 1)) AS i
+                FROM u{k} WHERE len(us) >= 2)
+          GROUP BY a, b
+        ),
+        m{k} AS MATERIALIZED (
+          SELECT a, b, c FROM p{k} ORDER BY c DESC, a, b LIMIT 1
+        ),
+        r{k + 1} AS MATERIALIZED (
+          SELECT doc_id,
+                 replace(replace(r.s,
+                         ' ' || m.a || ' ' || m.b || ' ',
+                         ' ' || m.a || m.b || ' '),
+                         ' ' || m.a || ' ' || m.b || ' ',
+                         ' ' || m.a || m.b || ' ') AS s
+          FROM r{k} r, m{k} m
+        )""")
+        selects.append(f"SELECT {k} AS merge_rank, a, b, "
+                       f"CAST(c AS BIGINT) AS pair_count FROM m{k}")
+    return ("WITH " + ",".join(parts) + " "
+            + " UNION ALL ".join(selects))
+
+
 def _bpe_merged_sql_expr(col: str = "text") -> str:
     """The merge-table BPE count as one SQL expression, compiled from
     the SAME ``_BPE_MERGES`` table and pretokenizer regex as
@@ -2389,17 +2463,9 @@ def _bpe_merged_sql_expr(col: str = "text") -> str:
     spaces inside, double between), apply each merge as two
     left-to-right non-overlapping replace() calls (Python str.replace
     semantics), count the space-separated units."""
-    from aml_entity_resolution_assignment_ray.ops.text import (
-        _BPE_MERGES, ws_normalize_sql)
+    from aml_entity_resolution_assignment_ray.ops.text import _BPE_MERGES
 
-    # coalesce: DuckDB's array_to_string returns NULL (not '') on an
-    # empty list, i.e. on empty/whitespace-only documents
-    expr = (
-        "' ' || coalesce(array_to_string(list_transform("
-        f"regexp_extract_all(lower({ws_normalize_sql(col)}), "
-        r"'[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+'), "
-        r"p -> trim(regexp_replace(p, '(.)', '\1 ', 'g'))), '  '), '') || ' '"
-    )
+    expr = _bpe_spaced_sql_expr(col)
     for a, b in _BPE_MERGES:
         pat, rep = f" {a} {b} ", f" {a}{b} "
         expr = f"replace(replace({expr}, '{pat}', '{rep}'), '{pat}', '{rep}')"
@@ -2760,6 +2826,7 @@ def oracle_sql() -> dict[str, str]:
         # (ops/text.ws_normalize_sql) and trims the exact Python-strip
         # charset, so C0/Unicode-space inputs count identically in RE2
         # and Python re
+        "bpe_learned_merges": _bpe_train_sql(8),
         # token-window chunking: same whitespace tokenize as
         # doc_token_counts; chunk text re-joined with single spaces
         # (list_slice bounds are INCLUSIVE; starts step by the stride)

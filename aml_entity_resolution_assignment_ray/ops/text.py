@@ -715,3 +715,96 @@ def chunk_documents(ds, *, size: int, stride: int | None = None,
         })
 
     return ds.map_batches(explode, batch_format="pandas")
+
+
+def _spaced_batch(df: pd.DataFrame, col: str) -> pd.DataFrame:
+    """Per-doc spaced BPE working layout (bpe_merge_token_count's
+    buffer contract): single spaces between symbols inside a pretoken,
+    double spaces between pretokens, one leading/trailing space."""
+    low = df[col].fillna("").astype(str).str.lower()
+    spaced = pd.array(
+        [" " + "  ".join(" ".join(p) for p in _BPE_RE.findall(t)) + " "
+         for t in low], dtype="string")
+    return pd.DataFrame({"spaced": spaced})
+
+
+def _pair_counts_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """(a, b, c) partial counts of ADJACENT symbol pairs within
+    pretokens — every position counts, overlapping repeats included
+    (the shared engine/SQL counting contract).  Vectorized: pretokens
+    explode to a flat unit array; adjacency is a shift compare masked
+    by pretoken id (the doc_bigram_tf_batch pattern)."""
+    pres = df["spaced"].astype(str).str.split("  ")
+    flat_pre = [u for lst in pres for u in lst]
+    units = pd.Series(flat_pre, dtype="string").str.split()
+    lens = units.str.len().fillna(0).to_numpy(dtype=np.int64)
+    total = int(lens.sum())
+    empty = pd.DataFrame({"a": pd.Series([], dtype="string"),
+                          "b": pd.Series([], dtype="string"),
+                          "c": pd.Series([], dtype="int64")})
+    if total == 0:
+        return empty
+    flat = np.concatenate(
+        [np.asarray(u, dtype=object) for u in units if isinstance(u, list) and u])
+    pid = np.repeat(np.arange(len(lens)), lens)
+    same = pid[1:] == pid[:-1]
+    if not same.any():
+        return empty
+    g = (pd.DataFrame({"a": flat[:-1][same], "b": flat[1:][same]})
+         .groupby(["a", "b"], sort=False).size().reset_index(name="c"))
+    g["c"] = g["c"].astype("int64")
+    return g
+
+
+def train_bpe_merges(ds, n_merges: int = 8, col: str = "text",
+                     cfg=None) -> pd.DataFrame:
+    """Distributed BPE vocabulary induction — learn the merge table
+    from the corpus itself (the op `_BPE_MERGES` hardcodes the result
+    of).  Each round: count adjacent symbol pairs within pretokens
+    across the corpus, merge the most frequent pair (ties: count DESC,
+    then lexicographic (a, b)), re-apply ONLY the new merge.  Returns
+    (rank 1-based, a, b, pair_count); stops early when no pairs remain.
+
+    Scale shape: the spaced corpus materializes once; every round is
+    one stateless replace map (the new merge only — never re-applying
+    the history) + one combiner-reduced (a, b) count shuffle whose
+    volume is the corpus' DISTINCT pair vocabulary, not its tokens;
+    the driver holds only the count table argmax (vocabulary-sized).
+    Rounds are inherently sequential — n_merges shuffles total, the
+    same bound as any iterative trainer.  Deterministic and exactly
+    SQL-replayable (the oracle chains one CTE stage per round)."""
+    from ..config import DEFAULT_CONFIG
+
+    cfg = cfg or DEFAULT_CONFIG
+    cur = ds.map_batches(_spaced_batch, fn_kwargs={"col": col},
+                         batch_format="pandas").materialize()
+    out = []
+    for rank in range(1, n_merges + 1):
+        # per-block partials are bounded by the DISTINCT pair
+        # vocabulary (chars + merged symbols — thousands, at any corpus
+        # size), so the driver folds #blocks x |pairs| tiny tables
+        # instead of spinning a hash-shuffle actor set per round
+        parts = cur.map_batches(_pair_counts_batch,
+                                batch_format="pandas").to_pandas()
+        if not len(parts):
+            break
+        counts = (parts.groupby(["a", "b"], sort=False)["c"].sum()
+                  .reset_index()
+                  .sort_values(["c", "a", "b"],
+                               ascending=[False, True, True],
+                               kind="stable"))
+        a, b, c = (counts.iloc[0]["a"], counts.iloc[0]["b"],
+                   int(counts.iloc[0]["c"]))
+        out.append({"rank": rank, "a": a, "b": b, "pair_count": c})
+        pat, rep = f" {a} {b} ", f" {a}{b} "
+
+        def apply_merge(d: pd.DataFrame, pat=pat, rep=rep) -> pd.DataFrame:
+            s = d["spaced"].astype(str) \
+                .str.replace(pat, rep, regex=False) \
+                .str.replace(pat, rep, regex=False)
+            return pd.DataFrame({"spaced": pd.array(s, dtype="string")})
+
+        cur = cur.map_batches(apply_merge, batch_format="pandas") \
+            .materialize()
+    return pd.DataFrame(out, columns=["rank", "a", "b", "pair_count"]) \
+        .astype({"rank": "int64", "pair_count": "int64"})

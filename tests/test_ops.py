@@ -1092,6 +1092,33 @@ def test_sessionize_paths_agree(ray_session):
     assert (s["session_id"].to_numpy() == b["session_id"].to_numpy()).all()
 
 
+def test_train_bpe_merges(ray_session):
+    import ray.data as rd
+
+    docs = pd.DataFrame({
+        "text": ["the the theme", "then there the", "aaa bb aaa"]})
+    res = text.train_bpe_merges(rd.from_pandas(docs).repartition(2),
+                                n_merges=5)
+    # hand-derived: h-e ties t-h at 6 and wins lexicographically; after
+    # 'a a' merges left-to-right each 'aaa' becomes 'aa a'; the merged
+    # 'aaa' unit then yields no pairs so 'b b' (1) is next
+    assert res[["a", "b", "pair_count"]].values.tolist() == [
+        ["h", "e", 6], ["t", "he", 6], ["a", "a", 4],
+        ["aa", "a", 2], ["b", "b", 1]]
+    assert res["rank"].tolist() == [1, 2, 3, 4, 5]
+
+    # early stop: every pretoken is a single symbol after 2 merges
+    tiny = rd.from_pandas(pd.DataFrame({"text": ["ab ab", "ab"]}))
+    res2 = text.train_bpe_merges(tiny, n_merges=10)
+    assert res2[["a", "b"]].values.tolist() == [["a", "b"]]
+
+    # empty corpus -> empty merge table with the right schema
+    res3 = text.train_bpe_merges(
+        rd.from_pandas(pd.DataFrame({"text": ["", None]})), n_merges=3)
+    assert len(res3) == 0
+    assert list(res3.columns) == ["rank", "a", "b", "pair_count"]
+
+
 def test_top_terms_combiner(ray_session):
     import ray.data as rd
 
