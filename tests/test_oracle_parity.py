@@ -51,6 +51,15 @@ SUBSET = [
     "doc_weighted_sample",
     "cust_no_orders",
     "cust_running_revenue",
+    "semdedup_pairs",
+    "semdedup_keep",
+    "source_mixture",
+    "events_above_median",
+    "event_type_approx_users",
+    "gram_overlap_est",
+    "doc_chunks",
+    "embedding_quantized",
+    "bpe_learned_merges",
     "simhash_dup_pairs_docs",
     "ann_top10",
     "embedding_dup_pairs",
