@@ -1061,6 +1061,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return kmv_overlap(grams(bench), grams(corpus),
                            col="chunk_text", k=256)
 
+    def event_value_pct_rank(sf_dir):
+        """Per-group CDF position (ops/relational.grouped_percent_rank
+        — one keyed shuffle, vectorized grouped rank; the
+        normalized-score transform)."""
+        from aml_entity_resolution_assignment_ray.ops.relational import (
+            grouped_percent_rank,
+        )
+
+        _tune_context()
+        ev = _read(sf_dir, "events").select_columns(
+            ["event_id", "event_type", "value"])
+        return grouped_percent_rank(ev, key="event_type", col="value")
+
     def event_type_approx_users(sf_dir):
         """KMV distinct-count sketch: approximate distinct users per
         event type (ops/sketch.kmv_distinct — k smallest distinct
@@ -1496,6 +1509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantiles": price_quantiles,
         "events_above_median": events_above_median,
         "event_type_approx_users": event_type_approx_users,
+        "event_value_pct_rank": event_value_pct_rank,
         "gram_overlap_est": gram_overlap_est,
         "minhash_dup_pairs_docs": minhash_dup_pairs_docs,
         "simhash_dup_pairs_docs": simhash_dup_pairs_docs,
@@ -3239,6 +3253,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, 0.99,
                    quantile_disc(l_extendedprice, 0.99)
             FROM lineitem GROUP BY 1
+        """,
+        "event_value_pct_rank": """
+            SELECT event_id, event_type, value,
+                   percent_rank() OVER (PARTITION BY event_type
+                                        ORDER BY value) AS percent_rank
+            FROM events
         """,
         # KMV overlap replay: 4-gram construction shares the doc_chunks
         # contract; the string hash is the engine's polynomial replayed

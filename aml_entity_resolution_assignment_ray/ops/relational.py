@@ -469,6 +469,37 @@ def grouped_running_sum(ds, *, key: str, order_cols: list[str], val_col: str,
         cum, batch_format="pandas", batch_size=None)
 
 
+def grouped_percent_rank(ds, *, key: str, col: str,
+                         out_col: str = "percent_rank",
+                         cfg: EngineConfig = DEFAULT_CONFIG):
+    """percent_rank() OVER (PARTITION BY key ORDER BY col): the
+    per-group CDF position (rank - 1) / (n - 1), ties sharing their
+    minimum rank, single-row groups at 0.0 — the normalized-score /
+    per-group-calibration transform.  Exact against the SQL window:
+    ranks and group sizes are integers, so the quotient is the same
+    IEEE double on both sides.
+
+    ONE hash shuffle on the key, then a per-block grouped rank (groups
+    arrive complete); all input columns pass through."""
+    cols = list(ds.schema().names)
+
+    def pr(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            out = df[cols].copy()
+            out[out_col] = pd.Series([], dtype="float64")
+            return out
+        s = df.sort_values([key, col], kind="stable")
+        g = s.groupby(key, sort=False)[col]
+        n = g.transform("size").to_numpy(dtype=np.float64)
+        r = g.rank(method="min").to_numpy(dtype=np.float64)
+        out = s[cols].copy()
+        out[out_col] = np.where(n > 1, (r - 1) / (n - 1), 0.0)
+        return out
+
+    return _keyed(ds, [key], cfg, _meta_rows(ds)).map_batches(
+        pr, batch_format="pandas", batch_size=None)
+
+
 # --------------------------------------------------------------------------
 # anti join (left rows with NO key match in right)
 # --------------------------------------------------------------------------

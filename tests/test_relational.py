@@ -305,6 +305,37 @@ def test_filter_by_group_quantile(ray_session):
         filter_by_group_quantile(ds, key="k", col="x", keep="gt")
 
 
+@pytest.mark.parametrize("cfg", [SHUFFLE_CFG, GATHER_CFG],
+                         ids=["shuffle", "gather"])
+def test_grouped_percent_rank(ray_session, cfg):
+    import duckdb
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.relational import (
+        grouped_percent_rank,
+    )
+
+    rng = np.random.RandomState(23)
+    df = pd.DataFrame({
+        "i": np.arange(301, dtype=np.int64),
+        "k": np.concatenate([rng.choice(list("ab"), 300), ["solo"]]),
+        # coarse rounding plants plenty of ties
+        "x": np.concatenate([(rng.rand(300) * 10).round(0), [5.0]]),
+    })
+    res = grouped_percent_rank(rd.from_pandas(df).repartition(7),
+                               key="k", col="x", cfg=cfg).to_pandas()
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute("""
+        SELECT i, k, x, percent_rank() OVER (PARTITION BY k ORDER BY x)
+               AS percent_rank FROM t
+    """).fetchdf()
+    pd.testing.assert_frame_equal(
+        _sorted(res[sorted(res.columns)]),
+        _sorted(exp[sorted(exp.columns)]), check_dtype=False)
+    assert res[res["k"] == "solo"]["percent_rank"].iloc[0] == 0.0
+
+
 def test_sliding_window_agg(ray_session):
     import ray.data as rd
 
