@@ -1200,6 +1200,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dedup.semantic_dedup(
             emb, ncells=8, threshold=0.4, index_path=ipath)
 
+    def semdedup_clusters_q(sf_dir):
+        """SemDeDup duplicate CLUSTERS: union-find over the within-cell
+        cosine pairs, canonical = min id of the component
+        (ops/dedup.semdedup_clusters).  Oracled by WITH RECURSIVE
+        transitive closure over the persisted-index pair replay."""
+        import shutil
+
+        _tune_context()
+        emb = _read(sf_dir, "embeddings")
+        ipath = _semdedup_index_path(_corpus_entities(sf_dir))
+        shutil.rmtree(ipath, ignore_errors=True)
+        return dedup.semdedup_clusters(
+            emb, ncells=8, threshold=0.4, index_path=ipath)
+
     def embedding_quantized(sf_dir):
         """Symmetric per-vector int8 quantization in long (vec_id, dim,
         qval, scale) form (ops/ann.quantize_embeddings — the 4x
@@ -1521,6 +1535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh,
         "semdedup_pairs": semdedup_pairs_q,
         "semdedup_keep": semdedup_keep_q,
+        "semdedup_clusters": semdedup_clusters_q,
         "embedding_quantized": embedding_quantized,
         "embedding_norms": embedding_norms,
         "label_centroids": label_centroids,
@@ -2688,6 +2703,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.id AS id_a, b.id AS id_b
             FROM v a JOIN v b ON a.cell = b.cell AND a.id < b.id
             WHERE list_cosine_similarity(a.e, b.e) >= 0.4
+        """,
+        "semdedup_clusters": f"""
+            WITH RECURSIVE vt AS (
+              SELECT CAST(vec_id AS VARCHAR) AS id,
+                     CAST(_cell AS BIGINT) AS cell,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM read_parquet(
+                  '{_semdedup_index_path(_oracle_n())}/cells/*/*.parquet',
+                  hive_partitioning = 1)
+            ),
+            p AS (
+              SELECT a.id AS id_a, b.id AS id_b
+              FROM vt a JOIN vt b ON a.cell = b.cell AND a.id < b.id
+              WHERE list_cosine_similarity(a.e, b.e) >= 0.4
+            ),
+            e AS (SELECT id_a AS u, id_b AS v FROM p
+                  UNION ALL SELECT id_b, id_a FROM p),
+            reach(node, r) AS (
+              SELECT id, id FROM vt
+              UNION
+              SELECT e.v, reach.r FROM reach JOIN e ON e.u = reach.node
+            )
+            SELECT node AS vec_id, min(r) AS canonical_id
+            FROM reach GROUP BY node
         """,
         "semdedup_keep": f"""
             WITH v AS (

@@ -945,6 +945,31 @@ def semantic_dedup(ds, *, vec_col: str = "embedding",
     return kept.select_columns([id_col])
 
 
+def semdedup_clusters(ds, *, vec_col: str = "embedding",
+                      id_col: str = "vec_id", ncells: int | None = 8,
+                      threshold: float = 0.9,
+                      index_path: str | None = None, seed: int = 11,
+                      cfg: EngineConfig = DEFAULT_CONFIG):
+    """(id, canonical_id) for every row: union-find over the semantic
+    dup pairs, canonical = min id (string order) of the component —
+    the cluster-then-keep-one form of SemDeDup (transitive: a~b, b~c
+    puts a, c in one cluster even when a~c itself misses the
+    threshold).  Same distributed CC as minhash_dedup
+    (stages/cluster.py: driver DSU under the edge gate, min-label
+    pointer jumping above)."""
+    pairs = semdedup_pairs(ds, vec_col=vec_col, id_col=id_col,
+                           ncells=ncells, threshold=threshold,
+                           index_path=index_path, seed=seed, cfg=cfg) \
+        .select_columns(["id_a", "id_b"])
+    ids = ds.map_batches(
+        lambda t: pa.table({"conv_id": pa.compute.cast(t[id_col],
+                                                       pa.string())}),
+        batch_format="pyarrow")
+    labels = connected_components(pairs, ids, cfg)
+    return labels.rename_columns({"node": id_col,
+                                  "label": "canonical_id"})
+
+
 # --------------------------------------------------------------------------
 # cross-document duplicate-span signal (ExactSubstr-style)
 # --------------------------------------------------------------------------

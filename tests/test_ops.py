@@ -320,6 +320,17 @@ def test_semdedup(ray_session, tmp_path):
         empty, ncells=4, threshold=0.95,
         index_path=str(tmp_path / "idx3"), cfg=CFG).count() == 0
 
+    # clusters: transitive closure puts a chain in ONE component with
+    # the min id as canonical, non-dups label themselves
+    lab = dedup.semdedup_clusters(
+        ds, ncells=4, threshold=0.95,
+        index_path=str(tmp_path / "idx4"), cfg=CFG).to_pandas() \
+        .set_index("vec_id")["canonical_id"]
+    assert lab["0"] == lab["1"] == lab["2"] == "0"
+    assert lab["3"] == lab["4"] == "3"
+    assert lab["7"] == "7"
+    assert len(lab) == 15
+
 
 # ---- ann ----
 
