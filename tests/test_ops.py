@@ -1057,6 +1057,58 @@ def test_chunk_documents(ray_session):
         text.chunk_documents(ds, size=0)
 
 
+def test_chunk_documents_properties(ray_session):
+    """Property sweep: random unicode/hostile-whitespace docs, every
+    size/stride regime (overlap, exact, gapped) against a scalar
+    replay of the windowing contract."""
+    import re as _re
+
+    import ray.data as rd
+    from hypothesis import given, settings, strategies as st
+
+    from aml_entity_resolution_assignment_ray.ops.text import _WS_DISAGREE_RE
+
+    ws = _re.compile(r"\s+")
+
+    def replay(texts, size, stride):
+        exp = []
+        for i, t in enumerate(texts):
+            t = _WS_DISAGREE_RE.sub(" ", t or "").strip()
+            if not t:
+                continue
+            toks = ws.split(t)
+            for k, s in enumerate(range(0, len(toks), stride)):
+                exp.append((i, k, " ".join(toks[s:s + size]),
+                            min(s + size, len(toks)) - s))
+        return exp
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        texts=st.lists(st.text(alphabet="ab ✓\t\n\x0b", max_size=20),
+                       min_size=1, max_size=15),
+        size=st.sampled_from([1, 2, 4]),
+        stride=st.sampled_from([1, 2, 4]),
+    )
+    def check(texts, size, stride):
+        df = pd.DataFrame({
+            "doc_id": np.arange(len(texts), dtype=np.int64),
+            "text": texts,
+        })
+        out = text.chunk_documents(rd.from_pandas(df).repartition(2),
+                                   size=size, stride=stride).to_pandas()
+        exp = replay(texts, size, stride)
+        if not len(out):
+            assert not exp
+            return
+        got = [(int(r.doc_id), int(r.chunk_idx), r.chunk_text,
+                int(r.n_tokens))
+               for r in out.sort_values(["doc_id", "chunk_idx"])
+               .itertuples(index=False)]
+        assert got == exp
+
+    check()
+
+
 def test_sessionize_gaps(ray_session):
     import ray.data as rd
 
