@@ -1374,6 +1374,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return frames.map_batches(rounded, batch_format="pandas")
 
+    def video_frames(sf_dir):
+        """REAL strict-mode video frame sampling: Y4M payloads decoded
+        at computed frame offsets (only the k sampled frames are ever
+        read — ops/multimodal.SampleFrames strict path), then
+        integer-exact per-frame luma stats.  VALUE-ORACLED twice over:
+        the SQL replays the (i * n_frames) // k sampling arithmetic
+        from the persisted metadata (a LEFT JOIN so a mis-sampled
+        frame surfaces as NULL stats, not a dropped row) AND the stat
+        math over the persisted decoded pixels."""
+        _tune_context()
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from aml_entity_resolution_assignment_ray.ops import multimodal as mm
+
+        table = mm.make_video_table(n=8)
+        os.makedirs("/tmp/er_media", exist_ok=True)
+        pq.write_table(
+            pa.table({"media_id": table["media_id"],
+                      "n_frames": table["n_frames"]}),
+            "/tmp/er_media/video_meta.parquet")
+        frames = mm.sample_frames(rd.from_arrow(table), k=3,
+                                  fake=False).materialize()
+        dec_df = frames.to_pandas()   # 24 rows — driver-small by design
+        pq.write_table(pa.table({
+            "media_id": pa.array(dec_df["media_id"], pa.string()),
+            "frame_idx": pa.array(dec_df["frame_idx"], pa.int64()),
+            "pixels": pa.array([np.asarray(p, dtype=np.int32).tolist()
+                                for p in dec_df["pixels"]],
+                               pa.list_(pa.int32())),
+        }), "/tmp/er_media/video_frames_decoded.parquet")
+
+        def fstats(df: pd.DataFrame) -> pd.DataFrame:
+            px = [np.asarray(p, dtype=np.int64) for p in df["pixels"]]
+            lens = np.array([len(p) for p in px], dtype=np.int64)
+            flat = (np.concatenate(px) if len(px)
+                    else np.array([], dtype=np.int64))
+            starts = np.cumsum(lens) - lens
+            return pd.DataFrame({
+                "media_id": df["media_id"],
+                "frame_idx": df["frame_idx"].astype("int64"),
+                "mean_luma": _round_half_away(
+                    np.add.reduceat(flat, starts) / lens, 6),
+                "max_luma": np.maximum.reduceat(flat, starts),
+                "min_luma": np.minimum.reduceat(flat, starts),
+                "n_pixels": lens,
+            })
+
+        return frames.map_batches(fstats, batch_format="pandas")
+
     def media_meta(sf_dir):
         """Binary-payload plumbing, value-checked: the fake media table
         is written to parquet, read back through Ray as binary-typed
@@ -1543,6 +1594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": audio_features,
         "audio_frames": audio_frames,
         "media_meta": media_meta,
+        "video_frames": video_frames,
         "er_profiles": er_profiles,
         "er_pairs": er_pairs,
         "er_pairs_exact_keys": er_pairs_exact_keys,
@@ -3500,6 +3552,42 @@ def oracle_sql() -> dict[str, str]:
                        list_transform(embedding, x -> CAST(x AS DOUBLE)))), 4)
                        AS l2_norm
             FROM embeddings
+        """,
+        # strict Y4M frame sampling: expected (media_id, frame_idx)
+        # pairs replay the (i * n_frames) // k arithmetic from the
+        # persisted metadata; stats replay over the persisted decoded
+        # luma pixels; LEFT JOIN so a mis-sampled frame surfaces as
+        # NULL stats instead of silently dropping
+        "video_frames": """
+            WITH meta AS (
+                SELECT media_id, n_frames
+                FROM read_parquet('/tmp/er_media/video_meta.parquet')
+            ),
+            exp AS (
+                SELECT media_id,
+                       (i * CAST(n_frames AS BIGINT))
+                           // least(3, n_frames) AS frame_idx
+                FROM (SELECT media_id, n_frames,
+                             unnest(generate_series(
+                                 0, least(3, n_frames) - 1)) AS i
+                      FROM meta)
+            ),
+            px AS (
+                SELECT media_id, frame_idx, unnest(pixels) AS p
+                FROM read_parquet(
+                    '/tmp/er_media/video_frames_decoded.parquet')
+            ),
+            st AS (
+                SELECT media_id, frame_idx, count(*) AS n_pixels,
+                       sum(p) AS s, max(p) AS mx, min(p) AS mn
+                FROM px GROUP BY media_id, frame_idx
+            )
+            SELECT e.media_id, CAST(e.frame_idx AS BIGINT) AS frame_idx,
+                   round(CAST(s AS DOUBLE) / n_pixels, 6) AS mean_luma,
+                   CAST(mx AS BIGINT) AS max_luma,
+                   CAST(mn AS BIGINT) AS min_luma,
+                   CAST(n_pixels AS BIGINT) AS n_pixels
+            FROM exp e LEFT JOIN st USING (media_id, frame_idx)
         """,
         "label_centroids": """
             SELECT CAST(label AS BIGINT) AS label,

@@ -315,6 +315,85 @@ def encode_png(arr: np.ndarray, filter_type: int = 1) -> bytes:
             + chunk(b"IEND", b""))
 
 
+def y4m_info(payload: bytes) -> tuple[int, int, int, int, int]:
+    """Parse a YUV4MPEG2 (Y4M) stream header -> (width, height,
+    n_frames, header_len, frame_block_len).
+
+    Y4M is THE standard uncompressed video interchange container
+    (mjpegtools/ffmpeg `-f yuv4mpeg`): one ASCII header line, then
+    fixed-size frames each prefixed by a plain ``FRAME\\n`` marker.
+    Fixed frame size is the scale property this codec exploits:
+    frame k lives at header_len + k * frame_block_len, so SAMPLING
+    frames is offset arithmetic + a bounded read — skipped frames are
+    never touched, let alone decoded."""
+    nl = payload.find(b"\n")
+    if not payload.startswith(b"YUV4MPEG2") or nl < 0:
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = None
+    cspace = "420"
+    for tok in payload[10:nl].split(b" "):
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"C":
+            cspace = tok[1:].decode()
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    if cspace.startswith("420"):
+        csize = (w // 2) * (h // 2)
+    elif cspace == "444":
+        csize = w * h
+    elif cspace == "mono":
+        csize = 0
+    else:
+        raise NotImplementedError(f"Y4M colorspace C{cspace}")
+    block = 6 + w * h + 2 * csize          # b'FRAME\n' + Y + U + V
+    body = len(payload) - (nl + 1)
+    if body % block:
+        raise ValueError("truncated Y4M stream (frame params unsupported)")
+    return w, h, body // block, nl + 1, block
+
+
+def decode_y4m_frames(payload: bytes, indices) -> list[np.ndarray]:
+    """Decode ONLY the requested frame indices -> list of (h, w, 3)
+    uint8 arrays (luma plane replicated to RGB; chroma is parsed past,
+    not decoded — the deterministic, integer-exact contract feature
+    extraction needs).  Each decode is one bounded frombuffer/reshape
+    at a computed offset."""
+    w, h, n, hdr, block = y4m_info(payload)
+    out = []
+    for i in indices:
+        i = int(i)
+        if not 0 <= i < n:
+            raise IndexError(f"frame {i} out of range (n_frames={n})")
+        off = hdr + i * block
+        if payload[off:off + 6] != b"FRAME\n":
+            raise ValueError(f"Y4M frame marker missing at frame {i}")
+        y = np.frombuffer(payload, dtype=np.uint8, count=w * h,
+                          offset=off + 6).reshape(h, w)
+        out.append(np.repeat(y[:, :, None], 3, axis=2))
+    return out
+
+
+def encode_y4m(luma_frames, fps: str = "25:1") -> bytes:
+    """(h, w) uint8 luma frames -> C420 Y4M stream (chroma planes set
+    to the neutral 128).  Width/height must be even (C420)."""
+    frames = [np.ascontiguousarray(f, dtype=np.uint8) for f in luma_frames]
+    if not frames:
+        raise ValueError("encode_y4m needs at least one frame")
+    h, w = frames[0].shape
+    if w % 2 or h % 2:
+        raise ValueError("C420 needs even width/height")
+    chroma = np.full((w // 2) * (h // 2), 128, dtype=np.uint8).tobytes()
+    parts = [f"YUV4MPEG2 W{w} H{h} F{fps} Ip A1:1 C420\n".encode()]
+    for f in frames:
+        if f.shape != (h, w):
+            raise ValueError("all frames must share one shape")
+        parts.append(b"FRAME\n" + f.tobytes() + chroma + chroma)
+    return b"".join(parts)
+
+
 #: mime -> decoder for the formats the strict DecodeImage path supports
 DECODERS = {
     "image/bmp": decode_bmp,

@@ -4,13 +4,13 @@ Image/audio/video payloads are opaque ``binary`` columns with sidecar
 metadata columns (mime, width/height or sample rate, n_frames).  The
 decode / feature-extract / resize / frame-sample stages are ACTOR-POOL
 ``map_batches`` steps whose Ray-side plumbing (schema, batch sizing,
-actor signature, output layout) is real and tested.  Image decode is
-REAL for the uncompressed formats (24-bit BMP, binary PPM) and audio
-decode is REAL for integer-PCM WAV — the in-repo numpy codecs in
-ops/codec.py; compressed codecs (PNG/JPEG/MP3) and video remain
-stubbed — this container ships no media libraries — behind
-``NotImplementedError`` (strict) or a deterministic fake decoder
-(``fake=True``) whose output shape/dtype matches a real decode.
+actor signature, output layout) is real and tested.  Decode is REAL
+for 24-bit BMP, binary PPM and 8-bit PNG (stdlib zlib), integer-PCM
+WAV, and Y4M/YUV4MPEG2 video frame sampling — the in-repo codecs in
+ops/codec.py; only the formats that genuinely need an external
+library (JPEG, MP3, MP4) stay behind ``NotImplementedError`` (strict)
+or the deterministic fake decoder (``fake=True``) whose output
+shape/dtype matches a real decode.
 
 Batch sizes for binary payloads must be SMALL: ``batch_size`` here is
 rows, and a row can be megabytes — size so batch x concurrency fits the
@@ -244,6 +244,35 @@ def make_audio_table(n: int = 32, seed: int = 11,
     })
 
 
+def make_video_table(n: int = 8, seed: int = 13,
+                     max_frames: int = 24) -> pa.Table:
+    """Deterministic video rows whose payloads are REAL Y4M streams
+    (ops/codec.py::encode_y4m), so the strict frame-sampling path is
+    the one exercised end to end."""
+    from .codec import encode_y4m
+
+    rng = np.random.RandomState(seed)
+    ids, mimes, payloads, ws, hs, nfs = [], [], [], [], [], []
+    for i in range(n):
+        w, h = [(16, 12), (8, 8), (24, 16)][i % 3]
+        nf = int(rng.randint(3, max_frames + 1))
+        frames = [rng.randint(0, 256, (h, w)).astype(np.uint8)
+                  for _ in range(nf)]
+        ids.append(f"v{i:05d}")
+        mimes.append("video/x-y4m")
+        payloads.append(encode_y4m(frames))
+        ws.append(w)
+        hs.append(h)
+        nfs.append(nf)
+    return pa.table({
+        "media_id": pa.array(ids), "mime": pa.array(mimes),
+        "payload": pa.array(payloads, pa.binary()),
+        "width": pa.array(ws, pa.int32()),
+        "height": pa.array(hs, pa.int32()),
+        "n_frames": pa.array(nfs, pa.int32()),
+    })
+
+
 def _fake_samples(payload: bytes, n_samples: int, channels: int) -> np.ndarray:
     """Deterministic stand-in for a real audio decode: payload-digest-
     seeded int16 (n_samples, channels) array."""
@@ -405,29 +434,49 @@ def audio_frame_energy(ds, frame: int = 256, batch_size: int = 64,
 
 class SampleFrames:
     """Actor-pool stage: video payload -> k evenly spaced frame indices
-    plus (stubbed/fake) per-frame decode."""
+    ((arange(k) * n_frames) // k) with per-frame decode.
+
+    Strict mode (``fake=False``) REALLY decodes Y4M/YUV4MPEG2 via the
+    in-repo codec (ops/codec.py::decode_y4m_frames): the container's
+    fixed frame size means sampled frames are read at COMPUTED OFFSETS
+    — the k sampled frames are the only bytes touched, which is the
+    whole point of frame sampling at 100 TB.  Compressed containers
+    (MP4 etc.) still raise; ``fake=True`` substitutes the
+    deterministic payload-digest stand-in using the metadata columns."""
 
     def __init__(self, k: int = 4, fake: bool = False):
         self.k = k
         self.fake = fake
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        if not self.fake:
-            raise NotImplementedError(
-                "video frame extraction requires a codec; use fake=True")
+        from .codec import decode_y4m_frames, y4m_info
+
         rows_id, rows_frame, rows_pixels = [], [], []
-        for mid, payload, w, h, nf in zip(
-                df["media_id"], df["payload"], df["width"], df["height"],
-                df["n_frames"]):
-            nf = max(int(nf), 1)
-            k = min(self.k, nf)
-            idxs = (np.arange(k) * nf) // k
-            for fi in idxs:
-                rows_id.append(mid)
+        mimes = df["mime"] if "mime" in df.columns else [None] * len(df)
+        for row, mime in zip(df.itertuples(index=False), mimes):
+            payload = bytes(row.payload)
+            if self.fake:
+                nf = max(int(row.n_frames), 1)
+                k = min(self.k, nf)
+                idxs = (np.arange(k) * nf) // k
+                frames = [
+                    _fake_pixels(payload + bytes([int(fi) % 256]),
+                                 int(row.width), int(row.height))
+                    for fi in idxs]
+            elif str(mime) in ("video/x-y4m", "video/yuv4mpeg"):
+                nf = max(y4m_info(payload)[2], 1)
+                k = min(self.k, nf)
+                idxs = (np.arange(k) * nf) // k
+                frames = decode_y4m_frames(payload, idxs)
+            else:
+                raise NotImplementedError(
+                    f"no in-repo video codec for mime {mime!r} (only "
+                    "Y4M decodes without a video library); re-run with "
+                    "fake=True for the deterministic stub")
+            for fi, arr in zip(idxs, frames):
+                rows_id.append(row.media_id)
                 rows_frame.append(int(fi))
-                rows_pixels.append(
-                    _fake_pixels(payload + bytes([fi % 256]), int(w), int(h))
-                    .reshape(-1))
+                rows_pixels.append(arr.reshape(-1))
         return pd.DataFrame({
             "media_id": rows_id,
             "frame_idx": rows_frame,

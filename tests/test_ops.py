@@ -845,6 +845,70 @@ def test_media_pipeline_strict_png(ray_session):
             .reshape(shape), r["_truth"])
 
 
+def test_y4m_codec():
+    """Y4M round-trip: luma encode -> frame-indexed decode identity,
+    sampled offsets equal the full decode, and error paths."""
+    from aml_entity_resolution_assignment_ray.ops import codec
+
+    rng = np.random.RandomState(41)
+    frames = [rng.randint(0, 256, (6, 8)).astype(np.uint8)
+              for _ in range(7)]
+    payload = codec.encode_y4m(frames)
+    w, h, n, hdr, block = codec.y4m_info(payload)
+    assert (w, h, n) == (8, 6, 7)
+    full = codec.decode_y4m_frames(payload, range(7))
+    for f, got in zip(frames, full):
+        assert np.array_equal(got, np.repeat(f[:, :, None], 3, axis=2))
+    # sampling never touches skipped frames: indexed == full subset
+    sub = codec.decode_y4m_frames(payload, [0, 3, 6])
+    for i, got in zip([0, 3, 6], sub):
+        assert np.array_equal(got, full[i])
+
+    with pytest.raises(ValueError, match="YUV4MPEG2"):
+        codec.y4m_info(b"RIFFnope")
+    with pytest.raises(ValueError, match="truncated"):
+        codec.y4m_info(payload[:-3])
+    with pytest.raises(IndexError):
+        codec.decode_y4m_frames(payload, [7])
+    with pytest.raises(NotImplementedError, match="C422"):
+        codec.y4m_info(b"YUV4MPEG2 W2 H2 F25:1 C422\n")
+    with pytest.raises(ValueError, match="even"):
+        codec.encode_y4m([np.zeros((3, 4), np.uint8)])
+
+
+def test_video_pipeline_strict_y4m(ray_session):
+    """Real Y4M bytes through the strict frame-sampling actor pool:
+    sampled indices follow (i*n)//k and pixels equal the source luma."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops import codec
+
+    table = multimodal.make_video_table(n=6)
+    frames = multimodal.sample_frames(rd.from_arrow(table), k=3,
+                                      fake=False).to_pandas()
+    meta = table.to_pandas().set_index("media_id")
+    for mid, g in frames.groupby("media_id"):
+        nf = int(meta.loc[mid, "n_frames"])
+        k = min(3, nf)
+        assert sorted(g["frame_idx"]) == [(i * nf) // k for i in range(k)]
+        truth = codec.decode_y4m_frames(
+            bytes(meta.loc[mid, "payload"]), sorted(g["frame_idx"]))
+        g = g.sort_values("frame_idx")
+        for (_, row), t in zip(g.iterrows(), truth):
+            assert np.array_equal(
+                np.asarray(row["pixels"], dtype=np.uint8), t.reshape(-1))
+    # strict mode on an unsupported container raises
+    mp4 = rd.from_arrow(pa.table({
+        "media_id": ["x"], "mime": ["video/mp4"],
+        "payload": pa.array([b"\x00\x00\x00 ftypisom"], pa.binary()),
+        "width": pa.array([4], pa.int32()),
+        "height": pa.array([4], pa.int32()),
+        "n_frames": pa.array([2], pa.int32()),
+    }))
+    with pytest.raises(Exception, match="video codec"):
+        multimodal.sample_frames(mp4, k=2, fake=False).to_pandas()
+
+
 def test_wav_codec_roundtrip():
     """In-repo RIFF/PCM WAV codec: encode -> decode is the identity for
     mono/stereo 16-bit; hand-built 8-bit and out-of-order-chunk payloads
