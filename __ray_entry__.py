@@ -320,6 +320,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .rename_columns({"o_custkey": "c_custkey"})
         return anti_join(cust, ok, on=["c_custkey"], cfg=cfg)
 
+    def cust_with_orders(sf_dir):
+        """SEMI join (EXISTS): customers with at least one order above
+        $400k, emitted once each no matter how many such orders exist
+        (shuffle path: globally distinct right keys -> left_outer +
+        marker filter; ops/relational.semi_join)."""
+        from aml_entity_resolution_assignment_ray.ops.relational import semi_join
+
+        _tune_context()
+        cfg = EngineConfig()
+        cust = _read(sf_dir, "customer").select_columns(
+            ["c_custkey", "c_name"])
+        ok = _read(sf_dir, "orders") \
+            .select_columns(["o_custkey", "o_totalprice"]) \
+            .filter(expr="o_totalprice > 400000.0") \
+            .select_columns(["o_custkey"]) \
+            .rename_columns({"o_custkey": "c_custkey"})
+        return semi_join(cust, ok, on=["c_custkey"], cfg=cfg)
+
     def cust_running_revenue(sf_dir):
         """Cumulative-sum window (sum OVER (PARTITION BY customer ORDER
         BY date, key)): ops/relational.grouped_running_sum — one keyed
@@ -1532,6 +1550,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": top_orders,
         "cust_order_totals": cust_order_totals,
         "cust_no_orders": cust_no_orders,
+        "cust_with_orders": cust_with_orders,
         "cust_running_revenue": cust_running_revenue,
         "high_value_click_events": high_value_click_events,
         "event_type_stats": event_type_stats,
@@ -2846,6 +2865,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_totalprice > 400000.0)
+        """,
+        "cust_with_orders": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 400000.0)
         """,
         "cust_running_revenue": """
             SELECT o_custkey, o_orderkey,

@@ -509,12 +509,34 @@ def anti_join(left, right, *, on: list[str],
               cfg: EngineConfig = DEFAULT_CONFIG,
               right_rows: int | None = None):
     """left ▷ right: rows of ``left`` whose ``on`` key appears nowhere
-    in ``right``.  Ray Data has no native anti join; a right side with
-    a caller-known row count at or below ``cfg.broadcast_max_rows`` is
-    broadcast as a key set (one ray.put, an exact vectorized isin per
-    batch), else it shuffles: left_outer join against the distinct
-    right keys + a marker-null filter (the same strategy gate as
-    hydrate / the pair-set filters in stages/evaluate.py)."""
+    in ``right`` (SQL NOT EXISTS: null-keyed left rows are kept).  Ray
+    Data has no native anti join; a right side with a caller-known row
+    count at or below ``cfg.broadcast_max_rows`` is broadcast as a key
+    set (one ray.put, an exact vectorized isin per batch), else it
+    shuffles: left_outer join against the distinct right keys + a
+    marker-null filter (the same strategy gate as hydrate / the
+    pair-set filters in stages/evaluate.py)."""
+    return _exists_filter(left, right, on=on, cfg=cfg,
+                          right_rows=right_rows, keep_matched=False)
+
+
+def semi_join(left, right, *, on: list[str],
+              cfg: EngineConfig = DEFAULT_CONFIG,
+              right_rows: int | None = None):
+    """left ⋉ right: rows of ``left`` whose ``on`` key appears at
+    least once in ``right`` (SQL EXISTS: null-keyed left rows match
+    nothing and are dropped), each left row emitted EXACTLY once no
+    matter how many right rows share the key.  Same broadcast-or-
+    shuffle gate as anti_join; the shuffle path adds one keyed
+    re-distinct of the right keys (per-block distinct is only a
+    combiner — a key present in two right blocks would otherwise
+    duplicate its left matches through the join)."""
+    return _exists_filter(left, right, on=on, cfg=cfg,
+                          right_rows=right_rows, keep_matched=True)
+
+
+def _exists_filter(left, right, *, on: list[str], cfg: EngineConfig,
+                   right_rows: int | None, keep_matched: bool):
     import ray
 
     from ..util import safe_join, stateful_map
@@ -535,8 +557,14 @@ def anti_join(left, right, *, on: list[str],
                 if not len(df):
                     return df
                 ix = pd.MultiIndex.from_frame(df[list(on)])
-                keep = ~ix.isin(self.index) | df[list(on)].isna().any(axis=1) \
-                    .to_numpy()
+                # the right index holds no null keys, so isin is False
+                # for null-keyed left rows: EXISTS drops them as-is,
+                # NOT EXISTS re-keeps them explicitly
+                if keep_matched:
+                    keep = ix.isin(self.index)
+                else:
+                    keep = (~ix.isin(self.index)
+                            | df[list(on)].isna().any(axis=1).to_numpy())
                 return df.loc[keep].reset_index(drop=True)
 
         return stateful_map(left, _Filter, (ref,), batch_format="pandas")
@@ -608,14 +636,29 @@ def anti_join(left, right, *, on: list[str],
         left_in = left.map_batches(addk, batch_format="pyarrow")
 
     marked = right.map_batches(dk, batch_format="pyarrow")
+    if keep_matched:
+        # semi join must join against GLOBALLY distinct right keys:
+        # per-block distinct is only a combiner, and a key present in
+        # two right blocks would emit its left matches twice
+        def redistinct(t: pa.Table) -> pa.Table:
+            keys = t.select(list(join_on)) \
+                .group_by(list(join_on)).aggregate([])
+            return keys.append_column(
+                "_r", pa.array(np.ones(len(keys), dtype=np.int8)))
+
+        marked = marked.repartition(
+            cfg.resolve_join_partitions(), keys=list(join_on)) \
+            .map_batches(redistinct, batch_format="pyarrow",
+                         batch_size=None)
     joined = safe_join(left_in, marked, join_type="left_outer",
                        num_partitions=cfg.resolve_join_partitions(),
                        on=tuple(join_on))
 
     def null_filter(df: pd.DataFrame) -> pd.DataFrame:
         if "_r" not in df.columns:
-            return df[cols]
-        return df.loc[df["_r"].isna(), cols].reset_index(drop=True)
+            return df[cols] if not keep_matched else df[cols].iloc[:0]
+        mask = df["_r"].notna() if keep_matched else df["_r"].isna()
+        return df.loc[mask, cols].reset_index(drop=True)
 
     return joined.map_batches(null_filter, batch_format="pandas")
 

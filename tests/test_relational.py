@@ -436,6 +436,40 @@ def test_anti_join_null_and_numeric_keys(ray_session, strategy):
     assert list(got.columns) == ["k", "v"]      # no temp join columns
 
 
+@pytest.mark.parametrize("strategy", ["broadcast", "shuffle"])
+def test_semi_join(ray_session, strategy):
+    """EXISTS semantics on both strategy paths: each matched left row
+    emitted exactly ONCE despite duplicate right keys spread across
+    blocks; null left keys dropped, null right keys match nothing;
+    mixed numeric dtypes compare natively."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.relational import semi_join
+
+    left = pd.DataFrame({"k": [1.0, 2.0, None, 3.0, 4.0],
+                         "v": list("abcde")})
+    # key 2 appears 6 times spread over 3 blocks — the dup-key trap
+    right = pd.DataFrame({"k": pd.array([2, 2, 2, 2, 2, 2, 4, None],
+                                        dtype="Int64")})
+    rr = len(right) if strategy == "broadcast" else None
+    got = semi_join(rd.from_pandas(left),
+                    rd.from_pandas(right).repartition(3),
+                    on=["k"], cfg=SHUFFLE_CFG, right_rows=rr).to_pandas()
+    assert sorted(got["v"]) == ["b", "e"]       # exactly once each
+    assert list(got.columns) == ["k", "v"]
+
+    # complement property vs anti_join on integer keys
+    from aml_entity_resolution_assignment_ray.ops.relational import anti_join
+
+    li = pd.DataFrame({"k": np.arange(30, dtype=np.int64)})
+    ri = pd.DataFrame({"k": np.arange(0, 30, 3, dtype=np.int64)})
+    s = semi_join(rd.from_pandas(li), rd.from_pandas(ri), on=["k"],
+                  cfg=SHUFFLE_CFG, right_rows=rr and len(ri)).to_pandas()
+    a = anti_join(rd.from_pandas(li), rd.from_pandas(ri), on=["k"],
+                  cfg=SHUFFLE_CFG, right_rows=rr and len(ri)).to_pandas()
+    assert sorted(s["k"].tolist() + a["k"].tolist()) == list(range(30))
+
+
 def test_anti_join_int_width_mismatch_shuffle(ray_session):
     """int32 left keys vs int64 right keys promote to int64 on the
     shuffle path and match exactly."""
