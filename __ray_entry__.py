@@ -1443,6 +1443,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return frames.map_batches(fstats, batch_format="pandas")
 
+    def video_motion(sf_dir):
+        """Per-frame motion signal (mean |luma diff| vs the previous
+        sampled frame — ops/multimodal.frame_motion over the strict
+        Y4M sample): SQL replays the pairwise diff over the persisted
+        decoded frames via a lag() window on the list column."""
+        _tune_context()
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from aml_entity_resolution_assignment_ray.ops import multimodal as mm
+
+        frames = mm.sample_frames(
+            rd.from_arrow(mm.make_video_table(n=8)), k=3,
+            fake=False).materialize()
+        dec_df = frames.to_pandas()   # 24 rows — driver-small by design
+        os.makedirs("/tmp/er_media", exist_ok=True)
+        pq.write_table(pa.table({
+            "media_id": pa.array(dec_df["media_id"], pa.string()),
+            "frame_idx": pa.array(dec_df["frame_idx"], pa.int64()),
+            "pixels": pa.array([np.asarray(p, dtype=np.int32).tolist()
+                                for p in dec_df["pixels"]],
+                               pa.list_(pa.int32())),
+        }), "/tmp/er_media/video_motion_decoded.parquet")
+        return mm.frame_motion(frames)
+
     def media_meta(sf_dir):
         """Binary-payload plumbing, value-checked: the fake media table
         is written to parquet, read back through Ray as binary-typed
@@ -1614,6 +1640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_frames": audio_frames,
         "media_meta": media_meta,
         "video_frames": video_frames,
+        "video_motion": video_motion,
         "er_profiles": er_profiles,
         "er_pairs": er_pairs,
         "er_pairs_exact_keys": er_pairs_exact_keys,
@@ -3577,6 +3604,23 @@ def oracle_sql() -> dict[str, str]:
                        list_transform(embedding, x -> CAST(x AS DOUBLE)))), 4)
                        AS l2_norm
             FROM embeddings
+        """,
+        # motion replay: lag() the persisted pixel lists per video in
+        # frame order, mean |diff| = exact integer sum / count
+        "video_motion": """
+            WITH f AS (
+                SELECT media_id, frame_idx, pixels,
+                       lag(pixels) OVER (PARTITION BY media_id
+                                         ORDER BY frame_idx) AS prev
+                FROM read_parquet(
+                    '/tmp/er_media/video_motion_decoded.parquet')
+            )
+            SELECT media_id, frame_idx,
+                   round(CAST(list_sum(list_transform(
+                             generate_series(1, len(pixels)),
+                             j -> abs(pixels[j] - prev[j]))) AS DOUBLE)
+                         / len(pixels), 6) AS mean_abs_diff
+            FROM f WHERE prev IS NOT NULL
         """,
         # strict Y4M frame sampling: expected (media_id, frame_idx)
         # pairs replay the (i * n_frames) // k arithmetic from the

@@ -484,6 +484,57 @@ class SampleFrames:
         })
 
 
+def frame_motion(frames, cfg=None):
+    """SampleFrames output (media_id, frame_idx, pixels) -> per-frame
+    motion signal (media_id, frame_idx, mean_abs_diff) against the
+    PREVIOUS sampled frame of the same video — the scene-change /
+    static-clip filter signal.  Each video's first sampled frame emits
+    nothing.  mean_abs_diff = integer |a-b| sum / n_pixels (exact int64
+    sum, one float64 division), rounded half-away at 6.
+
+    ONE keyed shuffle on media_id (a video's sampled frames are k tiny
+    rows), then a per-block ordered pairwise diff."""
+    from .relational import _keyed, _meta_rows
+    from ..config import DEFAULT_CONFIG
+    from ..util import round_half_away
+
+    cfg = cfg or DEFAULT_CONFIG
+
+    def diff(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "media_id": pd.Series([], dtype=df["media_id"].dtype
+                                  if len(df) else "string"),
+            "frame_idx": pd.Series([], dtype="int64"),
+            "mean_abs_diff": pd.Series([], dtype="float64"),
+        })
+        if len(df) < 2:
+            return empty
+        s = df.sort_values(["media_id", "frame_idx"],
+                           kind="stable").reset_index(drop=True)
+        px = [np.asarray(p, dtype=np.int64) for p in s["pixels"]]
+        mids = s["media_id"].to_numpy()
+        out_id, out_fi, out_mad = [], [], []
+        for i in range(1, len(px)):
+            if mids[i] != mids[i - 1]:
+                continue
+            d = np.abs(px[i] - px[i - 1])
+            out_id.append(mids[i])
+            out_fi.append(int(s["frame_idx"].iloc[i]))
+            out_mad.append(float(round_half_away(
+                int(d.sum()) / d.size, 6)))
+        if not out_id:
+            return empty
+        return pd.DataFrame({
+            "media_id": out_id,
+            "frame_idx": pd.array(out_fi, dtype="int64"),
+            "mean_abs_diff": pd.array(out_mad, dtype="float64"),
+        })
+
+    return _keyed(frames, ["media_id"], cfg,
+                  _meta_rows(frames)).map_batches(
+        diff, batch_format="pandas", batch_size=None)
+
+
 def decode_images(ds, fake: bool = False, batch_size: int = 16,
                   concurrency=(1, 4)):
     """media Dataset -> decoded pixels Dataset (actor pool; small batches

@@ -897,6 +897,21 @@ def test_video_pipeline_strict_y4m(ray_session):
         for (_, row), t in zip(g.iterrows(), truth):
             assert np.array_equal(
                 np.asarray(row["pixels"], dtype=np.uint8), t.reshape(-1))
+    # motion signal: k-1 rows per video, first frame emits nothing,
+    # values equal the scalar pairwise diff of the decoded luma
+    motion = multimodal.frame_motion(
+        multimodal.sample_frames(rd.from_arrow(table), k=3, fake=False)
+    ).to_pandas()
+    assert (motion.groupby("media_id").size() == 2).all()
+    mid = motion["media_id"].iloc[0]
+    nf = int(meta.loc[mid, "n_frames"])
+    idxs = [(i * nf) // 3 for i in range(3)]
+    dec = codec.decode_y4m_frames(bytes(meta.loc[mid, "payload"]), idxs)
+    row = motion[(motion["media_id"] == mid)
+                 & (motion["frame_idx"] == idxs[1])].iloc[0]
+    d = np.abs(dec[1].astype(np.int64) - dec[0].astype(np.int64))
+    assert abs(row["mean_abs_diff"] - round(d.sum() / d.size, 6)) < 1e-9
+
     # strict mode on an unsupported container raises
     mp4 = rd.from_arrow(pa.table({
         "media_id": ["x"], "mime": ["video/mp4"],
