@@ -725,11 +725,23 @@ def test_media_pipeline_strict_bmp(ray_session):
         out_w=4, out_h=4)).to_pandas()
     assert len(feats) == 4 and all(len(f) == 14 for f in feats["features"])
 
-    # compressed mimes stay honestly stubbed
-    png = rd.from_arrow(multimodal.make_fake_media_table(n=3)) \
-        .filter(expr="mime == 'image/png'")
+    # library-gated mimes stay honestly stubbed (PNG is real now — only
+    # JPEG-class formats raise), and garbage bytes under a real-codec
+    # mime fail loudly rather than decode
+    jpeg = pa.table({
+        "media_id": ["j0"], "mime": ["image/jpeg"],
+        "payload": pa.array([b"\xff\xd8\xff\xe0junk"], pa.binary()),
+        "width": pa.array([4], pa.int32()),
+        "height": pa.array([4], pa.int32()),
+        "n_frames": pa.array([1], pa.int32()),
+    })
     with pytest.raises(Exception, match="no in-repo codec"):
-        multimodal.decode_images(png, fake=False).materialize()
+        multimodal.decode_images(rd.from_arrow(jpeg),
+                                 fake=False).materialize()
+    bad_png = rd.from_arrow(multimodal.make_fake_media_table(n=3)) \
+        .filter(expr="mime == 'image/png'")   # fake payloads, real mime
+    with pytest.raises(Exception, match="not a PNG"):
+        multimodal.decode_images(bad_png, fake=False).materialize()
 
 
 def _png_filter_rows(px: np.ndarray, ftypes: list[int]) -> bytes:

@@ -60,6 +60,11 @@ SUBSET = [
     "doc_chunks",
     "embedding_quantized",
     "bpe_learned_merges",
+    "event_value_pct_rank",
+    "semdedup_clusters",
+    "cust_with_orders",
+    "video_frames",
+    "video_motion",
     "simhash_dup_pairs_docs",
     "ann_top10",
     "embedding_dup_pairs",
