@@ -320,6 +320,15 @@ def test_semdedup(ray_session, tmp_path):
         empty, ncells=4, threshold=0.95,
         index_path=str(tmp_path / "idx3"), cfg=CFG).count() == 0
 
+    # ncells=1 (single cell) must EQUAL the exact all-pairs result:
+    # within-cell comparison is lossless, the only approximation is
+    # the cell boundary
+    one = dedup.semdedup_pairs(
+        ds, ncells=1, threshold=0.95,
+        index_path=str(tmp_path / "idx1c"), cfg=CFG).to_pandas()
+    assert set(zip(one["id_a"].astype(int), one["id_b"].astype(int))) \
+        == set(zip(exact["id_a"], exact["id_b"]))
+
     # clusters: transitive closure puts a chain in ONE component with
     # the min id as canonical, non-dups label themselves
     lab = dedup.semdedup_clusters(
