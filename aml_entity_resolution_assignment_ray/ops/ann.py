@@ -297,15 +297,17 @@ def grouped_centroids(ds, *, key: str, vec_col: str = "embedding"):
             "_n": np.repeat(n.to_numpy().astype(np.int64), len(dims)),
         })
 
-    agg = ds.map_batches(partial, batch_format="pandas") \
-        .groupby([key, "dim"]).sum(["_s", "_n"])
+    from .relational import keyed_sum
+
+    agg = keyed_sum(ds.map_batches(partial, batch_format="pandas"),
+                    [key, "dim"], ["_s", "_n"])
 
     def finalize(d: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             key: d[key],
             "dim": d["dim"].astype("int64"),
-            "centroid": d["sum(_s)"].to_numpy(dtype=np.float64)
-            / d["sum(_n)"].to_numpy(dtype=np.float64),
+            "centroid": d["_s"].to_numpy(dtype=np.float64)
+            / d["_n"].to_numpy(dtype=np.float64),
         })
 
     return agg.map_batches(finalize, batch_format="pandas")

