@@ -64,9 +64,11 @@ def keyed_sum(parts, keys: list[str], val_cols: list[str],
     sort-aggregates at ~0.3 ms/row on string keys (measured on a 785k-
     row bigram-count table: 257 s native vs 2.5 s for this shape —
     100x).  Determinism: the final combine sorts each block by
-    (keys, values) before summing, so float accumulation order is a
-    pure function of the value multiset, not of shuffle arrival order
-    (integer sums are order-free either way)."""
+    (keys, values) before summing, so float accumulation order does
+    not depend on shuffle ARRIVAL order — results are bit-identical
+    across runs for a fixed block layout.  (A different layout changes
+    the per-block partial multiset, like any distributed float sum;
+    integer sums are exact and layout-invariant either way.)"""
 
     def combine(d: pd.DataFrame) -> pd.DataFrame:
         if not len(d):

@@ -305,6 +305,39 @@ def test_filter_by_group_quantile(ray_session):
         filter_by_group_quantile(ds, key="k", col="x", keep="gt")
 
 
+def test_keyed_sum(ray_session):
+    """The engine-wide aggregate shape: matches pandas groupby
+    (including null keys), is repartition-invariant, and float sums
+    are identical across block layouts (block-sorted combine)."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.relational import keyed_sum
+
+    rng = np.random.RandomState(29)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c", None], 2000),
+        "n": rng.randint(0, 100, 2000).astype(np.int64),
+        "x": rng.rand(2000),
+    })
+    exp = df.groupby("k", dropna=False)[["n", "x"]].sum().reset_index()
+
+    for parts in (3, 17):
+        got = keyed_sum(rd.from_pandas(df).repartition(parts),
+                        ["k"], ["n", "x"], SHUFFLE_CFG).to_pandas() \
+            .sort_values("k", na_position="last").reset_index(drop=True)
+        e = exp.sort_values("k", na_position="last").reset_index(drop=True)
+        assert got["n"].tolist() == e["n"].tolist()   # ints: exact always
+        assert np.allclose(got["x"], e["x"], rtol=1e-12)
+    # floats: bit-identical ACROSS RUNS for a fixed block layout (the
+    # sorted final combine removes shuffle-arrival order); layouts
+    # themselves change the partial multiset, like any distributed sum
+    runs = [keyed_sum(rd.from_pandas(df).repartition(7), ["k"],
+                      ["n", "x"], SHUFFLE_CFG).to_pandas()
+            .sort_values("k", na_position="last")["x"].to_numpy()
+            for _ in range(2)]
+    assert (runs[0] == runs[1]).all()
+
+
 @pytest.mark.parametrize("cfg", [SHUFFLE_CFG, GATHER_CFG],
                          ids=["shuffle", "gather"])
 def test_grouped_percent_rank(ray_session, cfg):
