@@ -542,17 +542,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _tune_context()
         ds = _read(sf_dir, "events").select_columns(["user_id", "ts"])
 
+        # (user, hour) key cardinality is unbounded -> the keyed_sum
+        # combiner shape, not Ray's native groupby (see keyed_sum)
+        from aml_entity_resolution_assignment_ray.ops.relational import keyed_sum
+
         def add_hour(df: pd.DataFrame) -> pd.DataFrame:
             return pd.DataFrame({
                 "user_id": df["user_id"],
                 "hour": df["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:%M:%S"),
+                "n_events": np.ones(len(df), dtype=np.int64),
             })
 
-        g = ds.map_batches(add_hour, batch_format="pandas") \
-            .groupby(["user_id", "hour"]).count()
-        return g.map_batches(
-            lambda df: df.rename(columns={"count()": "n_events"}),
-            batch_format="pandas")
+        return keyed_sum(ds.map_batches(add_hour, batch_format="pandas"),
+                         ["user_id", "hour"], ["n_events"])
 
     def distinct_event_types(sf_dir):
         _tune_context()
