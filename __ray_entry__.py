@@ -556,6 +556,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return keyed_sum(ds.map_batches(add_hour, batch_format="pandas"),
                          ["user_id", "hour"], ["n_events"])
 
+    def event_rollup(sf_dir):
+        """SQL ROLLUP over (event_type, hour): event counts and exact
+        value cents at every prefix level with NULL-marked rolled
+        columns (ops/relational.rollup_sum — cascading combiners, one
+        input scan, shuffle volume = sum of level cardinalities)."""
+        from aml_entity_resolution_assignment_ray.ops.relational import rollup_sum
+
+        _tune_context()
+        ds = _read(sf_dir, "events").select_columns(
+            ["event_type", "ts", "value"])
+
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "event_type": df["event_type"],
+                "hour": df["ts"].dt.floor("h")
+                .dt.strftime("%Y-%m-%d %H:%M:%S"),
+                "n_events": np.ones(len(df), dtype=np.int64),
+                "total_cents": _round_half_away(
+                    df["value"].to_numpy(dtype=np.float64) * 100)
+                .astype(np.int64),
+            })
+
+        return rollup_sum(ds.map_batches(prep, batch_format="pandas"),
+                          keys=["event_type", "hour"],
+                          val_cols=["n_events", "total_cents"])
+
     def distinct_event_types(sf_dir):
         _tune_context()
         return _read(sf_dir, "events").select_columns(["event_type"]) \
@@ -1587,6 +1613,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_zscores": event_zscores,
         "customer_csv_stats": customer_csv_stats,
         "hourly_user_events": hourly_user_events,
+        "event_rollup": event_rollup,
         "distinct_event_types": distinct_event_types,
         "exact_dedup_docs": exact_dedup_docs,
         "exact_dedup_incremental": exact_dedup_incremental,
@@ -2973,6 +3000,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "distinct_event_types": """
             SELECT DISTINCT event_type FROM events
+        """,
+        "event_rollup": """
+            WITH c AS (
+                SELECT event_type,
+                       strftime(date_trunc('hour', ts),
+                                '%Y-%m-%d %H:%M:%S') AS hour,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+            )
+            SELECT coalesce(event_type, '(all)') AS event_type,
+                   coalesce(hour, '(all)') AS hour,
+                   count(*) AS n_events,
+                   CAST(sum(cents) AS BIGINT) AS total_cents
+            FROM c GROUP BY ROLLUP(event_type, hour)
         """,
         "exact_dedup_docs": """
             SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text

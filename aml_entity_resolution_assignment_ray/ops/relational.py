@@ -82,6 +82,54 @@ def keyed_sum(parts, keys: list[str], val_cols: list[str],
         combine, batch_format="pandas", batch_size=None)
 
 
+def rollup_sum(ds, *, keys: list[str], val_cols: list[str],
+               filler: str = "(all)",
+               cfg: EngineConfig = DEFAULT_CONFIG):
+    """SQL ROLLUP: sums at every key-prefix level — (k1..kn),
+    (k1..kn-1), ..., grand total.  Rolled-up key columns carry the
+    explicit ``filler`` sentinel instead of ANSI NULL (unambiguous in
+    downstream filters and stable across NULL representations; the SQL
+    counterpart is ``coalesce(col, '(all)')`` over ``GROUP BY
+    ROLLUP``).  Key columns must be strings that never equal the
+    filler.
+
+    Shape: CASCADING combiners — each level is a keyed_sum over the
+    PREVIOUS level's (already aggregated) output, so the input is
+    scanned once and the total shuffle volume is the sum of the level
+    cardinalities, never n_levels passes over the data; the grand
+    total is a two-step scalar fold."""
+
+    def proj(d: pd.DataFrame) -> pd.DataFrame:
+        return d[[*keys, *val_cols]]
+
+    levels = []
+    cur = keyed_sum(ds.map_batches(proj, batch_format="pandas"),
+                    keys, val_cols, cfg)
+    levels.append(cur.map_batches(proj, batch_format="pandas"))
+    for i in range(len(keys) - 1, -1, -1):
+        prefix = keys[:i]
+
+        def filled(d: pd.DataFrame, p=tuple(prefix)) -> pd.DataFrame:
+            out = d.copy()
+            for c in keys:
+                if c not in p:
+                    out[c] = pd.array([filler] * len(d), dtype="string")
+            return out[[*keys, *val_cols]]
+
+        if prefix:
+            cur = keyed_sum(cur, list(prefix), val_cols, cfg)
+            levels.append(cur.map_batches(filled, batch_format="pandas"))
+        else:
+            def part(d: pd.DataFrame) -> pd.DataFrame:
+                return d[val_cols].sum().to_frame().T
+
+            tot = cur.map_batches(part, batch_format="pandas") \
+                .repartition(1).map_batches(part, batch_format="pandas",
+                                            batch_size=None)
+            levels.append(tot.map_batches(filled, batch_format="pandas"))
+    return levels[0].union(*levels[1:])
+
+
 def _keyed(ds, keys: list[str], cfg: EngineConfig, n_rows: int | None):
     """Hash-repartition ``ds`` so each key group is block-complete, or
     gather to one block when the input is gate-small."""

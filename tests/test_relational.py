@@ -305,6 +305,38 @@ def test_filter_by_group_quantile(ray_session):
         filter_by_group_quantile(ds, key="k", col="x", keep="gt")
 
 
+def test_rollup_sum(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.relational import rollup_sum
+
+    rng = np.random.RandomState(31)
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y", "z"], 400),
+        "b": rng.choice(["p", "q"], 400),
+        "n": rng.randint(0, 50, 400).astype(np.int64),
+    })
+    got = rollup_sum(rd.from_pandas(df).repartition(5),
+                     keys=["a", "b"], val_cols=["n"],
+                     cfg=SHUFFLE_CFG).to_pandas()
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute("""
+        SELECT coalesce(a, '(all)') AS a, coalesce(b, '(all)') AS b,
+               CAST(sum(n) AS BIGINT) AS n
+        FROM t GROUP BY ROLLUP(a, b)
+    """).fetchdf()
+    pd.testing.assert_frame_equal(
+        _sorted(got[sorted(got.columns)]).reset_index(drop=True),
+        _sorted(exp[sorted(exp.columns)]).reset_index(drop=True),
+        check_dtype=False)
+    # level structure: 3x2 leaf rows + 3 prefix rows + 1 grand total
+    assert len(got) == 6 + 3 + 1
+    assert got[(got["a"] == "(all)") & (got["b"] == "(all)")]["n"] \
+        .iloc[0] == df["n"].sum()
+
+
 def test_keyed_sum(ray_session):
     """The engine-wide aggregate shape: matches pandas groupby
     (including null keys), is repartition-invariant, and float sums
