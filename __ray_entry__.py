@@ -582,6 +582,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
                           keys=["event_type", "hour"],
                           val_cols=["n_events", "total_cents"])
 
+    def user_event_pivot(sf_dir):
+        """Pivot to wide per-user event-type counts (ops/relational.
+        pivot_counts — per-batch crosstab partials, one keyed_sum)."""
+        from aml_entity_resolution_assignment_ray.ops.relational import (
+            pivot_counts,
+        )
+
+        _tune_context()
+        ev = _read(sf_dir, "events").select_columns(
+            ["user_id", "event_type"])
+        return pivot_counts(ev, key="user_id", pivot_col="event_type",
+                            values=["click", "error", "purchase",
+                                    "signup", "view"])
+
     def distinct_event_types(sf_dir):
         _tune_context()
         return _read(sf_dir, "events").select_columns(["event_type"]) \
@@ -1614,6 +1628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_csv_stats": customer_csv_stats,
         "hourly_user_events": hourly_user_events,
         "event_rollup": event_rollup,
+        "user_event_pivot": user_event_pivot,
         "distinct_event_types": distinct_event_types,
         "exact_dedup_docs": exact_dedup_docs,
         "exact_dedup_incremental": exact_dedup_incremental,
@@ -3000,6 +3015,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "distinct_event_types": """
             SELECT DISTINCT event_type FROM events
+        """,
+        "user_event_pivot": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click') AS click,
+                   count(*) FILTER (event_type = 'error') AS error,
+                   count(*) FILTER (event_type = 'purchase') AS purchase,
+                   count(*) FILTER (event_type = 'signup') AS signup,
+                   count(*) FILTER (event_type = 'view') AS view
+            FROM events GROUP BY user_id
         """,
         "event_rollup": """
             WITH c AS (

@@ -130,6 +130,33 @@ def rollup_sum(ds, *, keys: list[str], val_cols: list[str],
     return levels[0].union(*levels[1:])
 
 
+def pivot_counts(ds, *, key: str, pivot_col: str, values: list[str],
+                 cfg: EngineConfig = DEFAULT_CONFIG):
+    """Pivot to wide per-key counts: one int64 column per entry of
+    ``values`` holding the number of rows where ``pivot_col`` equals
+    it (rows with other values are ignored — the output schema is
+    FIXED by the caller, as a distributed pivot must be; discover the
+    domain first with a distinct if needed).
+
+    Shape: a per-batch crosstab emits one ALREADY-WIDE row per in-block
+    key — bounded by key cardinality per block, independent of row
+    count — then ONE keyed_sum folds the partials.  A single shuffle,
+    no per-value passes."""
+    if not values:
+        raise ValueError("values must be non-empty")
+
+    def partial(d: pd.DataFrame) -> pd.DataFrame:
+        ct = pd.crosstab(d[key], d[pivot_col])
+        out = pd.DataFrame({key: ct.index.to_numpy()})
+        for v in values:
+            out[v] = (ct[v].to_numpy(dtype=np.int64) if v in ct.columns
+                      else np.zeros(len(ct), dtype=np.int64))
+        return out
+
+    return keyed_sum(ds.map_batches(partial, batch_format="pandas"),
+                     [key], list(values), cfg)
+
+
 def _keyed(ds, keys: list[str], cfg: EngineConfig, n_rows: int | None):
     """Hash-repartition ``ds`` so each key group is block-complete, or
     gather to one block when the input is gate-small."""

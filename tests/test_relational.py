@@ -337,6 +337,32 @@ def test_rollup_sum(ray_session):
         .iloc[0] == df["n"].sum()
 
 
+def test_pivot_counts(ray_session):
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.relational import (
+        pivot_counts,
+    )
+
+    rng = np.random.RandomState(37)
+    df = pd.DataFrame({
+        "u": rng.randint(0, 20, 500).astype(np.int64),
+        "t": rng.choice(["a", "b", "c", "other"], 500),
+    })
+    got = pivot_counts(rd.from_pandas(df).repartition(6), key="u",
+                       pivot_col="t", values=["a", "b", "c"],
+                       cfg=SHUFFLE_CFG).to_pandas() \
+        .set_index("u").sort_index()
+    exp = pd.crosstab(df["u"], df["t"])
+    for v in ["a", "b", "c"]:
+        assert got[v].tolist() == exp[v].reindex(got.index,
+                                                 fill_value=0).tolist()
+    assert "other" not in got.columns      # fixed output schema
+    with pytest.raises(ValueError):
+        pivot_counts(rd.from_pandas(df), key="u", pivot_col="t",
+                     values=[])
+
+
 def test_keyed_sum(ray_session):
     """The engine-wide aggregate shape: matches pandas groupby
     (including null keys), is repartition-invariant, and float sums
