@@ -61,6 +61,8 @@ SUBSET = [
     "embedding_quantized",
     "bpe_learned_merges",
     "event_value_pct_rank",
+    "event_rollup",
+    "user_event_pivot",
     "semdedup_clusters",
     "cust_with_orders",
     "video_frames",
