@@ -603,6 +603,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # ---- documents: text analysis + dedup ----
 
+    def corpus_diff(sf_dir):
+        """Corpus-version diff (ops/relational.dataset_diff): version B
+        is derived deterministically from the documents table — drop
+        doc_id % 23 == 0, upper-case text where doc_id % 17 == 0,
+        append new docs for doc_id % 29 == 0 — and the diff labels
+        every id added/removed/changed/same.  Digest-only full-outer
+        join; the text never enters the shuffle."""
+        from aml_entity_resolution_assignment_ray.ops.relational import (
+            dataset_diff,
+        )
+
+        _tune_context()
+        docs = _read(sf_dir, "documents").select_columns(
+            ["doc_id", "text"])
+
+        def version_b(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[df["doc_id"] % 23 != 0].copy()
+            m = out["doc_id"] % 17 == 0
+            out.loc[m, "text"] = out.loc[m, "text"].str.upper()
+            new = df[df["doc_id"] % 29 == 0].copy()
+            new["doc_id"] = new["doc_id"] + 1_000_000
+            new["text"] = "new document " + new["doc_id"].astype(str)
+            return pd.concat([out, new], ignore_index=True)
+
+        return dataset_diff(
+            docs, docs.map_batches(version_b, batch_format="pandas"),
+            id_col="doc_id", col="text")
+
     def exact_dedup_docs(sf_dir):
         _tune_context()
         return dedup.exact_dedup(_read(sf_dir, "documents"))
@@ -1631,6 +1659,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_pivot": user_event_pivot,
         "distinct_event_types": distinct_event_types,
         "exact_dedup_docs": exact_dedup_docs,
+        "corpus_diff": corpus_diff,
         "exact_dedup_incremental": exact_dedup_incremental,
         "doc_token_counts": doc_token_counts,
         "doc_repetition": doc_repetition,
@@ -3041,6 +3070,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "exact_dedup_docs": """
             SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "corpus_diff": """
+            WITH a AS (
+                SELECT doc_id, md5(coalesce(text, '')) AS h
+                FROM documents
+            ),
+            bsrc AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 17 = 0 THEN upper(text)
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 23 <> 0
+                UNION ALL
+                SELECT doc_id + 1000000,
+                       'new document ' || CAST(doc_id + 1000000 AS VARCHAR)
+                FROM documents WHERE doc_id % 29 = 0
+            ),
+            b AS (SELECT doc_id, md5(coalesce(text, '')) AS h FROM bsrc)
+            SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                   CASE WHEN a.doc_id IS NULL THEN 'added'
+                        WHEN b.doc_id IS NULL THEN 'removed'
+                        WHEN a.h <> b.h THEN 'changed'
+                        ELSE 'same' END AS status
+            FROM a FULL JOIN b ON a.doc_id = b.doc_id
         """,
         # id-ordered increments make streaming first-seen == global min
         "exact_dedup_incremental": """

@@ -157,6 +157,48 @@ def pivot_counts(ds, *, key: str, pivot_col: str, values: list[str],
                      [key], list(values), cfg)
 
 
+def dataset_diff(ds_a, ds_b, *, id_col: str, col: str,
+                 cfg: EngineConfig = DEFAULT_CONFIG):
+    """Corpus-version diff — what changed between two snapshots of the
+    same table (crawl N vs crawl N+1): one row per id present in
+    either version with ``status`` in {added, removed, changed, same}
+    (``ds_b`` is the NEW version; ``changed`` compares ``col`` content
+    by md5).
+
+    Shape: each side reduces to (id, digest) in one stateless pass —
+    the payload column never enters the join — then ONE full-outer
+    hash join on the id and a stateless status map.  The digest is
+    md5 over UTF-8, byte-identical to SQL ``md5()``."""
+    import hashlib
+
+    from ..util import safe_join
+
+    def digest(side_col):
+        def f(d: pd.DataFrame) -> pd.DataFrame:
+            h = [hashlib.md5(("" if t is None else str(t))
+                             .encode("utf-8")).hexdigest()
+                 for t in d[col]]
+            return pd.DataFrame({id_col: d[id_col],
+                                 side_col: pd.array(h, dtype="string")})
+        return f
+
+    a = ds_a.map_batches(digest("_ha"), batch_format="pandas")
+    b = ds_b.map_batches(digest("_hb"), batch_format="pandas")
+    j = safe_join(a, b, "full_outer",
+                  cfg.resolve_join_partitions(), (id_col,))
+
+    def status(d: pd.DataFrame) -> pd.DataFrame:
+        ha, hb = d["_ha"], d["_hb"]
+        st = np.where(ha.isna(), "added",
+                      np.where(hb.isna(), "removed",
+                               np.where(ha.to_numpy() == hb.to_numpy(),
+                                        "same", "changed")))
+        return pd.DataFrame({id_col: d[id_col],
+                             "status": pd.array(st, dtype="string")})
+
+    return j.map_batches(status, batch_format="pandas")
+
+
 def _keyed(ds, keys: list[str], cfg: EngineConfig, n_rows: int | None):
     """Hash-repartition ``ds`` so each key group is block-complete, or
     gather to one block when the input is gate-small."""

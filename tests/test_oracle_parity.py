@@ -62,6 +62,7 @@ SUBSET = [
     "bpe_learned_merges",
     "event_value_pct_rank",
     "event_rollup",
+    "corpus_diff",
     "user_event_pivot",
     "semdedup_clusters",
     "cust_with_orders",

@@ -363,6 +363,27 @@ def test_pivot_counts(ray_session):
                      values=[])
 
 
+def test_dataset_diff(ray_session):
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.relational import (
+        dataset_diff,
+    )
+
+    a = pd.DataFrame({"i": [1, 2, 3, 4], "t": ["x", "y", "z", None]})
+    b = pd.DataFrame({"i": [2, 3, 5, 4], "t": ["y", "Z", "new", None]})
+    got = dataset_diff(rd.from_pandas(a).repartition(2),
+                       rd.from_pandas(b).repartition(3),
+                       id_col="i", col="t", cfg=SHUFFLE_CFG).to_pandas() \
+        .set_index("i")["status"]
+    assert got[1] == "removed"
+    assert got[2] == "same"
+    assert got[3] == "changed"
+    assert got[4] == "same"        # null text on both sides -> same
+    assert got[5] == "added"
+    assert len(got) == 5
+
+
 def test_keyed_sum(ray_session):
     """The engine-wide aggregate shape: matches pandas groupby
     (including null keys), is repartition-invariant, and float sums
