@@ -1149,6 +1149,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return kmv_overlap(grams(bench), grams(corpus),
                            col="chunk_text", k=256)
 
+    def hourly_approx_users(sf_dir):
+        """Windowed sketch composition: KMV approximate distinct users
+        per HOUR (ops/sketch.kmv_distinct over a derived window key —
+        the streaming-dashboard shape: <= k rows per block-hour move,
+        never the user set)."""
+        from aml_entity_resolution_assignment_ray.ops.sketch import kmv_distinct
+
+        _tune_context()
+        ev = _read(sf_dir, "events").select_columns(["ts", "user_id"])
+
+        def add_hour(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "hour": df["ts"].dt.floor("h")
+                .dt.strftime("%Y-%m-%d %H:%M:%S"),
+                "user_id": df["user_id"],
+            })
+
+        return kmv_distinct(
+            ev.map_batches(add_hour, batch_format="pandas"),
+            key="hour", col="user_id", k=64, out_col="approx_users")
+
     def event_value_pct_rank(sf_dir):
         """Per-group CDF position (ops/relational.grouped_percent_rank
         — one keyed shuffle, vectorized grouped rank; the
@@ -1692,6 +1713,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantiles": price_quantiles,
         "events_above_median": events_above_median,
         "event_type_approx_users": event_type_approx_users,
+        "hourly_approx_users": hourly_approx_users,
         "event_value_pct_rank": event_value_pct_rank,
         "gram_overlap_est": gram_overlap_est,
         "minhash_dup_pairs_docs": minhash_dup_pairs_docs,
@@ -3588,6 +3610,31 @@ def oracle_sql() -> dict[str, str]:
                        AS est_intersection,
                    round(jr, 6) AS jaccard
             FROM fin
+        """,
+        "hourly_approx_users": """
+            WITH h AS (
+                SELECT DISTINCT
+                       strftime(date_trunc('hour', ts),
+                                '%Y-%m-%d %H:%M:%S') AS hour,
+                       (user_id * 2654435761) % 4294967296 AS hv
+                FROM events
+            ),
+            r AS (
+                SELECT hour, hv,
+                       row_number() OVER (PARTITION BY hour
+                                          ORDER BY hv) AS rn
+                FROM h
+            ),
+            agg AS (
+                SELECT hour, count(*) AS nd,
+                       max(CASE WHEN rn = 64 THEN hv END) AS hk
+                FROM r WHERE rn <= 64 GROUP BY hour
+            )
+            SELECT hour,
+                   CAST(CASE WHEN nd < 64 THEN nd
+                             ELSE round(63 * 4294967296.0 / hk)
+                        END AS BIGINT) AS approx_users
+            FROM agg
         """,
         # KMV sketch replay: same Knuth hash in BIGINT arithmetic, same
         # (k-1)*M/h_k estimator in double arithmetic, half-away round

@@ -56,6 +56,7 @@ SUBSET = [
     "source_mixture",
     "events_above_median",
     "event_type_approx_users",
+    "hourly_approx_users",
     "gram_overlap_est",
     "doc_chunks",
     "embedding_quantized",
