@@ -1660,7 +1660,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "cluster_f1": round(ce["f1"], 6),
         }])
 
+    # The flagship ER / dedup / ANN / media family leads the dict: the
+    # driver sweeps a prefix subset when the registry is large, and these
+    # are the queries that evidence the north-star pipeline.
     return {
+        "er_profiles": er_profiles,
+        "er_pairs": er_pairs,
+        "er_pairs_exact_keys": er_pairs_exact_keys,
+        "er_classified": er_classified,
+        "er_name_cosine": er_name_cosine,
+        "er_clusters": er_clusters,
+        "er_eval_metrics": er_eval_metrics,
+        "minhash_dup_pairs_docs": minhash_dup_pairs_docs,
+        "simhash_dup_pairs_docs": simhash_dup_pairs_docs,
+        "minhash_dedup_docs": minhash_dedup_docs,
+        "ngram_jaccard_docs": ngram_jaccard_docs,
+        "ann_top10": ann_top10,
+        "ann_ivf_top10": ann_ivf_top10,
+        "embedding_dup_pairs": embedding_dup_pairs_q,
+        "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh,
+        "semdedup_pairs": semdedup_pairs_q,
+        "semdedup_keep": semdedup_keep_q,
+        "semdedup_clusters": semdedup_clusters_q,
+        "embedding_quantized": embedding_quantized,
+        "embedding_norms": embedding_norms,
+        "label_centroids": label_centroids,
+        "media_features": media_features,
+        "audio_features": audio_features,
+        "audio_frames": audio_frames,
+        "media_meta": media_meta,
+        "video_frames": video_frames,
+        "video_motion": video_motion,
         "lineitem_agg": lineitem_agg,
         "segment_revenue": segment_revenue,
         "nation_acctbal": nation_acctbal,
@@ -1716,33 +1746,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_approx_users": hourly_approx_users,
         "event_value_pct_rank": event_value_pct_rank,
         "gram_overlap_est": gram_overlap_est,
-        "minhash_dup_pairs_docs": minhash_dup_pairs_docs,
-        "simhash_dup_pairs_docs": simhash_dup_pairs_docs,
-        "minhash_dedup_docs": minhash_dedup_docs,
-        "ngram_jaccard_docs": ngram_jaccard_docs,
-        "ann_top10": ann_top10,
-        "ann_ivf_top10": ann_ivf_top10,
-        "embedding_dup_pairs": embedding_dup_pairs_q,
-        "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh,
-        "semdedup_pairs": semdedup_pairs_q,
-        "semdedup_keep": semdedup_keep_q,
-        "semdedup_clusters": semdedup_clusters_q,
-        "embedding_quantized": embedding_quantized,
-        "embedding_norms": embedding_norms,
-        "label_centroids": label_centroids,
-        "media_features": media_features,
-        "audio_features": audio_features,
-        "audio_frames": audio_frames,
-        "media_meta": media_meta,
-        "video_frames": video_frames,
-        "video_motion": video_motion,
-        "er_profiles": er_profiles,
-        "er_pairs": er_pairs,
-        "er_pairs_exact_keys": er_pairs_exact_keys,
-        "er_classified": er_classified,
-        "er_name_cosine": er_name_cosine,
-        "er_clusters": er_clusters,
-        "er_eval_metrics": er_eval_metrics,
     }
 
 
@@ -3034,8 +3037,11 @@ def oracle_sql() -> dict[str, str]:
         # files the Ray query wrote (paths row-count-keyed, see
         # _jsonl_events_path) — this checks the read_json / read_csv
         # ingest path end to end, not just the aggregate
+        # NOTE: DuckDB sum(BIGINT) yields HUGEINT which fetchdf() renders
+        # as float64 — CAST back to BIGINT so the driver's strict value
+        # hash compares int64 against the engine's int64 (r4 fix).
         "events_jsonl_stats": f"""
-            SELECT event_type, sum(value_cents) AS total_cents,
+            SELECT event_type, CAST(sum(value_cents) AS BIGINT) AS total_cents,
                    count(*) AS n_events
             FROM read_json_auto(
                 '{_jsonl_events_path(_table_rows(_oracle_sf_dir(),
@@ -3043,7 +3049,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY event_type
         """,
         "events_partitioned_stats": f"""
-            SELECT 'click' AS event_type, sum(value_cents) AS total_cents,
+            SELECT 'click' AS event_type,
+                   CAST(sum(value_cents) AS BIGINT) AS total_cents,
                    count(*) AS n_events
             FROM read_parquet(
                 '{_partitioned_events_path(_table_rows(_oracle_sf_dir(),
@@ -3051,7 +3058,8 @@ def oracle_sql() -> dict[str, str]:
                 '/event_type=click/*.parquet')
         """,
         "customer_csv_stats": f"""
-            SELECT c_mktsegment, sum(acctbal_cents) AS total_acctbal_cents,
+            SELECT c_mktsegment,
+                   CAST(sum(acctbal_cents) AS BIGINT) AS total_acctbal_cents,
                    count(*) AS n_customers
             FROM read_csv_auto(
                 '{_csv_customer_path(_table_rows(_oracle_sf_dir(),

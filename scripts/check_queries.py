@@ -55,8 +55,19 @@ def compare_frames(name: str, res, exp) -> list[str]:
         return [f"{name}: rows {len(res)} != {len(exp)}"]
     for c in res.columns:
         a, b = res[c].to_numpy(), exp[c].to_numpy()
-        if np.issubdtype(np.asarray(a).dtype, np.floating) or \
-                np.issubdtype(np.asarray(b).dtype, np.floating):
+        a_float = np.issubdtype(np.asarray(a).dtype, np.floating)
+        b_float = np.issubdtype(np.asarray(b).dtype, np.floating)
+        a_int = np.issubdtype(np.asarray(a).dtype, np.integer)
+        b_int = np.issubdtype(np.asarray(b).dtype, np.integer)
+        # dtype-strict on the int/float axis: the driver hashes raw values,
+        # so int64 vs float64 fails there even when numerically equal
+        # (r4: DuckDB sum(BIGINT)->HUGEINT->float64). Mirror that here.
+        if (a_int and b_float) or (a_float and b_int):
+            errs.append(f"{name}: col {c} dtype mismatch (engine "
+                        f"{np.asarray(a).dtype} vs oracle "
+                        f"{np.asarray(b).dtype}) — driver hash would fail")
+            break
+        if a_float or b_float:
             same = np.allclose(a.astype(float), b.astype(float),
                                rtol=0, atol=0)
         else:
