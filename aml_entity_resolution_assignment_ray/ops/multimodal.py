@@ -464,7 +464,12 @@ class SampleFrames:
                                  int(row.width), int(row.height))
                     for fi in idxs]
             elif str(mime) in ("video/x-y4m", "video/yuv4mpeg"):
-                nf = max(y4m_info(payload)[2], 1)
+                nf = y4m_info(payload)[2]
+                if nf == 0:
+                    # a valid zero-frame stream samples nothing —
+                    # clamping to 1 would ask the codec for frame 0
+                    # of an empty payload and raise
+                    continue
                 k = min(self.k, nf)
                 idxs = (np.arange(k) * nf) // k
                 frames = decode_y4m_frames(payload, idxs)

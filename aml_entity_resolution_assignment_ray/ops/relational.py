@@ -72,7 +72,10 @@ def keyed_sum(parts, keys: list[str], val_cols: list[str],
 
     def combine(d: pd.DataFrame) -> pd.DataFrame:
         if not len(d):
-            return d
+            # project even when empty so empty blocks (common after a
+            # hash repartition) share the aggregated blocks' schema and
+            # column order instead of leaking extra input columns
+            return d[[*keys, *val_cols]]
         s = d.sort_values([*keys, *val_cols], kind="stable")
         return s.groupby(keys, sort=False, dropna=False)[val_cols] \
             .sum().reset_index()
@@ -91,7 +94,10 @@ def rollup_sum(ds, *, keys: list[str], val_cols: list[str],
     downstream filters and stable across NULL representations; the SQL
     counterpart is ``coalesce(col, '(all)')`` over ``GROUP BY
     ROLLUP``).  Key columns must be strings that never equal the
-    filler.
+    filler; this is ENFORCED — a NULL key or a genuine ``filler``
+    value in the input raises ValueError at scan time rather than
+    silently aliasing rolled-up rows (a real NULL would stay NaN here
+    while the SQL coalesce maps it to the filler — a parity break).
 
     Shape: CASCADING combiners — each level is a keyed_sum over the
     PREVIOUS level's (already aggregated) output, so the input is
@@ -100,6 +106,16 @@ def rollup_sum(ds, *, keys: list[str], val_cols: list[str],
     total is a two-step scalar fold."""
 
     def proj(d: pd.DataFrame) -> pd.DataFrame:
+        for c in keys:
+            if d[c].isna().any():
+                raise ValueError(
+                    f"rollup_sum: key column {c!r} contains NULLs; "
+                    f"coalesce them before rolling up (sentinel is "
+                    f"{filler!r})")
+            if (d[c] == filler).any():
+                raise ValueError(
+                    f"rollup_sum: key column {c!r} contains the filler "
+                    f"sentinel {filler!r}; pick a different filler")
         return d[[*keys, *val_cols]]
 
     levels = []
@@ -624,7 +640,9 @@ def grouped_percent_rank(ds, *, key: str, col: str,
     minimum rank, single-row groups at 0.0 — the normalized-score /
     per-group-calibration transform.  Exact against the SQL window:
     ranks and group sizes are integers, so the quotient is the same
-    IEEE double on both sides.
+    IEEE double on both sides.  NULL values of ``col`` rank LAST as a
+    single peer group (``na_option='bottom'``), matching the SQL
+    window's default NULLS LAST where NULLs are order-peers.
 
     ONE hash shuffle on the key, then a per-block grouped rank (groups
     arrive complete); all input columns pass through."""
@@ -638,7 +656,8 @@ def grouped_percent_rank(ds, *, key: str, col: str,
         s = df.sort_values([key, col], kind="stable")
         g = s.groupby(key, sort=False)[col]
         n = g.transform("size").to_numpy(dtype=np.float64)
-        r = g.rank(method="min").to_numpy(dtype=np.float64)
+        r = g.rank(method="min", na_option="bottom") \
+            .to_numpy(dtype=np.float64)
         out = s[cols].copy()
         out[out_col] = np.where(n > 1, (r - 1) / (n - 1), 0.0)
         return out

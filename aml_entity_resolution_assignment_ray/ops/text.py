@@ -781,7 +781,20 @@ def train_bpe_merges(ds, n_merges: int = 8, col: str = "text",
     the driver holds only the count table argmax (vocabulary-sized).
     Rounds are inherently sequential — n_merges shuffles total, the
     same bound as any iterative trainer.  Deterministic and exactly
-    SQL-replayable (the oracle chains one CTE stage per round)."""
+    SQL-replayable (the oracle chains one CTE stage per round).
+
+    KNOWN DIVERGENCE from canonical BPE: each merge is applied with
+    two non-overlapping ``str.replace`` passes (mirrored by the
+    oracle's double ``replace()``), which is NOT a fixpoint for runs
+    of >= 6 identical symbols — ``x x x x x x`` becomes ``xx x xx x``
+    instead of the leftmost-greedy ``xx xx xx`` (the first pass
+    consumes the shared separator space, stranding every third
+    symbol, and the result is replace-stable so more passes change
+    nothing).  Both sides of the parity gate implement the SAME
+    contract, and learned merge RANKS are unaffected unless the
+    corpus is dominated by long same-symbol runs; a tokenizer-exact
+    trainer would need per-string pairwise merging (and an iterative
+    SQL replay) instead of string substitution."""
     from ..config import DEFAULT_CONFIG
 
     cfg = cfg or DEFAULT_CONFIG

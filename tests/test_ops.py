@@ -1770,3 +1770,28 @@ def test_pack_sequence_texts_properties(ray_session):
             assert got["seq_text"].tolist() == seqs
 
     check()
+
+
+def test_sample_frames_zero_frame_y4m(ray_session):
+    """A valid header-only (zero-frame) Y4M stream emits no frame rows
+    instead of asking the codec for frame 0 (r4 advice fix)."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops import codec
+
+    rng = np.random.RandomState(7)
+    good = codec.encode_y4m([rng.randint(0, 256, (6, 8)).astype(np.uint8)
+                             for _ in range(3)])
+    zero = good.split(b"\n", 1)[0] + b"\n"     # header, no FRAME markers
+    assert codec.y4m_info(zero)[2] == 0
+    ds = rd.from_arrow(pa.table({
+        "media_id": ["z", "g"],
+        "mime": ["video/x-y4m"] * 2,
+        "payload": pa.array([zero, good], pa.binary()),
+        "width": pa.array([8, 8], pa.int32()),
+        "height": pa.array([6, 6], pa.int32()),
+        "n_frames": pa.array([0, 3], pa.int32()),
+    }))
+    out = multimodal.sample_frames(ds, k=2, fake=False).to_pandas()
+    assert set(out["media_id"]) == {"g"}       # zero-frame row skipped
+    assert len(out) == 2

@@ -647,3 +647,77 @@ def test_grouped_zscore(ray_session):
                        exp.sort_values("event_id")["z"].to_numpy(),
                        rtol=1e-9, atol=1e-12)
     assert (out[out["k"] == "c"]["zscore"] == 0.0).all()
+
+
+def test_rollup_sum_rejects_null_and_filler_keys(ray_session):
+    """A NULL key (or a genuine filler value) would silently alias
+    rolled-up rows vs the SQL coalesce — the op must refuse instead."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.relational import rollup_sum
+
+    with_null = pd.DataFrame({
+        "a": pd.array(["x", None, "y"], dtype="string"),
+        "n": np.array([1, 2, 3], dtype=np.int64),
+    })
+    with pytest.raises(Exception, match="NULL"):
+        rollup_sum(rd.from_pandas(with_null), keys=["a"],
+                   val_cols=["n"], cfg=SHUFFLE_CFG).to_pandas()
+    with_filler = pd.DataFrame({
+        "a": pd.array(["x", "(all)", "y"], dtype="string"),
+        "n": np.array([1, 2, 3], dtype=np.int64),
+    })
+    with pytest.raises(Exception, match="filler"):
+        rollup_sum(rd.from_pandas(with_filler), keys=["a"],
+                   val_cols=["n"], cfg=SHUFFLE_CFG).to_pandas()
+
+
+def test_grouped_percent_rank_nulls_rank_last(ray_session):
+    """NULL values of the ranked column sit LAST as one peer group,
+    matching the SQL window's NULLS LAST (r4 advice: pandas rank
+    previously emitted NaN for them)."""
+    import duckdb
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.relational import (
+        grouped_percent_rank,
+    )
+
+    df = pd.DataFrame({
+        "i": np.arange(8, dtype=np.int64),
+        "k": ["a"] * 5 + ["b"] * 3,
+        "x": [1.0, np.nan, 2.0, np.nan, 0.5, np.nan, 7.0, 7.0],
+    })
+    res = grouped_percent_rank(rd.from_pandas(df).repartition(3),
+                               key="k", col="x",
+                               cfg=SHUFFLE_CFG).to_pandas()
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute("""
+        SELECT i, percent_rank() OVER (PARTITION BY k ORDER BY x)
+               AS percent_rank FROM t
+    """).fetchdf().set_index("i")["percent_rank"]
+    got = res.set_index("i")["percent_rank"]
+    for i in range(8):
+        assert got[i] == exp[i], (i, got[i], exp[i])
+
+
+def test_keyed_sum_empty_blocks_share_schema(ray_session):
+    """Empty blocks (common after a hash repartition with few keys)
+    must project to (keys, val_cols) like aggregated blocks do, not
+    leak extra input columns / original column order."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.relational import keyed_sum
+
+    df = pd.DataFrame({
+        "extra": np.arange(50, dtype=np.int64),
+        "k": ["only_key"] * 50,
+        "n": np.ones(50, dtype=np.int64),
+    })
+    out = keyed_sum(rd.from_pandas(df).repartition(8), ["k"], ["n"],
+                    SHUFFLE_CFG)
+    assert list(out.schema().names) == ["k", "n"]
+    got = out.to_pandas()
+    assert list(got.columns) == ["k", "n"]
+    assert got["n"].iloc[0] == 50
