@@ -1197,6 +1197,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return kmv_distinct(ev, key="event_type", col="user_id", k=64,
                             out_col="approx_users")
 
+    def event_value_quantiles_sketch(sf_dir):
+        """Bottom-m quantile SKETCH over a continuous unbounded column
+        (ops/sketch.kmv_quantiles): per-group discrete quantiles from
+        a deterministic bottom-m hash row sample — <= m rows per
+        block-key move, closing the unbounded-domain gap
+        grouped_quantiles documents.  Deterministic and exactly
+        SQL-replayable (row_number() over the replayed Knuth hash +
+        quantile_disc on the sample), so the oracle checks values."""
+        from aml_entity_resolution_assignment_ray.ops.sketch import (
+            kmv_quantiles,
+        )
+
+        _tune_context()
+        ev = _read(sf_dir, "events").select_columns(
+            ["event_id", "event_type", "value"])
+        return kmv_quantiles(ev, key="event_type", col="value",
+                             id_col="event_id", qs=[0.25, 0.5, 0.9, 0.99],
+                             m=256)
+
     def events_above_median(sf_dir):
         """Per-group quantile gate: events at or above their OWN
         event_type's exact median value (ops/relational.
@@ -1744,6 +1763,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_above_median": events_above_median,
         "event_type_approx_users": event_type_approx_users,
         "hourly_approx_users": hourly_approx_users,
+        "event_value_quantiles_sketch": event_value_quantiles_sketch,
         "event_value_pct_rank": event_value_pct_rank,
         "gram_overlap_est": gram_overlap_est,
     }
@@ -3668,6 +3688,36 @@ def oracle_sql() -> dict[str, str]:
                              ELSE round(63 * 4294967296.0 / hk)
                         END AS BIGINT) AS approx_users
             FROM agg
+        """,
+        # bottom-m quantile-sketch replay: the SAME Knuth hash picks the
+        # SAME per-group 256-row sample (ties broken by event_id — a
+        # total order), quantile_disc evaluates the same sorted-sample
+        # element, so values are bit-exact (no float arithmetic)
+        "event_value_quantiles_sketch": """
+            WITH r AS (
+                SELECT event_type, value,
+                       row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY (event_id * 2654435761) % 4294967296,
+                                    event_id) AS rn
+                FROM events WHERE value IS NOT NULL
+            ),
+            s AS (SELECT event_type, value FROM r WHERE rn <= 256)
+            SELECT event_type, 0.25 AS q,
+                   quantile_disc(value, 0.25) AS value
+            FROM s GROUP BY event_type
+            UNION ALL
+            SELECT event_type, 0.5 AS q,
+                   quantile_disc(value, 0.5) AS value
+            FROM s GROUP BY event_type
+            UNION ALL
+            SELECT event_type, 0.9 AS q,
+                   quantile_disc(value, 0.9) AS value
+            FROM s GROUP BY event_type
+            UNION ALL
+            SELECT event_type, 0.99 AS q,
+                   quantile_disc(value, 0.99) AS value
+            FROM s GROUP BY event_type
         """,
         "events_above_median": """
             WITH t AS (

@@ -26,6 +26,24 @@ k=256).  Three properties make it the right sketch here:
 
 Hash-collision caveat: distinct values that collide in the 32-bit hash
 count once — identically on both sides.
+
+Bottom-m quantile sketch [order/bottom-k sampling: Rosén 1997,
+"Asymptotic theory for order sampling"; Cohen & Kaplan 2007,
+"Summarizing data using bottom-k sketches"]: keep, per group, the m
+rows whose ID hashes smallest — a deterministic uniform row sample —
+and evaluate discrete quantiles on the sample.  Rank error is
+O(sqrt(q*(1-q)/m)) per quantile (~3% at m=256 for the median), state
+is <= m rows per (block, key), and the merge rule (bottom-m of a
+union == bottom-m over the parts' bottom-m sets; per-row samples are
+disjoint across blocks) makes the per-batch partial a correct
+combiner.  Same three properties as KMV: deterministic (fixed Knuth /
+polynomial hash of the ROW ID, ties broken by the id itself — a total
+order, so the sample is a pure function of the row set), mergeable,
+and exactly SQL-replayable (row_number() over the replayed hash +
+quantile_disc on the sample), so the oracle gate checks VALUES.  This
+is the sketch-side answer to ops/relational.grouped_quantiles' exact
+operator, whose (key, value)-count combiner is only bounded for
+bounded-domain columns.
 """
 
 from __future__ import annotations
@@ -79,6 +97,65 @@ def kmv_distinct(ds, *, key: str, col: str, k: int = 64,
                              out_col: est.astype(np.int64)})
 
     parts = ds.select_columns([key, col]).map_batches(
+        partial, batch_format="pandas")
+    return _keyed(parts, [key], cfg, _meta_rows(ds)).map_batches(
+        final, batch_format="pandas", batch_size=None)
+
+
+def kmv_quantiles(ds, *, key: str, col: str, id_col: str,
+                  qs: list[float], m: int = 256,
+                  cfg: EngineConfig = DEFAULT_CONFIG):
+    """Approximate discrete quantiles of ``col`` per ``key`` group from
+    a deterministic bottom-m row sample (see module docstring).
+    Output (key, q DOUBLE, value) — ``value`` keeps ``col``'s dtype and
+    is an ACTUAL group element (quantile_disc semantics: the sorted
+    sample element at 0-based index ceil(q*n) - 1), so no float
+    arithmetic enters the result and parity is bit-exact.
+
+    Shape: per-batch combiner keeps the m rows with the smallest
+    (hash(id), id) per in-block key — rows live in exactly one block,
+    so partials are disjoint and re-taking the m smallest after ONE
+    keyed shuffle reconstructs the global sample exactly.  NULL values
+    of ``col`` are excluded (matching SQL aggregate semantics); ids are
+    assumed non-negative and unique (the hash_bucket contract)."""
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    qs = sorted(qs)
+    from .relational import _keyed, _meta_rows
+    from .sample import _hash_values
+
+    def bottom_m(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values([key, "_h", "_id"], kind="stable")
+                .groupby(key, sort=False).head(m))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df[col].notna()]
+        h = _hash_values(d[id_col].to_numpy()).astype(np.int64)
+        p = pd.DataFrame({key: d[key].to_numpy(), "_h": h,
+                          "_id": d[id_col].to_numpy(),
+                          col: d[col].to_numpy()})
+        return bottom_m(p)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({key: df[key],
+                                 "q": pd.Series([], dtype="float64"),
+                                 "value": df[col]})
+        kept = bottom_m(df)
+        out_k, out_q, out_v = [], [], []
+        for kval, g in kept.groupby(key, sort=False):
+            v = np.sort(g[col].to_numpy())
+            n = len(v)
+            for q in qs:
+                out_k.append(kval)
+                out_q.append(q)
+                out_v.append(v[max(int(np.ceil(q * n)), 1) - 1])
+        return pd.DataFrame({
+            key: np.asarray(out_k),
+            "q": np.asarray(out_q, dtype=np.float64),
+            "value": np.asarray(out_v, dtype=df[col].dtype)})
+
+    parts = ds.select_columns([key, col, id_col]).map_batches(
         partial, batch_format="pandas")
     return _keyed(parts, [key], cfg, _meta_rows(ds)).map_batches(
         final, batch_format="pandas", batch_size=None)

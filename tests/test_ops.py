@@ -1605,6 +1605,57 @@ def test_kmv_overlap(ray_session):
     assert z["est_intersection"] == 0 and z["jaccard"] == 0.0
 
 
+def test_kmv_quantiles(ray_session):
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.sketch import kmv_quantiles
+
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame({
+        "id": np.arange(12000, dtype=np.int64),
+        "k": np.repeat(["big", "small"], 6000),
+        "v": np.concatenate([
+            rng.uniform(0, 1000, 6000),          # big: continuous domain
+            np.arange(6000, dtype=np.float64)]),  # small: known ranks
+    })
+    # small group but m >= n: the "sample" is the whole group, so the
+    # discrete quantiles are EXACT
+    tiny = df.head(100).assign(k="tiny")
+    both = pd.concat([df, tiny], ignore_index=True)
+    res = kmv_quantiles(rd.from_pandas(both).repartition(9), key="k",
+                        col="v", id_col="id", qs=[0.5, 0.9], m=256,
+                        cfg=CFG).to_pandas()
+    t = res[res["k"] == "tiny"].set_index("q")["value"]
+    vt = np.sort(tiny["v"].to_numpy())
+    assert t[0.5] == vt[int(np.ceil(0.5 * 100)) - 1]
+    assert t[0.9] == vt[int(np.ceil(0.9 * 100)) - 1]
+
+    # rank error on the big uniform group: ~4 std errors of q(1-q)/m
+    big = res[res["k"] == "big"].set_index("q")["value"]
+    assert abs(big[0.5] - 500.0) < 1000 * 4 * np.sqrt(0.25 / 256)
+    assert abs(big[0.9] - 900.0) < 1000 * 4 * np.sqrt(0.09 / 256)
+
+    # pure function of the row set: block layout can't change it, and
+    # per-(block,key) state is bounded by m rows
+    res2 = kmv_quantiles(rd.from_pandas(both).repartition(37), key="k",
+                         col="v", id_col="id", qs=[0.5, 0.9], m=256,
+                         cfg=CFG).to_pandas()
+    a = res.sort_values(["k", "q"]).reset_index(drop=True)
+    b = res2.sort_values(["k", "q"]).reset_index(drop=True)
+    assert (a == b).all().all()
+
+    # nulls excluded, like SQL aggregates
+    wn = both.copy()
+    wn.loc[wn["k"] == "tiny", "v"] = np.nan
+    res3 = kmv_quantiles(rd.from_pandas(wn), key="k", col="v",
+                         id_col="id", qs=[0.5], m=64, cfg=CFG).to_pandas()
+    assert "tiny" not in set(res3["k"])
+
+    with pytest.raises(ValueError):
+        kmv_quantiles(rd.from_pandas(both), key="k", col="v",
+                      id_col="id", qs=[0.5], m=0)
+
+
 def test_source_mixture_weights(ray_session):
     import ray.data as rd
 

@@ -57,6 +57,7 @@ SUBSET = [
     "events_above_median",
     "event_type_approx_users",
     "hourly_approx_users",
+    "event_value_quantiles_sketch",
     "gram_overlap_est",
     "doc_chunks",
     "embedding_quantized",
