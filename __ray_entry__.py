@@ -1248,6 +1248,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _tune_context()
         return dedup.minhash_dedup(_read(sf_dir, "documents", spread=True), threshold=0.8)
 
+    def minhash_dedup_incremental(sf_dir):
+        """Continuous-ingestion NEAR-dedup: the documents table arrives
+        as two id-ordered increments; each ingest near-dedups against
+        the PERSISTED MinHash signature index and appends its survivors
+        (ops/dedup.incremental_minhash_dedup — within an increment the
+        min-id member of each verified-pair component survives, across
+        increments first-seen wins).  Output: the accumulated surviving
+        doc ids."""
+        import shutil
+
+        _tune_context()
+        n = _table_rows(sf_dir, "documents")
+        ipath = f"/tmp/er_mh_dedup_idx_n{n}"
+        shutil.rmtree(ipath, ignore_errors=True)
+        docs = _read(sf_dir, "documents", spread=True) \
+            .select_columns(["doc_id", "text"])
+        mid = n // 2
+        dedup.incremental_minhash_dedup(
+            docs.filter(expr=f"doc_id < {mid}"), ipath, threshold=0.8)
+        dedup.incremental_minhash_dedup(
+            docs.filter(expr=f"doc_id >= {mid}"), ipath, threshold=0.8)
+        out = dedup.read_minhash_index(ipath)
+        return out.map_batches(
+            lambda df: pd.DataFrame(
+                {"doc_id": df["doc"].astype(np.int64)}),
+            batch_format="pandas")
+
     def ngram_jaccard_docs(sf_dir):
         _tune_context()
         return dedup.ngram_jaccard_pairs(
@@ -1693,6 +1720,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dup_pairs_docs": minhash_dup_pairs_docs,
         "simhash_dup_pairs_docs": simhash_dup_pairs_docs,
         "minhash_dedup_docs": minhash_dedup_docs,
+        "minhash_dedup_incremental": minhash_dedup_incremental,
         "ngram_jaccard_docs": ngram_jaccard_docs,
         "ann_top10": ann_top10,
         "ann_ivf_top10": ann_ivf_top10,
@@ -2473,6 +2501,44 @@ def _minhash_dedup_sql(threshold: float = 0.8) -> str:
     """
 
 
+def _incremental_minhash_sql(threshold: float = 0.8) -> str:
+    """Replays incremental_minhash_dedup's two-ingest semantics in SQL,
+    built on the bit-exact ``_minhash_cte`` pair set (band keys are
+    per-doc, so the global verified-pair set restricted to an increment
+    equals the pairs that ingest generates itself): connected
+    components over pairs whose BOTH ends share an increment keep their
+    (string-)min-id member; a second-increment survivor with a verified
+    pair to a first-increment survivor drops (first-seen wins)."""
+    mid = _table_rows(_oracle_sf_dir(), "documents") // 2
+    return f"""
+        WITH RECURSIVE {_minhash_cte(threshold)},
+        g AS (SELECT id, CAST(id AS BIGINT) >= {mid} AS late FROM t),
+        pe AS (SELECT p.id_a, p.id_b FROM p
+               JOIN g ga ON ga.id = p.id_a
+               JOIN g gb ON gb.id = p.id_b
+               WHERE ga.late = gb.late),
+        e AS (SELECT id_a AS u, id_b AS v FROM pe
+              UNION ALL SELECT id_b, id_a FROM pe),
+        reach(node, r) AS (
+          SELECT id, id FROM t
+          UNION
+          SELECT e.v, reach.r FROM reach JOIN e ON e.u = reach.node
+        ),
+        w AS (SELECT node FROM (SELECT node, min(r) AS c FROM reach
+                                GROUP BY node) WHERE node = c),
+        s1 AS (SELECT w.node FROM w JOIN g ON g.id = w.node
+               WHERE NOT g.late)
+        SELECT CAST(node AS BIGINT) AS doc_id FROM s1
+        UNION ALL
+        SELECT CAST(w.node AS BIGINT) AS doc_id
+        FROM w JOIN g ON g.id = w.node
+        WHERE g.late AND NOT EXISTS (
+          SELECT 1 FROM p JOIN s1
+            ON (s1.node = p.id_a AND p.id_b = w.node)
+            OR (s1.node = p.id_b AND p.id_a = w.node))
+    """
+
+
 def _simhash_pairs_sql(max_hamming: int = 6, nbits: int = 64) -> str:
     """ops/dedup.simhash_batch reproduced bit-exactly in DuckDB: shingle
     hashes (NOT distinct — votes count duplicate shingles) -> splitmix64
@@ -2872,6 +2938,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dup_pairs_lsh": _emb_lsh_sql(threshold=0.4),
         "minhash_dup_pairs_docs": _minhash_pairs_sql(threshold=0.5),
         "minhash_dedup_docs": _minhash_dedup_sql(threshold=0.8),
+        "minhash_dedup_incremental": _incremental_minhash_sql(0.8),
         "simhash_dup_pairs_docs": _simhash_pairs_sql(max_hamming=6),
         "ngram_jaccard_docs": """
             WITH g AS (

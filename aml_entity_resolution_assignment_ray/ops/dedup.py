@@ -26,6 +26,10 @@
                           how many of its distinct token n-grams occur
                           in >= 2 docs (gram-digest doc-frequency via
                           one combiner-reduced shuffle + one semi-join)
+* incremental_exact_dedup / incremental_minhash_dedup — continuous-
+                          ingestion dedup against a PERSISTED index
+                          (exact content / MinHash signatures);
+                          first-seen wins across increments
 
 Scale contract: all candidate generation is bucketed (never all-pairs
 except ``exact_cosine_pairs``, which is exact by definition), and NO
@@ -413,6 +417,22 @@ def _band_key_table(sig_payload, num_perm: int, bands: int, rows: int):
     return sig_payload.map_batches(emit, batch_format="pandas")
 
 
+def _sig_jaccard_fn(threshold: float, num_perm: int):
+    """Verify kernel shared by every MinHash consumer: estimated
+    Jaccard = fraction of equal signature components."""
+
+    def fn(a, b, pairs_df):
+        if a is None or not len(pairs_df):
+            return pairs_df.assign(jaccard=np.zeros(len(pairs_df)))
+        A = _sig_matrix(a["sig"], num_perm)
+        B = _sig_matrix(b["sig"], num_perm)
+        jac = (A == B).mean(axis=1)
+        out = pairs_df.assign(jaccard=jac)
+        return out[out["jaccard"] >= threshold].reset_index(drop=True)
+
+    return fn
+
+
 def minhash_lsh_dup_pairs(ds, col: str = "text", id_col: str = "doc_id",
                           threshold: float = 0.7, num_perm: int = 128,
                           cfg: EngineConfig = DEFAULT_CONFIG,
@@ -426,17 +446,9 @@ def minhash_lsh_dup_pairs(ds, col: str = "text", id_col: str = "doc_id",
                            n_rows=n_docs * bands)
     if not verify:
         return pairs
-
-    def fn(a, b, pairs_df):
-        if a is None or not len(pairs_df):
-            return pairs_df.assign(jaccard=np.zeros(len(pairs_df)))
-        A = _sig_matrix(a["sig"], num_perm)
-        B = _sig_matrix(b["sig"], num_perm)
-        jac = (A == B).mean(axis=1)
-        out = pairs_df.assign(jaccard=jac)
-        return out[out["jaccard"] >= threshold].reset_index(drop=True)
-
-    return _verify_pairs(pairs, sig, ["sig"], fn, cfg, n_docs=n_docs)
+    return _verify_pairs(pairs, sig, ["sig"],
+                         _sig_jaccard_fn(threshold, num_perm), cfg,
+                         n_docs=n_docs)
 
 
 def minhash_dedup(ds, col: str = "text", id_col: str = "doc_id",
@@ -1111,4 +1123,132 @@ def read_dedup_index(index_path: str):
         raise FileNotFoundError(
             f"no dedup index shards under {index_path!r} — run "
             "incremental_exact_dedup first")
+    return rd.read_parquet(files)
+
+
+# --------------------------------------------------------------------------
+# incremental NEAR-dedup (MinHash-band index over continuous ingestion)
+# --------------------------------------------------------------------------
+
+
+def incremental_minhash_dedup(new_ds, index_path: str, col: str = "text",
+                              id_col: str = "doc_id",
+                              threshold: float = 0.8, num_perm: int = 128,
+                              cfg: EngineConfig = DEFAULT_CONFIG):
+    """Streaming-ingest NEAR-dedup: near-dedup one increment against a
+    PERSISTED MinHash signature index, append the surviving signatures,
+    return the survivors as (doc, sig).
+
+    ``incremental_exact_dedup`` lifted from exact text equality to
+    signature Jaccard >= threshold (first-seen wins across increments):
+
+    1. WITHIN the increment: union-find over verified LSH pairs — the
+       (string-)min id of each near-dup component survives (exactly
+       ``minhash_dedup``'s keep set, restricted to the increment).
+    2. ACROSS increments: a within-survivor with a verified pair to ANY
+       indexed doc is a near-copy of already-seen content and drops —
+       transitively so, since its within-increment followers already
+       collapsed into it in step 1.
+
+    Index layout mirrors ``incremental_exact_dedup``:
+    ``index_path/inc_NNNNN/`` append-only parquet shards of (doc, sig);
+    band keys re-derive from the stored signatures at ingest time (a
+    vectorized map), so persisted state is exactly one signature per
+    surviving doc.  Doc ids must be globally unique across increments
+    (same single-writer contract as the exact variant).
+
+    Scale shape: candidates against the index come from ONE hash join
+    of the two band-key tables on the band key — an LSH bucket's
+    new x old fanout is the bucket size, small by construction at any
+    corpus size — and signature hydration rides the gated
+    broadcast-or-join path every other verify stage uses.  The index is
+    only ever read as a Dataset; nothing driver-sized."""
+    import glob as _glob
+
+    import ray.data as rd
+
+    from .relational import anti_join, semi_join
+
+    bands, rows = mh.optimal_param(threshold, num_perm)
+    sig = _sig_table(new_ds, col, id_col, num_perm)
+    n_new = sig.count()
+    fn = _sig_jaccard_fn(threshold, num_perm)
+
+    # 1. within-increment near-dedup: keep each component's min id
+    pairs = generate_pairs(_band_key_table(sig, num_perm, bands, rows),
+                           cfg, n_rows=n_new * bands)
+    verified = _verify_pairs(pairs, sig, ["sig"], fn, cfg, n_docs=n_new) \
+        .select_columns(["id_a", "id_b"])
+    ids = sig.map_batches(
+        lambda df: pd.DataFrame({"conv_id": df["doc"]}),
+        batch_format="pandas")
+    labels = connected_components(verified, ids, cfg)
+    keep = labels.map_batches(
+        lambda df: df.loc[df["node"] == df["label"], ["node"]]
+        .rename(columns={"node": "doc"}),
+        batch_format="pandas").materialize()
+    surv = semi_join(sig, keep, on=["doc"], cfg=cfg,
+                     right_rows=keep.count())
+
+    # 2. across increments: drop survivors near-duplicating the index
+    os.makedirs(index_path, exist_ok=True)
+    shards = sorted(_glob.glob(os.path.join(index_path, "inc_*")))
+    files = sorted(f for s in shards
+                   for f in _glob.glob(os.path.join(s, "*.parquet")))
+    if files:
+        surv = surv.materialize()
+        n_surv = surv.count()
+        index = rd.read_parquet(files)
+        n_old = index.count()
+
+        def band_side(payload, out_col):
+            return _band_key_table(payload, num_perm, bands, rows) \
+                .map_batches(
+                    lambda df, c=out_col: df[["key_value", "conv_id"]]
+                    .rename(columns={"conv_id": c}),
+                    batch_format="pandas")
+
+        # per-block distinct only — a pair surviving in two partitions
+        # (it shared two band keys) merely verifies twice; the drop set
+        # below is distinct regardless
+        cand = safe_join(
+            band_side(surv, "id_a"), band_side(index, "id_b"), "inner",
+            cfg.resolve_join_partitions(), ("key_value",)) \
+            .map_batches(
+                lambda df: df[["id_a", "id_b"]].drop_duplicates(),
+                batch_format="pandas")
+        dup = _verify_pairs(cand, surv.union(index), ["sig"], fn, cfg,
+                            n_docs=n_surv + n_old)
+        drop = dup.map_batches(
+            lambda df: pd.DataFrame({"doc": pd.unique(df["id_a"])}),
+            batch_format="pandas").materialize()
+        surv = anti_join(surv, drop, on=["doc"], cfg=cfg,
+                         right_rows=drop.count())
+    surv = surv.materialize()
+    if surv.count():
+        k = len(shards)
+        while True:
+            out_dir = os.path.join(index_path, f"inc_{k:05d}")
+            try:
+                os.makedirs(out_dir, exist_ok=False)
+                break
+            except FileExistsError:
+                k += 1
+        surv.write_parquet(out_dir)
+    return surv
+
+
+def read_minhash_index(index_path: str):
+    """The accumulated (doc, sig) survivor signatures across ingests."""
+    import glob as _glob
+
+    import ray.data as rd
+
+    files = sorted(
+        f for s in sorted(_glob.glob(os.path.join(index_path, "inc_*")))
+        for f in _glob.glob(os.path.join(s, "*.parquet")))
+    if not files:
+        raise FileNotFoundError(
+            f"no minhash index shards under {index_path!r} — run "
+            "incremental_minhash_dedup first")
     return rd.read_parquet(files)

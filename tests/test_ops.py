@@ -1747,6 +1747,57 @@ def test_incremental_exact_dedup(ray_session, tmp_path):
     assert s2j["text"].tolist() == ["ccc"] and s2j["doc_id"].tolist() == [2]
 
 
+def test_incremental_minhash_dedup(ray_session, tmp_path):
+    """Near-dedup over continuous ingestion: within an increment the
+    min-id member of each verified-pair component survives; across
+    increments first-seen wins (a later near-copy of indexed content
+    drops, transitively); re-ingesting seen content appends nothing;
+    the forced shuffle/join path agrees with the broadcast path."""
+    import ray.data as rd
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the green forest tonight")
+    other = ("completely different content about distributed data "
+             "processing engines with ray datasets")
+    novel = ("a totally novel document with fresh words never seen "
+             "before in this corpus anywhere")
+    idx = str(tmp_path / "mh_idx")
+    inc1 = pd.DataFrame({
+        "doc_id": np.array([10, 11, 12], dtype=np.int64),
+        "text": [base, base.replace("tonight", "tonite"), other]})
+    inc2 = pd.DataFrame({
+        "doc_id": np.array([20, 21, 22], dtype=np.int64),
+        "text": [other.replace("engines", "engine"), novel,
+                 novel + " ok"]})
+
+    s1 = dedup.incremental_minhash_dedup(rd.from_pandas(inc1), idx,
+                                         cfg=CFG).to_pandas()
+    assert sorted(s1["doc"]) == ["10", "12"]      # 11 near-dups 10
+    s2 = dedup.incremental_minhash_dedup(rd.from_pandas(inc2), idx,
+                                         cfg=CFG).to_pandas()
+    # 20 near-dups indexed 12; 22 near-dups 21 within the increment
+    assert sorted(s2["doc"]) == ["21"]
+    acc = dedup.read_minhash_index(idx).to_pandas()
+    assert sorted(acc["doc"]) == ["10", "12", "21"]
+
+    # same content under new ids: everything already seen, no shard
+    s3 = dedup.incremental_minhash_dedup(
+        rd.from_pandas(inc1.assign(
+            doc_id=np.array([30, 31, 32], dtype=np.int64))), idx, cfg=CFG)
+    assert s3.count() == 0
+    assert sorted(dedup.read_minhash_index(idx).to_pandas()["doc"]) == \
+        ["10", "12", "21"]
+
+    # forced shuffle path (broadcast + gather gates zeroed) agrees
+    idx2 = str(tmp_path / "mh_idx2")
+    cfg_j = EngineConfig(model_path="", join_num_partitions=4,
+                         broadcast_max_rows=0, gather_max_keys=0)
+    dedup.incremental_minhash_dedup(rd.from_pandas(inc1), idx2, cfg=cfg_j)
+    s2j = dedup.incremental_minhash_dedup(rd.from_pandas(inc2), idx2,
+                                          cfg=cfg_j).to_pandas()
+    assert sorted(s2j["doc"]) == ["21"]
+
+
 def test_pack_sequence_texts(ray_session):
     """Materialized windows equal chunking each shard's concatenated
     stream; all but the last window per shard are full length."""

@@ -29,6 +29,7 @@ SUBSET = [
     "hourly_user_events",
     "exact_dedup_docs",
     "exact_dedup_incremental",
+    "minhash_dedup_incremental",
     "doc_token_counts",
     "doc_repetition",
     "doc_line_dedup",
