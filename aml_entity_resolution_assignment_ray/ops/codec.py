@@ -6,7 +6,10 @@ real PNG, and the uncompressed containers need only numpy — so
 
 * PNG — 8-bit gray/RGB/gray+alpha/RGBA, non-interlaced: zlib-inflated
   IDAT, per-scanline unfiltering (None/Sub/Up vectorized; Average/Paeth
-  within-row loops).  JPEG stays stubbed (a DCT codec is out of scope).
+  within-row loops).
+* JPEG — baseline/extended-sequential Huffman DCT (ops/jpeg.py): LUT
+  Huffman entropy decode, batched-matmul IDCT, any chroma subsampling,
+  restart intervals.  Progressive/arithmetic raise NotImplementedError.
 
 * BMP — 24-bit BI_RGB (the classic Windows DIB): 14-byte file header,
   BITMAPINFOHEADER (or any >= 40-byte DIB header), BGR pixel rows padded
@@ -394,12 +397,20 @@ def encode_y4m(luma_frames, fps: str = "25:1") -> bytes:
     return b"".join(parts)
 
 
+def _decode_jpeg(payload: bytes):
+    from .jpeg import decode_jpeg
+
+    return decode_jpeg(payload)
+
+
 #: mime -> decoder for the formats the strict DecodeImage path supports
 DECODERS = {
     "image/bmp": decode_bmp,
     "image/x-ms-bmp": decode_bmp,
     "image/x-portable-pixmap": decode_ppm,
     "image/png": decode_png,
+    "image/jpeg": _decode_jpeg,
+    "image/jpg": _decode_jpeg,
 }
 
 #: mime -> decoder for the strict DecodeAudio path

@@ -5,12 +5,13 @@ metadata columns (mime, width/height or sample rate, n_frames).  The
 decode / feature-extract / resize / frame-sample stages are ACTOR-POOL
 ``map_batches`` steps whose Ray-side plumbing (schema, batch sizing,
 actor signature, output layout) is real and tested.  Decode is REAL
-for 24-bit BMP, binary PPM and 8-bit PNG (stdlib zlib), integer-PCM
-WAV, and Y4M/YUV4MPEG2 video frame sampling — the in-repo codecs in
+for 24-bit BMP, binary PPM, 8-bit PNG (stdlib zlib), baseline JPEG
+(ops/jpeg.py — LUT Huffman + batched-matmul IDCT), integer-PCM WAV,
+and Y4M/YUV4MPEG2 video frame sampling — the in-repo codecs in
 ops/codec.py; only the formats that genuinely need an external
-library (JPEG, MP3, MP4) stay behind ``NotImplementedError`` (strict)
-or the deterministic fake decoder (``fake=True``) whose output
-shape/dtype matches a real decode.
+library (progressive JPEG, WebP, MP3, MP4) stay behind
+``NotImplementedError`` (strict) or the deterministic fake decoder
+(``fake=True``) whose output shape/dtype matches a real decode.
 
 Batch sizes for binary payloads must be SMALL: ``batch_size`` here is
 rows, and a row can be megabytes — size so batch x concurrency fits the
@@ -68,9 +69,10 @@ class DecodeImage:
     column + shape columns).
 
     Strict mode (``fake=False``) REALLY decodes the formats the in-repo
-    codec supports (24-bit BMP, binary PPM, and 8-bit PNG via stdlib
-    zlib — ops/codec.py) and raises NotImplementedError only for mimes
-    that genuinely need an external library (JPEG).  ``fake=True``
+    codec supports (24-bit BMP, binary PPM, 8-bit PNG via stdlib zlib,
+    baseline JPEG — ops/codec.py, ops/jpeg.py) and raises
+    NotImplementedError only for mimes that genuinely need an external
+    library (WebP, progressive JPEG).  ``fake=True``
     substitutes the deterministic payload-digest stand-in for ANY mime,
     which is what the value oracle replays.  The decode loop is per row
     by nature — a ragged binary payload is the codec's unit of work —

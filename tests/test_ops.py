@@ -734,9 +734,19 @@ def test_media_pipeline_strict_bmp(ray_session):
         out_w=4, out_h=4)).to_pandas()
     assert len(feats) == 4 and all(len(f) == 14 for f in feats["features"])
 
-    # library-gated mimes stay honestly stubbed (PNG is real now — only
-    # JPEG-class formats raise), and garbage bytes under a real-codec
-    # mime fail loudly rather than decode
+    # library-gated mimes stay honestly stubbed (PNG and JPEG are real
+    # now — only formats with no in-repo codec raise), and garbage
+    # bytes under a real-codec mime fail loudly rather than decode
+    webp = pa.table({
+        "media_id": ["w0"], "mime": ["image/webp"],
+        "payload": pa.array([b"RIFFjunkWEBP"], pa.binary()),
+        "width": pa.array([4], pa.int32()),
+        "height": pa.array([4], pa.int32()),
+        "n_frames": pa.array([1], pa.int32()),
+    })
+    with pytest.raises(Exception, match="no in-repo codec"):
+        multimodal.decode_images(rd.from_arrow(webp),
+                                 fake=False).materialize()
     jpeg = pa.table({
         "media_id": ["j0"], "mime": ["image/jpeg"],
         "payload": pa.array([b"\xff\xd8\xff\xe0junk"], pa.binary()),
@@ -744,7 +754,7 @@ def test_media_pipeline_strict_bmp(ray_session):
         "height": pa.array([4], pa.int32()),
         "n_frames": pa.array([1], pa.int32()),
     })
-    with pytest.raises(Exception, match="no in-repo codec"):
+    with pytest.raises(Exception, match="JPEG"):
         multimodal.decode_images(rd.from_arrow(jpeg),
                                  fake=False).materialize()
     bad_png = rd.from_arrow(multimodal.make_fake_media_table(n=3)) \
@@ -864,6 +874,103 @@ def test_media_pipeline_strict_png(ray_session):
         assert np.array_equal(
             np.asarray(out.loc[i, "pixels"], dtype=np.uint8)
             .reshape(shape), r["_truth"])
+
+
+def test_jpeg_codec():
+    """Baseline JPEG round-trips within DCT rounding error at unit
+    quantization (RGB 4:4:4, grayscale, 4:2:0 on chroma-constant
+    cells, restart intervals); 16-bit DQT parses; progressive and
+    garbage payloads raise."""
+    from aml_entity_resolution_assignment_ray.ops.jpeg import (
+        decode_jpeg, encode_jpeg)
+
+    rng = np.random.RandomState(51)
+    img = rng.randint(0, 256, size=(24, 17, 3), dtype=np.uint8)
+
+    # unit quant: only DCT-coefficient rounding separates the round trip
+    dec = decode_jpeg(encode_jpeg(img))
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img).max() <= 4
+    assert np.abs(dec.astype(int) - img).mean() <= 1.0
+
+    # grayscale replicates to the codec-agnostic 3-channel layout
+    g = rng.randint(0, 256, size=(9, 13), dtype=np.uint8)
+    dg = decode_jpeg(encode_jpeg(g))
+    assert dg.shape == (9, 13, 3)
+    assert np.array_equal(dg[:, :, 0], dg[:, :, 1])
+    assert np.abs(dg[:, :, 0].astype(int) - g).max() <= 4
+
+    # 4:2:0: 2x2-constant color cells make subsample+replicate lossless
+    cells = rng.randint(0, 256, size=(12, 10, 3), dtype=np.uint8)
+    big = np.repeat(np.repeat(cells, 2, axis=0), 2, axis=1)
+    d420 = decode_jpeg(encode_jpeg(big, subsample=True))
+    assert d420.shape == big.shape
+    assert np.abs(d420.astype(int) - big).max() <= 4
+
+    # restart intervals: RST markers + DC-predictor resets decode
+    dr = decode_jpeg(encode_jpeg(img, restart_interval=2))
+    assert np.abs(dr.astype(int) - img).max() <= 4
+
+    # a real quantizer: lossy but structurally sound
+    q = np.full((8, 8), 16)
+    q[0, 0] = 8
+    dq = decode_jpeg(encode_jpeg(img, quant=q))
+    assert dq.shape == img.shape
+    assert np.abs(dq.astype(int) - img).mean() <= 16
+
+    # 16-bit (pq=1) DQT: widen the 8-bit table in place and re-decode
+    enc = encode_jpeg(img)
+    i = enc.find(b"\xff\xdb")
+    z8 = enc[i + 5:i + 69]                     # 64 zigzag entries
+    wide = (enc[:i] + b"\xff\xdb" + (2 + 1 + 128).to_bytes(2, "big")
+            + b"\x10"                           # pq=1, tq=0
+            + b"".join(bytes([0, v]) for v in z8) + enc[i + 69:])
+    assert np.array_equal(decode_jpeg(wide), dec)
+
+    with pytest.raises(NotImplementedError, match="SOF"):
+        bad = bytearray(enc)
+        j = enc.find(b"\xff\xc0")
+        bad[j + 1] = 0xC2                      # flip SOF0 -> progressive
+        decode_jpeg(bytes(bad))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"not a jpeg")
+    with pytest.raises(ValueError, match="ended before SOS"):
+        decode_jpeg(b"\xff\xd8\xff\xe0junk")
+
+
+def test_media_pipeline_strict_jpeg(ray_session):
+    """Real JPEG bytes through the strict actor-pool decode stage and
+    the downstream resize/features stages."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.jpeg import (
+        decode_jpeg, encode_jpeg)
+    from aml_entity_resolution_assignment_ray.util import stateful_map
+
+    rng = np.random.RandomState(61)
+    rows = []
+    for i, (h, w) in enumerate([(16, 16), (9, 14), (8, 8)]):
+        arr = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        payload = encode_jpeg(arr, subsample=(i == 1),
+                              restart_interval=(3 if i == 2 else 0))
+        rows.append({"media_id": i, "payload": payload, "width": w,
+                     "height": h, "mime": "image/jpeg",
+                     "_truth": decode_jpeg(payload)})
+    ds = rd.from_pandas(pd.DataFrame(
+        [{k: v for k, v in r.items() if k != "_truth"} for r in rows]))
+    out = stateful_map(ds, multimodal.DecodeImage, (False,),
+                       batch_format="pandas").to_pandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    for i, r in enumerate(rows):
+        shape = tuple(out.loc[i, "shape"])
+        assert shape == r["_truth"].shape
+        assert np.array_equal(
+            np.asarray(out.loc[i, "pixels"], dtype=np.uint8)
+            .reshape(shape), r["_truth"])
+    feats = multimodal.image_features(multimodal.resize_images(
+        stateful_map(ds, multimodal.DecodeImage, (False,),
+                     batch_format="pandas"), out_w=4, out_h=4)).to_pandas()
+    assert len(feats) == 3 and all(len(f) == 14 for f in feats["features"])
 
 
 def test_y4m_codec():
