@@ -59,6 +59,16 @@ class EngineConfig:
     broadcast_max_rows: int = field(
         default_factory=lambda: _env_int("ER_BROADCAST_MAX_ROWS", 2_000_000)
     )
+    # Above this many payload docs, ops/dedup._verify_pairs reduces the
+    # hydration payload to pair-REFERENCED rows first (one broadcast
+    # key-set isin pass — near-dup candidates are typically a small
+    # fraction of the corpus, so every downstream hydration byte shrinks
+    # by the non-candidate fraction).  Below it the reduction's two
+    # small materializations cost more than they save.
+    verify_prefilter_min_docs: int = field(
+        default_factory=lambda: _env_int("ER_VERIFY_PREFILTER_MIN_DOCS",
+                                         100_000)
+    )
     # 0 = auto: ~2 partitions per cluster CPU, clamped to [4, 256]. Fixed
     # values >0 override (a real multi-node run should set this to a few
     # x total cores).

@@ -281,6 +281,7 @@ def band_keys(sigs: np.ndarray, bands: int, rows: int) -> np.ndarray:
     """
     n = sigs.shape[0]
     out = np.empty((n, bands), dtype=np.uint64)
+    sigs = sigs.astype(np.uint64, copy=False)   # u32-stored sigs upcast once
     with np.errstate(over="ignore"):
         for bi in range(bands):
             h = _FNV_OFF ^ np.uint64(bi)

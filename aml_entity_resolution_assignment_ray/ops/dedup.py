@@ -323,7 +323,32 @@ def _verify_pairs(pairs, payload, payload_cols, fn,
       are shipped to an actor pool; fetched once per actor, zero
       re-shipping per batch, nothing on the driver.
     * join: two hash-shuffle joins hydrate the payload columns onto the
-      pair table — the 100-TB path."""
+      pair table — the 100-TB path.
+
+    Above ``cfg.verify_prefilter_min_docs`` payload rows, the payload is
+    first reduced to the docs the pair table actually references (the
+    candidate fraction — typically small): the distinct pair-id set is
+    broadcast once and the payload passes through one vectorized isin
+    (``semi_join``'s broadcast path — NO shuffle), so every downstream
+    hydration byte (per-actor broadcast fetch, or join shuffle volume)
+    shrinks by the non-candidate fraction.  Skipped when the id set
+    itself exceeds the broadcast gate (then nothing is saved) or on
+    small payloads (two extra materializations would dominate)."""
+    if (cfg.verify_prefilter_min_docs > 0
+            and n_docs > cfg.verify_prefilter_min_docs):
+        from .relational import semi_join
+
+        pairs = pairs.materialize()
+        ids = pairs.map_batches(
+            lambda df: pd.DataFrame({"doc": pd.unique(np.concatenate(
+                [df["id_a"].to_numpy(dtype=object),
+                 df["id_b"].to_numpy(dtype=object)]))}),
+            batch_format="pandas").materialize()
+        n_ids = ids.count()
+        if n_ids <= cfg.broadcast_max_rows:
+            payload = semi_join(payload, ids, on=["doc"], cfg=cfg,
+                                right_rows=n_ids).materialize()
+            n_docs = payload.count()
     strategy = cfg.hydrate_strategy
     if strategy == "auto":
         strategy = "broadcast" if n_docs <= cfg.broadcast_max_rows else "join"
@@ -373,13 +398,19 @@ def _verify_pairs(pairs, payload, payload_cols, fn,
 
 def _sig_table(ds, col: str, id_col: str, num_perm: int):
     """documents -> materialized (doc, sig) payload; signatures are
-    computed ONCE and reused for both banding and verification."""
+    computed ONCE and reused for both banding and verification.
+
+    Stored as uint32: every MinHash component is already reduced mod
+    2^32 (functions/minhash.py universal hash), so narrowing the uint64
+    kernel output is value-exact and HALVES every byte the signature
+    table moves (materialized blocks, per-actor broadcast fetches, join
+    shuffle volume)."""
 
     def collect(df: pd.DataFrame) -> pd.DataFrame:
         sigs = mh.minhash_batch(df[col].fillna("").to_numpy(), num_perm)
         return pd.DataFrame({
             "doc": df[id_col].astype(str),
-            "sig": [s.tobytes() for s in sigs],
+            "sig": [s.astype(np.uint32).tobytes() for s in sigs],
         })
 
     return ds.map_batches(collect, batch_format="pandas").materialize()
@@ -387,7 +418,7 @@ def _sig_table(ds, col: str, id_col: str, num_perm: int):
 
 def _sig_matrix(col: pd.Series, num_perm: int) -> np.ndarray:
     buf = b"".join(col.to_numpy(dtype=object))
-    return np.frombuffer(buf, dtype=np.uint64).reshape(-1, num_perm)
+    return np.frombuffer(buf, dtype=np.uint32).reshape(-1, num_perm)
 
 
 def _band_key_table(sig_payload, num_perm: int, bands: int, rows: int):

@@ -93,6 +93,28 @@ def test_verify_join_strategy_agrees_with_broadcast(ray_session):
         assert key(a) == key(b)
 
 
+def test_verify_prefilter_agrees(ray_session):
+    """The referenced-payload prefilter (forced on with a zero-ish
+    threshold) yields exactly the unfiltered result, on both hydration
+    strategies and with the pair-id broadcast gate forced past (the
+    skip branch)."""
+    texts = _corpus(50)
+    ds = _docs_ds(texts)
+    base = dedup.minhash_lsh_dup_pairs(ds, threshold=0.5, cfg=CFG) \
+        .to_pandas()[["id_a", "id_b"]]
+    key = lambda df: sorted(map(tuple, df.values.tolist()))
+    for kw in (
+        {"verify_prefilter_min_docs": 1},
+        {"verify_prefilter_min_docs": 1, "hydrate_strategy": "join"},
+        {"verify_prefilter_min_docs": 1, "broadcast_max_rows": 0,
+         "hydrate_strategy": "join"},          # id set > gate: skip branch
+    ):
+        cfg = EngineConfig(model_path="", join_num_partitions=4, **kw)
+        got = dedup.minhash_lsh_dup_pairs(ds, threshold=0.5, cfg=cfg) \
+            .to_pandas()[["id_a", "id_b"]]
+        assert key(got) == key(base), kw
+
+
 def test_simhash_banding_lossless_any_hamming(ray_session):
     """Pigeonhole recall: every pair within max_hamming=6 must surface
     (the old fixed 4x16 layout silently lost hamming 4-6 pairs)."""
