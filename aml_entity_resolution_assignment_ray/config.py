@@ -85,6 +85,14 @@ class EngineConfig:
     gather_max_keys: int = field(
         default_factory=lambda: _env_int("ER_GATHER_MAX_KEYS", 500_000)
     )
+    # Companion gate on pair-EMISSION volume: a key table can be small in
+    # rows yet quadratic in output (semantic-dedup cells emit C(cell,2)
+    # pairs each — 500k rows in 256-row cells is 64M pairs, ~8 GB in one
+    # gathered task).  Callers that can bound their emission pass
+    # ``est_pairs``; the gather path is taken only when BOTH gates pass.
+    gather_max_pairs: int = field(
+        default_factory=lambda: _env_int("ER_GATHER_MAX_PAIRS", 2_000_000)
+    )
 
     def resolve_join_partitions(self) -> int:
         if self.join_num_partitions > 0:

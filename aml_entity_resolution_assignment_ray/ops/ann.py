@@ -258,9 +258,20 @@ def build_ivf(ds, ncells: int | None = 16, vec_col: str = "embedding",
                   "centroid": pa.array([list(map(float, c)) for c in C],
                                        pa.list_(pa.float64()))}),
         os.path.join(index_path, "centroids.parquet"))
-    stateful_map(ds, Assign, (cref,), batch_format="pandas") \
-        .write_parquet(os.path.join(index_path, "cells"),
-                       partition_cols=["_cell"])
+    assignment = stateful_map(ds, Assign, (cref,), batch_format="pandas")
+    if len(C) > 1024:
+        # pyarrow's write_dataset refuses one fragment spanning >1024
+        # partition dirs; hash-shuffling by cell first caps a write
+        # task's distinct cells at ~ncells/nparts — and gives every
+        # cell a contiguous file set (one writer per cell) instead of
+        # one fragment per (cell x write task), which is also the
+        # layout the probe's pruned reads want at scale
+        from ..config import DEFAULT_CONFIG
+
+        assignment = assignment.repartition(
+            DEFAULT_CONFIG.resolve_join_partitions(), keys=["_cell"])
+    assignment.write_parquet(os.path.join(index_path, "cells"),
+                             partition_cols=["_cell"])
     return IVFIndex(C, index_path, vec_col=vec_col, id_col=id_col)
 
 

@@ -315,7 +315,7 @@ class _BroadcastVerify:
 
 
 def _verify_pairs(pairs, payload, payload_cols, fn,
-                  cfg: EngineConfig, n_docs: int):
+                  cfg: EngineConfig, n_docs: int, prefilter: bool = True):
     """pairs (id_a, id_b) + payload (doc, *payload_cols) -> verified
     pairs via ``fn(a_rows, b_rows, pairs) -> filtered pairs``.
 
@@ -333,8 +333,12 @@ def _verify_pairs(pairs, payload, payload_cols, fn,
     hydration byte (per-actor broadcast fetch, or join shuffle volume)
     shrinks by the non-candidate fraction.  Skipped when the id set
     itself exceeds the broadcast gate (then nothing is saved) or on
-    small payloads (two extra materializations would dominate)."""
-    if (cfg.verify_prefilter_min_docs > 0
+    small payloads (two extra materializations would dominate).
+    Callers whose pair table references (almost) EVERY payload doc by
+    construction — semantic dedup emits all-pairs per cell, so every id
+    appears — pass ``prefilter=False``: there the reduction saves zero
+    bytes and its pair-table materialization is pure cost."""
+    if (prefilter and cfg.verify_prefilter_min_docs > 0
             and n_docs > cfg.verify_prefilter_min_docs):
         from .relational import semi_join
 
@@ -914,6 +918,15 @@ def semdedup_pairs(ds, *, vec_col: str = "embedding",
             ds.map_batches(lambda df: pd.DataFrame(
                 {"key_type": [], "key_value": [], "conv_id": []}),
                 batch_format="pandas"), cfg)
+    if ncells is None:
+        # bounded-CELL-SIZE default, not build_ivf's sqrt(n): semantic
+        # dedup emits C(cell, 2) candidates per cell, so total pair
+        # volume is ~ n * cell / 2 — fixing cell ~256 keeps it LINEAR
+        # in n, where sqrt(n) cells (cell = sqrt(n)) makes it n^1.5:
+        # 2.8x the hydrated verify volume at 500k (177M vs 64M pairs),
+        # 27x at 50M, unbounded beyond (measured at 100k: 1.86x wall,
+        # 88.8s vs 47.8s — scripts/big_corpus_bench.py vectors mode)
+        ncells = int(min(max(n_docs // 256, 4), 65_536))
     idx = build_ivf(ds, ncells=ncells, vec_col=vec_col, id_col=id_col,
                     seed=seed, index_path=index_path)
     cref = ray.put(idx.centroids)
@@ -939,7 +952,10 @@ def semdedup_pairs(ds, *, vec_col: str = "embedding",
             })
 
     keyed = stateful_map(vecs, EmitCell, (cref,), batch_format="pandas")
-    pairs = generate_pairs(keyed, cfg, n_rows=n_docs)
+    # expected emission ~ n * mean_cell / 2 — quadratic per cell, so the
+    # row-count gather gate alone would misfire (see generate_pairs)
+    pairs = generate_pairs(keyed, cfg, n_rows=n_docs,
+                           est_pairs=n_docs * max(n_docs // ncells, 1) // 2)
 
     def fn(a, b, pairs_df):
         if a is None or not len(pairs_df):
@@ -948,7 +964,11 @@ def semdedup_pairs(ds, *, vec_col: str = "embedding",
         out = pairs_df.assign(cosine=cos)
         return out[out["cosine"] >= threshold].reset_index(drop=True)
 
-    return _verify_pairs(pairs, vecs, ["vec"], fn, cfg, n_docs=n_docs)
+    # prefilter=False: every cell emits all-pairs, so the pair table
+    # references every payload doc — the referenced-id reduction saves
+    # nothing and would materialize the (quadratic-per-cell) pair table
+    return _verify_pairs(pairs, vecs, ["vec"], fn, cfg, n_docs=n_docs,
+                         prefilter=False)
 
 
 def semantic_dedup(ds, *, vec_col: str = "embedding",

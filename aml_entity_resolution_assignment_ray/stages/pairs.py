@@ -401,7 +401,8 @@ def _expand_salted(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def generate_pairs(keys, cfg: EngineConfig = DEFAULT_CONFIG,
-                   n_rows: int | None = None, salt: bool | None = None):
+                   n_rows: int | None = None, salt: bool | None = None,
+                   est_pairs: int | None = None):
     """key table Dataset -> distinct candidate pair Dataset (id_a, id_b).
 
     Two hash shuffles (co-locate key groups; co-locate pair copies),
@@ -412,6 +413,13 @@ def generate_pairs(keys, cfg: EngineConfig = DEFAULT_CONFIG,
     takes a single-task gather path instead — each Ray 2.49 hash
     shuffle costs ~1s of fixed aggregator-actor setup, which dominates
     small inputs (the same reasoning as broadcast-vs-join hydration).
+
+    ``est_pairs``: the caller's upper bound on EMITTED pairs, when it
+    can compute one (e.g. semantic dedup knows cells emit C(cell,2)
+    each).  Row count alone misgates quadratic emitters — 500k rows in
+    256-row cells emit 64M pairs, an ~8 GB single-task grind — so when
+    ``est_pairs`` exceeds ``cfg.gather_max_pairs`` the gather path is
+    refused regardless of ``n_rows``.
 
     ``salt`` (default ``cfg.salt_pairs``, ON) adds the explicit SALTED
     repartition the north_rule names: groups larger than
@@ -430,7 +438,8 @@ def generate_pairs(keys, cfg: EngineConfig = DEFAULT_CONFIG,
     cap = cfg.pair_emission_cap(salt)
     hashed = keys.map_batches(_hash_keys, batch_format="pandas")
     if (n_rows is not None and cfg.gather_max_keys > 0
-            and n_rows <= cfg.gather_max_keys):
+            and n_rows <= cfg.gather_max_keys
+            and (est_pairs is None or est_pairs <= cfg.gather_max_pairs)):
         return (
             hashed.repartition(1)
             .map_batches(_gathered_pairs, fn_kwargs={"cap": cap},

@@ -150,3 +150,22 @@ def test_gather_gate_disabled_by_zero(ray_session):
     cfg = EngineConfig(max_block_records=100, gather_max_keys=0)
     pairs = generate_pairs(keys, cfg, n_rows=4).to_pandas()
     assert len(pairs) == 6
+
+
+def test_gather_gate_refused_by_emission_estimate(ray_session):
+    """A quadratic emitter (few huge groups) must be routed to the
+    shuffle path by est_pairs even when the ROW count passes the gate —
+    and the result must be identical either way (the 500k-doc semdedup
+    regression: 64M pairs ground through one gathered task)."""
+    rows = [{"conv_id": f"c{i:04d}", "key_type": "t",
+             "key_value": f"k{i % 4}"} for i in range(400)]
+    keys = rd.from_items(rows)
+    cfg = EngineConfig(max_block_records=500, gather_max_pairs=1000)
+    est = 400 * 100 // 2  # 20k > the 1000 gate -> must shuffle
+    shuffled = generate_pairs(keys, cfg, n_rows=400,
+                              est_pairs=est).to_pandas()
+    gathered = generate_pairs(keys, cfg, n_rows=400).to_pandas()
+    assert (set(zip(shuffled["id_a"], shuffled["id_b"]))
+            == set(zip(gathered["id_a"], gathered["id_b"])))
+    assert len(shuffled) == len(set(zip(shuffled["id_a"],
+                                        shuffled["id_b"])))
