@@ -93,6 +93,17 @@ class EngineConfig:
     gather_max_pairs: int = field(
         default_factory=lambda: _env_int("ER_GATHER_MAX_PAIRS", 2_000_000)
     )
+    # IVF probe fast path: when the probed cells' parquet files total at
+    # most this many bytes, IVFIndex.search scans them in-process
+    # (pyarrow read + the same masked top-k numpy kernel) instead of
+    # spinning a Ray Dataset job — ~1s of fixed per-stage setup saved on
+    # every small probe, identical results (pinned by test).  Probes
+    # touching more than this stay distributed.  0 disables the fast
+    # path (always distribute).
+    ivf_local_search_max_bytes: int = field(
+        default_factory=lambda: _env_int("ER_IVF_LOCAL_SEARCH_MAX_BYTES",
+                                         128 << 20)
+    )
 
     def resolve_join_partitions(self) -> int:
         if self.join_num_partitions > 0:

@@ -37,6 +37,26 @@ def _normalize(M: np.ndarray) -> np.ndarray:
     return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
 
 
+def _maybe_get(x):
+    """ray.get for ObjectRefs, identity for raw values — lets the same
+    kernel class serve the distributed actor pool (broadcast refs) and
+    the in-process small-probe fast path (plain arrays)."""
+    return ray.get(x) if isinstance(x, ray.ObjectRef) else x
+
+
+def _merge_topk(cand: pd.DataFrame, k: int, id_col: str,
+                masked: bool) -> pd.DataFrame:
+    """Shared final merge: drop masked sentinels, deterministic
+    (query, -cosine, id) order, top k per query — identical whether the
+    candidates came from one in-process scan or #blocks map tasks."""
+    if masked:
+        cand = cand[cand["cosine"] > _BlockTopK._MASKED + 0.5]
+    cand = cand.sort_values(
+        ["query_idx", "cosine", id_col], ascending=[True, False, True],
+        kind="stable")
+    return cand.groupby("query_idx", sort=True).head(k).reset_index(drop=True)
+
+
 class _BlockTopK:
     """Per-batch exact cosine: batch x queries matmul, local top-k.
 
@@ -49,14 +69,15 @@ class _BlockTopK:
     _MASKED = -2.0  # below any cosine; filtered after the driver merge
 
     def __init__(self, queries_ref, k, vec_col, id_col, mask_ref=None):
-        self.Q = _normalize(np.asarray(ray.get(queries_ref), dtype=np.float64))
+        self.Q = _normalize(np.asarray(_maybe_get(queries_ref),
+                                       dtype=np.float64))
         self.k = k
         self.vec_col = vec_col
         self.id_col = id_col
         if mask_ref is None:
             self.mask = self.C = None
         else:
-            self.mask, C = ray.get(mask_ref)
+            self.mask, C = _maybe_get(mask_ref)
             self.C = _normalize(np.asarray(C, dtype=np.float64))
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
@@ -93,12 +114,7 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
         ds, _BlockTopK, (qref, k, vec_col, id_col, _mask_ref),
         batch_format="pandas", batch_size=batch_size,
     ).to_pandas()          # #blocks x k x n_queries rows — driver-small
-    if _mask_ref is not None:
-        cand = cand[cand["cosine"] > _BlockTopK._MASKED + 0.5]
-    cand = cand.sort_values(
-        ["query_idx", "cosine", id_col], ascending=[True, False, True],
-        kind="stable")
-    return cand.groupby("query_idx", sort=True).head(k).reset_index(drop=True)
+    return _merge_topk(cand, k, id_col, masked=_mask_ref is not None)
 
 
 # ---- IVF ----
@@ -201,12 +217,38 @@ class IVFIndex:
                 self.id_col: pd.Series([], dtype=object),
                 "cosine": pd.Series([], dtype=np.float64),
             })
-        sub = rd.read_parquet(paths, columns=[self.id_col, self.vec_col])
         # (ncells, n_queries) allow-mask; a worker recomputes each row's
         # cell from the (broadcast) centroids — no _cell column needed
         mask = np.zeros((len(self.centroids), len(queries)), dtype=bool)
         for qi in range(len(queries)):
             mask[pm[qi], qi] = True
+        from ..config import DEFAULT_CONFIG
+
+        local_cap = DEFAULT_CONFIG.ivf_local_search_max_bytes
+        if 0 < local_cap and sum(os.path.getsize(p)
+                                 for p in paths) <= local_cap:
+            # small-probe fast path: the probed cells fit comfortably in
+            # the driver — run the SAME kernel (_BlockTopK) and the SAME
+            # merge in-process, skipping ~1s+ of per-stage Ray Dataset
+            # setup.  Bit-identical to the distributed path (pinned by
+            # tests/test_ops.py::test_ivf_local_fast_path_matches).
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            tbl = pa.concat_tables([
+                pq.read_table(p, columns=[self.id_col, self.vec_col])
+                for p in paths])
+            df = tbl.to_pandas()
+            if not len(df):      # probed cells' files were all empty
+                return pd.DataFrame({
+                    "query_idx": pd.Series([], dtype=np.int64),
+                    self.id_col: pd.Series([], dtype=object),
+                    "cosine": pd.Series([], dtype=np.float64),
+                })
+            kern = _BlockTopK(queries, k, self.vec_col, self.id_col,
+                              (mask, self.centroids))
+            return _merge_topk(kern(df), k, self.id_col, masked=True)
+        sub = rd.read_parquet(paths, columns=[self.id_col, self.vec_col])
         mask_ref = ray.put((mask, self.centroids))
         return brute_force_topk(sub, queries, k=k, vec_col=self.vec_col,
                                 id_col=self.id_col, _mask_ref=mask_ref)

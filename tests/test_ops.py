@@ -637,6 +637,33 @@ def test_ivf_error_paths(ray_session, tmp_path):
     assert list(res.columns) == ["query_idx", "vec_id", "cosine"]
 
 
+def test_ivf_local_fast_path_matches(ray_session, monkeypatch):
+    """The small-probe in-process fast path (probed bytes under
+    ivf_local_search_max_bytes) is bit-identical to the distributed
+    Ray Dataset scan — same kernel, same merge, same tie-breaks."""
+    import dataclasses
+
+    from aml_entity_resolution_assignment_ray import config as cfg_mod
+
+    ds, V = _emb_ds(n=300)
+    idx = ann.build_ivf(ds, ncells=12)
+    qs = V[[7, 123, 250]].astype(np.float64)
+    # EngineConfig is frozen: swap the module-level binding (search()
+    # re-imports it per call) rather than mutating the instance.
+    monkeypatch.setattr(
+        cfg_mod, "DEFAULT_CONFIG",
+        dataclasses.replace(cfg_mod.DEFAULT_CONFIG,
+                            ivf_local_search_max_bytes=128 << 20))
+    local = idx.search(qs, k=5, nprobe=3)
+    monkeypatch.setattr(
+        cfg_mod, "DEFAULT_CONFIG",
+        dataclasses.replace(cfg_mod.DEFAULT_CONFIG,
+                            ivf_local_search_max_bytes=0))
+    dist = idx.search(qs, k=5, nprobe=3)
+    pd.testing.assert_frame_equal(local.reset_index(drop=True),
+                                  dist.reset_index(drop=True))
+
+
 # ---- multimodal ----
 
 def test_media_pipeline_fake(ray_session):
