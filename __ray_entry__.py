@@ -1183,6 +1183,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["event_id", "event_type", "value"])
         return grouped_percent_rank(ev, key="event_type", col="value")
 
+    def event_gaps(sf_dir):
+        """LAG window (ops/relational.grouped_lag): every event joined
+        to its user's PREVIOUS event — seconds since the last event
+        and the previous value, NULL on each user's first event.  One
+        hash shuffle on user_id, then a per-block sort + vectorized
+        grouped shift; the inter-event-delta featurization shape."""
+        from aml_entity_resolution_assignment_ray.ops.relational import (
+            grouped_lag,
+        )
+
+        _tune_context()
+        ev = _read(sf_dir, "events").select_columns(
+            ["event_id", "user_id", "ts", "value"])
+        res = grouped_lag(ev, key="user_id", order_cols=["ts", "event_id"],
+                          cols=["ts", "value"])
+
+        def finalize(df: pd.DataFrame) -> pd.DataFrame:
+            ts = df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+            prev = df["prev_ts"]
+            prev_i = prev.to_numpy(dtype="datetime64[us]").astype(np.int64)
+            gap = (ts - prev_i).astype(np.float64) / 1000000.0
+            gap = np.where(prev.isna().to_numpy(), np.nan, gap)
+            return pd.DataFrame({
+                "event_id": df["event_id"].astype("int64"),
+                "user_id": df["user_id"].astype("int64"),
+                "gap_s": gap,
+                "prev_value": df["prev_value"].astype("float64"),
+            })
+
+        return res.map_batches(finalize, batch_format="pandas")
+
     def event_type_approx_users(sf_dir):
         """KMV distinct-count sketch: approximate distinct users per
         event type (ops/sketch.kmv_distinct — k smallest distinct
@@ -1196,6 +1227,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["event_type", "user_id"])
         return kmv_distinct(ev, key="event_type", col="user_id", k=64,
                             out_col="approx_users")
+
+    def event_type_cm_counts(sf_dir):
+        """Count-Min frequency sketch (ops/sketch.cm_frequencies):
+        approximate event count per event_type from a d x w counter
+        table — the table is O(d*w) TOTAL however many distinct keys
+        exist (the exact keyed_sum moves one partial row per
+        block-key), cell-wise mergeable, and never underestimates.
+        Deterministic and exactly SQL-replayable (BIGINT modular
+        hashing + GROUP BY cell + min over rows), so the oracle checks
+        values, not tolerances."""
+        from aml_entity_resolution_assignment_ray.ops.sketch import (
+            cm_frequencies,
+        )
+
+        _tune_context()
+        ev = _read(sf_dir, "events").select_columns(["event_type"])
+        return cm_frequencies(ev, col="event_type", d=4, w=1024,
+                              out_col="approx_count")
 
     def event_value_quantiles_sketch(sf_dir):
         """Bottom-m quantile SKETCH over a continuous unbounded column
@@ -1606,6 +1655,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
         }), "/tmp/er_media/video_motion_decoded.parquet")
         return mm.frame_motion(frames)
 
+    def video_mp4_samples(sf_dir):
+        """REAL MP4 container parse + frame-sample extraction
+        (ops/multimodal.ExtractVideoSamples): the ISO BMFF sample
+        table (box walk, stts/stsz/stsc/stco expansion) locates the k
+        evenly spaced samples and ONLY their byte ranges are sliced
+        from mdat.  Value-oracled end to end against a truth table the
+        GENERATOR wrote (per-sample pts/size/byte-sum, independent of
+        the parser) joined on the replayed (i * n) // k sampling
+        arithmetic — a LEFT JOIN so a mis-parsed sample surfaces as
+        NULL stats, not a dropped row."""
+        _tune_context()
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from aml_entity_resolution_assignment_ray.ops import multimodal as mm
+
+        table, truth = mm.make_mp4_table(n=8, with_truth=True)
+        os.makedirs("/tmp/er_media", exist_ok=True)
+        pq.write_table(
+            pa.table({"media_id": table["media_id"],
+                      "n_frames": table["n_frames"]}),
+            "/tmp/er_media/mp4_meta.parquet")
+        pq.write_table(pa.Table.from_pandas(truth),
+                       "/tmp/er_media/mp4_truth.parquet")
+        res = mm.extract_video_samples(rd.from_arrow(table), k=3,
+                                       fake=False)
+
+        def stats(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "media_id": df["media_id"],
+                "frame_idx": df["frame_idx"].astype("int64"),
+                "pts": df["pts"].astype("int64"),
+                "timescale": df["timescale"].astype("int64"),
+                "codec": df["codec"],
+                "n_bytes": pd.array([len(s) for s in df["sample"]],
+                                    dtype="int64"),
+                "byte_sum": pd.array(
+                    [int(np.frombuffer(s, np.uint8).sum(dtype=np.int64))
+                     for s in df["sample"]], dtype="int64"),
+            })
+
+        return res.map_batches(stats, batch_format="pandas")
+
     def media_meta(sf_dir):
         """Binary-payload plumbing, value-checked: the fake media table
         is written to parquet, read back through Ray as binary-typed
@@ -1738,6 +1831,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_meta": media_meta,
         "video_frames": video_frames,
         "video_motion": video_motion,
+        "video_mp4_samples": video_mp4_samples,
         "lineitem_agg": lineitem_agg,
         "segment_revenue": segment_revenue,
         "nation_acctbal": nation_acctbal,
@@ -1790,9 +1884,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantiles": price_quantiles,
         "events_above_median": events_above_median,
         "event_type_approx_users": event_type_approx_users,
+        "event_type_cm_counts": event_type_cm_counts,
         "hourly_approx_users": hourly_approx_users,
         "event_value_quantiles_sketch": event_value_quantiles_sketch,
         "event_value_pct_rank": event_value_pct_rank,
+        "event_gaps": event_gaps,
         "gram_overlap_est": gram_overlap_est,
     }
 
@@ -3639,6 +3735,16 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY value) AS percent_rank
             FROM events
         """,
+        # gap arithmetic is int64 microseconds -> CAST AS DOUBLE ->
+        # / 1e6 on BOTH sides, so the quotient is the same IEEE double
+        "event_gaps": """
+            SELECT event_id, user_id,
+                   CAST(epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                        AS DOUBLE) / 1000000.0 AS gap_s,
+                   lag(value) OVER w AS prev_value
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
         # KMV overlap replay: 4-gram construction shares the doc_chunks
         # contract; the string hash is the engine's polynomial replayed
         # by list_reduce over codepoints; sketches are ORDER BY hv
@@ -3755,6 +3861,43 @@ def oracle_sql() -> dict[str, str]:
                              ELSE round(63 * 4294967296.0 / hk)
                         END AS BIGINT) AS approx_users
             FROM agg
+        """,
+        # Count-Min replay: the engine's polynomial string hash, then
+        # row i's cell = ((a_i*h + b_i) % (2^31-1)) % w in BIGINT
+        # arithmetic — cells via GROUP BY, estimate = min over rows
+        "event_type_cm_counts": f"""
+            WITH i AS (SELECT unnest([0, 1, 2, 3]) AS row_i),
+            hv AS (
+                SELECT {_poly_hash_sql('event_type')} AS h FROM events
+            ),
+            cells AS (
+                SELECT i.row_i,
+                       ((([892314517, 105891749, 537912851, 1419871283]
+                              [i.row_i + 1] * hv.h
+                          + [330563033, 726012389, 1117280551, 193847297]
+                              [i.row_i + 1])
+                         % 2147483647) % 1024) AS cell,
+                       count(*) AS cnt
+                FROM hv CROSS JOIN i GROUP BY 1, 2
+            ),
+            cand AS (
+                SELECT event_type, {_poly_hash_sql('event_type')} AS h
+                FROM (SELECT DISTINCT event_type FROM events)
+            ),
+            candc AS (
+                SELECT c.event_type, i.row_i,
+                       ((([892314517, 105891749, 537912851, 1419871283]
+                              [i.row_i + 1] * c.h
+                          + [330563033, 726012389, 1117280551, 193847297]
+                              [i.row_i + 1])
+                         % 2147483647) % 1024) AS cell
+                FROM cand c CROSS JOIN i
+            )
+            SELECT cc.event_type,
+                   CAST(min(cl.cnt) AS BIGINT) AS approx_count
+            FROM candc cc
+            JOIN cells cl ON cl.row_i = cc.row_i AND cl.cell = cc.cell
+            GROUP BY 1
         """,
         # bottom-m quantile-sketch replay: the SAME Knuth hash picks the
         # SAME per-group 256-row sample (ties broken by event_id — a
@@ -3948,6 +4091,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(mn AS BIGINT) AS min_luma,
                    CAST(n_pixels AS BIGINT) AS n_pixels
             FROM exp e LEFT JOIN st USING (media_id, frame_idx)
+        """,
+        # MP4 sample extraction: sampling arithmetic replayed from the
+        # metadata; per-sample pts/size/byte-sum from the GENERATOR's
+        # truth table, never the parser's output
+        "video_mp4_samples": """
+            WITH meta AS (
+                SELECT media_id, n_frames
+                FROM read_parquet('/tmp/er_media/mp4_meta.parquet')
+            ),
+            exp AS (
+                SELECT media_id,
+                       (i * CAST(n_frames AS BIGINT))
+                           // least(3, n_frames) AS frame_idx
+                FROM (SELECT media_id, n_frames,
+                             unnest(generate_series(
+                                 0, least(3, n_frames) - 1)) AS i
+                      FROM meta)
+            ),
+            truth AS (
+                SELECT * FROM read_parquet(
+                    '/tmp/er_media/mp4_truth.parquet')
+            )
+            SELECT e.media_id, CAST(e.frame_idx AS BIGINT) AS frame_idx,
+                   CAST(t.pts AS BIGINT) AS pts,
+                   CAST(t.timescale AS BIGINT) AS timescale,
+                   t.codec AS codec,
+                   CAST(t.n_bytes AS BIGINT) AS n_bytes,
+                   CAST(t.byte_sum AS BIGINT) AS byte_sum
+            FROM exp e LEFT JOIN truth t
+              ON t.media_id = e.media_id AND t.sample_idx = e.frame_idx
         """,
         "label_centroids": """
             SELECT CAST(label AS BIGINT) AS label,

@@ -10,6 +10,9 @@ real PNG, and the uncompressed containers need only numpy — so
 * JPEG — baseline/extended-sequential Huffman DCT (ops/jpeg.py): LUT
   Huffman entropy decode, batched-matmul IDCT, any chroma subsampling,
   restart intervals.  Progressive/arithmetic raise NotImplementedError.
+* GIF — 87a/89a first frame: full variable-width LZW (12-bit
+  dictionary, deferred clear), global/local color tables, interlaced
+  row order, sub-screen frames composited at (left, top).
 
 * BMP — 24-bit BI_RGB (the classic Windows DIB): 14-byte file header,
   BITMAPINFOHEADER (or any >= 40-byte DIB header), BGR pixel rows padded
@@ -397,6 +400,453 @@ def encode_y4m(luma_frames, fps: str = "25:1") -> bytes:
     return b"".join(parts)
 
 
+# --------------------------------------------------------------------------
+# MP4 / ISO BMFF container: sample-table parse + sample EXTRACTION.
+# No bitstream decode — H.264/H.265 genuinely needs a video library —
+# but the container work that matters at 100 TB (find the k sampled
+# frames' byte ranges and touch ONLY those) is all box arithmetic.
+# --------------------------------------------------------------------------
+
+
+def _iter_boxes(buf: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for each ISO BMFF box
+    in [start, end): u32be size + 4cc, size==1 -> 64-bit largesize,
+    size==0 -> to end."""
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(buf[pos:pos + 4], "big")
+        typ = bytes(buf[pos + 4:pos + 8])
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError(f"truncated MP4 largesize box {typ!r}")
+            size = int.from_bytes(buf[pos + 8:pos + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError(f"truncated MP4 box {typ!r}")
+        yield typ, pos + hdr, pos + size
+        pos += size
+
+
+def mp4_sample_table(payload: bytes) -> dict:
+    """ISO BMFF (MP4/MOV) -> the VIDEO track's sample table:
+    ``{codec, timescale, n_samples, offsets, sizes, pts, width,
+    height}`` with int64 numpy arrays.  Walks moov/trak/mdia/minf/stbl,
+    picks the first track whose hdlr handler is ``vide``, and expands
+    stts (timestamps), stsz (sizes) and stsc x stco/co64
+    (chunk layout) into absolute per-sample byte ranges — the index a
+    frame sampler needs to read ONLY the sampled frames' bytes."""
+    if len(payload) < 8:
+        raise ValueError("not an MP4 payload (too short)")
+    tracks: list[dict] = []
+
+    def walk(start: int, end: int, into: dict | None):
+        for typ, b, e in _iter_boxes(payload, start, end):
+            if typ == b"trak":
+                t: dict = {}
+                tracks.append(t)
+                walk(b, e, t)
+            elif typ in (b"moov", b"mdia", b"minf", b"stbl"):
+                walk(b, e, into)
+            elif into is not None:
+                into[typ] = (b, e)
+
+    walk(0, len(payload), None)
+    video = None
+    for t in tracks:
+        if b"hdlr" in t:
+            b, e = t[b"hdlr"]
+            if payload[b + 8:b + 12] == b"vide":
+                video = t
+                break
+    if video is None:
+        raise ValueError("MP4 has no video track (hdlr 'vide')")
+    missing = [n.decode() for n in (b"mdhd", b"stsd", b"stts", b"stsz",
+                                    b"stsc")
+               if n not in video]
+    if missing or (b"stco" not in video and b"co64" not in video):
+        raise ValueError(f"MP4 video track missing boxes: "
+                         f"{missing or ['stco/co64']}")
+
+    def u32(o: int) -> int:
+        return int.from_bytes(payload[o:o + 4], "big")
+
+    # mdhd: timescale (v0 at +12, v1 at +20)
+    b, _ = video[b"mdhd"]
+    timescale = u32(b + (20 if payload[b] == 1 else 12))
+
+    # stsd: first sample entry's 4cc is the codec; visual entries carry
+    # width/height at +24/+26 of the entry payload
+    b, e = video[b"stsd"]
+    codec, width, height = "", 0, 0
+    if u32(b + 4) >= 1 and b + 16 <= e:
+        codec = payload[b + 12:b + 16].decode("ascii", "replace")
+        if b + 16 + 28 <= e:
+            width = int.from_bytes(payload[b + 40:b + 42], "big")
+            height = int.from_bytes(payload[b + 42:b + 44], "big")
+
+    # stsz: fixed or per-sample sizes
+    b, e = video[b"stsz"]
+    fixed, n = u32(b + 4), u32(b + 8)
+    if fixed:
+        sizes = np.full(n, fixed, dtype=np.int64)
+    else:
+        if b + 12 + 4 * n > e:
+            raise ValueError("truncated MP4 stsz")
+        sizes = np.frombuffer(payload, dtype=">u4", count=n,
+                              offset=b + 12).astype(np.int64)
+
+    # stco / co64: chunk offsets
+    if b"stco" in video:
+        b, e = video[b"stco"]
+        nch = u32(b + 4)
+        if b + 8 + 4 * nch > e:
+            raise ValueError("truncated MP4 stco")
+        offsets = np.frombuffer(payload, dtype=">u4", count=nch,
+                                offset=b + 8).astype(np.int64)
+    else:
+        b, e = video[b"co64"]
+        nch = u32(b + 4)
+        if b + 8 + 8 * nch > e:
+            raise ValueError("truncated MP4 co64")
+        offsets = np.frombuffer(payload, dtype=">u8", count=nch,
+                                offset=b + 8).astype(np.int64)
+
+    # stsc: (first_chunk, samples_per_chunk) runs -> per-chunk counts
+    b, e = video[b"stsc"]
+    nent = u32(b + 4)
+    ent = np.frombuffer(payload, dtype=">u4", count=3 * nent,
+                        offset=b + 8).astype(np.int64).reshape(nent, 3)
+    per_chunk = np.empty(nch, dtype=np.int64)
+    for i in range(nent):
+        fc = ent[i, 0] - 1
+        last = ent[i + 1, 0] - 1 if i + 1 < nent else nch
+        if not 0 <= fc <= last <= nch:
+            raise ValueError("MP4 stsc chunk runs out of order")
+        per_chunk[fc:last] = ent[i, 1]
+    if per_chunk.sum() != n:
+        raise ValueError(f"MP4 stsc expands to {per_chunk.sum()} samples, "
+                         f"stsz says {n}")
+
+    # absolute per-sample offsets: chunk base + within-chunk cum-size
+    if n:
+        chunk_of = np.repeat(np.arange(nch), per_chunk)
+        cs = np.cumsum(sizes) - sizes
+        starts = np.concatenate(
+            [[0], np.cumsum(per_chunk)[:-1]]).astype(np.int64)
+        within = cs - cs[np.minimum(starts, n - 1)][chunk_of]
+        sample_off = offsets[chunk_of] + within
+        if int((sample_off + sizes).max()) > len(payload):
+            raise ValueError("MP4 sample ranges exceed the payload")
+    else:
+        sample_off = np.zeros(0, dtype=np.int64)
+
+    # stts: (count, delta) runs -> per-sample decode timestamps
+    b, e = video[b"stts"]
+    nrun = u32(b + 4)
+    runs = np.frombuffer(payload, dtype=">u4", count=2 * nrun,
+                         offset=b + 8).astype(np.int64).reshape(nrun, 2)
+    deltas = np.repeat(runs[:, 1], runs[:, 0])
+    if len(deltas) != n:
+        raise ValueError(f"MP4 stts covers {len(deltas)} samples, "
+                         f"stsz says {n}")
+    pts = np.cumsum(deltas) - deltas
+
+    return {"codec": codec, "timescale": int(timescale), "n_samples": int(n),
+            "offsets": sample_off, "sizes": sizes, "pts": pts,
+            "width": width, "height": height}
+
+
+def mp4_extract_samples(payload: bytes, indices,
+                        table: dict | None = None) -> list[bytes]:
+    """The encoded bytes of the video samples at ``indices`` — a byte
+    slice per sample, nothing else of mdat touched."""
+    t = table if table is not None else mp4_sample_table(payload)
+    out = []
+    for i in indices:
+        i = int(i)
+        if not 0 <= i < t["n_samples"]:
+            raise ValueError(f"sample index {i} out of range "
+                             f"0..{t['n_samples'] - 1}")
+        o, s = int(t["offsets"][i]), int(t["sizes"][i])
+        out.append(payload[o:o + s])
+    return out
+
+
+def encode_mp4(samples: list[bytes], *, timescale: int = 600,
+               durations: list[int] | None = None, width: int = 64,
+               height: int = 48, codec: bytes = b"avc1",
+               n_chunks: int = 2) -> bytes:
+    """Structurally valid single-video-track MP4 around the given
+    encoded sample payloads, for tests: real ftyp/mdat/moov box layout,
+    stts run compression, multi-chunk stsc/stco.  The samples are
+    stored verbatim (no encoder exists in-repo), so extraction is
+    byte-exact against the input."""
+    n = len(samples)
+    if durations is None:
+        durations = [100] * n
+    if len(durations) != n:
+        raise ValueError("durations must match samples")
+
+    def box(typ: bytes, data: bytes) -> bytes:
+        return (8 + len(data)).to_bytes(4, "big") + typ + data
+
+    def full(typ: bytes, data: bytes, ver: int = 0, flags: int = 0) -> bytes:
+        return box(typ, bytes([ver]) + flags.to_bytes(3, "big") + data)
+
+    ftyp = box(b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isom")
+    mdat = box(b"mdat", b"".join(samples))
+
+    # chunk layout: as even as possible, so stsc has 1-2 runs
+    nch = max(1, min(n_chunks, n)) if n else 0
+    per_chunk = ([n // nch + 1] * (n % nch)
+                 + [n // nch] * (nch - n % nch)) if n else []
+    sizes = [len(s) for s in samples]
+    data0 = len(ftyp) + 8
+    chunk_offsets, si = [], 0
+    for c in per_chunk:
+        chunk_offsets.append(data0 + sum(sizes[:si]))
+        si += c
+
+    def runs(vals):
+        out = []
+        for v in vals:
+            if out and out[-1][1] == v:
+                out[-1][0] += 1
+            else:
+                out.append([1, v])
+        return out
+
+    stts = full(b"stts", len(runs(durations)).to_bytes(4, "big") + b"".join(
+        c.to_bytes(4, "big") + d.to_bytes(4, "big")
+        for c, d in runs(durations)))
+    stsc_runs = []
+    for ci, c in enumerate(per_chunk):
+        if not stsc_runs or stsc_runs[-1][1] != c:
+            stsc_runs.append((ci + 1, c))
+    stsc = full(b"stsc", len(stsc_runs).to_bytes(4, "big") + b"".join(
+        fc.to_bytes(4, "big") + c.to_bytes(4, "big") + (1).to_bytes(4, "big")
+        for fc, c in stsc_runs))
+    stsz = full(b"stsz", (0).to_bytes(4, "big") + n.to_bytes(4, "big")
+                + b"".join(s.to_bytes(4, "big") for s in sizes))
+    stco = full(b"stco", len(chunk_offsets).to_bytes(4, "big") + b"".join(
+        o.to_bytes(4, "big") for o in chunk_offsets))
+    entry = box(codec, bytes(6) + (1).to_bytes(2, "big") + bytes(16)
+                + width.to_bytes(2, "big") + height.to_bytes(2, "big")
+                + (0x00480000).to_bytes(4, "big") * 2 + bytes(4)
+                + (1).to_bytes(2, "big") + bytes(32)
+                + (24).to_bytes(2, "big") + (0xFFFF).to_bytes(2, "big"))
+    stsd = full(b"stsd", (1).to_bytes(4, "big") + entry)
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    url = full(b"url ", b"", flags=1)
+    dref = full(b"dref", (1).to_bytes(4, "big") + url)
+    vmhd = full(b"vmhd", bytes(8), flags=1)
+    minf = box(b"minf", vmhd + box(b"dinf", dref) + stbl)
+    dur = sum(durations)
+    hdlr = full(b"hdlr", bytes(4) + b"vide" + bytes(12) + b"VideoHandler\0")
+    mdhd = full(b"mdhd", bytes(8) + timescale.to_bytes(4, "big")
+                + dur.to_bytes(4, "big") + (0x55C4).to_bytes(2, "big")
+                + bytes(2))
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    unity = (b"".join(v.to_bytes(4, "big") for v in
+                      (0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)))
+    tkhd = full(b"tkhd", bytes(8) + (1).to_bytes(4, "big") + bytes(4)
+                + dur.to_bytes(4, "big") + bytes(16) + unity
+                + (width << 16).to_bytes(4, "big")
+                + (height << 16).to_bytes(4, "big"), flags=7)
+    mvhd = full(b"mvhd", bytes(8) + timescale.to_bytes(4, "big")
+                + dur.to_bytes(4, "big") + (0x00010000).to_bytes(4, "big")
+                + (0x0100).to_bytes(2, "big") + bytes(10) + unity
+                + bytes(24) + (2).to_bytes(4, "big"))
+    moov = box(b"moov", mvhd + box(b"trak", tkhd + mdia))
+    return ftyp + mdat + moov
+
+
+def _lzw_decode(data: bytes, min_code: int, n_pixels: int) -> np.ndarray:
+    """GIF-variant LZW (LSB-first variable-width codes, clear/end
+    codes, 12-bit cap with deferred clear) -> ``n_pixels`` uint8
+    palette indices.  The code loop is per-CODE Python (each code
+    emits a whole dictionary string), like PNG's Paeth rows — the
+    only non-vectorizable part of the format."""
+    if not 2 <= min_code <= 11:
+        raise ValueError(f"bad LZW min code size {min_code}")
+    clear = 1 << min_code
+    end = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code + 1
+    buf = nbits = di = done = 0
+    prev = None
+    out = np.empty(n_pixels, dtype=np.uint8)
+    while done < n_pixels:
+        while nbits < width:
+            if di >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            buf |= data[di] << nbits
+            di += 1
+            nbits += 8
+        code = buf & ((1 << width) - 1)
+        buf >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= clear:
+                raise ValueError("GIF LZW stream starts with a non-literal")
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]      # the KwKwK case
+            else:
+                raise ValueError(f"GIF LZW code {code} out of range")
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+        take = min(len(entry), n_pixels - done)
+        out[done:done + take] = np.frombuffer(entry[:take], dtype=np.uint8)
+        done += take
+        prev = entry
+    if done < n_pixels:
+        raise ValueError("GIF LZW stream ended early")
+    return out
+
+
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))   # interlace row order
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF87a/89a FIRST frame -> (screen_h, screen_w, 3) uint8 RGB.
+
+    Full LZW decode (variable-width codes, 12-bit dictionary with
+    deferred clear), global/local color tables, interlaced row order,
+    frames smaller than the logical screen composited at their
+    (left, top) onto the background color.  Animation is out of the
+    single-image DecodeImage contract, so later frames are ignored;
+    89a transparency is rendered as the palette color (no alpha in
+    the engine's RGB layout)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload (missing GIF8xa magic)")
+    sw = int.from_bytes(payload[6:8], "little")
+    sh = int.from_bytes(payload[8:10], "little")
+    packed, bg = payload[10], payload[11]
+    pos = 13
+    gpal = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gpal = np.frombuffer(payload[pos:pos + 3 * n],
+                             dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        blk = payload[pos]
+        pos += 1
+        if blk == 0x3B:                      # trailer
+            break
+        if blk == 0x21:                      # extension: skip sub-blocks
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if blk != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{blk:02x}")
+        left = int.from_bytes(payload[pos:pos + 2], "little")
+        top = int.from_bytes(payload[pos + 2:pos + 4], "little")
+        w = int.from_bytes(payload[pos + 4:pos + 6], "little")
+        h = int.from_bytes(payload[pos + 6:pos + 8], "little")
+        ipacked = payload[pos + 8]
+        pos += 9
+        pal = gpal
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = np.frombuffer(payload[pos:pos + 3 * n],
+                                dtype=np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF image has no color table")
+        if left + w > sw or top + h > sh:
+            raise ValueError("GIF frame exceeds the logical screen")
+        min_code = payload[pos]
+        pos += 1
+        data = bytearray()
+        while payload[pos]:
+            ln = payload[pos]
+            data += payload[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _lzw_decode(bytes(data), min_code, w * h).reshape(h, w)
+        if ipacked & 0x40:                   # interlaced: rows arrive
+            order = np.concatenate([         # in 4 passes
+                np.arange(s, h, step) for s, step in _GIF_PASSES])
+            frame = np.empty((h, w), dtype=np.uint8)
+            frame[order] = idx
+        else:
+            frame = idx
+        if int(frame.max(initial=0)) >= len(pal):
+            raise ValueError("GIF pixel index outside the color table")
+        rgb = np.zeros((sh, sw, 3), dtype=np.uint8)
+        if gpal is not None and bg < len(gpal):
+            rgb[:] = gpal[bg]
+        rgb[top:top + h, left:left + w] = pal[frame]
+        return rgb
+    raise ValueError("GIF contains no image data")
+
+
+def encode_gif(arr: np.ndarray, interlace: bool = False) -> bytes:
+    """(h, w, 3) uint8 RGB (<= 256 distinct colors) -> single-frame
+    GIF89a, for tests.  Pixels are emitted as 9-bit LZW literals with
+    a clear code every 250 pixels, which keeps the dictionary below
+    the first width increase — a valid (if uncompressed) stream any
+    conformant decoder accepts."""
+    h, w = arr.shape[:2]
+    flat = arr.reshape(-1, 3)
+    pal, inv = np.unique(flat, axis=0, return_inverse=True)
+    if len(pal) > 256:
+        raise ValueError(f"encode_gif needs <= 256 colors, got {len(pal)}")
+    pal256 = np.zeros((256, 3), dtype=np.uint8)
+    pal256[:len(pal)] = pal
+    idx = inv.astype(np.uint8).reshape(h, w)
+    if interlace:
+        order = np.concatenate([
+            np.arange(s, h, step) for s, step in _GIF_PASSES])
+        idx = idx[order]
+    head = (b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+            + bytes([0xF7, 0, 0]) + pal256.tobytes())
+    desc = (b"\x2c" + b"\x00" * 4 + w.to_bytes(2, "little")
+            + h.to_bytes(2, "little") + bytes([0x40 if interlace else 0]))
+    codes, pix = [256], idx.reshape(-1)      # 256 = clear at min_code 8
+    for i in range(0, len(pix), 250):
+        codes.extend(int(p) for p in pix[i:i + 250])
+        codes.append(256)
+    codes[-1] = 257                          # end-of-information
+    buf = nbits = 0
+    stream = bytearray()
+    for c in codes:                          # 9-bit LSB-first packing
+        buf |= c << nbits
+        nbits += 9
+        while nbits >= 8:
+            stream.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+    if nbits:
+        stream.append(buf & 0xFF)
+    blocks = bytearray([8])                  # LZW min code size
+    for i in range(0, len(stream), 255):
+        sub = stream[i:i + 255]
+        blocks += bytes([len(sub)]) + sub
+    blocks.append(0)
+    return head + desc + bytes(blocks) + b"\x3b"
+
+
 def _decode_jpeg(payload: bytes):
     from .jpeg import decode_jpeg
 
@@ -409,6 +859,7 @@ DECODERS = {
     "image/x-ms-bmp": decode_bmp,
     "image/x-portable-pixmap": decode_ppm,
     "image/png": decode_png,
+    "image/gif": decode_gif,
     "image/jpeg": _decode_jpeg,
     "image/jpg": _decode_jpeg,
 }

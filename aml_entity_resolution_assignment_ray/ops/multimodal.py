@@ -7,9 +7,12 @@ decode / feature-extract / resize / frame-sample stages are ACTOR-POOL
 actor signature, output layout) is real and tested.  Decode is REAL
 for 24-bit BMP, binary PPM, 8-bit PNG (stdlib zlib), baseline JPEG
 (ops/jpeg.py — LUT Huffman + batched-matmul IDCT), integer-PCM WAV,
-and Y4M/YUV4MPEG2 video frame sampling — the in-repo codecs in
-ops/codec.py; only the formats that genuinely need an external
-library (progressive JPEG, WebP, MP3, MP4) stay behind
+GIF (in-repo LZW), and Y4M/YUV4MPEG2 video frame sampling — the
+in-repo codecs in ops/codec.py.  MP4/MOV gets a real CONTAINER parse
+(ExtractVideoSamples: box walk + sample-table expansion, only the
+sampled frames' byte ranges are touched); only the work that
+genuinely needs an external library (progressive JPEG, WebP, MP3
+audio decode, H.264/H.265 bitstream decode) stays behind
 ``NotImplementedError`` (strict) or the deterministic fake decoder
 (``fake=True``) whose output shape/dtype matches a real decode.
 
@@ -582,5 +585,138 @@ def audio_features(ds, batch_size: int = 64, concurrency=(1, 4)):
 def sample_frames(ds, k: int = 4, fake: bool = False, batch_size: int = 8,
                   concurrency=(1, 4)):
     return ds.map_batches(SampleFrames, fn_constructor_args=(k, fake),
+                          batch_format="pandas", batch_size=batch_size,
+                          concurrency=concurrency)
+
+
+def make_mp4_table(n: int = 8, seed: int = 19, max_samples: int = 24,
+                   with_truth: bool = False):
+    """Deterministic MP4 rows whose payloads are REAL ISO BMFF
+    containers (ops/codec.py::encode_mp4) around digest-deterministic
+    encoded-sample stand-ins — the container parse / sample extraction
+    path is exercised end to end on real box layouts (multi-chunk
+    stsc/stco, stts runs); only the H.264 bitstream inside each sample
+    is synthetic.  ``with_truth=True`` also returns a per-sample truth
+    frame (media_id, sample_idx, pts, n_bytes, byte_sum, codec,
+    timescale) computed from the GENERATOR's samples — fully
+    independent of the parser, so an oracle joined against it verifies
+    the container parse end to end."""
+    from .codec import encode_mp4
+
+    rng = np.random.RandomState(seed)
+    ids, mimes, payloads, ws, hs, nfs = [], [], [], [], [], []
+    truth: list[dict] = []
+    for i in range(n):
+        w, h = [(64, 48), (32, 24), (128, 96)][i % 3]
+        ns = int(rng.randint(3, max_samples + 1))
+        samples = [rng.bytes(int(rng.randint(16, 400))) for _ in range(ns)]
+        durs = [int(rng.randint(40, 120)) for _ in range(ns)]
+        ids.append(f"mp4{i:05d}")
+        mimes.append("video/mp4")
+        payloads.append(encode_mp4(samples, timescale=600, durations=durs,
+                                   width=w, height=h,
+                                   n_chunks=1 + i % 3))
+        ws.append(w)
+        hs.append(h)
+        nfs.append(ns)
+        if with_truth:
+            pts = 0
+            for si, (s, d) in enumerate(zip(samples, durs)):
+                truth.append({
+                    "media_id": ids[-1], "sample_idx": si, "pts": pts,
+                    "n_bytes": len(s),
+                    "byte_sum": int(np.frombuffer(s, np.uint8)
+                                    .sum(dtype=np.int64)),
+                    "codec": "avc1", "timescale": 600,
+                })
+                pts += d
+    table = pa.table({
+        "media_id": pa.array(ids), "mime": pa.array(mimes),
+        "payload": pa.array(payloads, pa.binary()),
+        "width": pa.array(ws, pa.int32()),
+        "height": pa.array(hs, pa.int32()),
+        "n_frames": pa.array(nfs, pa.int32()),
+    })
+    if with_truth:
+        return table, pd.DataFrame(truth)
+    return table
+
+
+class ExtractVideoSamples:
+    """Actor-pool stage: compressed-video payload -> the k evenly
+    spaced SAMPLES' encoded bytes + timing ((arange(k) * n) // k, the
+    same sampling arithmetic as SampleFrames).
+
+    This is the container half of compressed-video frame sampling: the
+    ISO BMFF sample table (ops/codec.py::mp4_sample_table) gives each
+    sample's byte range, so only the k sampled frames' bytes are
+    sliced out of mdat — at 100 TB the payload column would be lazy
+    (parquet binary or object-store refs) and these slices are the
+    only video bytes that move.  Decoding the H.264/H.265 bitstream
+    inside a sample genuinely needs a video library and stays out of
+    scope; downstream stages get (codec, pts, timescale, sample) and
+    can route to a real decoder where one exists.  ``fake=True``
+    substitutes digest-deterministic sample bytes from the metadata
+    columns, keeping schema and sampling arithmetic identical."""
+
+    def __init__(self, k: int = 4, fake: bool = False):
+        from .codec import mp4_extract_samples, mp4_sample_table
+
+        self.k = k
+        self.fake = fake
+        self._table = mp4_sample_table
+        self._extract = mp4_extract_samples
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        out_id, out_idx, out_pts, out_ts, out_codec, out_bytes = \
+            [], [], [], [], [], []
+        mimes = df["mime"] if "mime" in df.columns else [None] * len(df)
+        for row, mime in zip(df.itertuples(index=False), mimes):
+            payload = bytes(row.payload)
+            if self.fake:
+                nf = max(int(row.n_frames), 1)
+                k = min(self.k, nf)
+                idxs = (np.arange(k) * nf) // k
+                samples = [
+                    hashlib.sha256(payload
+                                   + bytes([int(fi) % 256])).digest()
+                    for fi in idxs]
+                pts, ts, codec = [int(fi) * 100 for fi in idxs], 600, "fake"
+            elif str(mime) in ("video/mp4", "video/quicktime"):
+                t = self._table(payload)
+                nf = t["n_samples"]
+                if nf == 0:
+                    continue
+                k = min(self.k, nf)
+                idxs = (np.arange(k) * nf) // k
+                samples = self._extract(payload, idxs, t)
+                pts = [int(t["pts"][i]) for i in idxs]
+                ts, codec = t["timescale"], t["codec"]
+            else:
+                raise NotImplementedError(
+                    f"no in-repo container parser for mime {mime!r} "
+                    "(MP4/MOV parse without a video library; Y4M goes "
+                    "through SampleFrames); re-run with fake=True for "
+                    "the deterministic stub")
+            for fi, pt, s in zip(idxs, pts, samples):
+                out_id.append(row.media_id)
+                out_idx.append(int(fi))
+                out_pts.append(pt)
+                out_ts.append(int(ts))
+                out_codec.append(codec)
+                out_bytes.append(s)
+        return pd.DataFrame({
+            "media_id": out_id,
+            "frame_idx": pd.array(out_idx, dtype="int64"),
+            "pts": pd.array(out_pts, dtype="int64"),
+            "timescale": pd.array(out_ts, dtype="int64"),
+            "codec": pd.array(out_codec, dtype="object"),
+            "sample": pd.array(out_bytes, dtype="object"),
+        })
+
+
+def extract_video_samples(ds, k: int = 4, fake: bool = False,
+                          batch_size: int = 8, concurrency=(1, 4)):
+    return ds.map_batches(ExtractVideoSamples, fn_constructor_args=(k, fake),
                           batch_format="pandas", batch_size=batch_size,
                           concurrency=concurrency)

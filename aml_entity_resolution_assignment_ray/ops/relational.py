@@ -632,6 +632,47 @@ def grouped_running_sum(ds, *, key: str, order_cols: list[str], val_col: str,
         cum, batch_format="pandas", batch_size=None)
 
 
+def grouped_lag(ds, *, key: str, order_cols: list[str], cols: list[str],
+                offset: int = 1, prefix: str = "prev_",
+                cfg: EngineConfig = DEFAULT_CONFIG):
+    """LAG(col, offset) OVER (PARTITION BY key ORDER BY order_cols) for
+    each column in ``cols`` — the inter-event-delta / feature-from-
+    previous-row transform (time since a user's last event, value
+    change vs the prior observation).  Negative ``offset`` gives LEAD.
+    ``order_cols`` must be a total order within each key group (pass a
+    unique tie-breaker) so the shift is deterministic and matches the
+    SQL window exactly.  Group-leading rows get NULL, as in SQL:
+    shifted int64 columns come back float64-with-NaN and timestamps
+    NaT — the same dtypes DuckDB's LAG produces through fetchdf.
+
+    ONE hash shuffle on the key co-locates each group, then a
+    per-block sort + vectorized grouped shift; all input columns pass
+    through, shifted copies are appended as ``prefix + col``."""
+    if offset == 0:
+        raise ValueError("offset must be nonzero (0 is the row itself)")
+    in_cols = list(ds.schema().names)
+    out_names = [prefix + c for c in cols]
+    clash = set(out_names) & set(in_cols)
+    if clash:
+        raise ValueError(f"output columns collide with input: {clash}")
+
+    def lag(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            out = df[in_cols].copy()
+            for c, o in zip(cols, out_names):
+                out[o] = df[c]
+            return out
+        s = df.sort_values([key, *order_cols], kind="stable")
+        out = s[in_cols].copy()
+        g = s.groupby(key, sort=False)
+        for c, o in zip(cols, out_names):
+            out[o] = g[c].shift(offset)
+        return out
+
+    return _keyed(ds, [key], cfg, _meta_rows(ds)).map_batches(
+        lag, batch_format="pandas", batch_size=None)
+
+
 def grouped_percent_rank(ds, *, key: str, col: str,
                          out_col: str = "percent_rank",
                          cfg: EngineConfig = DEFAULT_CONFIG):

@@ -44,6 +44,23 @@ quantile_disc on the sample), so the oracle gate checks VALUES.  This
 is the sketch-side answer to ops/relational.grouped_quantiles' exact
 operator, whose (key, value)-count combiner is only bounded for
 bounded-domain columns.
+
+Count-Min sketch [Cormode & Muthukrishnan 2005, "An improved data
+stream summary: the count-min sketch and its applications"]: a d x w
+counter table; row i counts value x in cell ((a_i*h(x) + b_i) mod p)
+mod w, and the point-frequency estimate is the MIN over the d rows'
+cells — an overestimate by at most (e/w)*n with probability
+1 - e^-d, never an underestimate.  Same three properties again:
+deterministic (fixed hash constants, no RNG — the table is a pure
+function of the value MULTISET, repartition- and merge-order-
+invariant because cells are plain sums), mergeable (cell-wise
+addition; the per-batch partial emits <= d*w (row, cell, cnt) rows
+per block regardless of block size), and exactly SQL-replayable
+(BIGINT modular arithmetic + GROUP BY cell + min over rows), so the
+oracle gate checks VALUES.  This is the sketch-side answer to
+keyed_sum for frequency queries: the exact operator shuffles one
+partial row per (block, key); the CM table is O(d*w) TOTAL, however
+many distinct keys exist.
 """
 
 from __future__ import annotations
@@ -220,3 +237,93 @@ def kmv_overlap(ds_a, ds_b, *, col: str, k: int = 256) -> pd.DataFrame:
         "jaccard": pd.array([float(round_half_away(jr, 6))],
                             dtype="float64"),
     })
+
+
+# --------------------------------------------------------------------------
+# Count-Min frequency sketch
+# --------------------------------------------------------------------------
+
+_CM_P = 2147483647                                  # Mersenne 2^31 - 1
+# fixed pairwise-independent hash constants a_i < 2^31, b_i < p; with
+# h(x) < 2^32 the products stay under 2^63, so int64 (and DuckDB
+# BIGINT) arithmetic is exact on both sides
+_CM_A = (892314517, 105891749, 537912851, 1419871283)
+_CM_B = (330563033, 726012389, 1117280551, 193847297)
+
+
+def _cm_cell(hv: np.ndarray, i: int, w: int) -> np.ndarray:
+    return ((_CM_A[i] * hv + _CM_B[i]) % _CM_P) % w
+
+
+def cm_table(ds, *, col: str, d: int = 4, w: int = 1024,
+             cfg: EngineConfig = DEFAULT_CONFIG):
+    """Distributed Count-Min counter table of ``col``: Dataset
+    (row_i, cell, cnt) with at most d*w rows (absent cells are zero).
+
+    Shape: the per-batch partial bincounts each row's cells WITHIN the
+    block (<= d*w partial rows leave a block of any size), then
+    keyed_sum merges — cell-wise addition is the CM merge rule, so the
+    table for a union of corpora is the sum of their tables and a
+    persisted table can absorb new shards without touching old data."""
+    if not 1 <= d <= len(_CM_A):
+        raise ValueError(f"d must be in 1..{len(_CM_A)}, got {d}")
+    if w < 1:
+        raise ValueError(f"w must be >= 1, got {w}")
+    from .relational import keyed_sum
+    from .sample import _hash_values
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        hv = _hash_values(df[col].to_numpy()).astype(np.int64)
+        out = []
+        for i in range(d):
+            cnt = np.bincount(_cm_cell(hv, i, w), minlength=w)
+            nz = np.nonzero(cnt)[0]
+            out.append(pd.DataFrame({
+                "row_i": np.full(len(nz), i, dtype=np.int64),
+                "cell": nz.astype(np.int64),
+                "cnt": cnt[nz].astype(np.int64),
+            }))
+        return pd.concat(out, ignore_index=True)
+
+    parts = ds.select_columns([col]).map_batches(
+        partial, batch_format="pandas")
+    return keyed_sum(parts, ["row_i", "cell"], ["cnt"], cfg=cfg)
+
+
+def cm_frequencies(ds, *, col: str, d: int = 4, w: int = 1024,
+                   out_col: str = "approx_count",
+                   cfg: EngineConfig = DEFAULT_CONFIG):
+    """Approximate frequency of every DISTINCT value of ``col`` from a
+    Count-Min sketch: (col, out_col BIGINT), where out_col >= the true
+    count and <= true + (e/w)*n with probability 1 - e^-d.
+
+    The d x w table (<= 8*d*w bytes — 32 KiB at the defaults) is
+    collected to the driver and closure-shipped into the estimate
+    stage, the same bounded-state pattern as _kmv_sketch; candidates
+    come from a per-block distinct combiner + ONE keyed shuffle, so
+    nothing input-sized lands anywhere."""
+    from .relational import _keyed, _meta_rows
+    from .sample import _hash_values
+
+    cells = cm_table(ds, col=col, d=d, w=w, cfg=cfg).to_pandas()
+    lut = np.zeros((d, w), dtype=np.int64)
+    lut[cells["row_i"].to_numpy(), cells["cell"].to_numpy()] = \
+        cells["cnt"].to_numpy()
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    cand = _keyed(
+        ds.select_columns([col]).map_batches(dedup, batch_format="pandas"),
+        [col], cfg, _meta_rows(ds),
+    ).map_batches(dedup, batch_format="pandas", batch_size=None)
+
+    def estimate(df: pd.DataFrame) -> pd.DataFrame:
+        hv = _hash_values(df[col].to_numpy()).astype(np.int64)
+        est = np.full(len(df), np.iinfo(np.int64).max, dtype=np.int64)
+        for i in range(d):
+            est = np.minimum(est, lut[i, _cm_cell(hv, i, w)])
+        return pd.DataFrame({col: df[col].to_numpy(),
+                             out_col: est})
+
+    return cand.map_batches(estimate, batch_format="pandas")

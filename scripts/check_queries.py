@@ -68,8 +68,11 @@ def compare_frames(name: str, res, exp) -> list[str]:
                         f"{np.asarray(b).dtype}) — driver hash would fail")
             break
         if a_float or b_float:
+            # equal_nan: SQL NULL comes back as NaN on both sides and
+            # the driver's value hash treats the two alike (orders_asof
+            # has NULL last_order_key rows and passes hash_match)
             same = np.allclose(a.astype(float), b.astype(float),
-                               rtol=0, atol=0)
+                               rtol=0, atol=0, equal_nan=True)
         else:
             same = (a == b).all()
         if not same:

@@ -2031,3 +2031,256 @@ def test_sample_frames_zero_frame_y4m(ray_session):
     out = multimodal.sample_frames(ds, k=2, fake=False).to_pandas()
     assert set(out["media_id"]) == {"g"}       # zero-frame row skipped
     assert len(out) == 2
+
+
+def test_cm_frequencies(ray_session):
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.sketch import (
+        cm_frequencies,
+        cm_table,
+    )
+
+    # skewed frequencies over a small candidate set: CM never
+    # underestimates, and at w >> distinct the estimate is EXACT
+    vals = np.repeat([f"t{i}" for i in range(8)],
+                     [5000, 2500, 1200, 600, 300, 150, 80, 20])
+    df = pd.DataFrame({"t": vals})
+    truth = df["t"].value_counts()
+    res = cm_frequencies(rd.from_pandas(df).repartition(7), col="t",
+                         d=4, w=1024, cfg=CFG).to_pandas() \
+        .set_index("t")["approx_count"]
+    assert len(res) == 8
+    assert (res.sort_index() == truth.sort_index()).all()
+
+    # crowded table (w=4, 8 values): still never underestimates, and
+    # the total overestimate is bounded
+    res_sm = cm_frequencies(rd.from_pandas(df).repartition(7), col="t",
+                            d=2, w=4, cfg=CFG).to_pandas() \
+        .set_index("t")["approx_count"]
+    assert (res_sm.sort_index() >= truth.sort_index()).all()
+    assert res_sm.max() <= len(df)
+
+    # merge-order / block-layout invariant: cells are plain sums
+    res2 = cm_frequencies(rd.from_pandas(df).repartition(31), col="t",
+                          d=4, w=1024, cfg=CFG).to_pandas() \
+        .set_index("t")["approx_count"]
+    assert (res.sort_index() == res2.sort_index()).all()
+
+    # the table itself is bounded by d*w rows and sums to d*n
+    tab = cm_table(rd.from_pandas(df).repartition(5), col="t",
+                   d=3, w=16, cfg=CFG).to_pandas()
+    assert len(tab) <= 3 * 16
+    assert tab["cnt"].sum() == 3 * len(df)
+    assert tab.groupby("row_i")["cnt"].sum().eq(len(df)).all()
+
+    with pytest.raises(ValueError):
+        cm_table(rd.from_pandas(df), col="t", d=0)
+    with pytest.raises(ValueError):
+        cm_table(rd.from_pandas(df), col="t", w=0)
+
+
+def test_gif_codec():
+    """GIF decode: encoder round-trips (sequential and interlaced), a
+    hand-packed REAL LZW stream exercises the dictionary-string and
+    KwKwK paths, sub-screen frames composite onto the background
+    color, and malformed payloads raise."""
+    from aml_entity_resolution_assignment_ray.ops import codec
+
+    rng = np.random.RandomState(33)
+    pal = rng.randint(0, 256, (11, 3), dtype=np.uint8)
+    for h, w in [(1, 1), (5, 4), (16, 9), (8, 300)]:
+        arr = pal[rng.randint(0, len(pal), (h, w))]
+        assert np.array_equal(codec.decode_gif(codec.encode_gif(arr)), arr)
+        assert np.array_equal(
+            codec.decode_gif(codec.encode_gif(arr, interlace=True)), arr)
+
+    # hand-packed compressed stream: pixels [1,1,1,1,1] at min_code 2
+    # is codes (4=clear, 1, 6, 6, 5=end) — code 6 is first the KwKwK
+    # case (== len(table)) and then a dictionary string (< len(table));
+    # the end code arrives AFTER the width grows to 4 bits
+    buf = nbits = 0
+    stream = bytearray()
+    for code, width in [(4, 3), (1, 3), (6, 3), (6, 3), (5, 4)]:
+        buf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            stream.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+    if nbits:
+        stream.append(buf & 0xFF)
+    table4 = np.array([[10, 10, 10], [20, 30, 40], [0, 0, 0], [5, 5, 5]],
+                      dtype=np.uint8)
+    gif = (b"GIF89a" + (5).to_bytes(2, "little") + (1).to_bytes(2, "little")
+           + bytes([0x81, 0, 0]) + table4.tobytes()
+           + b"\x2c" + b"\x00" * 4
+           + (5).to_bytes(2, "little") + (1).to_bytes(2, "little")
+           + b"\x00" + bytes([2, len(stream)]) + bytes(stream) + b"\x00"
+           + b"\x3b")
+    got = codec.decode_gif(gif)
+    assert np.array_equal(got, np.tile(table4[1], (1, 5, 1)))
+
+    # sub-screen frame composites at (left, top) over the bg color:
+    # 4x6 screen, bg index 3, 1x2 frame at (2, 1)
+    stream2 = bytearray()
+    buf = nbits = 0
+    for code, width in [(4, 3), (0, 3), (1, 3), (5, 3)]:
+        buf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            stream2.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+    if nbits:
+        stream2.append(buf & 0xFF)
+    gif2 = (b"GIF89a" + (6).to_bytes(2, "little") + (4).to_bytes(2, "little")
+            + bytes([0x81, 3, 0]) + table4.tobytes()
+            + b"\x21\xf9\x04\x00\x00\x00\x00\x00"     # a skipped GCE
+            + b"\x2c" + (2).to_bytes(2, "little") + (1).to_bytes(2, "little")
+            + (2).to_bytes(2, "little") + (1).to_bytes(2, "little")
+            + b"\x00" + bytes([2, len(stream2)]) + bytes(stream2) + b"\x00"
+            + b"\x3b")
+    got2 = codec.decode_gif(gif2)
+    exp2 = np.tile(table4[3], (4, 6, 1))
+    exp2[1, 2] = table4[0]
+    exp2[1, 3] = table4[1]
+    assert np.array_equal(got2, exp2)
+
+    with pytest.raises(ValueError, match="magic"):
+        codec.decode_gif(b"not a gif")
+    with pytest.raises(ValueError, match="truncated|early"):
+        bad = codec.encode_gif(pal[rng.randint(0, 11, (4, 4))])
+        # encode_gif layout is fixed: 13-byte header + 256-entry table,
+        # 10-byte descriptor, min_code byte, then data sub-blocks —
+        # keep just ONE data byte (too few bits for a single 9-bit code)
+        cut = 13 + 256 * 3 + 10 + 1
+        codec.decode_gif(bad[:cut] + bytes([1, bad[cut + 1], 0, 0x3b]))
+    with pytest.raises(ValueError, match="256"):
+        i = np.arange(272)
+        many = np.stack([i % 256, i // 2, np.zeros(272, dtype=np.int64)],
+                        axis=1).astype(np.uint8)
+        codec.encode_gif(many.reshape(17, 16, 3))
+
+
+def test_media_pipeline_strict_gif(ray_session):
+    """Real GIF bytes through the strict actor-pool decode stage."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops import codec
+    from aml_entity_resolution_assignment_ray.util import stateful_map
+
+    rng = np.random.RandomState(37)
+    pal = rng.randint(0, 256, (7, 3), dtype=np.uint8)
+    rows, truths = [], []
+    for i, (h, w) in enumerate([(6, 4), (3, 3), (5, 8)]):
+        arr = pal[rng.randint(0, len(pal), (h, w))]
+        rows.append({"media_id": i,
+                     "payload": codec.encode_gif(arr, interlace=i == 1),
+                     "width": w, "height": h, "mime": "image/gif"})
+        truths.append(arr)
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    out = stateful_map(ds, multimodal.DecodeImage, (False,),
+                       batch_format="pandas").to_pandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    for i, truth in enumerate(truths):
+        assert tuple(out.loc[i, "shape"]) == truth.shape
+        assert np.array_equal(
+            np.asarray(list(out.loc[i, "pixels"]),
+                       dtype=np.uint8).reshape(truth.shape), truth)
+
+
+def test_mp4_container_codec():
+    """ISO BMFF round-trip: encode_mp4 -> mp4_sample_table recovers
+    codec/timescale/dimensions, per-sample offsets/sizes/pts, across
+    chunk layouts; extraction is byte-exact; malformed boxes raise."""
+    from aml_entity_resolution_assignment_ray.ops import codec
+
+    rng = np.random.RandomState(7)
+    for n, nch in [(1, 1), (5, 2), (12, 3), (7, 1)]:
+        samples = [rng.bytes(int(rng.randint(5, 300))) for _ in range(n)]
+        durs = [int(rng.randint(50, 200)) for _ in range(n)]
+        p = codec.encode_mp4(samples, timescale=1000, durations=durs,
+                             width=32, height=24, n_chunks=nch)
+        t = codec.mp4_sample_table(p)
+        assert (t["codec"], t["timescale"], t["n_samples"]) == \
+            ("avc1", 1000, n)
+        assert (t["width"], t["height"]) == (32, 24)
+        assert codec.mp4_extract_samples(p, range(n), t) == samples
+        assert np.array_equal(t["pts"],
+                              np.cumsum([0] + durs[:-1], dtype=np.int64))
+        assert np.array_equal(t["sizes"],
+                              np.array([len(s) for s in samples]))
+
+    # constant sizes/durations exercise the run-compressed tables
+    p = codec.encode_mp4([b"x" * 20] * 6, n_chunks=4)
+    t = codec.mp4_sample_table(p)
+    assert codec.mp4_extract_samples(p, [0, 5], t) == [b"x" * 20] * 2
+
+    with pytest.raises(ValueError, match="short"):
+        codec.mp4_sample_table(b"xx")
+    with pytest.raises(ValueError, match="truncated"):
+        codec.mp4_sample_table(codec.encode_mp4([b"abc"])[:40])
+    with pytest.raises(ValueError, match="out of range"):
+        codec.mp4_extract_samples(p, [99], t)
+    with pytest.raises(ValueError, match="video track"):
+        codec.mp4_sample_table(b"\x00\x00\x00\x08ftyp")
+
+
+def test_extract_video_samples_stage(ray_session):
+    """Strict MP4 sample extraction through the actor pool: sampled
+    bytes/pts match the GENERATOR's truth at the replayed (i*n)//k
+    indices; a zero-sample MP4 emits nothing; the fake path keeps the
+    schema; non-MP4 mimes raise."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops import codec
+
+    table, truth = multimodal.make_mp4_table(n=6, with_truth=True)
+    out = multimodal.extract_video_samples(
+        rd.from_arrow(table), k=3, fake=False).to_pandas() \
+        .sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+    meta = table.to_pandas()
+    exp_rows = 0
+    for _, m in meta.iterrows():
+        nf = int(m["n_frames"])
+        k = min(3, nf)
+        idxs = (np.arange(k) * nf) // k
+        exp_rows += len(idxs)
+        tr = truth[truth["media_id"] == m["media_id"]] \
+            .set_index("sample_idx")
+        sub = out[out["media_id"] == m["media_id"]] \
+            .set_index("frame_idx")
+        assert sorted(sub.index) == sorted(int(i) for i in idxs)
+        for i in idxs:
+            assert sub.loc[int(i), "pts"] == tr.loc[int(i), "pts"]
+            assert len(sub.loc[int(i), "sample"]) == \
+                tr.loc[int(i), "n_bytes"]
+            assert sub.loc[int(i), "codec"] == "avc1"
+            assert sub.loc[int(i), "timescale"] == 600
+    assert len(out) == exp_rows
+
+    # zero-sample MP4 -> no rows, no raise
+    empty = pd.DataFrame({
+        "media_id": ["z"], "mime": ["video/mp4"],
+        "payload": [codec.encode_mp4([])],
+        "width": pd.array([8], dtype="int32"),
+        "height": pd.array([8], dtype="int32"),
+        "n_frames": pd.array([0], dtype="int32"),
+    })
+    z = multimodal.extract_video_samples(
+        rd.from_pandas(empty), k=3, fake=False).to_pandas()
+    assert len(z) == 0
+
+    # fake path: same schema, digest-deterministic bytes
+    f = multimodal.extract_video_samples(
+        rd.from_arrow(table), k=3, fake=True).to_pandas()
+    assert list(f.columns) == ["media_id", "frame_idx", "pts",
+                               "timescale", "codec", "sample"]
+    assert (f["codec"] == "fake").all()
+
+    # unsupported mime raises in strict mode
+    bad = empty.assign(mime="video/webm")
+    with pytest.raises(Exception, match="webm"):
+        multimodal.extract_video_samples(
+            rd.from_pandas(bad), k=3, fake=False).materialize()

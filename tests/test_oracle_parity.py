@@ -57,6 +57,7 @@ SUBSET = [
     "source_mixture",
     "events_above_median",
     "event_type_approx_users",
+    "event_type_cm_counts",
     "hourly_approx_users",
     "event_value_quantiles_sketch",
     "gram_overlap_est",
@@ -64,6 +65,7 @@ SUBSET = [
     "embedding_quantized",
     "bpe_learned_merges",
     "event_value_pct_rank",
+    "event_gaps",
     "event_rollup",
     "corpus_diff",
     "user_event_pivot",
@@ -71,6 +73,7 @@ SUBSET = [
     "cust_with_orders",
     "video_frames",
     "video_motion",
+    "video_mp4_samples",
     "simhash_dup_pairs_docs",
     "ann_top10",
     "embedding_dup_pairs",

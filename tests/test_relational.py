@@ -506,6 +506,44 @@ def test_grouped_running_sum(ray_session, cfg):
     assert set(got.columns) == set(exp.columns)
 
 
+@pytest.mark.parametrize("cfg", [SHUFFLE_CFG, GATHER_CFG],
+                         ids=["shuffle", "gather"])
+@pytest.mark.parametrize("offset", [1, 2, -1])
+def test_grouped_lag(ray_session, cfg, offset):
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.relational import grouped_lag
+
+    df = _events(n=400)
+    got = grouped_lag(
+        rd.from_pandas(df), key="user_id", order_cols=["ts", "event_id"],
+        cols=["ts", "v"], offset=offset, cfg=cfg).to_pandas()
+    exp = df.sort_values(["user_id", "ts", "event_id"], kind="stable").copy()
+    g = exp.groupby("user_id", sort=False)
+    exp["prev_ts"] = g["ts"].shift(offset)
+    exp["prev_v"] = g["v"].shift(offset)
+    key = ["user_id", "event_id"]
+    got = got.sort_values(key, kind="stable").reset_index(drop=True)
+    exp = exp.sort_values(key, kind="stable").reset_index(drop=True)
+    assert got["prev_ts"].equals(exp["prev_ts"])
+    assert got["prev_v"].equals(exp["prev_v"])
+    assert set(got.columns) == set(exp.columns)
+
+
+def test_grouped_lag_rejects_zero_offset_and_collision(ray_session):
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.relational import grouped_lag
+
+    ds = rd.from_pandas(_events(n=10))
+    with pytest.raises(ValueError, match="nonzero"):
+        grouped_lag(ds, key="user_id", order_cols=["ts"], cols=["v"],
+                    offset=0)
+    with pytest.raises(ValueError, match="collide"):
+        grouped_lag(ds, key="user_id", order_cols=["ts"], cols=["v"],
+                    prefix="")
+
+
 @pytest.mark.parametrize("right_rows", [None, 0],
                          ids=["shuffle", "broadcast"])
 def test_anti_join(ray_session, right_rows):
