@@ -1228,6 +1228,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return kmv_distinct(ev, key="event_type", col="user_id", k=64,
                             out_col="approx_users")
 
+    def doc_contamination_bloom(sf_dir):
+        """Bloom-gated decontamination (ops/sketch.bloom_build +
+        bloom_maybe_contains): the benchmark side's distinct 4-grams
+        set a FIXED-SIZE bitmap (m/8 bytes however large the benchmark
+        grows) that is shipped once; every corpus gram then probes it
+        with zero shuffles — bit-miss is an exact negative, bit-hit a
+        deterministic maybe that would pre-gate the exact digest
+        semi-join (doc_contamination).  Per-doc output counts distinct
+        grams and Bloom hits; deterministic and exactly SQL-replayable
+        (poly hash + affine bit positions in BIGINT), so the oracle
+        checks values — false positives and all."""
+        from aml_entity_resolution_assignment_ray.ops.sketch import (
+            bloom_build,
+            bloom_maybe_contains,
+        )
+
+        _tune_context()
+        docs = _read(sf_dir, "documents").select_columns(
+            ["doc_id", "text"])
+
+        def grams(side):
+            return text.chunk_documents(side, size=4, stride=1) \
+                .filter(expr="n_tokens == 4") \
+                .select_columns(["doc_id", "chunk_text"])
+
+        bench = docs.map_batches(lambda d: d[d["doc_id"] % 20 == 0],
+                                 batch_format="pandas")
+        corpus = docs.map_batches(lambda d: d[d["doc_id"] % 20 != 0],
+                                  batch_format="pandas")
+        bitmap = bloom_build(grams(bench), col="chunk_text",
+                             m_bits=1 << 16, k=3)
+        probed = bloom_maybe_contains(grams(corpus), bitmap,
+                                      col="chunk_text", k=3)
+
+        def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+            # a doc's chunks never leave its block (stateless explode),
+            # so per-block distinct + groupby is per-doc complete
+            d = df.drop_duplicates(["doc_id", "chunk_text"])
+            g = d.groupby("doc_id", sort=False)["bloom_maybe"] \
+                .agg(["size", "sum"])
+            return pd.DataFrame({
+                "doc_id": g.index.to_numpy(),
+                "n_grams": g["size"].to_numpy(dtype=np.int64),
+                "n_bloom_hits": g["sum"].to_numpy(dtype=np.int64),
+                "maybe_contaminated": g["sum"].to_numpy() > 0,
+            })
+
+        return probed.map_batches(per_doc, batch_format="pandas")
+
     def event_type_cm_counts(sf_dir):
         """Count-Min frequency sketch (ops/sketch.cm_frequencies):
         approximate event count per event_type from a d x w counter
@@ -1874,6 +1923,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pack": doc_pack,
         "doc_pack_texts": doc_pack_texts,
         "doc_contamination": doc_contamination,
+        "doc_contamination_bloom": doc_contamination_bloom,
         "corpus_prep": corpus_prep_q,
         "doc_dup_grams": doc_dup_grams,
         "event_sessions": event_sessions,
@@ -3976,6 +4026,66 @@ def oracle_sql() -> dict[str, str]:
         # normalize + single-space tokenize contract as the token-count
         # oracles; n=4 for signal density on the synthetic corpus),
         # benchmark = doc_id % 20 == 0, count of shared grams
+        # Bloom replay: per-doc DISTINCT 4-grams (the gram_overlap_est
+        # construction), benchmark bit positions = 3 affine hashes of
+        # the poly hash in BIGINT, a gram hits iff ALL its positions
+        # are set — false positives replay identically on both sides
+        "doc_contamination_bloom": rf"""
+            WITH t AS (
+                SELECT doc_id,
+                       trim({_WS_NORM_TEXT},
+                            ' ' || chr(9) || chr(10) || chr(12) || chr(13)
+                       ) AS txt
+                FROM documents
+            ),
+            tok AS (
+                SELECT doc_id, regexp_split_to_array(txt, '\s+') AS toks,
+                       CASE WHEN length(txt) = 0 THEN 0
+                            ELSE array_length(
+                                regexp_split_to_array(txt, '\s+'))
+                       END AS n
+                FROM t
+            ),
+            g AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(list_slice(toks, s, s + 3), ' ')
+                           AS gram
+                FROM (SELECT doc_id, toks, n,
+                             unnest(generate_series(1, n - 3)) AS s
+                      FROM tok WHERE n >= 4)
+            ),
+            i AS (SELECT unnest([0, 1, 2]) AS row_i),
+            bh AS (SELECT DISTINCT {_poly_hash_sql('gram')} AS h
+                   FROM g WHERE doc_id % 20 = 0),
+            bits AS (
+                SELECT DISTINCT
+                       ((([892314517, 105891749, 537912851][row_i + 1] * h
+                          + [330563033, 726012389, 1117280551][row_i + 1])
+                         % 2147483647) % 65536) AS pos
+                FROM bh CROSS JOIN i
+            ),
+            probe AS (SELECT doc_id, gram,
+                             {_poly_hash_sql('gram')} AS h
+                      FROM g WHERE doc_id % 20 <> 0),
+            ph AS (
+                SELECT doc_id, gram,
+                       ((([892314517, 105891749, 537912851][row_i + 1] * h
+                          + [330563033, 726012389, 1117280551][row_i + 1])
+                         % 2147483647) % 65536) AS pos
+                FROM probe CROSS JOIN i
+            ),
+            gm AS (
+                SELECT ph.doc_id, ph.gram,
+                       min(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END)
+                           AS allset
+                FROM ph LEFT JOIN bits b ON b.pos = ph.pos
+                GROUP BY ph.doc_id, ph.gram
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(allset) AS BIGINT) AS n_bloom_hits,
+                   sum(allset) > 0 AS maybe_contaminated
+            FROM gm GROUP BY doc_id
+        """,
         # per remaining doc
         "doc_contamination": f"""
             WITH norm AS (

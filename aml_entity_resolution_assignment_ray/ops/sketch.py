@@ -61,6 +61,14 @@ oracle gate checks VALUES.  This is the sketch-side answer to
 keyed_sum for frequency queries: the exact operator shuffles one
 partial row per (block, key); the CM table is O(d*w) TOTAL, however
 many distinct keys exist.
+
+Bloom filter [Bloom 1970, "Space/time trade-offs in hash coding with
+allowable errors"]: m-bit bitmap, k affine hashes (the CM family) —
+bit-miss is an exact negative, bit-hit a deterministic maybe.  The
+broadcast membership pre-filter: the bitmap is FIXED-SIZE however
+large the build side grows, so a Bloom-gated semi/anti join ships
+m/8 bytes once and shuffles only the maybe-rows to the exact check.
+Deterministic and exactly SQL-replayable like the others.
 """
 
 from __future__ import annotations
@@ -327,3 +335,72 @@ def cm_frequencies(ds, *, col: str, d: int = 4, w: int = 1024,
                              out_col: est})
 
     return cand.map_batches(estimate, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# Bloom filter (broadcast membership pre-filter)
+# --------------------------------------------------------------------------
+
+
+def bloom_build(ds, *, col: str, m_bits: int = 1 << 16, k: int = 3,
+                cfg: EngineConfig = DEFAULT_CONFIG) -> np.ndarray:
+    """Distributed Bloom-filter build [Bloom 1970] over ``col``:
+    packed uint8 bitmap of ``m_bits`` bits, value x setting bits
+    ((a_i*h(x) + b_i) mod p) mod m for i < k (the CM hash family —
+    deterministic, no RNG, SQL-replayable in BIGINT arithmetic).
+
+    Shape: each block emits its DISTINCT bit positions (<= min(k *
+    distinct-in-block, m) rows of one int64); the driver ORs them into
+    the bitmap — bounded state like _kmv_sketch, never the values.
+    A bit-miss is an EXACT negative; a bit-hit is a maybe with FP rate
+    ~(1 - e^(-k*n/m))^k, so the filter pre-gates an exact join, it
+    does not replace one."""
+    if not 1 <= k <= len(_CM_A):
+        raise ValueError(f"k must be in 1..{len(_CM_A)}, got {k}")
+    if m_bits < 8:
+        raise ValueError(f"m_bits must be >= 8, got {m_bits}")
+    from .sample import _hash_values
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        hv = np.unique(_hash_values(df[col].to_numpy()).astype(np.int64))
+        pos = np.unique(np.concatenate(
+            [_cm_cell(hv, i, m_bits) for i in range(k)]
+            or [np.zeros(0, dtype=np.int64)]))
+        return pd.DataFrame({"_pos": pos})
+
+    parts = ds.select_columns([col]).map_batches(
+        partial, batch_format="pandas").to_pandas()
+    bitmap = np.zeros(m_bits // 8 + (m_bits % 8 > 0), dtype=np.uint8)
+    pos = parts["_pos"].to_numpy()
+    np.bitwise_or.at(bitmap, pos // 8,
+                     np.left_shift(1, (pos % 8)).astype(np.uint8))
+    return bitmap
+
+
+def bloom_maybe_contains(ds, bitmap: np.ndarray, *, col: str, k: int = 3,
+                         out_col: str = "bloom_maybe"):
+    """Append a bool column: True iff ``col``'s value hits ALL k Bloom
+    bits (present or a deterministic false positive), False = exactly
+    absent from the build set.  The bitmap is fixed-size (m/8 bytes,
+    independent of data volume), so closure-shipping it into the map
+    stage is scale-safe — this is the broadcast side of a Bloom-gated
+    semi/anti join: only maybe-rows proceed to the exact check."""
+    if not 1 <= k <= len(_CM_A):
+        raise ValueError(f"k must be in 1..{len(_CM_A)}, got {k}")
+    from .sample import _hash_values
+
+    m_bits = len(bitmap) * 8
+    cols = list(ds.schema().names)
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[cols].copy()
+        hv = _hash_values(df[col].to_numpy()).astype(np.int64)
+        hit = np.ones(len(df), dtype=bool)
+        for i in range(k):
+            pos = _cm_cell(hv, i, m_bits)
+            hit &= (bitmap[pos // 8]
+                    & np.left_shift(1, (pos % 8)).astype(np.uint8)) != 0
+        out[out_col] = hit
+        return out
+
+    return ds.map_batches(probe, batch_format="pandas")

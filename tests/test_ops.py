@@ -2284,3 +2284,51 @@ def test_extract_video_samples_stage(ray_session):
     with pytest.raises(Exception, match="webm"):
         multimodal.extract_video_samples(
             rd.from_pandas(bad), k=3, fake=False).materialize()
+
+
+def test_bloom_filter(ray_session):
+    """Bloom build/probe: every build-set value hits (no false
+    negatives, ever), misses are exact negatives, false positives are
+    deterministic across block layouts, and a roomy bitmap has none."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.sketch import (
+        bloom_build,
+        bloom_maybe_contains,
+    )
+
+    a = pd.DataFrame({"v": [f"g{i}" for i in range(0, 4000, 2)]})   # evens
+    probe = pd.DataFrame({"v": [f"g{i}" for i in range(4000)]})
+    bm = bloom_build(rd.from_pandas(a).repartition(7), col="v",
+                     m_bits=1 << 16, k=3)
+    got = bloom_maybe_contains(rd.from_pandas(probe).repartition(5), bm,
+                               col="v", k=3).to_pandas() \
+        .sort_values("v").reset_index(drop=True)
+    in_a = got["v"].isin(set(a["v"]))
+    assert got.loc[in_a, "bloom_maybe"].all()          # no false negatives
+    # roomy bitmap (2k values in 64k bits): no false positives either
+    assert not got.loc[~in_a, "bloom_maybe"].any()
+
+    # tight bitmap: false positives appear but are a pure function of
+    # the value set — block layout cannot change them
+    bm_sm = bloom_build(rd.from_pandas(a).repartition(3), col="v",
+                        m_bits=1 << 10, k=2)
+    g1 = bloom_maybe_contains(rd.from_pandas(probe), bm_sm,
+                              col="v", k=2).to_pandas() \
+        .sort_values("v").reset_index(drop=True)
+    bm_sm2 = bloom_build(rd.from_pandas(a).repartition(31), col="v",
+                         m_bits=1 << 10, k=2)
+    g2 = bloom_maybe_contains(rd.from_pandas(probe).repartition(11),
+                              bm_sm2, col="v", k=2).to_pandas() \
+        .sort_values("v").reset_index(drop=True)
+    assert np.array_equal(bm_sm, bm_sm2)
+    assert g1["bloom_maybe"].equals(g2["bloom_maybe"])
+    assert g1.loc[g1["v"].isin(set(a["v"])), "bloom_maybe"].all()
+    assert g1["bloom_maybe"].sum() > in_a.sum()        # some FPs exist
+    # every bloom-negative really is absent (the exact-negative law)
+    assert not g1.loc[~g1["bloom_maybe"], "v"].isin(set(a["v"])).any()
+
+    with pytest.raises(ValueError, match="k must"):
+        bloom_build(rd.from_pandas(a), col="v", k=0)
+    with pytest.raises(ValueError, match="m_bits"):
+        bloom_build(rd.from_pandas(a), col="v", m_bits=4)

@@ -61,6 +61,7 @@ SUBSET = [
     "hourly_approx_users",
     "event_value_quantiles_sketch",
     "gram_overlap_est",
+    "doc_contamination_bloom",
     "doc_chunks",
     "embedding_quantized",
     "bpe_learned_merges",
