@@ -635,6 +635,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _tune_context()
         return dedup.exact_dedup(_read(sf_dir, "documents"))
 
+    def doc_dedup_keep_best(sf_dir):
+        """Quality-aware duplicate representative selection
+        (ops/dedup.dedup_keep_best): docs dedup'd on their lowercased
+        ws-normalized text, each group keeping the LONGEST original
+        (max n_chars, ties -> min doc_id) plus the group size — the
+        keep-the-best-member policy real corpus prep applies instead
+        of keep-first.  Same shape as exact_dedup: per-block
+        argmax+count combiner, ONE digest-keyed shuffle."""
+        _tune_context()
+        docs = _read(sf_dir, "documents").select_columns(
+            ["doc_id", "text", "n_chars"])
+
+        def norm(df: pd.DataFrame) -> pd.DataFrame:
+            from aml_entity_resolution_assignment_ray.ops.text import (
+                _WS_DISAGREE_RE,
+            )
+
+            t = (df["text"].fillna("").astype(str)
+                 .str.replace(_WS_DISAGREE_RE, " ", regex=True)
+                 .str.lower().str.split().str.join(" "))
+            return pd.DataFrame({"norm_text": t, "doc_id": df["doc_id"],
+                                 "n_chars": df["n_chars"]})
+
+        res = dedup.dedup_keep_best(
+            docs.map_batches(norm, batch_format="pandas"),
+            key_col="norm_text", score_col="n_chars", id_col="doc_id")
+        return res.map_batches(
+            lambda d: pd.DataFrame({
+                "norm_text": d["norm_text"],
+                "doc_id": d["doc_id"].astype("int64"),
+                "n_chars": d["n_chars"].astype("int64"),
+                "n_dups": d["n_dups"].astype("int64"),
+            }), batch_format="pandas")
+
     def doc_token_counts(sf_dir):
         _tune_context()
         return text.token_stats(
@@ -1900,6 +1934,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_pivot": user_event_pivot,
         "distinct_event_types": distinct_event_types,
         "exact_dedup_docs": exact_dedup_docs,
+        "doc_dedup_keep_best": doc_dedup_keep_best,
         "corpus_diff": corpus_diff,
         "exact_dedup_incremental": exact_dedup_incremental,
         "doc_token_counts": doc_token_counts,
@@ -3333,6 +3368,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "exact_dedup_docs": """
             SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        # keep-best replay: same ws-norm + lower key, the representative
+        # is the row_number()=1 row ordered (n_chars DESC, doc_id)
+        "doc_dedup_keep_best": rf"""
+            WITH n AS (
+                SELECT doc_id, n_chars,
+                       lower(array_to_string(regexp_split_to_array(
+                           trim({_WS_NORM_TEXT},
+                                ' ' || chr(9) || chr(10) || chr(12)
+                                || chr(13)),
+                           '\s+'), ' ')) AS norm_text
+                FROM documents
+            )
+            SELECT norm_text, CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(n_dups AS BIGINT) AS n_dups
+            FROM (SELECT norm_text, doc_id, n_chars,
+                         row_number() OVER (
+                             PARTITION BY norm_text
+                             ORDER BY n_chars DESC, doc_id) AS rn,
+                         count(*) OVER (PARTITION BY norm_text) AS n_dups
+                  FROM n)
+            WHERE rn = 1
         """,
         "corpus_diff": """
             WITH a AS (

@@ -101,6 +101,64 @@ def exact_dedup(ds, col: str = "text", id_col: str = "doc_id",
     )
 
 
+def dedup_keep_best(ds, *, key_col: str, score_col: str, id_col: str,
+                    keep_cols: list[str] | None = None,
+                    cfg: EngineConfig = DEFAULT_CONFIG,
+                    n_rows: int | None = None):
+    """Quality-aware duplicate representative selection: one row per
+    distinct ``key_col`` value — the row with the LARGEST ``score_col``
+    (ties -> smallest ``id_col``) — plus ``n_dups``, the group size.
+    exact_dedup keeps the first id; real corpus prep keeps the BEST
+    member (longest original, highest quality score) of each
+    duplicate group, which this does in the same shape: a per-block
+    argmax+count combiner (one survivor row and one partial count per
+    (block, key) leave each block), then ONE hash shuffle keyed on a
+    64-bit digest of the key, then the same combiner again.  A digest
+    collision co-locates two groups, where the groupby still separates
+    them by the actual key value."""
+    keep = [c for c in (keep_cols or [])
+            if c not in (key_col, score_col, id_col)]
+    cols = [key_col, id_col, score_col, *keep]
+
+    def block_best(df: pd.DataFrame) -> pd.DataFrame:
+        nd = (df["_nd"] if "_nd" in df.columns
+              else pd.Series(np.ones(len(df), dtype=np.int64),
+                             index=df.index))
+        d = df.assign(_nd=nd)
+        d["_cnt"] = d.groupby(key_col, sort=False,
+                              dropna=False)["_nd"].transform("sum")
+        best = (d.sort_values([key_col, score_col, id_col],
+                              ascending=[True, False, True], kind="stable")
+                .groupby(key_col, sort=False, dropna=False).head(1))
+        out = best[cols].copy()
+        out["_nd"] = best["_cnt"].to_numpy()
+        return out
+
+    def add_digest(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[key_col].fillna("").astype(str).to_numpy(dtype=object)
+        return df.assign(d1=pd.util.hash_array(t))
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        out = block_best(df)
+        return out.rename(columns={"_nd": "n_dups"})[[*cols, "n_dups"]]
+
+    if n_rows is None:
+        try:
+            n_rows = ds._meta_count()
+        except Exception:
+            n_rows = None
+    partial = ds.select_columns(cols).map_batches(
+        block_best, batch_format="pandas")
+    if (n_rows is not None and cfg.gather_max_keys > 0
+            and n_rows <= cfg.gather_max_keys):
+        return partial.repartition(1).map_batches(
+            finalize, batch_format="pandas", batch_size=None)
+    return (partial.map_batches(add_digest, batch_format="pandas")
+            .repartition(cfg.resolve_join_partitions(), keys=["d1"])
+            .map_batches(lambda d: finalize(d.drop(columns=["d1"])),
+                         batch_format="pandas", batch_size=None))
+
+
 # --------------------------------------------------------------------------
 # payload hydration (shared by every verify stage)
 # --------------------------------------------------------------------------

@@ -2332,3 +2332,41 @@ def test_bloom_filter(ray_session):
         bloom_build(rd.from_pandas(a), col="v", k=0)
     with pytest.raises(ValueError, match="m_bits"):
         bloom_build(rd.from_pandas(a), col="v", m_bits=4)
+
+
+@pytest.mark.parametrize("force_shuffle", [False, True])
+def test_dedup_keep_best(ray_session, force_shuffle):
+    """Keep-best representative selection: max score wins, ties break
+    to the smallest id, n_dups counts the whole group, and the result
+    is identical through the gather and digest-shuffle paths."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.config import EngineConfig
+    from aml_entity_resolution_assignment_ray.ops.dedup import dedup_keep_best
+
+    rng = np.random.RandomState(11)
+    n = 600
+    df = pd.DataFrame({
+        "k": [f"key{i % 97}" for i in range(n)],
+        "doc_id": np.arange(n, dtype=np.int64),
+        "score": rng.randint(0, 5, n).astype(np.int64),   # many ties
+        "extra": [f"x{i}" for i in range(n)],
+    })
+    cfg = (EngineConfig(gather_max_keys=0) if force_shuffle
+           else EngineConfig(gather_max_keys=10**6))
+    got = dedup_keep_best(rd.from_pandas(df).repartition(9),
+                          key_col="k", score_col="score",
+                          id_col="doc_id", keep_cols=["extra"],
+                          cfg=cfg).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    exp = (df.sort_values(["k", "score", "doc_id"],
+                          ascending=[True, False, True], kind="stable")
+           .groupby("k", sort=False).head(1)
+           .sort_values("k").reset_index(drop=True))
+    nd = df.groupby("k").size()
+    assert (got["doc_id"].to_numpy() == exp["doc_id"].to_numpy()).all()
+    assert (got["score"].to_numpy() == exp["score"].to_numpy()).all()
+    assert (got["extra"].to_numpy() == exp["extra"].to_numpy()).all()
+    assert (got.set_index("k")["n_dups"].sort_index()
+            == nd.sort_index()).all()
+    assert list(got.columns) == ["k", "doc_id", "score", "extra", "n_dups"]

@@ -28,6 +28,7 @@ SUBSET = [
     "top_orders",
     "hourly_user_events",
     "exact_dedup_docs",
+    "doc_dedup_keep_best",
     "exact_dedup_incremental",
     "minhash_dedup_incremental",
     "doc_token_counts",
