@@ -1311,6 +1311,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return probed.map_batches(per_doc, batch_format="pandas")
 
+    def event_value_ntile(sf_dir):
+        """ntile bucketing (ops/relational.grouped_ntile): every event
+        assigned its event_type's 1-based septile by value — the
+        curriculum/difficulty-band assignment, closed-form bucket
+        arithmetic after ONE keyed shuffle."""
+        from aml_entity_resolution_assignment_ray.ops.relational import (
+            grouped_ntile,
+        )
+
+        _tune_context()
+        ev = _read(sf_dir, "events").select_columns(
+            ["event_id", "event_type", "value"])
+        return grouped_ntile(ev, key="event_type",
+                             order_cols=["value", "event_id"], n=7)
+
     def event_type_cm_counts(sf_dir):
         """Count-Min frequency sketch (ops/sketch.cm_frequencies):
         approximate event count per event_type from a d x w counter
@@ -1974,6 +1989,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_quantiles_sketch": event_value_quantiles_sketch,
         "event_value_pct_rank": event_value_pct_rank,
         "event_gaps": event_gaps,
+        "event_value_ntile": event_value_ntile,
         "gram_overlap_est": gram_overlap_est,
     }
 
@@ -3841,6 +3857,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, event_type, value,
                    percent_rank() OVER (PARTITION BY event_type
                                         ORDER BY value) AS percent_rank
+            FROM events
+        """,
+        "event_value_ntile": """
+            SELECT event_id, event_type, value,
+                   ntile(7) OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS tile
             FROM events
         """,
         # gap arithmetic is int64 microseconds -> CAST AS DOUBLE ->

@@ -673,6 +673,45 @@ def grouped_lag(ds, *, key: str, order_cols: list[str], cols: list[str],
         lag, batch_format="pandas", batch_size=None)
 
 
+def grouped_ntile(ds, *, key: str, order_cols: list[str], n: int,
+                  out_col: str = "tile",
+                  cfg: EngineConfig = DEFAULT_CONFIG):
+    """ntile(n) OVER (PARTITION BY key ORDER BY order_cols): each
+    group's rows split into ``n`` buckets as evenly as possible, the
+    first ``size mod n`` buckets one row larger — the
+    difficulty-bucket / curriculum-band assignment.  ``order_cols``
+    must be a total order within each group (pass a unique
+    tie-breaker) so bucket edges are deterministic and match the SQL
+    window exactly.  Buckets are 1-based BIGINT like SQL's.
+
+    ONE hash shuffle on the key, then a per-block sort + closed-form
+    bucket arithmetic (no quantile estimation); all input columns pass
+    through."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    cols = list(ds.schema().names)
+
+    def tile(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            out = df[cols].copy()
+            out[out_col] = pd.Series([], dtype="int64")
+            return out
+        s = df.sort_values([key, *order_cols], kind="stable")
+        g = s.groupby(key, sort=False)
+        size = g[key].transform("size").to_numpy(dtype=np.int64)
+        r = g.cumcount().to_numpy(dtype=np.int64)        # 0-based rank
+        big, rem = size // n + 1, size % n               # first rem buckets
+        in_big = r < rem * big                           # hold one extra row
+        t = np.where(in_big, r // np.maximum(big, 1),
+                     rem + (r - rem * big) // np.maximum(size // n, 1))
+        out = s[cols].copy()
+        out[out_col] = t + 1
+        return out
+
+    return _keyed(ds, [key], cfg, _meta_rows(ds)).map_batches(
+        tile, batch_format="pandas", batch_size=None)
+
+
 def grouped_percent_rank(ds, *, key: str, col: str,
                          out_col: str = "percent_rank",
                          cfg: EngineConfig = DEFAULT_CONFIG):

@@ -68,6 +68,7 @@ SUBSET = [
     "bpe_learned_merges",
     "event_value_pct_rank",
     "event_gaps",
+    "event_value_ntile",
     "event_rollup",
     "corpus_diff",
     "user_event_pivot",

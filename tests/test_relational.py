@@ -759,3 +759,45 @@ def test_keyed_sum_empty_blocks_share_schema(ray_session):
     got = out.to_pandas()
     assert list(got.columns) == ["k", "n"]
     assert got["n"].iloc[0] == 50
+
+
+@pytest.mark.parametrize("cfg", [SHUFFLE_CFG, GATHER_CFG],
+                         ids=["shuffle", "gather"])
+@pytest.mark.parametrize("n", [1, 4, 7, 500])
+def test_grouped_ntile(ray_session, cfg, n):
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.relational import (
+        grouped_ntile,
+    )
+
+    df = _events(n=400)
+    got = grouped_ntile(
+        rd.from_pandas(df), key="user_id", order_cols=["v", "event_id"],
+        n=n, cfg=cfg).to_pandas()
+
+    def sql_ntile(size, r, n):
+        big, rem = size // n + 1, size % n
+        if r < rem * big:
+            return r // big + 1
+        return rem + (r - rem * big) // (size // n) + 1
+
+    exp = df.sort_values(["user_id", "v", "event_id"],
+                         kind="stable").copy()
+    g = exp.groupby("user_id", sort=False)
+    exp["tile"] = [
+        sql_ntile(s, r, n)
+        for s, r in zip(g["user_id"].transform("size"), g.cumcount())]
+    key = ["user_id", "event_id"]
+    got = got.sort_values(key, kind="stable").reset_index(drop=True)
+    exp = exp.sort_values(key, kind="stable").reset_index(drop=True)
+    assert (got["tile"].to_numpy() == exp["tile"].to_numpy()).all()
+    # bucket sizes differ by at most one within each group
+    for _, grp in got.groupby("user_id"):
+        c = grp["tile"].value_counts()
+        assert c.max() - c.min() <= 1
+        assert c.index.min() == 1
+
+    with pytest.raises(ValueError, match="n must"):
+        grouped_ntile(rd.from_pandas(df), key="user_id",
+                      order_cols=["v"], n=0)
