@@ -1455,6 +1455,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         idx = ann.build_ivf(emb, ncells=8, index_path=ipath)
         return idx.search(np.asarray(q), k=10, nprobe=4)[["vec_id"]]
 
+    def ann_ivf_appended(sf_dir):
+        """Incremental IVF ingest (ops/ann.append_ivf): the index is
+        built on 80% of the vectors, the held-out 20% (including the
+        query vector's id-0 row) appended against the PERSISTED
+        centroids — no refit, no re-shuffle of existing cells — then
+        the standard nprobe-4 probe runs over the combined files.  The
+        oracle replays probe + exact cosine over the appended index's
+        own parquet, so a mis-assigned or missing appended vector
+        surfaces as a wrong row."""
+        import shutil
+
+        _tune_context()
+        emb = _read(sf_dir, "embeddings")
+        q = emb.filter(expr="vec_id == 0").take(1)[0]["embedding"]
+        ipath = _ivf_index_path(_corpus_entities(sf_dir)) + "_app"
+        shutil.rmtree(ipath, ignore_errors=True)
+        base = emb.map_batches(lambda d: d[d["vec_id"] % 5 != 0],
+                               batch_format="pandas")
+        newer = emb.map_batches(lambda d: d[d["vec_id"] % 5 == 0],
+                                batch_format="pandas")
+        idx = ann.build_ivf(base, ncells=8, index_path=ipath)
+        ann.append_ivf(ipath, newer)
+        return idx.search(np.asarray(q), k=10, nprobe=4)[["vec_id"]]
+
     def embedding_dup_pairs_q(sf_dir):
         # testdata embeddings are near-orthogonal (max offdiag cosine
         # ~0.51 at sf0.01), so the near-dup threshold sits below that.
@@ -1915,6 +1939,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_docs": ngram_jaccard_docs,
         "ann_top10": ann_top10,
         "ann_ivf_top10": ann_ivf_top10,
+        "ann_ivf_appended": ann_ivf_appended,
         "embedding_dup_pairs": embedding_dup_pairs_q,
         "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh,
         "semdedup_pairs": semdedup_pairs_q,
@@ -4095,6 +4120,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT v.vec_id
             FROM read_parquet(
                 '{_ivf_index_path(_oracle_n())}/cells/*/*.parquet',
+                hive_partitioning = 1) v, q
+            WHERE CAST(v._cell AS BIGINT) IN (SELECT cell FROM probed)
+            ORDER BY list_cosine_similarity(
+                list_transform(v.embedding, x -> CAST(x AS DOUBLE)), q.e)
+                DESC, v.vec_id
+            LIMIT 10
+        """,
+        "ann_ivf_appended": f"""
+            WITH q AS (
+              SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings WHERE vec_id = 0
+            ),
+            probed AS (
+              SELECT cell
+              FROM read_parquet('{_ivf_index_path(_oracle_n())}_app/centroids.parquet'), q
+              ORDER BY list_cosine_similarity(centroid, q.e) DESC, cell
+              LIMIT 4
+            )
+            SELECT v.vec_id
+            FROM read_parquet(
+                '{_ivf_index_path(_oracle_n())}_app/cells/*/*.parquet',
                 hive_partitioning = 1) v, q
             WHERE CAST(v._cell AS BIGINT) IN (SELECT cell FROM probed)
             ORDER BY list_cosine_similarity(

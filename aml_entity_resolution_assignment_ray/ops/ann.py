@@ -280,19 +280,6 @@ def build_ivf(ds, ncells: int | None = 16, vec_col: str = "embedding",
         sample = ds.to_pandas()
     X = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
     C = _kmeans(X, ncells, seed=seed)
-    cref = ray.put(C)
-
-    class Assign:
-        def __init__(self, r):
-            self.C = _normalize(ray.get(r))
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            V = _normalize(np.stack(df[vec_col].to_numpy()).astype(np.float64))
-            out = df[[id_col, vec_col]].copy()
-            out["_cell"] = (V @ self.C.T).argmax(axis=1).astype(np.int64)
-            return out
-
-    from ..util import stateful_map
 
     os.makedirs(index_path, exist_ok=True)
     pq.write_table(
@@ -300,7 +287,34 @@ def build_ivf(ds, ncells: int | None = 16, vec_col: str = "embedding",
                   "centroid": pa.array([list(map(float, c)) for c in C],
                                        pa.list_(pa.float64()))}),
         os.path.join(index_path, "centroids.parquet"))
-    assignment = stateful_map(ds, Assign, (cref,), batch_format="pandas")
+    _write_cells(ds, C, index_path, vec_col, id_col)
+    return IVFIndex(C, index_path, vec_col=vec_col, id_col=id_col)
+
+
+class _AssignCells:
+    """Actor-pool kernel: nearest-centroid cell per vector (centroids
+    broadcast once per actor)."""
+
+    def __init__(self, cref, vec_col: str, id_col: str):
+        self.C = _normalize(_maybe_get(cref))
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        V = _normalize(np.stack(df[self.vec_col].to_numpy())
+                       .astype(np.float64))
+        out = df[[self.id_col, self.vec_col]].copy()
+        out["_cell"] = (V @ self.C.T).argmax(axis=1).astype(np.int64)
+        return out
+
+
+def _write_cells(ds, C: np.ndarray, index_path: str, vec_col: str,
+                 id_col: str) -> None:
+    from ..util import stateful_map
+
+    assignment = stateful_map(ds, _AssignCells,
+                              (ray.put(C), vec_col, id_col),
+                              batch_format="pandas")
     if len(C) > 1024:
         # pyarrow's write_dataset refuses one fragment spanning >1024
         # partition dirs; hash-shuffling by cell first caps a write
@@ -314,7 +328,28 @@ def build_ivf(ds, ncells: int | None = 16, vec_col: str = "embedding",
             DEFAULT_CONFIG.resolve_join_partitions(), keys=["_cell"])
     assignment.write_parquet(os.path.join(index_path, "cells"),
                              partition_cols=["_cell"])
-    return IVFIndex(C, index_path, vec_col=vec_col, id_col=id_col)
+
+
+def append_ivf(index_path: str, ds, vec_col: str = "embedding",
+               id_col: str = "vec_id") -> IVFIndex:
+    """Incremental index ingest: assign NEW vectors to the PERSISTED
+    centroids (no refit — cell identity stays stable, so every
+    already-written cell file remains valid) and append their
+    cell-partitioned files next to the existing ones.  The streaming
+    counterpart to build_ivf, mirroring incremental_exact_dedup: a
+    daily embedding ingest touches only its own rows — no re-shuffle,
+    no re-read of the existing index — and a probe immediately sees
+    old + new because the cell directory is the unit of storage
+    (write_parquet adds uniquely-named files; existing files are never
+    rewritten).  Assignment uses the same kernel as the build, so an
+    appended index is file-for-file equivalent to rebuilding with the
+    same centroids over the union (pinned by
+    tests/test_ops.py::test_ivf_append).  Centroid drift is the
+    documented trade-off of every IVF ingest path; refresh by
+    rebuilding when cell-size skew warrants it."""
+    idx = IVFIndex.load(index_path, vec_col=vec_col, id_col=id_col)
+    _write_cells(ds, idx.centroids, index_path, vec_col, id_col)
+    return idx
 
 
 # --------------------------------------------------------------------------

@@ -2370,3 +2370,55 @@ def test_dedup_keep_best(ray_session, force_shuffle):
     assert (got.set_index("k")["n_dups"].sort_index()
             == nd.sort_index()).all()
     assert list(got.columns) == ["k", "doc_id", "score", "extra", "n_dups"]
+
+
+def test_ivf_append(ray_session, tmp_path):
+    """Incremental IVF ingest: appended vectors land in the same cells
+    a same-centroid rebuild would put them in (file-level equivalence),
+    an exhaustive probe over the appended index equals brute force over
+    the union, and appending to a non-index path raises."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops import ann
+
+    rng = np.random.RandomState(23)
+    dim, n = 16, 400
+    V = rng.randn(n, dim)
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": [v.tolist() for v in V]})
+    base = df[df["vec_id"] % 5 != 0]
+    newer = df[df["vec_id"] % 5 == 0]
+    ipath = str(tmp_path / "ivf")
+    idx = ann.build_ivf(rd.from_pandas(base).repartition(4), ncells=6,
+                        index_path=ipath)
+    idx2 = ann.append_ivf(ipath, rd.from_pandas(newer).repartition(3))
+    assert np.array_equal(idx.centroids, idx2.centroids)
+
+    # file-level: every vector present exactly once, in the cell the
+    # persisted centroids assign it to
+    import glob
+
+    import pyarrow.parquet as pq
+    parts = []
+    for f in glob.glob(ipath + "/cells/_cell=*/*.parquet"):
+        d = pq.read_table(f).to_pandas()
+        d["_cell"] = int(f.split("_cell=")[1].split("/")[0])
+        parts.append(d)
+    cells = pd.concat(parts, ignore_index=True)
+    assert sorted(cells["vec_id"]) == list(range(n))
+    Cn = idx.centroids / np.linalg.norm(idx.centroids, axis=1,
+                                        keepdims=True)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    exp_cell = (Vn @ Cn.T).argmax(axis=1)
+    got_cell = cells.sort_values("vec_id")["_cell"].to_numpy(dtype=np.int64)
+    assert np.array_equal(got_cell, exp_cell)
+
+    # search-level: exhaustive probe == brute force over the union
+    queries = V[:3]
+    got = idx2.search(queries, k=5, nprobe=6)
+    brute = ann.brute_force_topk(rd.from_pandas(df), queries, k=5)
+    assert got["vec_id"].tolist() == brute["vec_id"].tolist()
+
+    with pytest.raises(FileNotFoundError, match="centroids"):
+        ann.append_ivf(str(tmp_path / "nope"),
+                       rd.from_pandas(newer))

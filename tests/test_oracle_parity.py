@@ -79,6 +79,7 @@ SUBSET = [
     "video_mp4_samples",
     "simhash_dup_pairs_docs",
     "ann_top10",
+    "ann_ivf_appended",
     "embedding_dup_pairs",
     "embedding_norms",
     "label_centroids",
