@@ -90,6 +90,15 @@ def _init_ray(num_cpus: int, n_rows: int = 0):
         nparts = int(env)
     else:
         nparts = max(8, min(256, n_rows // 100_000)) if n_rows else 8
+        # cap by the CPU budget: two chained hash shuffles run their
+        # aggregator pools (0.0625 CPU per partition each) concurrently
+        # with the map tasks feeding them — above ~4 partitions per CPU
+        # the pools starve the maps and the pipeline wedges (observed:
+        # 45 partitions at num_cpus=4 on the 300k-entity corpus).  On a
+        # real cluster CPUs scale with data so the data-driven count
+        # stands; a fixed tiny ray.init budget is the one place the cap
+        # binds.
+        nparts = min(nparts, 4 * num_cpus)
     tune_context(nparts=nparts)
     # warm the worker-process pool before any timed section: on a real
     # long-lived cluster workers exist (and have imported the library
