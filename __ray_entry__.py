@@ -601,6 +601,69 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _read(sf_dir, "events").select_columns(["event_type"]) \
             .groupby("event_type").count().select_columns(["event_type"])
 
+    def events_profile_numeric(sf_dir):
+        """Per-column dataset profile over the events table's integer
+        columns (ops/profile.dataset_profile): row/NULL counts, min,
+        max, exact int64 sum.  Pure per-block combiner — one tiny row
+        per block per column, no shuffle, no float accumulation."""
+        from aml_entity_resolution_assignment_ray.ops.profile import (
+            dataset_profile,
+        )
+
+        _tune_context()
+        ds = _read(sf_dir, "events").select_columns(
+            ["event_id", "user_id", "value"])
+
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "event_id": df["event_id"].astype(np.int64),
+                "user_id": df["user_id"].astype(np.int64),
+                "value_cents": _round_half_away(
+                    df["value"].to_numpy(dtype=np.float64) * 100)
+                .astype(np.int64),
+            })
+
+        prof = dataset_profile(
+            ds.map_batches(prep, batch_format="pandas"),
+            int_cols=["event_id", "user_id", "value_cents"])
+        return prof.map_batches(
+            lambda d: d[["column", "n_rows", "n_null", "min_num",
+                         "max_num", "sum_int"]]
+            .rename(columns={"column": "col_name"}),
+            batch_format="pandas")
+
+    def events_profile_strings(sf_dir):
+        """String-column profile over events (ops/profile.
+        dataset_profile): row/NULL counts and binary-collation
+        min/max."""
+        from aml_entity_resolution_assignment_ray.ops.profile import (
+            dataset_profile,
+        )
+
+        _tune_context()
+        ds = _read(sf_dir, "events").select_columns(
+            ["event_type", "props"])
+        prof = dataset_profile(ds, str_cols=["event_type", "props"])
+        return prof.map_batches(
+            lambda d: d[["column", "n_rows", "n_null", "min_str",
+                         "max_str"]]
+            .rename(columns={"column": "col_name"}),
+            batch_format="pandas")
+
+    def user_top_event_type(sf_dir):
+        """Per-user dominant event type (ops/profile.grouped_mode):
+        per-block (user, type) partial counts, ONE hash shuffle on the
+        user key, per-block argmax with the (count DESC, value ASC)
+        deterministic tie-break."""
+        from aml_entity_resolution_assignment_ray.ops.profile import (
+            grouped_mode,
+        )
+
+        _tune_context()
+        ev = _read(sf_dir, "events").select_columns(
+            ["user_id", "event_type"])
+        return grouped_mode(ev, key="user_id", col="event_type")
+
     # ---- documents: text analysis + dedup ----
 
     def corpus_diff(sf_dir):
@@ -1973,6 +2036,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_rollup": event_rollup,
         "user_event_pivot": user_event_pivot,
         "distinct_event_types": distinct_event_types,
+        "events_profile_numeric": events_profile_numeric,
+        "events_profile_strings": events_profile_strings,
+        "user_top_event_type": user_top_event_type,
         "exact_dedup_docs": exact_dedup_docs,
         "doc_dedup_keep_best": doc_dedup_keep_best,
         "corpus_diff": corpus_diff,
@@ -3406,6 +3472,49 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(sum(cents) AS BIGINT) AS total_cents
             FROM c GROUP BY ROLLUP(event_type, hour)
+        """,
+        # per-column profile replay: one UNION ALL branch per column;
+        # count(*) is exact BIGINT, sum(BIGINT) -> HUGEINT must be CAST
+        # back (fetchdf renders HUGEINT as float64 — the r4 lesson)
+        "events_profile_numeric": """
+            WITH e AS (
+                SELECT event_id, user_id,
+                       CAST(round(value * 100) AS BIGINT) AS value_cents
+                FROM events
+            )
+            SELECT 'event_id' AS col_name, count(*) AS n_rows,
+                   count(*) - count(event_id) AS n_null,
+                   CAST(min(event_id) AS DOUBLE) AS min_num,
+                   CAST(max(event_id) AS DOUBLE) AS max_num,
+                   CAST(sum(event_id) AS BIGINT) AS sum_int FROM e
+            UNION ALL
+            SELECT 'user_id', count(*), count(*) - count(user_id),
+                   CAST(min(user_id) AS DOUBLE),
+                   CAST(max(user_id) AS DOUBLE),
+                   CAST(sum(user_id) AS BIGINT) FROM e
+            UNION ALL
+            SELECT 'value_cents', count(*), count(*) - count(value_cents),
+                   CAST(min(value_cents) AS DOUBLE),
+                   CAST(max(value_cents) AS DOUBLE),
+                   CAST(sum(value_cents) AS BIGINT) FROM e
+        """,
+        "events_profile_strings": """
+            SELECT 'event_type' AS col_name, count(*) AS n_rows,
+                   count(*) - count(event_type) AS n_null,
+                   min(event_type) AS min_str,
+                   max(event_type) AS max_str FROM events
+            UNION ALL
+            SELECT 'props', count(*), count(*) - count(props),
+                   min(props), max(props) FROM events
+        """,
+        "user_top_event_type": """
+            SELECT user_id, event_type AS mode_value, n FROM (
+                SELECT user_id, event_type, count(*) AS n,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY count(*) DESC, event_type ASC) AS rn
+                FROM events GROUP BY user_id, event_type
+            ) WHERE rn = 1
         """,
         "exact_dedup_docs": """
             SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text

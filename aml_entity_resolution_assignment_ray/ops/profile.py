@@ -1,0 +1,150 @@
+"""Dataset profiling and categorical-mode aggregates.
+
+The data-quality staples of a training-data pipeline the reference's
+SQL surface lacks: a one-pass per-column profile (row/NULL counts,
+min/max, exact integer sums — the "describe" you run before trusting a
+new 100-TB drop) and the per-group most-frequent value (dominant
+language per source, dominant event type per user).
+
+Scale shape:
+
+* dataset_profile — each block folds to ONE tiny row per profiled
+  column (a pure combiner), so the driver-side final fold sees
+  #blocks x #columns rows — bounded state, no shuffle at all.  There
+  is deliberately NO float accumulation anywhere: integer sums are
+  exact and layout-invariant, min/max are order-free, float columns
+  get min/max but no sum (a distributed float sum is layout-dependent;
+  callers that need one convert to integer cents first, like the rest
+  of the engine).
+* grouped_mode — per-block (key, value) partial counts (shuffle volume
+  bounded by the DISTINCT pair count, not rows), ONE hash repartition
+  on the key alone (which also makes every (key, value) group
+  block-complete), then a vectorized per-block count-sum + argmax with
+  the deterministic tie-break (highest count, then smallest value) so
+  the result is total-order stable and SQL-replayable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..config import DEFAULT_CONFIG, EngineConfig
+
+_STAT_COLS = ["column", "n_rows", "n_null", "min_num", "max_num",
+              "sum_int", "min_str", "max_str"]
+
+
+def dataset_profile(ds, *, int_cols: list[str] = (),
+                    float_cols: list[str] = (),
+                    str_cols: list[str] = (),
+                    cfg: EngineConfig = DEFAULT_CONFIG):
+    """One row per profiled column: (column, n_rows, n_null, min_num,
+    max_num, sum_int, min_str, max_str).  Numeric stats are NULL for
+    string columns and vice versa; ``sum_int`` is NULL for float
+    columns (see module docstring — no distributed float accumulation).
+
+    int/float mins and maxes are reported as float64: exact for any
+    float, and for int64 magnitudes below 2^53 (the engine's id/cents
+    domain); the SUM stays int64 end to end."""
+    int_cols, float_cols = list(int_cols), list(float_cols)
+    str_cols = list(str_cols)
+    cols = int_cols + float_cols + str_cols
+    if not cols:
+        raise ValueError("dataset_profile: no columns requested")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = {c: [] for c in _STAT_COLS}
+        for c in cols:
+            s = df[c]
+            nn = int(s.isna().sum())
+            v = s.dropna()
+            out["column"].append(c)
+            out["n_rows"].append(len(s))
+            out["n_null"].append(nn)
+            if c in str_cols:
+                out["min_num"].append(np.nan)
+                out["max_num"].append(np.nan)
+                # sum_int is int64 end to end (0 = empty partial, the
+                # sum identity) so an empty or all-null block can never
+                # promote the column to float64 mid-fold; non-int
+                # columns get their sum NULLed once, in the final fold
+                out["sum_int"].append(0)
+                out["min_str"].append(v.min() if len(v) else None)
+                out["max_str"].append(v.max() if len(v) else None)
+            else:
+                a = v.to_numpy()
+                out["min_num"].append(float(a.min()) if len(a) else np.nan)
+                out["max_num"].append(float(a.max()) if len(a) else np.nan)
+                out["sum_int"].append(
+                    int(a.sum()) if c in int_cols and len(a) else 0)
+                out["min_str"].append(None)
+                out["max_str"].append(None)
+        d = pd.DataFrame(out)
+        d["n_rows"] = d["n_rows"].astype(np.int64)
+        d["n_null"] = d["n_null"].astype(np.int64)
+        d["sum_int"] = d["sum_int"].astype(np.int64)
+        return d
+
+    def fold(d: pd.DataFrame) -> pd.DataFrame:
+        if not len(d):
+            return d[_STAT_COLS]
+        g = d.groupby("column", sort=True, dropna=False)
+        out = pd.DataFrame({
+            "n_rows": g["n_rows"].sum().astype(np.int64),
+            "n_null": g["n_null"].sum().astype(np.int64),
+            "min_num": g["min_num"].min(),
+            "max_num": g["max_num"].max(),
+            "sum_int": g["sum_int"].sum(),  # exact: int64 end to end
+            "min_str": g["min_str"].min(),
+            "max_str": g["max_str"].max(),
+        }).reset_index()
+        if float_cols or str_cols:
+            # NULL the sum for columns where it is not defined (this
+            # promotes sum_int to float64 — only in mixed profiles; a
+            # pure-int profile keeps the exact int64 column)
+            out.loc[out["column"].isin([*float_cols, *str_cols]),
+                    "sum_int"] = np.nan
+        return out[_STAT_COLS]
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    # final fold on one block: #blocks x #columns rows, bounded state
+    return parts.repartition(1).map_batches(
+        fold, batch_format="pandas", batch_size=None)
+
+
+def grouped_mode(ds, *, key: str, col: str,
+                 cfg: EngineConfig = DEFAULT_CONFIG,
+                 n_rows: int | None = None):
+    """Per-key most frequent ``col`` value: (key, mode_value, n) with
+    n = the winning value's count.  Ties break to the SMALLEST value
+    (string order) so the answer is deterministic and matches the SQL
+    ``row_number() OVER (ORDER BY count DESC, value ASC)`` replay."""
+    from .relational import _keyed
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.groupby([key, col], sort=False, dropna=False).size() \
+            .rename("n").reset_index()
+        d["n"] = d["n"].astype(np.int64)
+        return d
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({key: df.get(key, pd.Series(dtype=object)),
+                                 "mode_value": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype=np.int64)})[
+                [key, "mode_value", "n"]]
+        d = df.groupby([key, col], sort=False, dropna=False)["n"] \
+            .sum().reset_index()
+        # highest count first, then smallest value: first row per key
+        # after this sort IS the mode
+        d = d.sort_values([key, "n", col], ascending=[True, False, True],
+                          kind="stable")
+        top = d.drop_duplicates(subset=[key], keep="first")
+        return pd.DataFrame({key: top[key],
+                             "mode_value": top[col],
+                             "n": top["n"].astype(np.int64)})
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    return _keyed(parts, [key], cfg, n_rows).map_batches(
+        pick, batch_format="pandas", batch_size=None)

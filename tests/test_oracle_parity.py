@@ -70,6 +70,9 @@ SUBSET = [
     "event_gaps",
     "event_value_ntile",
     "event_rollup",
+    "events_profile_numeric",
+    "events_profile_strings",
+    "user_top_event_type",
     "corpus_diff",
     "user_event_pivot",
     "semdedup_clusters",

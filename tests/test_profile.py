@@ -1,0 +1,107 @@
+"""dataset_profile / grouped_mode vs brute-force pandas oracles on
+seeded random data (both ops are deterministic: exact frame equality),
+on both the gather and the forced-shuffle paths."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from aml_entity_resolution_assignment_ray.config import EngineConfig
+from aml_entity_resolution_assignment_ray.ops.profile import (
+    dataset_profile,
+    grouped_mode,
+)
+
+SHUFFLE_CFG = EngineConfig(gather_max_keys=0)
+GATHER_CFG = EngineConfig(gather_max_keys=10**6)
+
+
+def _table(n=400, seed=7):
+    rng = np.random.RandomState(seed)
+    df = pd.DataFrame({
+        "uid": rng.randint(0, 17, n).astype(np.int64),
+        "cents": rng.randint(-5000, 50000, n).astype(np.int64),
+        "score": rng.rand(n).round(4),
+        "kind": rng.choice(["click", "view", "error", "purchase"], n),
+    })
+    # plant NULLs in every family
+    df.loc[df.index[::17], "score"] = np.nan
+    df["kind"] = df["kind"].astype(object)
+    df.loc[df.index[::23], "kind"] = None
+    return df
+
+
+def test_profile_matches_pandas(ray_session):
+    df = _table()
+    res = dataset_profile(
+        rd.from_pandas(df).repartition(6),
+        int_cols=["uid", "cents"], float_cols=["score"],
+        str_cols=["kind"]).to_pandas().set_index("column")
+
+    assert sorted(res.index) == ["cents", "kind", "score", "uid"]
+    for c in ["uid", "cents", "score", "kind"]:
+        assert res.loc[c, "n_rows"] == len(df)
+        assert res.loc[c, "n_null"] == int(df[c].isna().sum())
+    for c in ["uid", "cents"]:
+        assert res.loc[c, "min_num"] == float(df[c].min())
+        assert res.loc[c, "max_num"] == float(df[c].max())
+        assert res.loc[c, "sum_int"] == df[c].sum()
+    assert res.loc["score", "min_num"] == df["score"].min()
+    assert res.loc["score", "max_num"] == df["score"].max()
+    assert pd.isna(res.loc["score", "sum_int"])
+    kd = df["kind"].dropna()
+    assert res.loc["kind", "min_str"] == kd.min()
+    assert res.loc["kind", "max_str"] == kd.max()
+    assert pd.isna(res.loc["kind", "min_num"])
+
+
+def test_profile_single_block_equals_multi(ray_session):
+    df = _table(seed=3)
+    kw = dict(int_cols=["cents"], float_cols=["score"], str_cols=["kind"])
+    a = dataset_profile(rd.from_pandas(df), **kw).to_pandas()
+    b = dataset_profile(rd.from_pandas(df).repartition(9), **kw).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("column").reset_index(drop=True),
+        b.sort_values("column").reset_index(drop=True))
+
+
+def test_profile_empty_and_all_null(ray_session):
+    df = pd.DataFrame({"x": pd.Series([None] * 5, dtype="float64"),
+                       "s": pd.Series([None] * 5, dtype=object)})
+    res = dataset_profile(rd.from_pandas(df), float_cols=["x"],
+                          str_cols=["s"]).to_pandas().set_index("column")
+    assert res.loc["x", "n_null"] == 5
+    assert pd.isna(res.loc["x", "min_num"])
+    assert res.loc["s", "n_null"] == 5
+    assert pd.isna(res.loc["s", "max_str"])
+
+
+def _mode_oracle(df, key, col):
+    d = df.groupby([key, col]).size().rename("n").reset_index()
+    d = d.sort_values([key, "n", col], ascending=[True, False, True],
+                      kind="stable")
+    top = d.drop_duplicates(subset=[key], keep="first")
+    return pd.DataFrame({key: top[key].to_numpy(),
+                         "mode_value": top[col].to_numpy(),
+                         "n": top["n"].to_numpy(np.int64)})
+
+
+@pytest.mark.parametrize("cfg", [SHUFFLE_CFG, GATHER_CFG])
+def test_grouped_mode(ray_session, cfg):
+    df = _table(n=600, seed=11).dropna(subset=["kind"])
+    res = grouped_mode(rd.from_pandas(df).repartition(7),
+                       key="uid", col="kind", cfg=cfg,
+                       n_rows=len(df)).to_pandas()
+    exp = _mode_oracle(df, "uid", "kind")
+    pd.testing.assert_frame_equal(
+        res.sort_values("uid").reset_index(drop=True),
+        exp.sort_values("uid").reset_index(drop=True))
+
+
+def test_grouped_mode_tie_breaks_to_smallest(ray_session):
+    df = pd.DataFrame({"k": [1, 1, 1, 1], "v": ["b", "a", "b", "a"]})
+    res = grouped_mode(rd.from_pandas(df), key="k", col="v",
+                       cfg=SHUFFLE_CFG).to_pandas()
+    assert list(res["mode_value"]) == ["a"]
+    assert list(res["n"]) == [2]
