@@ -373,6 +373,121 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return run.map_batches(finalize, batch_format="pandas")
 
+    def nation_revenue_q5(sf_dir):
+        """TPC-H Q5 shape — revenue per nation for orders placed in
+        1995 where the supplier and customer share a nation inside one
+        region: the multi-way join benchmark of the relational surface.
+
+        Ray-first plan: the CONSTANT-SIZE dims (region, nation: 5/25
+        rows at any SF) fold to driver dicts; the supplier->nation map
+        (SF x 10k rows, a few MB of int pairs even at SF 100k)
+        broadcasts ONCE via ray.put and attaches inside a stateful
+        map kernel — never a shuffle; the two data-scale joins
+        (orders x customer on custkey, lineitem x the result on
+        orderkey) are hash joins; revenue moves as exact integer
+        cent-x-percent units so the final keyed_sum is
+        layout-invariant."""
+        import ray
+
+        from aml_entity_resolution_assignment_ray.ops.relational import keyed_sum
+        from aml_entity_resolution_assignment_ray.util import stateful_map
+
+        _tune_context()
+        cfg = EngineConfig()
+        nparts = cfg.resolve_join_partitions()
+
+        nat = _read(sf_dir, "nation").to_pandas()
+        reg = _read(sf_dir, "region").to_pandas()
+        region_keys = set(
+            reg.loc[reg["r_name"] == "ASIA", "r_regionkey"].astype(int))
+        nmap = {int(k): str(v) for k, v, rk in zip(
+            nat["n_nationkey"], nat["n_name"], nat["n_regionkey"])
+            if int(rk) in region_keys}
+        nkeys = frozenset(nmap)
+        sup = _read(sf_dir, "supplier").select_columns(
+            ["s_suppkey", "s_nationkey"]).to_pandas()
+        smap_ref = ray.put(dict(zip(sup["s_suppkey"].astype(int),
+                                    sup["s_nationkey"].astype(int))))
+
+        def cust_prep(df: pd.DataFrame) -> pd.DataFrame:
+            d = df[df["c_nationkey"].isin(nkeys)]
+            return pd.DataFrame({
+                "custkey": d["c_custkey"].astype(np.int64),
+                "c_nationkey": d["c_nationkey"].astype(np.int64),
+            })
+
+        cust = _read(sf_dir, "customer").select_columns(
+            ["c_custkey", "c_nationkey"]) \
+            .map_batches(cust_prep, batch_format="pandas")
+
+        def order_prep(df: pd.DataFrame) -> pd.DataFrame:
+            m = ((df["o_orderdate"] >= pd.Timestamp("1995-01-01"))
+                 & (df["o_orderdate"] < pd.Timestamp("1996-01-01")))
+            d = df[m]
+            return pd.DataFrame({
+                "orderkey": d["o_orderkey"].astype(np.int64),
+                "custkey": d["o_custkey"].astype(np.int64),
+            })
+
+        orders = _read(sf_dir, "orders").select_columns(
+            ["o_orderkey", "o_custkey", "o_orderdate"]) \
+            .map_batches(order_prep, batch_format="pandas")
+        oc = safe_join(orders, cust, join_type="inner",
+                       num_partitions=nparts, on=("custkey",)) \
+            .map_batches(lambda d: d[["orderkey", "c_nationkey"]],
+                         batch_format="pandas")
+
+        def line_prep(df: pd.DataFrame) -> pd.DataFrame:
+            cents = _round_half_away(
+                df["l_extendedprice"] * 100.0).astype(np.int64)
+            disc_pct = _round_half_away(
+                df["l_discount"] * 100.0).astype(np.int64)
+            return pd.DataFrame({
+                "orderkey": df["l_orderkey"].astype(np.int64),
+                "suppkey": df["l_suppkey"].astype(np.int64),
+                "rev_units": cents * (100 - disc_pct),
+            })
+
+        class AttachSupplierNation:
+            """supplier->nation broadcast lookup, fetched from the
+            object store once per worker (stateful_map)."""
+
+            def __init__(self, ref):
+                self.smap = ray.get(ref)
+
+            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+                out = df[["orderkey", "rev_units"]].copy()
+                out["s_nationkey"] = df["suppkey"].map(self.smap) \
+                    .astype(np.int64)
+                return out
+
+        li = _read(sf_dir, "lineitem").select_columns(
+            ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]) \
+            .map_batches(line_prep, batch_format="pandas")
+        li = stateful_map(li, AttachSupplierNation, (smap_ref,),
+                          batch_format="pandas")
+
+        lo = safe_join(li, oc, join_type="inner",
+                       num_partitions=nparts, on=("orderkey",))
+
+        def local_only(df: pd.DataFrame) -> pd.DataFrame:
+            d = df[df["s_nationkey"] == df["c_nationkey"]]
+            return pd.DataFrame({
+                "nationkey": d["s_nationkey"].astype(np.int64),
+                "revenue_units": d["rev_units"].astype(np.int64),
+            })
+
+        agg = keyed_sum(lo.map_batches(local_only, batch_format="pandas"),
+                        ["nationkey"], ["revenue_units"])
+
+        def name_it(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "n_name": df["nationkey"].map(nmap),
+                "revenue_units": df["revenue_units"].astype(np.int64),
+            })
+
+        return agg.map_batches(name_it, batch_format="pandas")
+
     def high_value_click_events(sf_dir):
         """Filter PUSHED INTO THE READ: the predicate goes to
         read_parquet as a pyarrow dataset expression, so row groups
@@ -1615,6 +1730,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "embeddings").select_columns(
                 ["vec_id", "embedding"]), long_form=True)
 
+    def embedding_gram(sf_dir):
+        """Exact Gram matrix G = Q^T Q over the int8-quantized
+        embeddings, upper triangle in long (i, j, sum_qq) form
+        (ops/ann.gram_matrix_q8): one d x d int64 matmul partial per
+        block, driver-side fold of #blocks x d(d+1)/2 tiny rows —
+        the X^T X building block of PCA/whitening at corpus scale,
+        integer-exact so it is layout-invariant and SQL-replayable."""
+        from aml_entity_resolution_assignment_ray.ops.ann import gram_matrix_q8
+
+        _tune_context()
+        return gram_matrix_q8(
+            _read(sf_dir, "embeddings").select_columns(
+                ["vec_id", "embedding"]))
+
     def embedding_norms(sf_dir):
         _tune_context()
         emb = _read(sf_dir, "embeddings").select_columns(["vec_id", "embedding"])
@@ -2009,6 +2138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup_keep": semdedup_keep_q,
         "semdedup_clusters": semdedup_clusters_q,
         "embedding_quantized": embedding_quantized,
+        "embedding_gram": embedding_gram,
         "embedding_norms": embedding_norms,
         "label_centroids": label_centroids,
         "media_features": media_features,
@@ -2026,6 +2156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cust_no_orders": cust_no_orders,
         "cust_with_orders": cust_with_orders,
         "cust_running_revenue": cust_running_revenue,
+        "nation_revenue_q5": nation_revenue_q5,
         "high_value_click_events": high_value_click_events,
         "event_type_stats": event_type_stats,
         "events_jsonl_stats": events_jsonl_stats,
@@ -3372,6 +3503,21 @@ def oracle_sql() -> dict[str, str]:
                           WHERE o.o_custkey = c.c_custkey
                             AND o.o_totalprice > 400000.0)
         """,
+        "nation_revenue_q5": """
+            SELECT n_name,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100)
+                                          AS BIGINT))) AS BIGINT)
+                       AS revenue_units
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate < TIMESTAMP '1996-01-01'
+            GROUP BY n_name
+        """,
         "cust_running_revenue": """
             SELECT o_custkey, o_orderkey,
                    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
@@ -4375,6 +4521,30 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT vec_id, scale, unnest(e) AS x,
                          generate_subscripts(e, 1) AS dim
                   FROM s)
+        """,
+        # Gram replay: the embedding_quantized CTE self-joined on
+        # vec_id; integer products so the sum is exact
+        "embedding_gram": """
+            WITH s AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+                       list_max(list_transform(
+                           embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+                FROM embeddings
+            ), qv AS (
+                SELECT vec_id, CAST(dim - 1 AS BIGINT) AS dim,
+                       CAST(CASE WHEN scale > 0
+                                 THEN round(x * 127 / scale)
+                                 ELSE 0 END AS BIGINT) AS qval
+                FROM (SELECT vec_id, scale, unnest(e) AS x,
+                             generate_subscripts(e, 1) AS dim
+                      FROM s)
+            )
+            SELECT a.dim AS i, b.dim AS j,
+                   CAST(sum(a.qval * b.qval) AS BIGINT) AS sum_qq
+            FROM qv a JOIN qv b USING (vec_id)
+            WHERE a.dim <= b.dim
+            GROUP BY a.dim, b.dim
         """,
         "embedding_norms": """
             SELECT vec_id,

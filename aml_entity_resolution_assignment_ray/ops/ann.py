@@ -455,3 +455,42 @@ def dequantize_matrix(qvecs, scales) -> np.ndarray:
     Q = np.stack([np.asarray(v, dtype=np.int8) for v in qvecs])
     s = np.asarray(scales, dtype=np.float64)
     return Q.astype(np.float64) * (s[:, None] / 127.0)
+
+
+def gram_matrix_q8(ds, *, vec_col: str = "embedding",
+                   id_col: str = "vec_id"):
+    """Exact distributed Gram matrix G = Q^T Q over the int8-quantized
+    embeddings (upper triangle, long form: (i, j, sum_qq) with
+    i <= j) — the X^T X building block of PCA whitening / covariance
+    estimation over a corpus too large to gather.
+
+    Scale shape: each block computes its OWN d x d int64 matmul
+    partial (one numpy matmul per block, emitting d*(d+1)/2 tiny rows
+    regardless of block height), and the final fold sums
+    #blocks x d^2/2 rows on one block — bounded state, no shuffle of
+    row data at all.  All arithmetic is int64 end to end (|q| <= 127,
+    so ~3.5e12 rows fit before overflow) — exact and layout-invariant,
+    unlike a float covariance fold."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            z = np.empty(0, dtype=np.int64)
+            return pd.DataFrame({"i": z, "j": z, "sum_qq": z})
+        Q = np.stack([np.asarray(v) for v in df["qvec"].to_numpy()]) \
+            .astype(np.int64)
+        G = Q.T @ Q
+        i_idx, j_idx = np.triu_indices(G.shape[0])
+        return pd.DataFrame({"i": i_idx, "j": j_idx,
+                             "sum_qq": G[i_idx, j_idx]})
+
+    def fold(d: pd.DataFrame) -> pd.DataFrame:
+        if not len(d):
+            return d[["i", "j", "sum_qq"]]
+        out = d.groupby(["i", "j"], sort=True, as_index=False)["sum_qq"] \
+            .sum()
+        out["sum_qq"] = out["sum_qq"].astype(np.int64)
+        return out
+
+    q = quantize_embeddings(ds, vec_col=vec_col, id_col=id_col)
+    return q.map_batches(partial, batch_format="pandas") \
+        .repartition(1) \
+        .map_batches(fold, batch_format="pandas", batch_size=None)

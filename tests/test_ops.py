@@ -279,6 +279,34 @@ def test_quantize_embeddings(ray_session):
     assert (got == np.stack(wide["qvec"]).astype(np.int64)).all()
 
 
+def test_gram_matrix_q8(ray_session):
+    """G = Q^T Q upper triangle: matches the brute-force numpy product
+    of the quantized codes exactly, and is invariant to block layout
+    (the integer-fold guarantee)."""
+    import ray.data as rd
+
+    rng = np.random.RandomState(4)
+    V = rng.randn(37, 8)
+    V[5] = 0.0
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(37), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in V],
+                              pa.list_(pa.float32())),
+    }))
+    wide = ann.quantize_embeddings(ds).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    Q = np.stack(wide["qvec"]).astype(np.int64)
+    G = Q.T @ Q
+    ii, jj = np.triu_indices(8)
+    exp = pd.DataFrame({"i": ii, "j": jj, "sum_qq": G[ii, jj]})
+
+    for nblocks in (1, 6):
+        got = ann.gram_matrix_q8(ds.repartition(nblocks)).to_pandas() \
+            .sort_values(["i", "j"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp)
+        assert got["sum_qq"].dtype == np.int64
+
+
 def test_semdedup(ray_session, tmp_path):
     import ray.data as rd
 

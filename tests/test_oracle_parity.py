@@ -77,6 +77,8 @@ SUBSET = [
     "user_event_pivot",
     "semdedup_clusters",
     "cust_with_orders",
+    "nation_revenue_q5",
+    "embedding_gram",
     "video_frames",
     "video_motion",
     "video_mp4_samples",
