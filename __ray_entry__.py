@@ -765,6 +765,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .rename(columns={"column": "col_name"}),
             batch_format="pandas")
 
+    def event_value_histogram(sf_dir):
+        """Sparse fixed-width histogram of event value (10-dollar
+        bins over exact integer cents; ops/profile.binned_histogram —
+        per-block bincount partials, one keyed_sum bounded by occupied
+        bins)."""
+        from aml_entity_resolution_assignment_ray.ops.profile import (
+            binned_histogram,
+        )
+
+        _tune_context()
+        ds = _read(sf_dir, "events").select_columns(["value"])
+
+        def cents(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "cents": _round_half_away(
+                    df["value"].to_numpy(dtype=np.float64) * 100)
+                .astype(np.int64),
+            })
+
+        return binned_histogram(
+            ds.map_batches(cents, batch_format="pandas"),
+            col="cents", bin_width=1000)
+
     def user_top_event_type(sf_dir):
         """Per-user dominant event type (ops/profile.grouped_mode):
         per-block (user, type) partial counts, ONE hash shuffle on the
@@ -1744,6 +1767,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "embeddings").select_columns(
                 ["vec_id", "embedding"]))
 
+    def embedding_projection(sf_dir):
+        """Johnson-Lindenstrauss +-1 random projection of the
+        int8-quantized embeddings to 8 components (ops/ann.
+        random_projection_q8): one int64 matmul per block, no shuffle,
+        integer-exact — the oracle replays it from the literal sign
+        matrix (the GBDT model-in-the-SQL convention)."""
+        from aml_entity_resolution_assignment_ray.ops.ann import (
+            random_projection_q8,
+        )
+
+        _tune_context()
+        return random_projection_q8(
+            _read(sf_dir, "embeddings").select_columns(
+                ["vec_id", "embedding"]), k=8, seed=7, dim=64)
+
     def embedding_norms(sf_dir):
         _tune_context()
         emb = _read(sf_dir, "embeddings").select_columns(["vec_id", "embedding"])
@@ -2139,6 +2177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup_clusters": semdedup_clusters_q,
         "embedding_quantized": embedding_quantized,
         "embedding_gram": embedding_gram,
+        "embedding_projection": embedding_projection,
         "embedding_norms": embedding_norms,
         "label_centroids": label_centroids,
         "media_features": media_features,
@@ -2169,6 +2208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_event_types": distinct_event_types,
         "events_profile_numeric": events_profile_numeric,
         "events_profile_strings": events_profile_strings,
+        "event_value_histogram": event_value_histogram,
         "user_top_event_type": user_top_event_type,
         "exact_dedup_docs": exact_dedup_docs,
         "doc_dedup_keep_best": doc_dedup_keep_best,
@@ -3202,6 +3242,22 @@ def _bpe_merged_sql_expr(col: str = "text") -> str:
     return f"CAST(length(regexp_extract_all({expr}, '[^ ]+')) AS BIGINT)"
 
 
+def _projection_sign_values_sql(d: int = 64, k: int = 8,
+                                seed: int = 7) -> str:
+    """The random_projection_q8 sign matrix as a SQL VALUES literal —
+    the model-in-the-query convention (cf. the GBDT tree compile): the
+    oracle replays the projection from the same d x k +-1 matrix the
+    engine derives from the seed."""
+    from aml_entity_resolution_assignment_ray.ops.ann import (
+        projection_sign_matrix,
+    )
+
+    R = projection_sign_matrix(d, k, seed)
+    rows = ", ".join(f"({i}, {j}, {int(R[i, j])})"
+                     for i in range(d) for j in range(k))
+    return f"(VALUES {rows}) AS r(dim, comp, sign)"
+
+
 def _media_features_sql(out: int = 32) -> str:
     """Replays ops/multimodal ResizeImage + ImageFeatures over the
     decoded pixel tensors the media_features query persists: the
@@ -3652,6 +3708,17 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'props', count(*), count(*) - count(props),
                    min(props), max(props) FROM events
+        """,
+        "event_value_histogram": """
+            WITH c AS (
+                SELECT CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+            )
+            SELECT cents // 1000 AS bin,
+                   (cents // 1000) * 1000 AS lo,
+                   (cents // 1000 + 1) * 1000 AS hi,
+                   count(*) AS n
+            FROM c GROUP BY 1
         """,
         "user_top_event_type": """
             SELECT user_id, event_type AS mode_value, n FROM (
@@ -4545,6 +4612,28 @@ def oracle_sql() -> dict[str, str]:
             FROM qv a JOIN qv b USING (vec_id)
             WHERE a.dim <= b.dim
             GROUP BY a.dim, b.dim
+        """,
+        "embedding_projection": f"""
+            WITH s AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+                       list_max(list_transform(
+                           embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+                FROM embeddings
+            ), qv AS (
+                SELECT vec_id, CAST(dim - 1 AS BIGINT) AS dim,
+                       CAST(CASE WHEN scale > 0
+                                 THEN round(x * 127 / scale)
+                                 ELSE 0 END AS BIGINT) AS qval
+                FROM (SELECT vec_id, scale, unnest(e) AS x,
+                             generate_subscripts(e, 1) AS dim
+                      FROM s)
+            )
+            SELECT vec_id, CAST(comp AS BIGINT) AS comp,
+                   CAST(sum(qval * sign) AS BIGINT) AS proj_q
+            FROM qv JOIN {_projection_sign_values_sql(64, 8, 7)}
+                 USING (dim)
+            GROUP BY vec_id, comp
         """,
         "embedding_norms": """
             SELECT vec_id,

@@ -494,3 +494,50 @@ def gram_matrix_q8(ds, *, vec_col: str = "embedding",
     return q.map_batches(partial, batch_format="pandas") \
         .repartition(1) \
         .map_batches(fold, batch_format="pandas", batch_size=None)
+
+
+def random_projection_q8(ds, *, k: int = 8, seed: int = 7,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id",
+                         dim: int | None = None):
+    """Johnson-Lindenstrauss random projection over the int8-quantized
+    embeddings: P = Q @ R with R a seeded +-1 sign matrix (Achlioptas
+    2003 — database-friendly random projections).  Output is long form
+    (id, comp, proj_q) with proj_q = sum_d q_d * r_{d,comp} — INTEGER
+    end to end, so the projection is exact, layout-invariant, and
+    SQL-replayable from the literal sign matrix.
+
+    Scale shape: stateless vectorized map — one (block x d) @ (d x k)
+    int64 matmul per block, no shuffle; R is built once per task from
+    the seed (d x k bytes, nothing to broadcast).  The d-to-k
+    reduction is the standard pre-filter for ANN / clustering over
+    very wide embeddings."""
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            z = np.empty(0, dtype=np.int64)
+            return pd.DataFrame({id_col: z, "comp": z, "proj_q": z})
+        Q = np.stack([np.asarray(v) for v in df["qvec"].to_numpy()]) \
+            .astype(np.int64)
+        d = Q.shape[1]
+        if dim is not None and d != dim:
+            raise ValueError(f"random_projection_q8: dim={dim} declared "
+                             f"but data has {d}")
+        P = Q @ projection_sign_matrix(d, k, seed)
+        n = len(df)
+        return pd.DataFrame({
+            id_col: np.repeat(df[id_col].to_numpy(), k),
+            "comp": np.tile(np.arange(k, dtype=np.int64), n),
+            "proj_q": P.ravel(),
+        })
+
+    q = quantize_embeddings(ds, vec_col=vec_col, id_col=id_col)
+    return q.map_batches(project, batch_format="pandas")
+
+
+def projection_sign_matrix(d: int, k: int = 8, seed: int = 7) -> np.ndarray:
+    """The exact +-1 matrix random_projection_q8 uses — exposed so an
+    oracle can inline it as SQL literals (the GBDT tree-compile
+    convention: the model IS part of the query)."""
+    rng = np.random.RandomState(seed)
+    return np.where(rng.rand(d, k) < 0.5, 1, -1).astype(np.int64)

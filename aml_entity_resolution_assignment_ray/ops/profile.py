@@ -148,3 +148,38 @@ def grouped_mode(ds, *, key: str, col: str,
     parts = ds.map_batches(partial, batch_format="pandas")
     return _keyed(parts, [key], cfg, n_rows).map_batches(
         pick, batch_format="pandas", batch_size=None)
+
+
+def binned_histogram(ds, *, col: str, bin_width: int,
+                     cfg: EngineConfig = DEFAULT_CONFIG):
+    """Fixed-width histogram over an INTEGER column: bin = col // width
+    (floor division), output (bin, lo, hi, n) with [lo, hi) edges.
+    Empty bins are absent (sparse form) — at 100 TB the bin domain of
+    a skewed column is unknowable up front, so the sparse form is the
+    one that streams.
+
+    Per-block ``bincount`` partials (one row per OCCUPIED bin per
+    block) -> keyed_sum on the bin id; shuffle volume is bounded by
+    #blocks x #occupied-bins, never rows.  Integer edges and counts —
+    exact, layout-invariant."""
+    from .relational import keyed_sum
+
+    if bin_width <= 0:
+        raise ValueError("binned_histogram: bin_width must be positive")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = df[col].to_numpy(dtype=np.int64) // bin_width
+        bins, counts = np.unique(b, return_counts=True)
+        return pd.DataFrame({"bin": bins,
+                             "n": counts.astype(np.int64)})
+
+    hist = keyed_sum(ds.map_batches(partial, batch_format="pandas"),
+                     ["bin"], ["n"], cfg=cfg)
+
+    def edges(df: pd.DataFrame) -> pd.DataFrame:
+        b = df["bin"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"bin": b, "lo": b * bin_width,
+                             "hi": (b + 1) * bin_width,
+                             "n": df["n"].to_numpy(dtype=np.int64)})
+
+    return hist.map_batches(edges, batch_format="pandas")

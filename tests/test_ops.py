@@ -307,6 +307,33 @@ def test_gram_matrix_q8(ray_session):
         assert got["sum_qq"].dtype == np.int64
 
 
+def test_random_projection_q8(ray_session):
+    """P = Q @ R vs brute-force numpy on the same seeded sign matrix;
+    layout-invariant; dim-declaration mismatch raises."""
+    import ray.data as rd
+
+    rng = np.random.RandomState(12)
+    V = rng.randn(25, 16)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(25), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in V],
+                              pa.list_(pa.float32())),
+    }))
+    wide = ann.quantize_embeddings(ds).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    Q = np.stack(wide["qvec"]).astype(np.int64)
+    P = Q @ ann.projection_sign_matrix(16, 4, seed=3)
+
+    for nblocks in (1, 5):
+        got = ann.random_projection_q8(
+            ds.repartition(nblocks), k=4, seed=3).to_pandas() \
+            .sort_values(["vec_id", "comp"])
+        assert (got["proj_q"].to_numpy().reshape(25, 4) == P).all()
+
+    with pytest.raises(Exception, match="dim=8 declared"):
+        ann.random_projection_q8(ds, k=4, seed=3, dim=8).to_pandas()
+
+
 def test_semdedup(ray_session, tmp_path):
     import ray.data as rd
 

@@ -72,7 +72,9 @@ SUBSET = [
     "event_rollup",
     "events_profile_numeric",
     "events_profile_strings",
+    "event_value_histogram",
     "user_top_event_type",
+    "embedding_projection",
     "corpus_diff",
     "user_event_pivot",
     "semdedup_clusters",

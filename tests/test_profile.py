@@ -99,6 +99,28 @@ def test_grouped_mode(ray_session, cfg):
         exp.sort_values("uid").reset_index(drop=True))
 
 
+def test_binned_histogram(ray_session):
+    from aml_entity_resolution_assignment_ray.ops.profile import (
+        binned_histogram,
+    )
+
+    rng = np.random.RandomState(2)
+    # negative values exercise FLOOR (not truncating) division
+    df = pd.DataFrame({"v": rng.randint(-95, 300, 500).astype(np.int64)})
+    res = binned_histogram(rd.from_pandas(df).repartition(5),
+                           col="v", bin_width=100).to_pandas() \
+        .sort_values("bin").reset_index(drop=True)
+    exp = (df["v"] // 100).value_counts().sort_index()
+    assert list(res["bin"]) == list(exp.index)
+    assert list(res["n"]) == list(exp.values)
+    assert (res["lo"] == res["bin"] * 100).all()
+    assert (res["hi"] == (res["bin"] + 1) * 100).all()
+    assert res["bin"].min() == -1  # the negative bin exists
+
+    with pytest.raises(ValueError):
+        binned_histogram(rd.from_pandas(df), col="v", bin_width=0)
+
+
 def test_grouped_mode_tie_breaks_to_smallest(ray_session):
     df = pd.DataFrame({"k": [1, 1, 1, 1], "v": ["b", "a", "b", "a"]})
     res = grouped_mode(rd.from_pandas(df), key="k", col="v",
