@@ -1782,6 +1782,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "embeddings").select_columns(
                 ["vec_id", "embedding"]), k=8, seed=7, dim=64)
 
+    def embedding_pca2(sf_dir):
+        """PCA to 2 components (ops/ann.pca_project): one distributed
+        pass of per-block (n, sum, X^T X) moment partials, a driver-
+        trivial d x d eigh with a fixed sign convention, then a
+        stateless broadcast projection map.  The eigen step is not
+        SQL-expressible, so this query is rows-only at the driver
+        gate; tests/test_ops.py pins it against a numpy oracle."""
+        from aml_entity_resolution_assignment_ray.ops.ann import pca_project
+
+        _tune_context()
+        return pca_project(
+            _read(sf_dir, "embeddings").select_columns(
+                ["vec_id", "embedding"]), k=2)
+
     def embedding_norms(sf_dir):
         _tune_context()
         emb = _read(sf_dir, "embeddings").select_columns(["vec_id", "embedding"])
@@ -2178,6 +2192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_quantized": embedding_quantized,
         "embedding_gram": embedding_gram,
         "embedding_projection": embedding_projection,
+        "embedding_pca2": embedding_pca2,
         "embedding_norms": embedding_norms,
         "label_centroids": label_centroids,
         "media_features": media_features,

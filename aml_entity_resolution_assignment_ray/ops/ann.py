@@ -541,3 +541,75 @@ def projection_sign_matrix(d: int, k: int = 8, seed: int = 7) -> np.ndarray:
     convention: the model IS part of the query)."""
     rng = np.random.RandomState(seed)
     return np.where(rng.rand(d, k) < 0.5, 1, -1).astype(np.int64)
+
+
+def pca_project(ds, *, k: int = 2, vec_col: str = "embedding",
+                id_col: str = "vec_id", round_to: int = 6):
+    """PCA projection to k components, distributed end to end except
+    the d x d eigendecomposition (which is driver-trivial at any
+    corpus size — d is the embedding width, not the row count):
+
+    1. one pass of per-block partials for n, sum(x) and X^T X
+       (float64 d x d matmuls; partials fold on the driver in sorted
+       block order so the result is deterministic for a fixed layout),
+    2. covariance C = G/n - mean mean^T, eigh on the driver, top-k
+       eigenvectors sign-fixed (largest-|component| positive) so the
+       basis is reproducible,
+    3. a stateless broadcast map projects every row: (x - mean) @ W,
+       long form (id, comp, value) rounded to ``round_to``.
+
+    Genuinely non-SQL-expressible (the eigen step), so its query is
+    registered rows-only; correctness is pinned by the numpy-oracle
+    unit test instead."""
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"payload": pd.Series([], dtype=object)})
+        V = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+        return pd.DataFrame({"payload": [
+            (len(V), V.sum(axis=0).tobytes(), (V.T @ V).tobytes(),
+             V.shape[1])]})
+
+    parts = ds.map_batches(moments, batch_format="pandas").to_pandas()
+    if not len(parts):
+        raise ValueError("pca_project: empty input")
+    rows = sorted(parts["payload"], key=lambda p: (p[0], p[1]))
+    d = rows[0][3]
+    n = sum(p[0] for p in rows)
+    s = np.zeros(d)
+    G = np.zeros((d, d))
+    for cnt, sb, gb, _ in rows:
+        s = s + np.frombuffer(sb, dtype=np.float64)
+        G = G + np.frombuffer(gb, dtype=np.float64).reshape(d, d)
+    mean = s / n
+    C = G / n - np.outer(mean, mean)
+    w, V = np.linalg.eigh(C)
+    W = V[:, np.argsort(w)[::-1][:k]]
+    # sign convention: largest-|component| entry positive per vector
+    flips = np.sign(W[np.abs(W).argmax(axis=0), np.arange(W.shape[1])])
+    W = W * np.where(flips == 0, 1.0, flips)[None, :]
+
+    wref = ray.put((mean, W))
+
+    class Project:
+        def __init__(self, ref):
+            self.mean, self.W = _maybe_get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                z = np.empty(0)
+                return pd.DataFrame({id_col: z.astype(np.int64),
+                                     "comp": z.astype(np.int64),
+                                     "value": z})
+            X = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+            P = (X - self.mean[None, :]) @ self.W
+            kk = P.shape[1]
+            return pd.DataFrame({
+                id_col: np.repeat(df[id_col].to_numpy(), kk),
+                "comp": np.tile(np.arange(kk, dtype=np.int64), len(X)),
+                "value": np.round(P.ravel(), round_to),
+            })
+
+    from ..util import stateful_map
+
+    return stateful_map(ds, Project, (wref,), batch_format="pandas")

@@ -334,6 +334,43 @@ def test_random_projection_q8(ray_session):
         ann.random_projection_q8(ds, k=4, seed=3, dim=8).to_pandas()
 
 
+def test_pca_project_matches_numpy(ray_session):
+    """Distributed moment partials + driver eigh == the same PCA done
+    wholly in numpy, on data with a well-separated spectrum (so the
+    basis is unique up to the fixed sign convention)."""
+    import ray.data as rd
+
+    rng = np.random.RandomState(8)
+    # anisotropic: variance concentrated in two known directions
+    B = rng.randn(6, 6)
+    X = rng.randn(200, 6) * np.array([10.0, 5.0, 1.0, 0.5, 0.2, 0.1]) @ B
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(200), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in X],
+                              pa.list_(pa.float64())),
+    }))
+
+    mean = X.mean(axis=0)
+    C = (X.T @ X) / len(X) - np.outer(mean, mean)
+    w, V = np.linalg.eigh(C)
+    W = V[:, np.argsort(w)[::-1][:2]]
+    flips = np.sign(W[np.abs(W).argmax(axis=0), np.arange(2)])
+    W = W * flips[None, :]
+    exp = (X - mean) @ W
+
+    got = ann.pca_project(ds.repartition(5), k=2).to_pandas() \
+        .sort_values(["vec_id", "comp"])
+    P = got["value"].to_numpy().reshape(200, 2)
+    assert np.allclose(P, exp, rtol=1e-6, atol=1e-6)
+
+    # projection onto the top component captures the top eigenvalue's
+    # variance share
+    assert P[:, 0].var() > P[:, 1].var()
+
+    with pytest.raises(Exception, match="empty input"):
+        ann.pca_project(ds.filter(lambda r: False), k=2)
+
+
 def test_semdedup(ray_session, tmp_path):
     import ray.data as rd
 
