@@ -116,6 +116,12 @@ def _ivf_index_path(n_entities: int) -> str:
     return f"/tmp/er_ivf_n{n_entities}"
 
 
+def _kmeans_path(n_entities: int) -> str:
+    """Centroid dir the embedding_kmeans_cells query writes and its
+    oracle reads (n-keyed, same convention as _ivf_index_path)."""
+    return f"/tmp/er_kmeans_n{n_entities}"
+
+
 def _semdedup_index_path(n_entities: int) -> str:
     """k-means index dir the semdedup_* queries write and their oracles
     read (separate from _ivf_index_path: same layout, different build
@@ -1796,6 +1802,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "embeddings").select_columns(
                 ["vec_id", "embedding"]), k=2)
 
+    def embedding_kmeans_cells(sf_dir):
+        """Distributed Lloyd's k-means over every embedding (ops/ann.
+        kmeans_fit: per-iteration per-block (cell, count, sum) moment
+        partials — no shuffle, driver state is #blocks x k rows —
+        smallest-id deterministic init), then the stateless broadcast
+        assignment.  The fitted centroids persist to parquet and the
+        oracle replays the argmin assignment from them (the
+        model-as-input convention, cf. er_classified)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from aml_entity_resolution_assignment_ray.ops.ann import (
+            kmeans_assign,
+            kmeans_fit,
+        )
+
+        _tune_context()
+        emb = _read(sf_dir, "embeddings").select_columns(
+            ["vec_id", "embedding"])
+        C = kmeans_fit(emb, k=8, iters=10)
+        path = _kmeans_path(_corpus_entities(sf_dir))
+        os.makedirs(path, exist_ok=True)
+        pq.write_table(
+            pa.table({"cell": pa.array(range(len(C)), pa.int64()),
+                      "centroid": pa.array([list(map(float, c)) for c in C],
+                                           pa.list_(pa.float64()))}),
+            os.path.join(path, "centroids.parquet"))
+        return kmeans_assign(emb, C)
+
     def embedding_norms(sf_dir):
         _tune_context()
         emb = _read(sf_dir, "embeddings").select_columns(["vec_id", "embedding"])
@@ -2193,6 +2228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_gram": embedding_gram,
         "embedding_projection": embedding_projection,
         "embedding_pca2": embedding_pca2,
+        "embedding_kmeans_cells": embedding_kmeans_cells,
         "embedding_norms": embedding_norms,
         "label_centroids": label_centroids,
         "media_features": media_features,
@@ -4650,6 +4686,28 @@ def oracle_sql() -> dict[str, str]:
                  USING (dim)
             GROUP BY vec_id, comp
         """,
+        # assignment replay from the persisted centroids: identical
+        # ||c||^2 - 2 x.c expression, ties to the lowest cell id
+        "embedding_kmeans_cells": f"""
+            WITH c AS (
+                SELECT CAST(cell AS BIGINT) AS cell, centroid,
+                       list_dot_product(centroid, centroid) AS cc
+                FROM read_parquet(
+                    '{{KMEANS_PATH}}/centroids.parquet')
+            ), d AS (
+                SELECT e.vec_id, c.cell,
+                       c.cc - 2 * list_dot_product(
+                           list_transform(e.embedding,
+                                          x -> CAST(x AS DOUBLE)),
+                           c.centroid) AS dist
+                FROM embeddings e CROSS JOIN c
+            )
+            SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, cell) AS rn
+                FROM d) WHERE rn = 1
+        """.replace("{KMEANS_PATH}", _kmeans_path(_oracle_n())),
         "embedding_norms": """
             SELECT vec_id,
                    round(sqrt(list_dot_product(

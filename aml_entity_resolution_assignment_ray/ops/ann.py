@@ -613,3 +613,90 @@ def pca_project(ds, *, k: int = 2, vec_col: str = "embedding",
     from ..util import stateful_map
 
     return stateful_map(ds, Project, (wref,), batch_format="pandas")
+
+
+class _AssignCells:
+    """argmin_c (||c||^2 - 2 x.c) over broadcast centroids — the same
+    expression the SQL oracle replays (ties to the lowest cell id,
+    numpy argmin semantics)."""
+
+    def __init__(self, cref, vec_col, id_col, emit):
+        C = np.asarray(_maybe_get(cref), dtype=np.float64)
+        self.C = C
+        self.cc = (C * C).sum(axis=1)
+        self.vec_col, self.id_col, self.emit = vec_col, id_col, emit
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            z = np.empty(0, dtype=np.int64)
+            if self.emit == "assign":
+                return pd.DataFrame({self.id_col: z, "cell": z})
+            return pd.DataFrame({"cell": z, "cnt": z,
+                                 "vsum": pd.Series([], dtype=object)})
+        V = np.stack(df[self.vec_col].to_numpy()).astype(np.float64)
+        a = (self.cc[None, :] - 2.0 * (V @ self.C.T)).argmin(axis=1)
+        if self.emit == "assign":
+            return pd.DataFrame({self.id_col: df[self.id_col].to_numpy(),
+                                 "cell": a.astype(np.int64)})
+        cells, counts, sums = [], [], []
+        for c in np.unique(a):
+            m = a == c
+            cells.append(int(c))
+            counts.append(int(m.sum()))
+            sums.append(V[m].sum(axis=0).tobytes())
+        return pd.DataFrame({"cell": np.asarray(cells, dtype=np.int64),
+                             "cnt": np.asarray(counts, dtype=np.int64),
+                             "vsum": pd.Series(sums, dtype=object)})
+
+
+def kmeans_fit(ds, *, k: int, iters: int = 10, vec_col: str = "embedding",
+               id_col: str = "vec_id") -> np.ndarray:
+    """Distributed Lloyd's k-means over the FULL dataset (build_ivf
+    fits on a driver sample; this is the every-row refinement for when
+    the sample misrepresents the distribution).  Returns the (k, d)
+    centroid matrix.
+
+    Scale shape, per iteration: centroids broadcast once via ray.put;
+    each block emits <= k tiny (cell, count, sum-vector) moment rows
+    (a pure combiner — the only driver state is #blocks x k rows,
+    folded in sorted order so the float update is deterministic for a
+    fixed layout); no shuffle at any point.  Init is the k rows with
+    the SMALLEST ids (per-block nsmallest partial then a driver merge)
+    — fully deterministic and layout-invariant, unlike sampling block
+    order."""
+    from ..util import stateful_map
+
+    def smallest(df: pd.DataFrame) -> pd.DataFrame:
+        return df.nsmallest(k, id_col)[[id_col, vec_col]]
+
+    seed_rows = ds.map_batches(smallest, batch_format="pandas") \
+        .to_pandas().nsmallest(k, id_col).sort_values(id_col)
+    C = np.stack(seed_rows[vec_col].to_numpy()).astype(np.float64)
+    if len(C) < k:
+        raise ValueError(f"kmeans_fit: k={k} but only {len(C)} rows")
+
+    for _ in range(iters):
+        cref = ray.put(C)
+        parts = stateful_map(ds, _AssignCells,
+                             (cref, vec_col, id_col, "moments"),
+                             batch_format="pandas").to_pandas()
+        parts = parts.sort_values(["cell", "cnt", "vsum"], kind="stable")
+        newC = C.copy()  # empty cells keep their previous centroid
+        for cell, grp in parts.groupby("cell", sort=True):
+            tot = np.zeros(C.shape[1])
+            for b in grp["vsum"]:
+                tot = tot + np.frombuffer(b, dtype=np.float64)
+            newC[cell] = tot / grp["cnt"].sum()
+        C = newC
+    return C
+
+
+def kmeans_assign(ds, centroids: np.ndarray, *,
+                  vec_col: str = "embedding", id_col: str = "vec_id"):
+    """(id, cell) for every row against fixed centroids — stateless
+    broadcast map, the deployment half of kmeans_fit."""
+    from ..util import stateful_map
+
+    cref = ray.put(np.asarray(centroids, dtype=np.float64))
+    return stateful_map(ds, _AssignCells, (cref, vec_col, id_col, "assign"),
+                        batch_format="pandas")

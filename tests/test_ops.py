@@ -371,6 +371,45 @@ def test_pca_project_matches_numpy(ray_session):
         ann.pca_project(ds.filter(lambda r: False), k=2)
 
 
+def test_kmeans_fit_matches_numpy_lloyd(ray_session):
+    """Distributed moment-partial k-means == a wholly-in-numpy Lloyd
+    run with the same smallest-id init and empty-cell rule, regardless
+    of block layout."""
+    import ray.data as rd
+
+    rng = np.random.RandomState(21)
+    # 3 well-separated blobs
+    X = np.concatenate([rng.randn(40, 5) + c
+                        for c in (0.0, 8.0, -8.0)])
+    ids = rng.permutation(len(X)).astype(np.int64)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array([list(map(float, v)) for v in X],
+                              pa.list_(pa.float64())),
+    }))
+
+    order = np.argsort(ids)
+    C = X[order[:3]].copy()            # smallest-id init
+    for _ in range(5):
+        a = (((C * C).sum(axis=1))[None, :] - 2.0 * (X @ C.T)).argmin(axis=1)
+        for c in range(3):
+            if (a == c).any():
+                C[c] = X[a == c].mean(axis=0)
+
+    for nblocks in (1, 7):
+        got = ann.kmeans_fit(ds.repartition(nblocks), k=3, iters=5)
+        assert np.allclose(got, C, rtol=1e-9, atol=1e-12)
+
+    assign = ann.kmeans_assign(ds, C).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    exp_a = (((C * C).sum(axis=1))[None, :]
+             - 2.0 * (X[order] @ C.T)).argmin(axis=1)
+    assert (assign["cell"].to_numpy() == exp_a).all()
+
+    with pytest.raises(ValueError, match="only"):
+        ann.kmeans_fit(ds.limit(2), k=3)
+
+
 def test_semdedup(ray_session, tmp_path):
     import ray.data as rd
 

@@ -75,6 +75,7 @@ SUBSET = [
     "event_value_histogram",
     "user_top_event_type",
     "embedding_projection",
+    "embedding_kmeans_cells",
     "corpus_diff",
     "user_event_pivot",
     "semdedup_clusters",
