@@ -794,6 +794,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds.map_batches(cents, batch_format="pandas"),
             col="cents", bin_width=1000)
 
+    def global_revenue_running(sf_dir):
+        """GLOBAL running revenue over all events ordered by
+        (ts, event_id) — sum() OVER (ORDER BY ...) without a
+        single-node sort (ops/events.global_running_sum): per-block
+        per-hour partial sums give the driver exclusive hour offsets
+        (bounded by #hours), then one hash repartition on the hour and
+        a per-block cumsum + offset.  Exact integer cents."""
+        from aml_entity_resolution_assignment_ray.ops.events import (
+            global_running_sum,
+        )
+
+        _tune_context()
+        ds = _read(sf_dir, "events").select_columns(
+            ["event_id", "ts", "value"])
+
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "event_id": df["event_id"].astype(np.int64),
+                "ts_us": df["ts"].to_numpy(dtype="datetime64[us]")
+                .astype(np.int64),
+                "hour": df["ts"].dt.floor("h")
+                .to_numpy(dtype="datetime64[us]").astype(np.int64),
+                "cents": _round_half_away(
+                    df["value"].to_numpy(dtype=np.float64) * 100)
+                .astype(np.int64),
+            })
+
+        run = global_running_sum(
+            ds.map_batches(prep, batch_format="pandas"),
+            bucket_col="hour", order_cols=["ts_us", "event_id"],
+            val_col="cents", out_col="running_cents")
+        return run.map_batches(
+            lambda d: d[["event_id", "running_cents"]],
+            batch_format="pandas")
+
     def user_top_event_type(sf_dir):
         """Per-user dominant event type (ops/profile.grouped_mode):
         per-block (user, type) partial counts, ONE hash shuffle on the
@@ -2260,6 +2295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_profile_numeric": events_profile_numeric,
         "events_profile_strings": events_profile_strings,
         "event_value_histogram": event_value_histogram,
+        "global_revenue_running": global_revenue_running,
         "user_top_event_type": user_top_event_type,
         "exact_dedup_docs": exact_dedup_docs,
         "doc_dedup_keep_best": doc_dedup_keep_best,
@@ -3770,6 +3806,19 @@ def oracle_sql() -> dict[str, str]:
                    (cents // 1000 + 1) * 1000 AS hi,
                    count(*) AS n
             FROM c GROUP BY 1
+        """,
+        "global_revenue_running": """
+            WITH c AS (
+                SELECT event_id, ts,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+            )
+            SELECT event_id,
+                   CAST(sum(cents) OVER (
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS running_cents
+            FROM c
         """,
         "user_top_event_type": """
             SELECT user_id, event_type AS mode_value, n FROM (

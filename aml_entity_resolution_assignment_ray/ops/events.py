@@ -134,3 +134,70 @@ def sliding_window_agg(events, window_s: int = 3600, slide_s: int = 900,
     return parts.repartition(cfg.resolve_join_partitions(),
                              keys=["window_start"]) \
         .map_batches(final, batch_format="pandas", batch_size=None)
+
+
+def global_running_sum(ds, *, bucket_col: str, order_cols: list[str],
+                       val_col: str, out_col: str = "running",
+                       cfg=None):
+    """GLOBAL running total ordered by ``order_cols`` — the classic
+    ``sum() OVER (ORDER BY ...)`` window, WITHOUT a single-node sort:
+    a two-level distributed prefix sum.
+
+    Contract: ``bucket_col`` must be order-consistent with
+    ``order_cols`` (every row of a smaller bucket sorts before every
+    row of a larger one — e.g. bucket = hour when ordering by
+    timestamp), and ``order_cols`` must be a total order (include a
+    unique tiebreak).  ``val_col`` must be integer so partial sums are
+    exact and layout-invariant.
+
+    Scale shape:
+    1. per-block per-bucket partial sums (a combiner: <= #buckets rows
+       per block) gather to the driver, which computes the EXCLUSIVE
+       prefix offset of every bucket — bounded by bucket cardinality,
+       the caller's granularity lever;
+    2. ONE hash repartition on the bucket, then each block sorts ONLY
+       its own buckets' rows and adds cumsum + broadcast offset.
+
+    A hot bucket lands on one block — pick the bucket width so no
+    bucket exceeds a worker's heap (at 100 TB: an hour of events per
+    bucket, not a day)."""
+    import ray
+
+    from .relational import _keyed
+
+    cfg = cfg or DEFAULT_CONFIG
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(bucket_col, sort=False)[val_col].sum().reset_index()
+        g[val_col] = g[val_col].astype(np.int64)
+        return g
+
+    totals = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    totals = totals.groupby(bucket_col, sort=True)[val_col].sum()
+    offsets = totals.cumsum().shift(1, fill_value=0).astype(np.int64)
+    oref = ray.put(offsets.to_dict())
+
+    class AddPrefix:
+        def __init__(self, ref):
+            self.offsets = ray.get(ref) if isinstance(
+                ref, ray.ObjectRef) else ref
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                out = df.copy()
+                out[out_col] = pd.Series([], dtype=np.int64)
+                return out
+            d = df.sort_values([bucket_col, *order_cols],
+                               kind="stable").reset_index(drop=True)
+            base = d[bucket_col].map(self.offsets).to_numpy(np.int64)
+            # within-bucket cumsum: the sort above groups buckets
+            cums = d.groupby(bucket_col, sort=False)[val_col].cumsum() \
+                .to_numpy(np.int64)
+            d[out_col] = base + cums
+            return d
+
+    from ..util import stateful_map
+
+    keyed = _keyed(ds, [bucket_col], cfg, None)
+    return stateful_map(keyed, AddPrefix, (oref,), batch_format="pandas",
+                        batch_size=None)

@@ -73,6 +73,7 @@ SUBSET = [
     "events_profile_numeric",
     "events_profile_strings",
     "event_value_histogram",
+    "global_revenue_running",
     "user_top_event_type",
     "embedding_projection",
     "embedding_kmeans_cells",

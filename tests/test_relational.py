@@ -801,3 +801,35 @@ def test_grouped_ntile(ray_session, cfg, n):
     with pytest.raises(ValueError, match="n must"):
         grouped_ntile(rd.from_pandas(df), key="user_id",
                       order_cols=["v"], n=0)
+
+
+@pytest.mark.parametrize("cfg", [SHUFFLE_CFG, GATHER_CFG])
+def test_global_running_sum(ray_session, cfg):
+    """Two-level bucketed prefix sum == the single-node cumsum over
+    the same total order, on both the keyed-shuffle and gather paths
+    and across block layouts."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.events import (
+        global_running_sum,
+    )
+
+    rng = np.random.RandomState(17)
+    n = 400
+    df = pd.DataFrame({
+        "event_id": rng.permutation(n).astype(np.int64),
+        "t": rng.randint(0, 50, n).astype(np.int64),   # many ties
+        "cents": rng.randint(-100, 1000, n).astype(np.int64),
+    })
+    df["bucket"] = df["t"] // 10
+
+    exp = df.sort_values(["t", "event_id"], kind="stable").copy()
+    exp["running"] = exp["cents"].cumsum()
+
+    got = global_running_sum(
+        rd.from_pandas(df).repartition(6), bucket_col="bucket",
+        order_cols=["t", "event_id"], val_col="cents", cfg=cfg) \
+        .to_pandas().sort_values(["t", "event_id"], kind="stable")
+    assert (got["running"].to_numpy()
+            == exp["running"].to_numpy()).all()
+    assert got["running"].dtype == np.int64
