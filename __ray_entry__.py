@@ -829,6 +829,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda d: d[["event_id", "running_cents"]],
             batch_format="pandas")
 
+    def hourly_distinct_users(sf_dir):
+        """EXACT distinct users per hour (ops/profile.
+        grouped_distinct_count — per-block dedup partials, one keyed
+        shuffle; the exact sibling of hourly_approx_users' KMV
+        sketch)."""
+        from aml_entity_resolution_assignment_ray.ops.profile import (
+            grouped_distinct_count,
+        )
+
+        _tune_context()
+        ds = _read(sf_dir, "events").select_columns(["user_id", "ts"])
+
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "hour": df["ts"].dt.floor("h")
+                .dt.strftime("%Y-%m-%d %H:%M:%S"),
+                "user_id": df["user_id"].astype(np.int64),
+            })
+
+        return grouped_distinct_count(
+            ds.map_batches(prep, batch_format="pandas"),
+            key="hour", col="user_id")
+
+    def user_event_entropy(sf_dir):
+        """Shannon entropy (nats) of each user's event-type mix
+        (ops/profile.grouped_entropy — exact integer counts through
+        the shuffle, one float expression at the end)."""
+        from aml_entity_resolution_assignment_ray.ops.profile import (
+            grouped_entropy,
+        )
+
+        _tune_context()
+        ev = _read(sf_dir, "events").select_columns(
+            ["user_id", "event_type"])
+        return grouped_entropy(ev, key="user_id", col="event_type")
+
     def user_top_event_type(sf_dir):
         """Per-user dominant event type (ops/profile.grouped_mode):
         per-block (user, type) partial counts, ONE hash shuffle on the
@@ -2296,6 +2332,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_profile_strings": events_profile_strings,
         "event_value_histogram": event_value_histogram,
         "global_revenue_running": global_revenue_running,
+        "hourly_distinct_users": hourly_distinct_users,
+        "user_event_entropy": user_event_entropy,
         "user_top_event_type": user_top_event_type,
         "exact_dedup_docs": exact_dedup_docs,
         "doc_dedup_keep_best": doc_dedup_keep_best,
@@ -3819,6 +3857,26 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                        AS BIGINT) AS running_cents
             FROM c
+        """,
+        "hourly_distinct_users": """
+            SELECT strftime(date_trunc('hour', ts),
+                            '%Y-%m-%d %H:%M:%S') AS hour,
+                   count(DISTINCT user_id) AS n_distinct
+            FROM events GROUP BY 1
+        """,
+        "user_event_entropy": """
+            WITH c AS (
+                SELECT user_id, event_type, count(*) AS n
+                FROM events GROUP BY 1, 2
+            ), t AS (
+                SELECT user_id, sum(n) AS tot FROM c GROUP BY 1
+            )
+            SELECT c.user_id,
+                   round(-sum((n / CAST(tot AS DOUBLE))
+                              * ln(n / CAST(tot AS DOUBLE))), 6)
+                       AS entropy
+            FROM c JOIN t USING (user_id)
+            GROUP BY c.user_id
         """,
         "user_top_event_type": """
             SELECT user_id, event_type AS mode_value, n FROM (

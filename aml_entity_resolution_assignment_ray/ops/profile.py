@@ -183,3 +183,72 @@ def binned_histogram(ds, *, col: str, bin_width: int,
                              "n": df["n"].to_numpy(dtype=np.int64)})
 
     return hist.map_batches(edges, batch_format="pandas")
+
+
+def grouped_distinct_count(ds, *, key: str, col: str,
+                           cfg: EngineConfig = DEFAULT_CONFIG,
+                           n_rows: int | None = None):
+    """EXACT per-key distinct count of ``col`` — the exact sibling of
+    the KMV sketch (ops/sketch.grouped_approx_distinct): use this when
+    per-key distinct cardinality is bounded (users per hour), the
+    sketch when it is not (tokens per corpus).
+
+    Per-block drop_duplicates partial (shuffle volume bounded by the
+    DISTINCT (key, value) pair count per block, never rows), ONE hash
+    repartition on the key, per-block final dedup + size."""
+    from .relational import _keyed
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df[[key, col]].drop_duplicates()
+
+    def count(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({key: df.get(key, pd.Series(dtype=object)),
+                                 "n_distinct": pd.Series(dtype=np.int64)})[
+                [key, "n_distinct"]]
+        d = df.drop_duplicates().groupby(key, sort=False).size() \
+            .rename("n_distinct").reset_index()
+        d["n_distinct"] = d["n_distinct"].astype(np.int64)
+        return d
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    return _keyed(parts, [key], cfg, n_rows).map_batches(
+        count, batch_format="pandas", batch_size=None)
+
+
+def grouped_entropy(ds, *, key: str, col: str, round_to: int = 6,
+                    cfg: EngineConfig = DEFAULT_CONFIG,
+                    n_rows: int | None = None):
+    """Shannon entropy (nats) of the ``col`` distribution per key —
+    the class-balance / diversity score of a training mix.  (key,
+    value) partial counts per block, ONE hash repartition on the key,
+    vectorized -sum(p ln p) per block; counts are exact integers so
+    the only float step is the final entropy expression (summed in
+    sorted value order, then rounded — SQL-replayable)."""
+    from .relational import _keyed
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.groupby([key, col], sort=False).size() \
+            .rename("n").reset_index()
+        d["n"] = d["n"].astype(np.int64)
+        return d
+
+    def ent(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({key: df.get(key, pd.Series(dtype=object)),
+                                 "entropy": pd.Series(dtype=np.float64)})[
+                [key, "entropy"]]
+        d = df.groupby([key, col], sort=False)["n"].sum().reset_index()
+        d = d.sort_values([key, col], kind="stable")
+        tot = d.groupby(key, sort=False)["n"].transform("sum") \
+            .to_numpy(np.float64)
+        p = d["n"].to_numpy(np.float64) / tot
+        d["_h"] = -p * np.log(p)
+        out = d.groupby(key, sort=False)["_h"].sum().reset_index()
+        return pd.DataFrame({key: out[key],
+                             "entropy": np.round(out["_h"].to_numpy(),
+                                                 round_to)})
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    return _keyed(parts, [key], cfg, n_rows).map_batches(
+        ent, batch_format="pandas", batch_size=None)

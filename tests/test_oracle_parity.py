@@ -74,6 +74,8 @@ SUBSET = [
     "events_profile_strings",
     "event_value_histogram",
     "global_revenue_running",
+    "hourly_distinct_users",
+    "user_event_entropy",
     "user_top_event_type",
     "embedding_projection",
     "embedding_kmeans_cells",

@@ -121,6 +121,47 @@ def test_binned_histogram(ray_session):
         binned_histogram(rd.from_pandas(df), col="v", bin_width=0)
 
 
+@pytest.mark.parametrize("cfg", [SHUFFLE_CFG, GATHER_CFG])
+def test_grouped_distinct_count(ray_session, cfg):
+    from aml_entity_resolution_assignment_ray.ops.profile import (
+        grouped_distinct_count,
+    )
+
+    df = _table(n=500, seed=13)
+    res = grouped_distinct_count(
+        rd.from_pandas(df).repartition(6), key="uid", col="cents",
+        cfg=cfg, n_rows=len(df)).to_pandas().sort_values("uid") \
+        .reset_index(drop=True)
+    exp = df.groupby("uid")["cents"].nunique().rename("n_distinct") \
+        .reset_index()
+    pd.testing.assert_frame_equal(res, exp, check_dtype=False)
+    assert res["n_distinct"].dtype == np.int64
+
+
+def test_grouped_entropy(ray_session):
+    from aml_entity_resolution_assignment_ray.ops.profile import (
+        grouped_entropy,
+    )
+
+    df = _table(n=500, seed=19).dropna(subset=["kind"])
+    res = grouped_entropy(rd.from_pandas(df).repartition(5),
+                          key="uid", col="kind", cfg=SHUFFLE_CFG) \
+        .to_pandas().sort_values("uid").reset_index(drop=True)
+
+    def ent(s):
+        p = s.value_counts().sort_index().to_numpy(np.float64)
+        p = p / p.sum()
+        return round(float(-(p * np.log(p)).sum()), 6)
+
+    exp = df.groupby("uid")["kind"].apply(ent)
+    assert np.allclose(res["entropy"].to_numpy(), exp.to_numpy())
+    # a single-value group has zero entropy
+    one = grouped_entropy(
+        rd.from_pandas(pd.DataFrame({"k": [1, 1], "v": ["a", "a"]})),
+        key="k", col="v", cfg=SHUFFLE_CFG).to_pandas()
+    assert list(one["entropy"]) == [0.0]
+
+
 def test_grouped_mode_tie_breaks_to_smallest(ray_session):
     df = pd.DataFrame({"k": [1, 1, 1, 1], "v": ["b", "a", "b", "a"]})
     res = grouped_mode(rd.from_pandas(df), key="k", col="v",
