@@ -1977,6 +1977,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return feats.map_batches(rounded, batch_format="pandas")
 
+    def image_ahash(sf_dir):
+        """8x8 average-hash bit vectors — the image near-duplicate
+        signature (ops/multimodal.AHashBits: ResizeImage floor-index
+        arithmetic, integer BT.601 gray, 64*gray > sum threshold —
+        no division, so the SQL oracle replays every bit from the
+        persisted decode)."""
+        _tune_context()
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from aml_entity_resolution_assignment_ray.ops import multimodal as mm
+
+        media = rd.from_arrow(mm.make_fake_media_table(n=48))
+        images = media.filter(expr="mime == 'image/png'")
+        decoded = mm.decode_images(images, fake=True).materialize()
+
+        dec_df = decoded.to_pandas()  # 16 rows — driver-small by design
+        os.makedirs("/tmp/er_media", exist_ok=True)
+        pq.write_table(pa.table({
+            "media_id": pa.array(dec_df["media_id"], pa.string()),
+            "pixels": pa.array([np.asarray(p, dtype=np.int32).tolist()
+                                for p in dec_df["pixels"]],
+                               pa.list_(pa.int32())),
+            "shape": pa.array([list(map(int, s)) for s in dec_df["shape"]],
+                              pa.list_(pa.int64())),
+        }), "/tmp/er_media/ahash_decoded.parquet")
+
+        return mm.image_ahash_bits(decoded)
+
     def audio_features(sf_dir):
         """REAL WAV decode (in-repo RIFF/PCM codec, strict mode — no
         fake) -> persist the decoded sample tensors -> integer-exact
@@ -2303,6 +2333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_norms": embedding_norms,
         "label_centroids": label_centroids,
         "media_features": media_features,
+        "image_ahash": image_ahash,
         "audio_features": audio_features,
         "audio_frames": audio_frames,
         "media_meta": media_meta,
@@ -3431,6 +3462,35 @@ def oracle_sql() -> dict[str, str]:
     return {
         "doc_fingerprints": _fingerprints_sql(),
         "media_features": _media_features_sql(),
+        # average-hash replay: 8x8 nearest resize (the same floor-index
+        # arithmetic as _media_features_sql), integer BT.601 gray,
+        # threshold 64*gray > sum(gray) — all integer, every bit exact
+        "image_ahash": """
+            WITH dec AS (
+              SELECT media_id, pixels,
+                     CAST(shape[1] AS BIGINT) AS h,
+                     CAST(shape[2] AS BIGINT) AS w
+              FROM read_parquet('/tmp/er_media/ahash_decoded.parquet')
+            ),
+            g AS (
+              SELECT d.media_id, oy * 8 + ox AS bit_idx,
+                     (CAST(list_extract(d.pixels,
+                          ((oy*h)//8)*(w*3) + ((ox*w)//8)*3 + 1)
+                          AS BIGINT) * 299
+                      + CAST(list_extract(d.pixels,
+                          ((oy*h)//8)*(w*3) + ((ox*w)//8)*3 + 2)
+                          AS BIGINT) * 587
+                      + CAST(list_extract(d.pixels,
+                          ((oy*h)//8)*(w*3) + ((ox*w)//8)*3 + 3)
+                          AS BIGINT) * 114) // 1000 AS gray
+              FROM dec d, range(8) AS ys(oy), range(8) AS xs(ox)
+            ),
+            t AS (SELECT media_id, sum(gray) AS total FROM g GROUP BY 1)
+            SELECT g.media_id, CAST(bit_idx AS BIGINT) AS bit_idx,
+                   CAST(CASE WHEN 64 * gray > total THEN 1 ELSE 0 END
+                        AS BIGINT) AS bit
+            FROM g JOIN t USING (media_id)
+        """,
         "corpus_prep": _corpus_prep_sql(),
         # duplicate-span signal: distinct token 8-grams (same tokenize
         # contract as doc_contamination), gram doc-frequency >= 2

@@ -720,3 +720,54 @@ def extract_video_samples(ds, k: int = 4, fake: bool = False,
     return ds.map_batches(ExtractVideoSamples, fn_constructor_args=(k, fake),
                           batch_format="pandas", batch_size=batch_size,
                           concurrency=concurrency)
+
+
+class AHashBits:
+    """Actor-pool stage: 8x8 average-hash bits from a decoded RGB
+    tensor — the classic image near-duplicate signature, INTEGER end
+    to end so a SQL oracle can replay it from the persisted decode:
+
+        resize 8x8 nearest (the ResizeImage floor-index arithmetic)
+        gray  = (299 r + 587 g + 114 b) // 1000        (BT.601, integer)
+        bit_i = [64 * gray_i > sum(gray)]               (no division)
+
+    Long form (media_id, bit_idx, bit): 64 rows per image, the
+    Hamming-joinable form (two images are near-dups when their bit
+    vectors differ in <= k positions — a groupby over an equi-join of
+    this table with itself)."""
+
+    def __init__(self, side: int = 8):
+        self.side = side
+        self._resize = ResizeImage(out_w=side, out_h=side)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            z = np.empty(0, dtype=np.int64)
+            return pd.DataFrame({"media_id": df.get(
+                "media_id", pd.Series(dtype=object)),
+                "bit_idx": z, "bit": z})
+        small = self._resize(df)
+        s = self.side
+        P = np.stack([np.asarray(p, dtype=np.int64)
+                      for p in small["pixels"].to_numpy()]) \
+            .reshape(len(df), s * s, 3)
+        gray = (P[:, :, 0] * 299 + P[:, :, 1] * 587
+                + P[:, :, 2] * 114) // 1000
+        total = gray.sum(axis=1)
+        bits = (s * s * gray > total[:, None]).astype(np.int64)
+        n = len(df)
+        return pd.DataFrame({
+            "media_id": np.repeat(small["media_id"].to_numpy(), s * s),
+            "bit_idx": np.tile(np.arange(s * s, dtype=np.int64), n),
+            "bit": bits.ravel(),
+        })
+
+
+def image_ahash_bits(decoded, side: int = 8, batch_size: int = 64,
+                     concurrency=(1, 4)):
+    """Average-hash bit vectors over a decoded-image dataset (see
+    AHashBits)."""
+    from ..util import stateful_map
+
+    return stateful_map(decoded, AHashBits, (side,),
+                        batch_format="pandas", batch_size=batch_size)

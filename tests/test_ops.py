@@ -2553,3 +2553,31 @@ def test_ivf_append(ray_session, tmp_path):
     with pytest.raises(FileNotFoundError, match="centroids"):
         ann.append_ivf(str(tmp_path / "nope"),
                        rd.from_pandas(newer))
+
+
+def test_image_ahash_bits(ray_session):
+    """aHash invariants: identical pixels -> identical bits; a
+    uniformly brightened copy -> identical bits (threshold is
+    relative); an inverted image -> complementary-ish bits (large
+    Hamming distance); 64 bits per image."""
+    import ray.data as rd
+
+    rng = np.random.RandomState(6)
+    base = rng.randint(0, 200, (10, 10, 3)).astype(np.uint8)
+    bright = np.clip(base.astype(np.int64) + 40, 0, 255).astype(np.uint8)
+    inv = (255 - base).astype(np.uint8)
+
+    rows = []
+    for mid, img in [("a", base), ("a2", base.copy()),
+                     ("b", bright), ("inv", inv)]:
+        rows.append({"media_id": mid, "pixels": img.ravel(),
+                     "shape": [10, 10, 3]})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    out = multimodal.image_ahash_bits(ds).to_pandas()
+    assert len(out) == 4 * 64
+    bits = {m: g.sort_values("bit_idx")["bit"].to_numpy()
+            for m, g in out.groupby("media_id")}
+    assert (bits["a"] == bits["a2"]).all()
+    # +40 saturates some pixels, so allow a small Hamming drift
+    assert (bits["a"] != bits["b"]).sum() <= 8
+    assert (bits["a"] != bits["inv"]).sum() >= 40

@@ -85,6 +85,7 @@ SUBSET = [
     "cust_with_orders",
     "nation_revenue_q5",
     "embedding_gram",
+    "image_ahash",
     "video_frames",
     "video_motion",
     "video_mp4_samples",
