@@ -829,6 +829,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda d: d[["event_id", "running_cents"]],
             batch_format="pandas")
 
+    def user_funnel(sf_dir):
+        """Ordered click -> signup -> purchase funnel per user
+        (ops/events.funnel_conversion): one user shuffle, a vectorized
+        groupby-min pass per step with strict-after ordering — how
+        many steps each user completed in sequence."""
+        from aml_entity_resolution_assignment_ray.ops.events import (
+            funnel_conversion,
+        )
+
+        _tune_context()
+        ds = _read(sf_dir, "events").select_columns(
+            ["user_id", "ts", "event_type"])
+
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "user_id": df["user_id"].astype(np.int64),
+                "ts_us": df["ts"].to_numpy(dtype="datetime64[us]")
+                .astype(np.int64),
+                "event_type": df["event_type"],
+            })
+
+        return funnel_conversion(
+            ds.map_batches(prep, batch_format="pandas"),
+            key="user_id", ts_col="ts_us", step_col="event_type",
+            steps=["click", "signup", "purchase"])
+
     def hourly_distinct_users(sf_dir):
         """EXACT distinct users per hour (ops/profile.
         grouped_distinct_count — per-block dedup partials, one keyed
@@ -2363,6 +2389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_profile_strings": events_profile_strings,
         "event_value_histogram": event_value_histogram,
         "global_revenue_running": global_revenue_running,
+        "user_funnel": user_funnel,
         "hourly_distinct_users": hourly_distinct_users,
         "user_event_entropy": user_event_entropy,
         "user_top_event_type": user_top_event_type,
@@ -3917,6 +3944,29 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                        AS BIGINT) AS running_cents
             FROM c
+        """,
+        "user_funnel": """
+            WITH s1 AS (
+                SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'click' GROUP BY 1
+            ), s2 AS (
+                SELECT e.user_id, min(e.ts) AS t2
+                FROM events e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'signup' AND e.ts > s1.t1 GROUP BY 1
+            ), s3 AS (
+                SELECT e.user_id, min(e.ts) AS t3
+                FROM events e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1
+            )
+            SELECT u.user_id,
+                   CASE WHEN s3.user_id IS NOT NULL THEN 3
+                        WHEN s2.user_id IS NOT NULL THEN 2
+                        WHEN s1.user_id IS NOT NULL THEN 1
+                        ELSE 0 END AS steps_completed
+            FROM (SELECT DISTINCT user_id FROM events) u
+            LEFT JOIN s1 USING (user_id)
+            LEFT JOIN s2 USING (user_id)
+            LEFT JOIN s3 USING (user_id)
         """,
         "hourly_distinct_users": """
             SELECT strftime(date_trunc('hour', ts),

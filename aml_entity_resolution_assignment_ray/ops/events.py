@@ -201,3 +201,53 @@ def global_running_sum(ds, *, bucket_col: str, order_cols: list[str],
     keyed = _keyed(ds, [bucket_col], cfg, None)
     return stateful_map(keyed, AddPrefix, (oref,), batch_format="pandas",
                         batch_size=None)
+
+
+def funnel_conversion(ds, *, key: str, ts_col: str, step_col: str,
+                      steps: list[str], cfg=None, n_rows: int | None = None):
+    """Ordered funnel matching: for every key, how many of ``steps``
+    completed IN ORDER (step i+1 must occur STRICTLY after the
+    earliest qualifying occurrence of step i — the product-analytics
+    conversion funnel, and the same sequence-matching shape as
+    multi-turn tool-use filtering in a transcript pipeline).
+
+    ONE hash shuffle on the key, then a vectorized per-block pass per
+    step: the earliest step-i event after the key's step-(i-1) time is
+    a groupby-min over a boolean mask — no per-row Python loop, and
+    the work per block is O(rows x len(steps)).  ``ts_col`` must be an
+    integer column (epoch us) so the comparisons are exact."""
+    from .relational import _keyed
+
+    cfg = cfg or DEFAULT_CONFIG
+    if not steps:
+        raise ValueError("funnel_conversion: steps must be non-empty")
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({key: df.get(key, pd.Series(dtype=object)),
+                                 "steps_completed":
+                                     pd.Series(dtype=np.int64)})[
+                [key, "steps_completed"]]
+        users = df[key].drop_duplicates()
+        completed = pd.Series(np.zeros(len(users), dtype=np.int64),
+                              index=users.to_numpy())
+        # earliest qualifying time of the previous step per key;
+        # keys drop out of `alive` once a step has no qualifying event
+        alive = pd.Series(
+            np.full(len(users), -np.inf), index=users.to_numpy())
+        ts = df[ts_col].to_numpy(dtype=np.int64)
+        for step in steps:
+            m = (df[step_col] == step).to_numpy()
+            prev = df[key].map(alive).to_numpy(dtype=np.float64)
+            m &= ts > prev                 # strict order; NaN prev -> False
+            cand = df[m]
+            if not len(cand):
+                break
+            t_step = cand.groupby(key, sort=False)[ts_col].min()
+            completed.loc[t_step.index] += 1
+            alive = t_step.astype(np.float64)   # non-reaching keys drop
+        return pd.DataFrame({key: completed.index,
+                             "steps_completed": completed.to_numpy()})
+
+    return _keyed(ds, [key], cfg, n_rows).map_batches(
+        block, batch_format="pandas", batch_size=None)

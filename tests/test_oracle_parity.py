@@ -74,6 +74,7 @@ SUBSET = [
     "events_profile_strings",
     "event_value_histogram",
     "global_revenue_running",
+    "user_funnel",
     "hourly_distinct_users",
     "user_event_entropy",
     "user_top_event_type",

@@ -833,3 +833,45 @@ def test_global_running_sum(ray_session, cfg):
     assert (got["running"].to_numpy()
             == exp["running"].to_numpy()).all()
     assert got["running"].dtype == np.int64
+
+
+@pytest.mark.parametrize("cfg", [SHUFFLE_CFG, GATHER_CFG])
+def test_funnel_conversion(ray_session, cfg):
+    """Vectorized funnel == a brute-force per-user scan: strict-after
+    ordering, early drop-out, and users with zero steps."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.events import (
+        funnel_conversion,
+    )
+
+    rng = np.random.RandomState(23)
+    n = 600
+    df = pd.DataFrame({
+        "u": rng.randint(0, 30, n).astype(np.int64),
+        "t": rng.permutation(n).astype(np.int64),
+        "step": rng.choice(["a", "b", "c", "x"], n,
+                           p=[0.2, 0.2, 0.1, 0.5]),
+    })
+    steps = ["a", "b", "c"]
+
+    def brute(g):
+        t_prev, done = -np.inf, 0
+        for s in steps:
+            cand = g[(g["step"] == s) & (g["t"] > t_prev)]
+            if not len(cand):
+                break
+            t_prev = cand["t"].min()
+            done += 1
+        return done
+
+    exp = df.groupby("u").apply(brute, include_groups=False)
+    got = funnel_conversion(
+        rd.from_pandas(df).repartition(7), key="u", ts_col="t",
+        step_col="step", steps=steps, cfg=cfg,
+        n_rows=n).to_pandas().set_index("u")["steps_completed"]
+    assert (got.sort_index() == exp.sort_index()).all()
+
+    with pytest.raises(ValueError, match="non-empty"):
+        funnel_conversion(rd.from_pandas(df), key="u", ts_col="t",
+                          step_col="step", steps=[])
