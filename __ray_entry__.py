@@ -829,6 +829,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda d: d[["event_id", "running_cents"]],
             batch_format="pandas")
 
+    def new_users_per_hour(sf_dir):
+        """First-touch attribution: each user's FIRST hour (keyed_reduce
+        min — an order-free combiner), new-user counts per hour
+        (keyed_sum), and the cumulative user base over time
+        (global_running_sum's two-level prefix sum, day buckets) — a
+        three-primitive composition, each stage one bounded shuffle or
+        less."""
+        from aml_entity_resolution_assignment_ray.ops.events import (
+            global_running_sum,
+        )
+        from aml_entity_resolution_assignment_ray.ops.relational import (
+            keyed_reduce,
+            keyed_sum,
+        )
+
+        _tune_context()
+        ds = _read(sf_dir, "events").select_columns(["user_id", "ts"])
+
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "user_id": df["user_id"].astype(np.int64),
+                "hour_us": df["ts"].dt.floor("h")
+                .to_numpy(dtype="datetime64[us]").astype(np.int64),
+            })
+
+        first = keyed_reduce(ds.map_batches(prep, batch_format="pandas"),
+                             ["user_id"], ["hour_us"], how="min")
+        counts = keyed_sum(first.map_batches(
+            lambda d: pd.DataFrame({
+                "hour_us": d["hour_us"].astype(np.int64),
+                "n_new": np.ones(len(d), dtype=np.int64)}),
+            batch_format="pandas"), ["hour_us"], ["n_new"])
+        day_us = 86_400_000_000
+
+        def bucketed(d: pd.DataFrame) -> pd.DataFrame:
+            out = d.copy()
+            out["day"] = out["hour_us"].to_numpy(np.int64) // day_us
+            return out
+
+        run = global_running_sum(
+            counts.map_batches(bucketed, batch_format="pandas"),
+            bucket_col="day", order_cols=["hour_us"], val_col="n_new",
+            out_col="cum_users")
+
+        def finalize(d: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "hour": pd.to_datetime(d["hour_us"].to_numpy(np.int64),
+                                       unit="us")
+                .strftime("%Y-%m-%d %H:%M:%S"),
+                "n_new": d["n_new"].astype(np.int64),
+                "cum_users": d["cum_users"].astype(np.int64),
+            })
+
+        return run.map_batches(finalize, batch_format="pandas")
+
     def user_funnel(sf_dir):
         """Ordered click -> signup -> purchase funnel per user
         (ops/events.funnel_conversion): one user shuffle, a vectorized
@@ -2390,6 +2445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_histogram": event_value_histogram,
         "global_revenue_running": global_revenue_running,
         "user_funnel": user_funnel,
+        "new_users_per_hour": new_users_per_hour,
         "hourly_distinct_users": hourly_distinct_users,
         "user_event_entropy": user_event_entropy,
         "user_top_event_type": user_top_event_type,
@@ -3943,6 +3999,21 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                        AS BIGINT) AS running_cents
+            FROM c
+        """,
+        "new_users_per_hour": """
+            WITH f AS (
+                SELECT user_id, min(date_trunc('hour', ts)) AS h
+                FROM events GROUP BY 1
+            ), c AS (
+                SELECT h, count(*) AS n_new FROM f GROUP BY 1
+            )
+            SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+                   CAST(n_new AS BIGINT) AS n_new,
+                   CAST(sum(n_new) OVER (
+                       ORDER BY h
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum_users
             FROM c
         """,
         "user_funnel": """

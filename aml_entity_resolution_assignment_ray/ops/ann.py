@@ -615,7 +615,7 @@ def pca_project(ds, *, k: int = 2, vec_col: str = "embedding",
     return stateful_map(ds, Project, (wref,), batch_format="pandas")
 
 
-class _AssignCells:
+class _KMeansAssign:
     """argmin_c (||c||^2 - 2 x.c) over broadcast centroids — the same
     expression the SQL oracle replays (ties to the lowest cell id,
     numpy argmin semantics)."""
@@ -677,7 +677,7 @@ def kmeans_fit(ds, *, k: int, iters: int = 10, vec_col: str = "embedding",
 
     for _ in range(iters):
         cref = ray.put(C)
-        parts = stateful_map(ds, _AssignCells,
+        parts = stateful_map(ds, _KMeansAssign,
                              (cref, vec_col, id_col, "moments"),
                              batch_format="pandas").to_pandas()
         parts = parts.sort_values(["cell", "cnt", "vsum"], kind="stable")
@@ -698,5 +698,5 @@ def kmeans_assign(ds, centroids: np.ndarray, *,
     from ..util import stateful_map
 
     cref = ray.put(np.asarray(centroids, dtype=np.float64))
-    return stateful_map(ds, _AssignCells, (cref, vec_col, id_col, "assign"),
+    return stateful_map(ds, _KMeansAssign, (cref, vec_col, id_col, "assign"),
                         batch_format="pandas")

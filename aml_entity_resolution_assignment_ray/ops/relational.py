@@ -994,3 +994,26 @@ def global_topk(ds, *, order_cols: list[str], descending: list[bool],
     return ds.map_batches(topk, batch_format="pandas") \
         .repartition(1) \
         .map_batches(topk, batch_format="pandas", batch_size=None)
+
+
+def keyed_reduce(parts, keys: list[str], val_cols: list[str],
+                 how: str = "min", cfg: EngineConfig = DEFAULT_CONFIG,
+                 n_rows: int | None = None):
+    """keyed_sum's order-free sibling for ``min`` / ``max``: per-block
+    pandas partial -> ONE hash repartition on the keys -> per-block
+    final reduce.  min/max are idempotent and commutative, so unlike
+    the float-sum case no deterministic pre-sort is needed — the
+    result is layout-invariant for ANY dtype."""
+    if how not in ("min", "max"):
+        raise ValueError(f"keyed_reduce: how={how!r} not in (min, max)")
+
+    def combine(d: pd.DataFrame) -> pd.DataFrame:
+        if not len(d):
+            return d[[*keys, *val_cols]]
+        return getattr(
+            d.groupby(keys, sort=False, dropna=False)[val_cols],
+            how)().reset_index()
+
+    pre = parts.map_batches(combine, batch_format="pandas")
+    return _keyed(pre, keys, cfg, n_rows).map_batches(
+        combine, batch_format="pandas", batch_size=None)

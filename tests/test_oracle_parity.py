@@ -75,6 +75,7 @@ SUBSET = [
     "event_value_histogram",
     "global_revenue_running",
     "user_funnel",
+    "new_users_per_hour",
     "hourly_distinct_users",
     "user_event_entropy",
     "user_top_event_type",

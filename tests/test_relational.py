@@ -875,3 +875,30 @@ def test_funnel_conversion(ray_session, cfg):
     with pytest.raises(ValueError, match="non-empty"):
         funnel_conversion(rd.from_pandas(df), key="u", ts_col="t",
                           step_col="step", steps=[])
+
+
+@pytest.mark.parametrize("how,cfg", [("min", SHUFFLE_CFG),
+                                     ("max", SHUFFLE_CFG),
+                                     ("min", GATHER_CFG)])
+def test_keyed_reduce(ray_session, how, cfg):
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.relational import (
+        keyed_reduce,
+    )
+
+    rng = np.random.RandomState(31)
+    df = pd.DataFrame({
+        "k": rng.randint(0, 20, 300).astype(np.int64),
+        "a": rng.randint(-1000, 1000, 300).astype(np.int64),
+        "b": rng.rand(300).round(4),
+    })
+    got = keyed_reduce(rd.from_pandas(df).repartition(6), ["k"],
+                       ["a", "b"], how=how, cfg=cfg,
+                       n_rows=len(df)).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    exp = getattr(df.groupby("k")[["a", "b"]], how)().reset_index()
+    pd.testing.assert_frame_equal(got, exp)
+
+    with pytest.raises(ValueError, match="not in"):
+        keyed_reduce(rd.from_pandas(df), ["k"], ["a"], how="mean")
