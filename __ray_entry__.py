@@ -1314,6 +1314,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "documents").select_columns(["doc_id", "text"]),
             id_col="doc_id", text_col="text", seq_len=512, n_shards=8)
 
+    def source_char_budget_sample(sf_dir):
+        """Per-source character-budgeted selection (ops/sample.
+        token_budget_sample): each source contributes docs in Knuth-
+        hash order until 4,000 chars — the deterministic "at most N
+        tokens per source" mixing primitive."""
+        from aml_entity_resolution_assignment_ray.ops.sample import (
+            token_budget_sample,
+        )
+
+        _tune_context()
+        docs = _read(sf_dir, "documents").select_columns(
+            ["source", "doc_id", "n_chars"])
+        out = token_budget_sample(docs, group_col="source",
+                                  id_col="doc_id", token_col="n_chars",
+                                  budget=4_000)
+
+        def finalize(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "source": df["source"],
+                "doc_id": df["doc_id"].astype(np.int64),
+                "n_chars": df["n_chars"].astype(np.int64),
+                "cum_n_chars": df["cum_n_chars"].astype(np.int64),
+            })
+
+        return out.map_batches(finalize, batch_format="pandas")
+
     def doc_hash_split(sf_dir):
         """Deterministic 80/20 train/test split (Knuth multiplicative
         hash on doc_id — reproducible across runs, cluster sizes and
@@ -2463,6 +2489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_terms": doc_top_terms,
         "doc_tfidf_top5": doc_tfidf_top5,
         "doc_hash_split": doc_hash_split,
+        "source_char_budget_sample": source_char_budget_sample,
         "doc_lm_score": doc_lm_score,
         "doc_collocations": doc_collocations,
         "doc_shuffle_index": doc_shuffle_index,
@@ -4348,6 +4375,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_id AS BIGINT) AS doc_id, word,
                    round(score, 6) AS score
             FROM ranked WHERE r <= 5
+        """,
+        "source_char_budget_sample": """
+            WITH h AS (
+                SELECT source, doc_id, n_chars,
+                       (doc_id * 2654435761) % 4294967296 AS hh
+                FROM documents
+            ), c AS (
+                SELECT source, doc_id, n_chars,
+                       sum(n_chars) OVER (
+                           PARTITION BY source ORDER BY hh, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum
+                FROM h
+            )
+            SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(cum AS BIGINT) AS cum_n_chars
+            FROM c WHERE cum <= 4000
         """,
         "doc_hash_split": """
             SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -412,3 +412,37 @@ def source_mixture_weights(ds, *, key: str = "source",
         })
 
     return agg.map_batches(finalize, batch_format="pandas")
+
+
+def token_budget_sample(ds, *, group_col: str, id_col: str,
+                        token_col: str, budget: int,
+                        cfg=None, n_rows: int | None = None):
+    """Per-group budgeted selection: order each group's rows by the
+    Knuth id hash (id tiebreak) and keep rows while the INCLUSIVE
+    running ``token_col`` total stays <= ``budget`` — the
+    source-mixing primitive ("at most N tokens from each source",
+    with an unbiased deterministic order instead of file order).
+
+    Reproducible across runs, cluster sizes and repartitionings (the
+    order is a pure row function); ONE hash shuffle on the group;
+    exact integer cumsum.  Returns the kept rows plus their
+    ``cum_<token_col>``."""
+    from ..config import DEFAULT_CONFIG
+    from .relational import _keyed
+
+    cfg = cfg or DEFAULT_CONFIG
+    if budget < 0:
+        raise ValueError("token_budget_sample: budget must be >= 0")
+    cum_col = f"cum_{token_col}"
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.copy()
+        d["_h"] = _hash_ints(d[id_col].to_numpy(np.int64)).astype(np.int64)
+        d = d.sort_values([group_col, "_h", id_col], kind="stable")
+        d[cum_col] = d.groupby(group_col, sort=False)[token_col].cumsum() \
+            .astype(np.int64)
+        d = d[d[cum_col] <= budget].drop(columns=["_h"])
+        return d
+
+    return _keyed(ds, [group_col], cfg, n_rows).map_batches(
+        block, batch_format="pandas", batch_size=None)

@@ -44,6 +44,7 @@ SUBSET = [
     "events_partitioned_stats",
     "customer_csv_stats",
     "doc_hash_split",
+    "source_char_budget_sample",
     "doc_lm_score",
     "doc_collocations",
     "doc_stratified_sample",

@@ -902,3 +902,44 @@ def test_keyed_reduce(ray_session, how, cfg):
 
     with pytest.raises(ValueError, match="not in"):
         keyed_reduce(rd.from_pandas(df), ["k"], ["a"], how="mean")
+
+
+@pytest.mark.parametrize("cfg", [SHUFFLE_CFG, GATHER_CFG])
+def test_token_budget_sample(ray_session, cfg):
+    """Budgeted per-group selection == brute-force hash-order cumsum;
+    layout-invariant; budget 0 keeps nothing."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.sample import (
+        _hash_ints,
+        token_budget_sample,
+    )
+
+    rng = np.random.RandomState(41)
+    df = pd.DataFrame({
+        "g": rng.choice(["x", "y", "z"], 200),
+        "id": rng.permutation(200).astype(np.int64),
+        "tok": rng.randint(1, 50, 200).astype(np.int64),
+    })
+    budget = 300
+
+    b = df.copy()
+    b["_h"] = _hash_ints(b["id"].to_numpy(np.int64)).astype(np.int64)
+    b = b.sort_values(["g", "_h", "id"], kind="stable")
+    b["cum_tok"] = b.groupby("g", sort=False)["tok"].cumsum()
+    exp = b[b["cum_tok"] <= budget].drop(columns="_h") \
+        .sort_values("id").reset_index(drop=True)
+
+    got = token_budget_sample(
+        rd.from_pandas(df).repartition(5), group_col="g", id_col="id",
+        token_col="tok", budget=budget, cfg=cfg, n_rows=len(df)) \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp)
+    # every group honored the budget but came close to it
+    tot = got.groupby("g")["tok"].sum()
+    assert (tot <= budget).all() and (tot > budget - 50).all()
+
+    empty = token_budget_sample(rd.from_pandas(df), group_col="g",
+                                id_col="id", token_col="tok", budget=0,
+                                cfg=cfg, n_rows=len(df)).to_pandas()
+    assert len(empty) == 0
