@@ -829,6 +829,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda d: d[["event_id", "running_cents"]],
             batch_format="pandas")
 
+    def event_value_outliers(sf_dir):
+        """Robust per-type outlier flags via Median Absolute Deviation
+        over exact integer cents (ops/profile.mad_outliers — one keyed
+        shuffle, discrete medians matching quantile_disc)."""
+        from aml_entity_resolution_assignment_ray.ops.profile import (
+            mad_outliers,
+        )
+
+        _tune_context()
+        ds = _read(sf_dir, "events").select_columns(
+            ["event_id", "event_type", "value"])
+
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "event_id": df["event_id"].astype(np.int64),
+                "event_type": df["event_type"],
+                "cents": _round_half_away(
+                    df["value"].to_numpy(dtype=np.float64) * 100)
+                .astype(np.int64),
+            })
+
+        return mad_outliers(ds.map_batches(prep, batch_format="pandas"),
+                            key="event_type", col="cents", mult=3)
+
+    def hourly_top_types(sf_dir):
+        """Top-2 event types per hour with rank — keyed_sum counts into
+        group_topk (the per-block-partial-top-k combiner), a two-
+        primitive composition."""
+        from aml_entity_resolution_assignment_ray.ops.relational import (
+            group_topk,
+            keyed_sum,
+        )
+
+        _tune_context()
+        ds = _read(sf_dir, "events").select_columns(["event_type", "ts"])
+
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "hour": df["ts"].dt.floor("h")
+                .dt.strftime("%Y-%m-%d %H:%M:%S"),
+                "event_type": df["event_type"],
+                "n": np.ones(len(df), dtype=np.int64),
+            })
+
+        counts = keyed_sum(ds.map_batches(prep, batch_format="pandas"),
+                           ["hour", "event_type"], ["n"])
+        return group_topk(counts, key="hour", order_col="n", k=2,
+                          tie_col="event_type", with_rank=True)
+
     def new_users_per_hour(sf_dir):
         """First-touch attribution: each user's FIRST hour (keyed_reduce
         min — an order-free combiner), new-user counts per hour
@@ -2472,6 +2521,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_revenue_running": global_revenue_running,
         "user_funnel": user_funnel,
         "new_users_per_hour": new_users_per_hour,
+        "hourly_top_types": hourly_top_types,
+        "event_value_outliers": event_value_outliers,
         "hourly_distinct_users": hourly_distinct_users,
         "user_event_entropy": user_event_entropy,
         "user_top_event_type": user_top_event_type,
@@ -4027,6 +4078,44 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                        AS BIGINT) AS running_cents
             FROM c
+        """,
+        "event_value_outliers": """
+            WITH c AS (
+                SELECT event_id, event_type,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+            ), m AS (
+                SELECT event_type,
+                       CAST(quantile_disc(cents, 0.5) AS BIGINT) AS med
+                FROM c GROUP BY 1
+            ), a AS (
+                SELECT c.event_id, c.event_type, c.cents, m.med,
+                       abs(c.cents - m.med) AS ad
+                FROM c JOIN m USING (event_type)
+            ), d AS (
+                SELECT event_type,
+                       CAST(quantile_disc(ad, 0.5) AS BIGINT) AS mad
+                FROM a GROUP BY 1
+            )
+            SELECT a.event_id, a.event_type, a.cents, a.med, d.mad,
+                   CAST(CASE WHEN a.ad > 3 * d.mad THEN 1 ELSE 0 END
+                        AS BIGINT) AS is_outlier
+            FROM a JOIN d USING (event_type)
+        """,
+        "hourly_top_types": """
+            WITH c AS (
+                SELECT strftime(date_trunc('hour', ts),
+                                '%Y-%m-%d %H:%M:%S') AS hour,
+                       event_type, count(*) AS n
+                FROM events GROUP BY 1, 2
+            )
+            SELECT hour, event_type, CAST(n AS BIGINT) AS n,
+                   CAST(rn AS BIGINT) AS rank
+            FROM (SELECT hour, event_type, n,
+                         row_number() OVER (
+                             PARTITION BY hour
+                             ORDER BY n DESC, event_type ASC) AS rn
+                  FROM c) WHERE rn <= 2
         """,
         "new_users_per_hour": """
             WITH f AS (

@@ -252,3 +252,40 @@ def grouped_entropy(ds, *, key: str, col: str, round_to: int = 6,
     parts = ds.map_batches(partial, batch_format="pandas")
     return _keyed(parts, [key], cfg, n_rows).map_batches(
         ent, batch_format="pandas", batch_size=None)
+
+
+def mad_outliers(ds, *, key: str, col: str, mult: int = 3,
+                 cfg: EngineConfig = DEFAULT_CONFIG,
+                 n_rows: int | None = None):
+    """Robust per-group outlier flags via Median Absolute Deviation:
+    med = discrete median of ``col`` within the key, mad = discrete
+    median of |x - med|, outlier when |x - med| > mult * mad — the
+    quality gate that survives heavy tails where mean/std z-scores
+    drown (``col`` must be integer, so every comparison is exact).
+
+    ONE hash shuffle on the key, then both medians and the flags are
+    computed inside the block (key groups are block-complete);
+    discrete-median semantics match DuckDB ``quantile_disc(0.5)``
+    (the sorted element at ceil(n/2) - 1 — pandas interpolation
+    'lower' at q=0.5)."""
+    from .relational import _keyed
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.copy()
+        if not len(d):
+            for c in ("med", "mad"):
+                d[c] = pd.Series([], dtype=np.int64)
+            d["is_outlier"] = pd.Series([], dtype=np.int64)
+            return d
+        med = d.groupby(key, sort=False)[col] \
+            .quantile(0.5, interpolation="lower")  # C path, no per-group UDF
+        d["med"] = d[key].map(med).astype(np.int64)
+        d["_ad"] = (d[col] - d["med"]).abs().astype(np.int64)
+        mad = d.groupby(key, sort=False)["_ad"] \
+            .quantile(0.5, interpolation="lower")
+        d["mad"] = d[key].map(mad).astype(np.int64)
+        d["is_outlier"] = (d["_ad"] > mult * d["mad"]).astype(np.int64)
+        return d.drop(columns=["_ad"])
+
+    return _keyed(ds, [key], cfg, n_rows).map_batches(
+        block, batch_format="pandas", batch_size=None)

@@ -77,6 +77,8 @@ SUBSET = [
     "global_revenue_running",
     "user_funnel",
     "new_users_per_hour",
+    "hourly_top_types",
+    "event_value_outliers",
     "hourly_distinct_users",
     "user_event_entropy",
     "user_top_event_type",

@@ -168,3 +168,40 @@ def test_grouped_mode_tie_breaks_to_smallest(ray_session):
                        cfg=SHUFFLE_CFG).to_pandas()
     assert list(res["mode_value"]) == ["a"]
     assert list(res["n"]) == [2]
+
+
+@pytest.mark.parametrize("cfg", [SHUFFLE_CFG, GATHER_CFG])
+def test_mad_outliers(ray_session, cfg):
+    """MAD flags == brute-force discrete-median computation; a planted
+    far point is flagged, the heavy bulk is not."""
+    from aml_entity_resolution_assignment_ray.ops.profile import (
+        mad_outliers,
+    )
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b"], 300),
+        "id": np.arange(300, dtype=np.int64),
+        "v": rng.randint(90, 110, 300).astype(np.int64),
+    })
+    df.loc[0, ["k", "v"]] = ["a", 10_000]      # planted outlier
+
+    got = mad_outliers(rd.from_pandas(df).repartition(4), key="k",
+                       col="v", mult=3, cfg=cfg, n_rows=len(df)) \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+
+    def disc_med(s):
+        a = np.sort(s.to_numpy())
+        return int(a[int(np.ceil(0.5 * len(a))) - 1])
+
+    for kk, grp in df.groupby("k"):
+        med = disc_med(grp["v"])
+        mad = disc_med((grp["v"] - med).abs())
+        sub = got[got["k"] == kk]
+        assert (sub["med"] == med).all() and (sub["mad"] == mad).all()
+        exp_flag = ((grp.sort_values("id")["v"] - med).abs()
+                    > 3 * mad).astype(np.int64)
+        assert (sub.sort_values("id")["is_outlier"].to_numpy()
+                == exp_flag.to_numpy()).all()
+    assert got.loc[got["id"] == 0, "is_outlier"].iloc[0] == 1
+    assert got["is_outlier"].sum() <= 5
