@@ -2457,6 +2457,69 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "cluster_f1": round(ce["f1"], 6),
         }])
 
+    def event_hour_value_ols(sf_dir):
+        """Per-type linear trend of event value (cents) on hour of day
+        — ops/profile.grouped_ols: exact integer sufficient statistics
+        through one keyed_sum shuffle, arbitrary-precision finalize,
+        float64 only at the last cast/divide so DuckDB replays each
+        output bit-for-bit from the same sums."""
+        from aml_entity_resolution_assignment_ray.ops.profile import (
+            grouped_ols,
+        )
+
+        _tune_context()
+        ds = _read(sf_dir, "events").select_columns(
+            ["event_type", "ts", "value"])
+
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "event_type": df["event_type"],
+                "x": df["ts"].dt.hour.to_numpy(np.int64),
+                "y": _round_half_away(
+                    df["value"].to_numpy(np.float64) * 100)
+                .astype(np.int64),
+            })
+
+        return grouped_ols(ds.map_batches(prep, batch_format="pandas"),
+                           key="event_type", x_col="x", y_col="y")
+
+    def supplier_pagerank(sf_dir):
+        """PageRank over the customer->supplier purchase graph (edges
+        from orders x lineitem) — ops/graph.pagerank: fixed-point
+        integer power iteration, layout-invariant and replayed
+        bit-for-bit by a generated per-round SQL CTE chain.  Suppliers
+        accumulate rank from the customers who buy from them."""
+        from aml_entity_resolution_assignment_ray.ops.graph import pagerank
+
+        _tune_context()
+        cfg = EngineConfig()
+        nparts = cfg.resolve_join_partitions()
+
+        orders = _read(sf_dir, "orders").select_columns(
+            ["o_orderkey", "o_custkey"]).map_batches(
+            lambda d: pd.DataFrame({
+                "orderkey": d["o_orderkey"].astype(np.int64),
+                "custkey": d["o_custkey"].astype(np.int64)}),
+            batch_format="pandas")
+        li = _read(sf_dir, "lineitem").select_columns(
+            ["l_orderkey", "l_suppkey"]).map_batches(
+            lambda d: pd.DataFrame({
+                "orderkey": d["l_orderkey"].astype(np.int64),
+                "suppkey": d["l_suppkey"].astype(np.int64)}),
+            batch_format="pandas")
+        ol = safe_join(li, orders, join_type="inner",
+                       num_partitions=nparts, on=("orderkey",))
+        edges = ol.map_batches(
+            lambda d: pd.DataFrame({
+                "src": "c" + d["custkey"].astype(np.int64).astype(str),
+                "dst": "s" + d["suppkey"].astype(np.int64).astype(str)}),
+            batch_format="pandas")
+        ranks = pagerank(edges, iterations=3)
+        return ranks.map_batches(
+            lambda d: pd.DataFrame({"node": d["node"],
+                                    "pr": d["rank"].astype(np.int64)}),
+            batch_format="pandas")
+
     # The flagship ER / dedup / ANN / media family leads the dict: the
     # driver sweeps a prefix subset when the registry is large, and these
     # are the queries that evidence the north-star pipeline.
@@ -2570,6 +2633,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gaps": event_gaps,
         "event_value_ntile": event_value_ntile,
         "gram_overlap_est": gram_overlap_est,
+        "event_hour_value_ols": event_hour_value_ols,
+        "supplier_pagerank": supplier_pagerank,
     }
 
 
@@ -3614,6 +3679,54 @@ def _media_features_sql(out: int = 32) -> str:
         SELECT media_id, {", ".join(feat)}
         FROM rgb GROUP BY media_id
     """
+
+
+def _pagerank_sql(iterations: int = 3, scale: int = 10 ** 12) -> str:
+    """PageRank replay, one generated CTE stage per power-iteration
+    round, mirroring ops/graph.pagerank's integer recurrence exactly:
+    rank // outdeg contributions, integer sums (order-invariant), the
+    dangling pool and teleport as floor divisions.  Every rank is
+    BIGINT so the replay is bit-for-bit."""
+    parts = [f"""
+    e AS MATERIALIZED (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+             's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    nodes AS MATERIALIZED (
+      SELECT src AS node FROM e UNION SELECT dst FROM e
+    ),
+    deg AS MATERIALIZED (
+      SELECT src AS node, count(*) AS d FROM e GROUP BY 1
+    ),
+    nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+    r0 AS MATERIALIZED (
+      SELECT node, CAST({scale} // (SELECT n FROM nn) AS BIGINT) AS pr
+      FROM nodes
+    )"""]
+    for k in range(1, iterations + 1):
+        parts.append(f"""
+    d{k} AS MATERIALIZED (
+      SELECT COALESCE(sum(r.pr), 0) AS dang
+      FROM r{k - 1} r LEFT JOIN deg g ON g.node = r.node
+      WHERE g.node IS NULL
+    ),
+    i{k} AS MATERIALIZED (
+      SELECT e.dst AS node, sum(r.pr // g.d) AS s
+      FROM e JOIN r{k - 1} r ON r.node = e.src
+             JOIN deg g ON g.node = e.src
+      GROUP BY 1
+    ),
+    r{k} AS MATERIALIZED (
+      SELECT n.node,
+             CAST((15 * {scale}) // (100 * (SELECT n FROM nn))
+                  + (85 * (SELECT dang FROM d{k}))
+                    // (100 * (SELECT n FROM nn))
+                  + (85 * COALESCE(i.s, 0)) // 100 AS BIGINT) AS pr
+      FROM nodes n LEFT JOIN i{k} i ON i.node = n.node
+    )""")
+    return ("WITH " + ",".join(parts)
+            + f" SELECT node, pr FROM r{iterations}")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5230,6 +5343,36 @@ def oracle_sql() -> dict[str, str]:
                   FROM embeddings)
             GROUP BY label, dim
         """,
+        # grouped_ols replay: the identical closed form over the same
+        # exact integer sums (HUGEINT here, Python big-int in the
+        # engine); each output is one CAST-to-DOUBLE per operand and
+        # one IEEE op in the same order, so the floats agree bit-for-bit
+        "event_hour_value_ols": """
+            WITH t AS (
+                SELECT event_type,
+                       CAST(hour(ts) AS BIGINT) AS x,
+                       CAST(round(value * 100) AS BIGINT) AS y
+                FROM events
+            ), s AS (
+                SELECT event_type, count(*) AS n,
+                       sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx,
+                       sum(y*y) AS syy, sum(x*y) AS sxy
+                FROM t GROUP BY 1
+            )
+            SELECT event_type,
+                   CAST(n*sxy - sx*sy AS DOUBLE)
+                     / CAST(n*sxx - sx*sx AS DOUBLE) AS slope,
+                   (CAST(sy AS DOUBLE)
+                    - (CAST(n*sxy - sx*sy AS DOUBLE)
+                       / CAST(n*sxx - sx*sx AS DOUBLE))
+                      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+                     AS intercept,
+                   CAST((n*sxy - sx*sy) * (n*sxy - sx*sy) AS DOUBLE)
+                     / CAST((n*sxx - sx*sx) * (n*syy - sy*sy) AS DOUBLE)
+                     AS r2
+            FROM s
+        """,
+        "supplier_pagerank": _pagerank_sql(3),
         # Every queries() entry is value-oracled: the non-SQL-native ones
         # (fingerprint winnowing, minhash/simhash banding, RHP-LSH, GBDT
         # + rule cascade, union-find closure, IVF probe, fake-decode

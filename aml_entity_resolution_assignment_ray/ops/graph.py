@@ -1,0 +1,188 @@
+"""Distributed PageRank over an edge table, in order-invariant
+fixed-point integer arithmetic.
+
+The graph-centrality op of a large-scale data pipeline (rank sources /
+suppliers / documents by link structure before sampling or pruning).
+Ray Data has no iterative-graph primitive; this builds one round of
+power iteration from the engine's two core moves — one hash
+repartition to co-locate each node's rank, out-degree and out-edges,
+then one keyed_sum to fold contributions per destination — exactly the
+shape of stages/cluster.py's pointer-jumping rounds.
+
+Why fixed-point integers: a float PageRank is summation-order-
+dependent, so a distributed run would not be bit-reproducible across
+block layouts, and no SQL oracle could replay it.  Here ranks are
+int64 in units of ``1/scale`` and every round is pure integer
+arithmetic (floor divisions, exact sums), so the result is
+layout-invariant, deterministic, and a DuckDB WITH-chain replays it
+bit-for-bit (the same trick as ops/text.py's BPE-round oracle).
+
+Per-round recurrence (all integer, all positive):
+
+    contrib(u)   = rank(u) // outdeg(u)          per out-edge of u
+    dangling     = sum of rank(u) for outdeg(u) == 0
+    rank'(v)     = (damp_den - damp_num) * scale // (damp_den * n)
+                 + damp_num * dangling // (damp_den * n)
+                 + damp_num * inflow(v) // damp_den
+    inflow(v)    = sum of contrib over distinct in-edges (u, v)
+
+Scale shape: edges / nodes / degrees are distinct-folded per block
+before their one keyed shuffle (combiner-bounded); each iteration is
+ONE repartition on node (rank + degree + out-edges meet in one block,
+so emitting contributions is a block-local merge) plus keyed_sum's
+shuffle; the per-round driver state is a single integer (the dangling
+mass).  The rank table is materialized once per round — bounded by
+#nodes rows of (string, int64), never edges.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..config import DEFAULT_CONFIG, EngineConfig
+
+#: reserved routing key for the round's dangling-mass accumulator row;
+#: node ids must never collide with it (validated at edge fold time).
+DANGLING = "\x00__dangling__"
+
+_UNION_SCHEMA = pa.schema([
+    pa.field("node", pa.string()),
+    pa.field("rank", pa.int64()),
+    pa.field("deg", pa.int64()),
+    pa.field("dst", pa.string()),
+    pa.field("tag", pa.int64()),
+])
+
+
+def _distinct(ds, cols: list[str], cfg: EngineConfig,
+              n_rows: int | None = None):
+    """Exact distinct rows: per-block dedup partial (combiner), ONE
+    hash repartition on the columns, per-block final dedup."""
+    from .relational import _keyed
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        return df[cols].drop_duplicates()
+
+    parts = ds.map_batches(fold, batch_format="pandas")
+    return _keyed(parts, cols, cfg, n_rows).map_batches(
+        fold, batch_format="pandas", batch_size=None)
+
+
+def pagerank(edges, *, src: str = "src", dst: str = "dst",
+             iterations: int = 4, scale: int = 10 ** 12,
+             damp_num: int = 85, damp_den: int = 100,
+             cfg: EngineConfig = DEFAULT_CONFIG):
+    """PageRank over directed string-keyed edges -> Dataset of
+    (node, rank) with rank an int64 in units of 1/``scale``.
+
+    ``edges`` may contain duplicate (src, dst) rows; they are folded
+    to distinct edges first (out-degree counts distinct out-neighbors).
+    Nodes with no out-edges contribute their rank to the shared
+    dangling pool, redistributed uniformly — the standard treatment,
+    in integer form.
+    """
+    from .relational import _keyed, _to_arrow, keyed_sum
+
+    def fold_edges(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({"node": df[src].astype(str),
+                          "dst": df[dst].astype(str)})
+        if (d["node"] == DANGLING).any() or (d["dst"] == DANGLING).any():
+            raise ValueError(f"node id collides with reserved {DANGLING!r}")
+        return d.drop_duplicates()
+
+    e = _distinct(edges.map_batches(fold_edges, batch_format="pandas"),
+                  ["node", "dst"], cfg).materialize()
+    n_edges = e.count()
+
+    def deg_part(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df["node"],
+                             "deg": np.ones(len(df), dtype=np.int64)})
+
+    deg = keyed_sum(e.map_batches(deg_part, batch_format="pandas"),
+                    ["node"], ["deg"], cfg, n_edges).materialize()
+
+    def node_part(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": pd.unique(pd.concat([df["node"], df["dst"]],
+                                         ignore_index=True))})
+
+    nodes = _distinct(e.map_batches(node_part, batch_format="pandas"),
+                      ["node"], cfg, 2 * n_edges).materialize()
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.map_batches(
+            lambda d: d.assign(rank=pd.Series(dtype=np.int64)),
+            batch_format="pandas")
+
+    r0 = scale // n_nodes
+    teleport = (damp_den - damp_num) * scale // (damp_den * n_nodes)
+    ranks = nodes.map_batches(
+        lambda d: d.assign(rank=np.full(len(d), r0, dtype=np.int64)),
+        batch_format="pandas").materialize()
+
+    deg_t = deg.map_batches(
+        _to_arrow(lambda d: d.assign(tag=np.int64(1)), _UNION_SCHEMA),
+        batch_format="pandas").materialize()
+    e_t = e.map_batches(
+        _to_arrow(lambda d: d.assign(tag=np.int64(2)), _UNION_SCHEMA),
+        batch_format="pandas").materialize()
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"node": pd.Series(dtype=object),
+                              "contrib": pd.Series(dtype=np.int64)})
+        if not len(df):
+            return empty
+        rk = df[df["tag"] == 0][["node", "rank"]]
+        dg = df[df["tag"] == 1][["node", "deg"]]
+        ed = df[df["tag"] == 2][["node", "dst"]]
+        r = rk.merge(dg, on="node", how="left")
+        live = r[r["deg"].notna()]
+        out = [empty]
+        if len(ed) and len(live):
+            c = live[["node"]].copy()
+            c["c"] = (live["rank"].to_numpy(np.int64)
+                      // live["deg"].to_numpy(np.int64))
+            oe = ed.merge(c, on="node", how="inner")
+            out.append(pd.DataFrame({"node": oe["dst"],
+                                     "contrib": oe["c"].astype(np.int64)}))
+        dang = r[r["deg"].isna()]
+        if len(dang):
+            out.append(pd.DataFrame(
+                {"node": DANGLING,
+                 "contrib": dang["rank"].astype(np.int64)}))
+        # zero marker per rank row: every node survives into the next
+        # round's rank table even with no inflow
+        out.append(pd.DataFrame({"node": rk["node"],
+                                 "contrib": np.zeros(len(rk), np.int64)}))
+        return pd.concat(out, ignore_index=True)
+
+    for _ in range(iterations):
+        r_t = ranks.map_batches(
+            _to_arrow(lambda d: d.assign(tag=np.int64(0)), _UNION_SCHEMA),
+            batch_format="pandas")
+        u = r_t.union(deg_t, e_t)
+        n_union = n_nodes + n_edges + deg.count()
+        attached = _keyed(u, ["node"], cfg, n_union).map_batches(
+            attach, batch_format="pandas", batch_size=None)
+        inflow = keyed_sum(attached, ["node"], ["contrib"], cfg,
+                           n_edges + 2 * n_nodes).materialize()
+        dang_rows = inflow.map_batches(
+            lambda d: d[d["node"] == DANGLING],
+            batch_format="pandas").take_all()
+        dangling = int(dang_rows[0]["contrib"]) if dang_rows else 0
+        dang_share = damp_num * dangling // (damp_den * n_nodes)
+        base = teleport + dang_share
+
+        def step(d: pd.DataFrame, base=base) -> pd.DataFrame:
+            d = d[d["node"] != DANGLING]
+            rank = (base
+                    + damp_num * d["contrib"].to_numpy(np.int64)
+                    // damp_den).astype(np.int64)
+            return pd.DataFrame({"node": d["node"], "rank": rank})
+
+        ranks = inflow.map_batches(step, batch_format="pandas") \
+            .materialize()
+
+    return ranks

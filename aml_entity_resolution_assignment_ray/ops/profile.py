@@ -289,3 +289,81 @@ def mad_outliers(ds, *, key: str, col: str, mult: int = 3,
 
     return _keyed(ds, [key], cfg, n_rows).map_batches(
         block, batch_format="pandas", batch_size=None)
+
+
+def grouped_ols(ds, *, key: str, x_col: str, y_col: str,
+                cfg: EngineConfig = DEFAULT_CONFIG,
+                n_rows: int | None = None):
+    """Per-group simple linear regression of ``y_col`` on ``x_col``
+    (slope / intercept / r2) via EXACT integer sufficient statistics —
+    the distributed ``regr_slope`` family, done so the float outputs
+    are bit-reproducible and SQL-replayable.
+
+    Scale shape: each block folds to ONE (n, Sx, Sy, Sxx, Syy, Sxy)
+    row per key (a pure combiner — keyed_sum's shuffle volume is
+    #blocks x #keys, never rows), then the closed form runs per group:
+
+        slope     = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)
+        intercept = (Sy - slope*Sx) / n
+        r2        = (n*Sxy - Sx*Sy)^2 / ((n*Sxx - Sx^2)(n*Syy - Sy^2))
+
+    Both columns must already be int64 (cents-scale metrics, like the
+    rest of the engine), so every sum is exact and layout-invariant.
+    The finalize step promotes the int64 sums to arbitrary-precision
+    Python ints, so n*Sxy etc. cannot overflow; the ONLY float steps
+    are one cast of each exact numerator/denominator to float64 and
+    one IEEE-754 op per output — the same expression a DuckDB oracle
+    evaluates as CAST(a AS DOUBLE) / CAST(b AS DOUBLE) from identical
+    HUGEINT sums, so engine and oracle agree bit-for-bit.  Per-block
+    int64 partials bound Sy^2 within int64 per block-key (|y| <= 1e6
+    cents holds to ~10^6 rows per block-key; repartition finer past
+    that).  Groups with zero x-variance return NaN for all three.
+    The per-group Python finalize loop is bounded by key cardinality
+    (one row per group post-aggregate), never by input rows.
+    """
+    from .relational import keyed_sum
+
+    stat_cols = ["n", "sx", "sy", "sxx", "syy", "sxy"]
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        x = df[x_col].to_numpy(np.int64)
+        y = df[y_col].to_numpy(np.int64)
+        return pd.DataFrame({
+            key: df[key],
+            "n": np.ones(len(df), dtype=np.int64),
+            "sx": x, "sy": y,
+            "sxx": x * x, "syy": y * y, "sxy": x * y,
+        })
+
+    stats = keyed_sum(ds.map_batches(expand, batch_format="pandas"),
+                      [key], stat_cols, cfg, n_rows)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({key: df.get(key, pd.Series(dtype=object)),
+                                 "slope": pd.Series(dtype=np.float64),
+                                 "intercept": pd.Series(dtype=np.float64),
+                                 "r2": pd.Series(dtype=np.float64)})[
+                [key, "slope", "intercept", "r2"]]
+        slope = np.empty(len(df), dtype=np.float64)
+        intercept = np.empty(len(df), dtype=np.float64)
+        r2 = np.empty(len(df), dtype=np.float64)
+        cols = [df[c].to_numpy() for c in stat_cols]
+        for i, (n, sx, sy, sxx, syy, sxy) in enumerate(zip(*cols)):
+            # exact big-int arithmetic; floats only at the last step
+            n, sx, sy, sxx, syy, sxy = (
+                int(n), int(sx), int(sy), int(sxx), int(syy), int(sxy))
+            num = n * sxy - sx * sy
+            dx = n * sxx - sx * sx
+            dy = n * syy - sy * sy
+            if dx == 0 or n == 0:
+                slope[i] = intercept[i] = r2[i] = np.nan
+                continue
+            slope[i] = float(num) / float(dx)
+            intercept[i] = (float(sy) - slope[i] * float(sx)) / float(n)
+            r2[i] = float(num * num) / float(dx * dy) if dy else np.nan
+        return pd.DataFrame({key: df[key], "slope": slope,
+                             "intercept": intercept, "r2": r2})
+
+    return stats.map_batches(finalize, batch_format="pandas",
+                             batch_size=None)

@@ -1,0 +1,146 @@
+"""ops/graph.pagerank and ops/profile.grouped_ols against independent
+pure-Python references of the same exact arithmetic."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from aml_entity_resolution_assignment_ray.config import EngineConfig
+from aml_entity_resolution_assignment_ray.ops.graph import DANGLING, pagerank
+from aml_entity_resolution_assignment_ray.ops.profile import grouped_ols
+
+SCALE = 10 ** 12
+
+
+def _ref_pagerank(edges, iterations, scale=SCALE):
+    """Sequential reference of the identical integer recurrence."""
+    e = sorted(set(edges))
+    nodes = sorted({u for u, _ in e} | {v for _, v in e})
+    n = len(nodes)
+    deg = {}
+    for u, _ in e:
+        deg[u] = deg.get(u, 0) + 1
+    rank = {v: scale // n for v in nodes}
+    teleport = 15 * scale // (100 * n)
+    for _ in range(iterations):
+        inflow = {v: 0 for v in nodes}
+        dangling = 0
+        for v in nodes:
+            if v not in deg:
+                dangling += rank[v]
+        for u, v in e:
+            inflow[v] += rank[u] // deg[u]
+        share = 85 * dangling // (100 * n)
+        rank = {v: teleport + share + 85 * inflow[v] // 100
+                for v in nodes}
+    return rank
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pagerank_matches_reference():
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    # random digraph with duplicate edges, dangling sinks, and a hub
+    srcs = [f"n{int(i)}" for i in rng.integers(0, 30, size=200)]
+    dsts = [f"n{int(i)}" for i in rng.integers(0, 40, size=200)]
+    srcs += ["hub"] * 10
+    dsts += [f"n{int(i)}" for i in range(10)]
+    df = pd.DataFrame({"src": srcs, "dst": dsts})
+    got = pagerank(rd.from_pandas(df), iterations=4,
+                   cfg=EngineConfig()).to_pandas()
+    want = _ref_pagerank(list(zip(srcs, dsts)), iterations=4)
+    assert len(got) == len(want)
+    got_map = dict(zip(got["node"], got["rank"].astype(int)))
+    assert got_map == want
+    # hub-pointed nodes outrank pure sinks that nobody links to twice
+    assert all(r > 0 for r in got_map.values())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pagerank_rejects_reserved_node_id():
+    import ray.data as rd
+
+    df = pd.DataFrame({"src": [DANGLING], "dst": ["x"]})
+    with pytest.raises(Exception, match="reserved"):
+        pagerank(rd.from_pandas(df), iterations=1).to_pandas()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pagerank_layout_invariant():
+    """Same graph, different block layout -> identical ranks (the
+    fixed-point claim)."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "src": [f"a{int(i)}" for i in rng.integers(0, 12, size=80)],
+        "dst": [f"a{int(i)}" for i in rng.integers(0, 12, size=80)],
+    })
+    r1 = pagerank(rd.from_pandas(df), iterations=3).to_pandas()
+    r2 = pagerank(rd.from_pandas(df).repartition(7),
+                  iterations=3).to_pandas()
+    m1 = dict(zip(r1["node"], r1["rank"]))
+    m2 = dict(zip(r2["node"], r2["rank"]))
+    assert m1 == m2
+
+
+def _ref_ols(df, key, x, y):
+    out = {}
+    for k, g in df.groupby(key):
+        xs = [int(v) for v in g[x]]
+        ys = [int(v) for v in g[y]]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(v * v for v in xs)
+        syy = sum(v * v for v in ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        num = n * sxy - sx * sy
+        dx = n * sxx - sx * sx
+        dy = n * syy - sy * sy
+        if dx == 0:
+            out[k] = (np.nan, np.nan, np.nan)
+            continue
+        slope = float(num) / float(dx)
+        intercept = (float(sy) - slope * float(sx)) / float(n)
+        r2 = float(num * num) / float(dx * dy) if dy else np.nan
+        out[k] = (slope, intercept, r2)
+    return out
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_ols_exact():
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    n = 500
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], size=n),
+        "x": rng.integers(0, 24, size=n).astype(np.int64),
+        "y": rng.integers(-500, 50000, size=n).astype(np.int64),
+    })
+    # one zero-variance-x group
+    df = pd.concat([df, pd.DataFrame(
+        {"g": ["flat"] * 4, "x": [5] * 4, "y": [1, 2, 3, 4]})],
+        ignore_index=True)
+    got = grouped_ols(rd.from_pandas(df).repartition(5),
+                      key="g", x_col="x", y_col="y").to_pandas()
+    want = _ref_ols(df, "g", "x", "y")
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        ws, wi, wr = want[r.g]
+        for a, b in ((r.slope, ws), (r.intercept, wi), (r.r2, wr)):
+            if np.isnan(b):
+                assert np.isnan(a)
+            else:
+                assert a == b  # bit-exact, not approx
+
+    # slope recovered on a noiseless line: y = 3x + 7
+    line = pd.DataFrame({"g": ["l"] * 50,
+                         "x": np.arange(50, dtype=np.int64),
+                         "y": (3 * np.arange(50) + 7).astype(np.int64)})
+    res = grouped_ols(rd.from_pandas(line), key="g",
+                      x_col="x", y_col="y").to_pandas()
+    assert res["slope"].iloc[0] == 3.0
+    assert res["intercept"].iloc[0] == 7.0
+    assert res["r2"].iloc[0] == 1.0

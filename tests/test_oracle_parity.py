@@ -106,6 +106,8 @@ SUBSET = [
     "er_name_cosine",
     "er_clusters",
     "er_eval_metrics",
+    "event_hour_value_ols",
+    "supplier_pagerank",
 ]
 
 
