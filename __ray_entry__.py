@@ -2520,6 +2520,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                     "pr": d["rank"].astype(np.int64)}),
             batch_format="pandas")
 
+    def part_copurchase_triangles(sf_dir):
+        """Per-part triangle counts of the co-purchase graph (parts
+        appearing in the same order) — ops/graph.triangle_counts: the
+        degree-ordered wedge algorithm, wedge volume bounded m^1.5
+        under hub skew, exact integer counts replayed by a three-way
+        SQL self-join."""
+        from aml_entity_resolution_assignment_ray.ops.graph import (
+            triangle_counts,
+        )
+
+        _tune_context()
+        cfg = EngineConfig()
+        nparts = cfg.resolve_join_partitions()
+
+        li = _read(sf_dir, "lineitem").select_columns(
+            ["l_orderkey", "l_partkey"])
+        l1 = li.map_batches(
+            lambda d: pd.DataFrame({
+                "orderkey": d["l_orderkey"].astype(np.int64),
+                "pa": d["l_partkey"].astype(np.int64)}),
+            batch_format="pandas")
+        l2 = li.map_batches(
+            lambda d: pd.DataFrame({
+                "orderkey": d["l_orderkey"].astype(np.int64),
+                "pb": d["l_partkey"].astype(np.int64)}),
+            batch_format="pandas")
+        j = safe_join(l1, l2, join_type="inner",
+                      num_partitions=nparts, on=("orderkey",))
+        edges = j.map_batches(
+            lambda d: d[d["pa"] < d["pb"]][["pa", "pb"]],
+            batch_format="pandas")
+        return triangle_counts(edges, a="pa", b="pb", cfg=cfg)
+
     # The flagship ER / dedup / ANN / media family leads the dict: the
     # driver sweeps a prefix subset when the registry is large, and these
     # are the queries that evidence the north-star pipeline.
@@ -2635,6 +2668,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gram_overlap_est": gram_overlap_est,
         "event_hour_value_ols": event_hour_value_ols,
         "supplier_pagerank": supplier_pagerank,
+        "part_copurchase_triangles": part_copurchase_triangles,
     }
 
 
@@ -5373,6 +5407,31 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "supplier_pagerank": _pagerank_sql(3),
+        # triangle replay: with a<b canonical edges, each triangle
+        # {x<y<z} matches exactly once as (x,y)+(y,z)+(x,z); counts are
+        # exact integers so the counting strategy (degree-ordered
+        # wedges in the engine, a 3-way self-join here) cannot diverge
+        "part_copurchase_triangles": """
+            WITH pe AS MATERIALIZED (
+                SELECT DISTINCT least(l1.l_partkey, l2.l_partkey) AS a,
+                       greatest(l1.l_partkey, l2.l_partkey) AS b
+                FROM lineitem l1 JOIN lineitem l2
+                  ON l1.l_orderkey = l2.l_orderkey
+                 AND l1.l_partkey <> l2.l_partkey
+            ),
+            tri AS MATERIALIZED (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM pe e1
+                JOIN pe e2 ON e2.a = e1.b
+                JOIN pe e3 ON e3.a = e1.a AND e3.b = e2.b
+            )
+            SELECT CAST(node AS BIGINT) AS node,
+                   CAST(count(*) AS BIGINT) AS n_tri
+            FROM (SELECT x AS node FROM tri
+                  UNION ALL SELECT y FROM tri
+                  UNION ALL SELECT z FROM tri)
+            GROUP BY node
+        """,
         # Every queries() entry is value-oracled: the non-SQL-native ones
         # (fingerprint winnowing, minhash/simhash banding, RHP-LSH, GBDT
         # + rule cascade, union-find closure, IVF probe, fake-decode

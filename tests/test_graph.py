@@ -144,3 +144,65 @@ def test_grouped_ols_exact():
     assert res["slope"].iloc[0] == 3.0
     assert res["intercept"].iloc[0] == 7.0
     assert res["r2"].iloc[0] == 1.0
+
+
+def _ref_triangles(pairs):
+    """Brute-force per-node triangle membership counts."""
+    import itertools
+
+    adj = {}
+    for x, y in pairs:
+        if x == y:
+            continue
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    counts = {}
+    for x, y, z in itertools.combinations(sorted(adj), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for v in (x, y, z):
+                counts[v] = counts.get(v, 0) + 1
+    return counts
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_triangle_counts_known_graph():
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.graph import (
+        triangle_counts,
+    )
+
+    # K4 on 1..4 (4 triangles, each node in 3), a square 5-6-7-8 with
+    # one diagonal 5-7 (two triangles), an isolated edge, a self-loop,
+    # duplicate and reversed duplicate edges
+    pairs = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (5, 6), (6, 7), (7, 8), (8, 5), (5, 7),
+             (9, 10), (11, 11), (2, 1), (1, 2)]
+    df = pd.DataFrame(pairs, columns=["a", "b"]).astype(np.int64)
+    got = triangle_counts(rd.from_pandas(df).repartition(4),
+                          a="a", b="b").to_pandas()
+    want = _ref_triangles(pairs)
+    assert dict(zip(got["node"].astype(int),
+                    got["n_tri"].astype(int))) == want
+    assert want[1] == 3 and want[5] == 2 and want[6] == 1
+    assert 9 not in want and 11 not in want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_triangle_counts_random_vs_bruteforce():
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.graph import (
+        triangle_counts,
+    )
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "a": rng.integers(0, 25, size=160).astype(np.int64),
+        "b": rng.integers(0, 25, size=160).astype(np.int64),
+    })
+    got = triangle_counts(rd.from_pandas(df).repartition(6),
+                          a="a", b="b").to_pandas()
+    want = _ref_triangles(list(zip(df["a"], df["b"])))
+    assert dict(zip(got["node"].astype(int),
+                    got["n_tri"].astype(int))) == want

@@ -108,6 +108,7 @@ SUBSET = [
     "er_eval_metrics",
     "event_hour_value_ols",
     "supplier_pagerank",
+    "part_copurchase_triangles",
 ]
 
 
