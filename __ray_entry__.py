@@ -2553,6 +2553,62 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pandas")
         return triangle_counts(edges, a="pa", b="pb", cfg=cfg)
 
+    def image_ahash_dups(sf_dir):
+        """Near-duplicate IMAGE pairs at average-hash hamming <= 6 over
+        a decoded corpus with planted exact and slightly-perturbed
+        copies (ops/multimodal.image_ahash_dup_pairs -> the shared
+        ops/dedup.hash64_dup_pairs banding+verify).  The SQL recomputes
+        every ahash bit from the persisted decode and all-pairs-joins
+        at this tiny scale; the engine's banded path must surface
+        exactly the same pairs with the same exact distances."""
+        _tune_context()
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from aml_entity_resolution_assignment_ray.ops import multimodal as mm
+
+        media = rd.from_arrow(mm.make_fake_media_table(n=48))
+        images = media.filter(expr="mime == 'image/png'")
+        dec_df = mm.decode_images(images, fake=True).to_pandas() \
+            .sort_values("media_id").reset_index(drop=True)
+
+        # plant copies: every 3rd image an exact dup (hamming 0), the
+        # next a lightly-noised dup (small hamming), the rest unpaired
+        rng = np.random.default_rng(23)
+        copies = []
+        for i in range(len(dec_df)):
+            row = dec_df.iloc[i]
+            px = np.asarray(row["pixels"], dtype=np.int64).copy()
+            if i % 3 == 1:
+                idx = rng.integers(0, len(px), size=max(1, len(px) // 64))
+                px[idx] = np.clip(
+                    px[idx] + rng.integers(-12, 13, size=len(idx)), 0, 255)
+            elif i % 3 == 2:
+                continue
+            copies.append({
+                "media_id": "dup_" + str(row["media_id"]),
+                "pixels": px.astype(np.uint8),
+                "shape": row["shape"],
+            })
+        all_df = pd.concat([dec_df, pd.DataFrame(copies)],
+                           ignore_index=True)
+
+        os.makedirs("/tmp/er_media", exist_ok=True)
+        pq.write_table(pa.table({
+            "media_id": pa.array([str(m) for m in all_df["media_id"]],
+                                 pa.string()),
+            "pixels": pa.array(
+                [np.asarray(p, dtype=np.int32).tolist()
+                 for p in all_df["pixels"]], pa.list_(pa.int32())),
+            "shape": pa.array(
+                [list(map(int, s)) for s in all_df["shape"]],
+                pa.list_(pa.int64())),
+        }), "/tmp/er_media/ahash_pairs_decoded.parquet")
+
+        return mm.image_ahash_dup_pairs(rd.from_pandas(all_df),
+                                        max_hamming=6)
+
     # The flagship ER / dedup / ANN / media family leads the dict: the
     # driver sweeps a prefix subset when the registry is large, and these
     # are the queries that evidence the north-star pipeline.
@@ -2669,6 +2725,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_hour_value_ols": event_hour_value_ols,
         "supplier_pagerank": supplier_pagerank,
         "part_copurchase_triangles": part_copurchase_triangles,
+        "image_ahash_dups": image_ahash_dups,
     }
 
 
@@ -3798,6 +3855,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN 64 * gray > total THEN 1 ELSE 0 END
                         AS BIGINT) AS bit
             FROM g JOIN t USING (media_id)
+        """,
+        # ahash near-dup pairs: recompute every bit from the persisted
+        # decode (same expressions as image_ahash), then an all-pairs
+        # hamming join — tiny here; the engine uses banding instead and
+        # must produce identical pairs and distances
+        "image_ahash_dups": """
+            WITH dec AS (
+              SELECT media_id, pixels,
+                     CAST(shape[1] AS BIGINT) AS h,
+                     CAST(shape[2] AS BIGINT) AS w
+              FROM read_parquet('/tmp/er_media/ahash_pairs_decoded.parquet')
+            ),
+            g AS (
+              SELECT d.media_id, oy * 8 + ox AS bit_idx,
+                     (CAST(list_extract(d.pixels,
+                          ((oy*h)//8)*(w*3) + ((ox*w)//8)*3 + 1)
+                          AS BIGINT) * 299
+                      + CAST(list_extract(d.pixels,
+                          ((oy*h)//8)*(w*3) + ((ox*w)//8)*3 + 2)
+                          AS BIGINT) * 587
+                      + CAST(list_extract(d.pixels,
+                          ((oy*h)//8)*(w*3) + ((ox*w)//8)*3 + 3)
+                          AS BIGINT) * 114) // 1000 AS gray
+              FROM dec d, range(8) AS ys(oy), range(8) AS xs(ox)
+            ),
+            t AS (SELECT media_id, sum(gray) AS total FROM g GROUP BY 1),
+            bits AS (
+              SELECT g.media_id, g.bit_idx,
+                     CASE WHEN 64 * gray > total THEN 1 ELSE 0 END AS bit
+              FROM g JOIN t USING (media_id)
+            ),
+            hm AS (
+              SELECT a.media_id AS id_a, b.media_id AS id_b,
+                     sum(abs(a.bit - b.bit)) AS hamming
+              FROM bits a JOIN bits b
+                ON a.bit_idx = b.bit_idx AND a.media_id < b.media_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+            FROM hm WHERE hamming <= 6
         """,
         "corpus_prep": _corpus_prep_sql(),
         # duplicate-span signal: distinct token 8-grams (same tokenize

@@ -642,14 +642,30 @@ def simhash_dup_pairs(ds, col: str = "text", id_col: str = "doc_id",
     Banding: ``max_hamming + 1`` bands over the 64 bits — lossless
     blocking by pigeonhole for ANY requested distance; candidates verify
     exact hamming."""
-    bands = _hamming_bands(max_hamming)
-
     def collect(df: pd.DataFrame) -> pd.DataFrame:
         sh = simhash_batch(df[col].fillna("").to_numpy())
         return pd.DataFrame({"doc": df[id_col].astype(str), "sim": sh})
 
     sim = ds.map_batches(collect, batch_format="pandas").materialize()
-    n_docs = sim.count()
+    return hash64_dup_pairs(sim, max_hamming=max_hamming, cfg=cfg,
+                            key_type="simhash")
+
+
+def hash64_dup_pairs(sig, *, max_hamming: int = 3,
+                     cfg: EngineConfig = DEFAULT_CONFIG,
+                     key_type: str = "hash64"):
+    """Near-dup pairs among arbitrary 64-bit signatures: a MATERIALIZED
+    (doc, sim:uint64) dataset -> (id_a, id_b, hamming) pairs with
+    hamming(sim_a, sim_b) <= ``max_hamming``.
+
+    The signature-agnostic core of simhash_dup_pairs, shared with
+    image average-hash near-dup (ops/multimodal.image_ahash_dup_pairs):
+    pigeonhole banding (``max_hamming + 1`` bands over the 64 bits is
+    lossless for ANY requested distance), skew-safe pair generation on
+    the band keys, then gated broadcast-or-join hydration for the exact
+    popcount verify."""
+    bands = _hamming_bands(max_hamming)
+    n_docs = sig.count()
 
     def emit(df: pd.DataFrame) -> pd.DataFrame:
         ids = df["doc"].to_numpy()
@@ -659,13 +675,13 @@ def simhash_dup_pairs(ds, col: str = "text", id_col: str = "doc_id",
             mask = np.uint64((1 << width) - 1)
             vals = (sh >> np.uint64(shift)) & mask
             parts.append(pd.DataFrame({
-                "key_type": "simhash",
+                "key_type": key_type,
                 "key_value": [f"{b}:{v:x}" for v in vals],
                 "conv_id": ids,
             }))
         return pd.concat(parts, ignore_index=True)
 
-    pairs = generate_pairs(sim.map_batches(emit, batch_format="pandas"), cfg,
+    pairs = generate_pairs(sig.map_batches(emit, batch_format="pandas"), cfg,
                            n_rows=n_docs * len(bands))
 
     def fn(a, b, pairs_df):
@@ -675,7 +691,7 @@ def simhash_dup_pairs(ds, col: str = "text", id_col: str = "doc_id",
         out = pairs_df.assign(hamming=_popcount64(x))
         return out[out["hamming"] <= max_hamming].reset_index(drop=True)
 
-    return _verify_pairs(pairs, sim, ["sim"], fn, cfg, n_docs=n_docs)
+    return _verify_pairs(pairs, sig, ["sim"], fn, cfg, n_docs=n_docs)
 
 
 # --------------------------------------------------------------------------

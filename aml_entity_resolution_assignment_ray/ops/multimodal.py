@@ -740,12 +740,8 @@ class AHashBits:
         self.side = side
         self._resize = ResizeImage(out_w=side, out_h=side)
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            z = np.empty(0, dtype=np.int64)
-            return pd.DataFrame({"media_id": df.get(
-                "media_id", pd.Series(dtype=object)),
-                "bit_idx": z, "bit": z})
+    def _bits(self, df: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+        """(media ids, (n, side*side) 0/1 bit matrix)."""
         small = self._resize(df)
         s = self.side
         P = np.stack([np.asarray(p, dtype=np.int64)
@@ -755,12 +751,41 @@ class AHashBits:
                 + P[:, :, 2] * 114) // 1000
         total = gray.sum(axis=1)
         bits = (s * s * gray > total[:, None]).astype(np.int64)
-        n = len(df)
+        return small["media_id"].to_numpy(), bits
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            z = np.empty(0, dtype=np.int64)
+            return pd.DataFrame({"media_id": df.get(
+                "media_id", pd.Series(dtype=object)),
+                "bit_idx": z, "bit": z})
+        ids, bits = self._bits(df)
+        s, n = self.side, len(df)
         return pd.DataFrame({
-            "media_id": np.repeat(small["media_id"].to_numpy(), s * s),
+            "media_id": np.repeat(ids, s * s),
             "bit_idx": np.tile(np.arange(s * s, dtype=np.int64), n),
             "bit": bits.ravel(),
         })
+
+
+class AHashPack(AHashBits):
+    """Average hash packed to ONE uint64 per image (bit i at position
+    i), the signature form ops/dedup.hash64_dup_pairs bands on."""
+
+    def __init__(self, side: int = 8):
+        if side * side != 64:
+            raise ValueError("packed ahash requires side*side == 64")
+        super().__init__(side)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "doc": df.get("media_id", pd.Series(dtype=object)),
+                "sim": np.empty(0, dtype=np.uint64)})
+        ids, bits = self._bits(df)
+        w = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        sim = (bits.astype(np.uint64) * w).sum(axis=1).astype(np.uint64)
+        return pd.DataFrame({"doc": ids.astype(str), "sim": sim})
 
 
 def image_ahash_bits(decoded, side: int = 8, batch_size: int = 64,
@@ -771,3 +796,25 @@ def image_ahash_bits(decoded, side: int = 8, batch_size: int = 64,
 
     return stateful_map(decoded, AHashBits, (side,),
                         batch_format="pandas", batch_size=batch_size)
+
+
+def image_ahash_dup_pairs(decoded, max_hamming: int = 6,
+                          batch_size: int = 64, cfg=None):
+    """Near-duplicate IMAGE pairs by average-hash Hamming distance:
+    pack each decoded image to one uint64 ahash (AHashPack), then run
+    the shared 64-bit signature path (ops/dedup.hash64_dup_pairs —
+    lossless pigeonhole banding + skew-safe pair generation + gated
+    broadcast-or-join exact-popcount verify).  The multimodal/dedup
+    crossover: candidate volume scales with band-bucket sizes, never
+    image pairs, and pixels stay behind the one-u64-per-image
+    signature — nothing heavier than 8 bytes/image ever shuffles."""
+    from ..config import DEFAULT_CONFIG
+    from ..util import stateful_map
+    from .dedup import hash64_dup_pairs
+
+    cfg = cfg or DEFAULT_CONFIG
+    sig = stateful_map(decoded, AHashPack, (8,),
+                       batch_format="pandas",
+                       batch_size=batch_size).materialize()
+    return hash64_dup_pairs(sig, max_hamming=max_hamming, cfg=cfg,
+                            key_type="ahash")

@@ -206,3 +206,47 @@ def test_triangle_counts_random_vs_bruteforce():
     want = _ref_triangles(list(zip(df["a"], df["b"])))
     assert dict(zip(got["node"].astype(int),
                     got["n_tri"].astype(int))) == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_image_ahash_dup_pairs_vs_bruteforce():
+    """Banded 64-bit signature path == brute-force hamming over the
+    packed ahashes, on a corpus with planted exact + noisy dups."""
+    import itertools
+
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops import multimodal as mm
+    from aml_entity_resolution_assignment_ray.util import stateful_map
+
+    media = rd.from_arrow(mm.make_fake_media_table(n=48, seed=5))
+    images = media.filter(expr="mime == 'image/png'")
+    dec = mm.decode_images(images, fake=True).to_pandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    rng = np.random.default_rng(2)
+    copies = []
+    for i in range(0, len(dec), 2):
+        row = dec.iloc[i]
+        px = np.asarray(row["pixels"], dtype=np.int64).copy()
+        idx = rng.integers(0, len(px), size=max(1, len(px) // 80))
+        px[idx] = np.clip(px[idx] + rng.integers(-10, 11, size=len(idx)),
+                          0, 255)
+        copies.append({"media_id": "dup_" + str(row["media_id"]),
+                       "pixels": px.astype(np.uint8),
+                       "shape": row["shape"]})
+    all_df = pd.concat([dec, pd.DataFrame(copies)], ignore_index=True)
+    ds = rd.from_pandas(all_df)
+
+    got = mm.image_ahash_dup_pairs(ds, max_hamming=6).to_pandas()
+    got_set = {(r.id_a, r.id_b, r.hamming) for r in got.itertuples()}
+
+    sig = stateful_map(ds, mm.AHashPack, (8,),
+                       batch_format="pandas").to_pandas()
+    sims = dict(zip(sig["doc"], sig["sim"].astype(np.uint64)))
+    want = set()
+    for a, b in itertools.combinations(sorted(sims), 2):
+        d = int(bin(int(sims[a]) ^ int(sims[b])).count("1"))
+        if d <= 6:
+            want.add((a, b, d))
+    assert got_set == want
+    assert want  # planted dups must actually pair

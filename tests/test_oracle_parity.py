@@ -109,6 +109,7 @@ SUBSET = [
     "event_hour_value_ols",
     "supplier_pagerank",
     "part_copurchase_triangles",
+    "image_ahash_dups",
 ]
 
 
