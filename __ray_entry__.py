@@ -2553,15 +2553,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pandas")
         return triangle_counts(edges, a="pa", b="pb", cfg=cfg)
 
-    def image_ahash_dups(sf_dir):
-        """Near-duplicate IMAGE pairs at average-hash hamming <= 6 over
-        a decoded corpus with planted exact and slightly-perturbed
-        copies (ops/multimodal.image_ahash_dup_pairs -> the shared
-        ops/dedup.hash64_dup_pairs banding+verify).  The SQL recomputes
-        every ahash bit from the persisted decode and all-pairs-joins
-        at this tiny scale; the engine's banded path must surface
-        exactly the same pairs with the same exact distances."""
-        _tune_context()
+    def _ahash_pairs_corpus() -> pd.DataFrame:
+        """Decoded image corpus with planted exact and lightly-noised
+        copies, persisted for the SQL oracles (deterministic: seeded
+        media + seeded noise)."""
         import pyarrow as pa
         import pyarrow.parquet as pq
         import ray.data as rd
@@ -2605,9 +2600,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 [list(map(int, s)) for s in all_df["shape"]],
                 pa.list_(pa.int64())),
         }), "/tmp/er_media/ahash_pairs_decoded.parquet")
+        return all_df
 
+    def image_ahash_dups(sf_dir):
+        """Near-duplicate IMAGE pairs at average-hash hamming <= 6 over
+        a decoded corpus with planted exact and slightly-perturbed
+        copies (ops/multimodal.image_ahash_dup_pairs -> the shared
+        ops/dedup.hash64_dup_pairs banding+verify).  The SQL recomputes
+        every ahash bit from the persisted decode and all-pairs-joins
+        at this tiny scale; the engine's banded path must surface
+        exactly the same pairs with the same exact distances."""
+        _tune_context()
+        import ray.data as rd
+
+        from aml_entity_resolution_assignment_ray.ops import multimodal as mm
+
+        all_df = _ahash_pairs_corpus()
         return mm.image_ahash_dup_pairs(rd.from_pandas(all_df),
                                         max_hamming=6)
+
+    def image_dup_clusters(sf_dir):
+        """Image duplicate CLUSTERS: connected components over the
+        ahash near-dup pairs (stages/cluster.connected_components, the
+        same distributed union-find as the flagship's entity
+        resolution), every image labeled with its component's min
+        media_id — the media -> signature -> banded pairs -> transitive
+        clustering composition.  Oracled by WITH RECURSIVE reachability
+        over the SQL-recomputed pair set."""
+        _tune_context()
+        import ray.data as rd
+
+        from aml_entity_resolution_assignment_ray.ops import multimodal as mm
+        from aml_entity_resolution_assignment_ray.stages.cluster import (
+            connected_components,
+        )
+
+        all_df = _ahash_pairs_corpus()
+        pairs = mm.image_ahash_dup_pairs(
+            rd.from_pandas(all_df), max_hamming=6) \
+            .map_batches(lambda d: d[["id_a", "id_b"]],
+                         batch_format="pandas")
+        nodes = rd.from_pandas(pd.DataFrame(
+            {"conv_id": all_df["media_id"].astype(str)}))
+        labels = connected_components(pairs, nodes)
+        return labels.map_batches(
+            lambda d: pd.DataFrame({"media_id": d["node"],
+                                    "canonical_id": d["label"]}),
+            batch_format="pandas")
 
     # The flagship ER / dedup / ANN / media family leads the dict: the
     # driver sweeps a prefix subset when the registry is large, and these
@@ -2726,6 +2765,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_pagerank": supplier_pagerank,
         "part_copurchase_triangles": part_copurchase_triangles,
         "image_ahash_dups": image_ahash_dups,
+        "image_dup_clusters": image_dup_clusters,
     }
 
 
@@ -3895,6 +3935,51 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
             FROM hm WHERE hamming <= 6
+        """,
+        # dup clusters: the same recomputed pair set, closed transitively
+        # by recursive reachability; label = component min media_id
+        "image_dup_clusters": """
+            WITH RECURSIVE dec AS (
+              SELECT media_id, pixels,
+                     CAST(shape[1] AS BIGINT) AS h,
+                     CAST(shape[2] AS BIGINT) AS w
+              FROM read_parquet('/tmp/er_media/ahash_pairs_decoded.parquet')
+            ),
+            g AS (
+              SELECT d.media_id, oy * 8 + ox AS bit_idx,
+                     (CAST(list_extract(d.pixels,
+                          ((oy*h)//8)*(w*3) + ((ox*w)//8)*3 + 1)
+                          AS BIGINT) * 299
+                      + CAST(list_extract(d.pixels,
+                          ((oy*h)//8)*(w*3) + ((ox*w)//8)*3 + 2)
+                          AS BIGINT) * 587
+                      + CAST(list_extract(d.pixels,
+                          ((oy*h)//8)*(w*3) + ((ox*w)//8)*3 + 3)
+                          AS BIGINT) * 114) // 1000 AS gray
+              FROM dec d, range(8) AS ys(oy), range(8) AS xs(ox)
+            ),
+            t AS (SELECT media_id, sum(gray) AS total FROM g GROUP BY 1),
+            bits AS (
+              SELECT g.media_id, g.bit_idx,
+                     CASE WHEN 64 * gray > total THEN 1 ELSE 0 END AS bit
+              FROM g JOIN t USING (media_id)
+            ),
+            hm AS (
+              SELECT a.media_id AS id_a, b.media_id AS id_b
+              FROM bits a JOIN bits b
+                ON a.bit_idx = b.bit_idx AND a.media_id < b.media_id
+              GROUP BY 1, 2
+              HAVING sum(abs(a.bit - b.bit)) <= 6
+            ),
+            e AS (SELECT id_a AS u, id_b AS v FROM hm
+                  UNION ALL SELECT id_b, id_a FROM hm),
+            reach(node, r) AS (
+              SELECT media_id, media_id FROM dec
+              UNION
+              SELECT e.v, reach.r FROM reach JOIN e ON e.u = reach.node
+            )
+            SELECT node AS media_id, min(r) AS canonical_id
+            FROM reach GROUP BY node
         """,
         "corpus_prep": _corpus_prep_sql(),
         # duplicate-span signal: distinct token 8-grams (same tokenize

@@ -110,6 +110,7 @@ SUBSET = [
     "supplier_pagerank",
     "part_copurchase_triangles",
     "image_ahash_dups",
+    "image_dup_clusters",
 ]
 
 
