@@ -2648,6 +2648,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                     "canonical_id": d["label"]}),
             batch_format="pandas")
 
+    def user_value_ewma(sf_dir):
+        """Per-user fixed-point EWMA of event value cents
+        (ops/relational.grouped_ewma): the trend-smoothing window in
+        exact integer arithmetic, bit-replayed by a recursive CTE
+        stepping each user's event sequence."""
+        from aml_entity_resolution_assignment_ray.ops.relational import (
+            grouped_ewma,
+        )
+
+        _tune_context()
+        ds = _read(sf_dir, "events").select_columns(
+            ["event_id", "user_id", "ts", "value"])
+
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "event_id": df["event_id"].astype(np.int64),
+                "user_id": df["user_id"],
+                "ts_us": df["ts"].to_numpy(dtype="datetime64[us]")
+                .astype(np.int64),
+                "cents": _round_half_away(
+                    df["value"].to_numpy(dtype=np.float64) * 100)
+                .astype(np.int64),
+            })
+
+        r = grouped_ewma(ds.map_batches(prep, batch_format="pandas"),
+                         key="user_id", order_cols=["ts_us", "event_id"],
+                         val_col="cents", out_col="ewma_cents")
+        return r.map_batches(
+            lambda d: d[["event_id", "ewma_cents"]],
+            batch_format="pandas")
+
     # The flagship ER / dedup / ANN / media family leads the dict: the
     # driver sweeps a prefix subset when the registry is large, and these
     # are the queries that evidence the north-star pipeline.
@@ -2766,6 +2797,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_copurchase_triangles": part_copurchase_triangles,
         "image_ahash_dups": image_ahash_dups,
         "image_dup_clusters": image_dup_clusters,
+        "user_value_ewma": user_value_ewma,
     }
 
 
@@ -5589,6 +5621,28 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "supplier_pagerank": _pagerank_sql(3),
+        # fixed-point EWMA replay: the identical integer recursion,
+        # stepped row-by-row per user by a recursive CTE (operands are
+        # non-negative, so engine floor division == DuckDB //)
+        "user_value_ewma": """
+            WITH RECURSIVE x AS (
+                SELECT CAST(event_id AS BIGINT) AS event_id, user_id,
+                       CAST(round(value * 100) AS BIGINT) AS cents,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS i
+                FROM events
+            ),
+            rec(user_id, i, event_id, ew) AS (
+                SELECT user_id, i, event_id, cents FROM x WHERE i = 1
+                UNION ALL
+                SELECT x.user_id, x.i, x.event_id,
+                       (25 * x.cents + 75 * rec.ew) // 100
+                FROM rec JOIN x
+                  ON x.user_id = rec.user_id AND x.i = rec.i + 1
+            )
+            SELECT event_id, CAST(ew AS BIGINT) AS ewma_cents FROM rec
+        """,
         # triangle replay: with a<b canonical edges, each triangle
         # {x<y<z} matches exactly once as (x,y)+(y,z)+(x,z); counts are
         # exact integers so the counting strategy (degree-ordered

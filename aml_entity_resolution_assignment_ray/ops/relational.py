@@ -1017,3 +1017,62 @@ def keyed_reduce(parts, keys: list[str], val_cols: list[str],
     pre = parts.map_batches(combine, batch_format="pandas")
     return _keyed(pre, keys, cfg, n_rows).map_batches(
         combine, batch_format="pandas", batch_size=None)
+
+
+def grouped_ewma(ds, *, key: str, order_cols: list[str], val_col: str,
+                 out_col: str = "ewma", num: int = 25, den: int = 100,
+                 cfg: EngineConfig = DEFAULT_CONFIG):
+    """Exponentially-weighted moving average per key in FIXED-POINT
+    integer arithmetic — the trend-smoothing window, made
+    layout-invariant and SQL-replayable:
+
+        ewma_0 = x_0
+        ewma_t = (num * x_t + (den - num) * ewma_{t-1}) // den
+
+    A float EWMA's bits depend on the kernel's operation order (pandas
+    ewm, a closed-form power sum and a sequential recursion all
+    disagree in the last ulp), so it could never match a SQL replay;
+    the integer recursion is exact, and a recursive CTE stepping
+    row-by-row per key reproduces it bit-for-bit.  ``val_col`` must be
+    NON-NEGATIVE int64 (cents): engine floor division and DuckDB's
+    truncating ``//`` agree only for non-negative operands.
+
+    ONE hash shuffle on the key, per-block sort, then the recursion is
+    vectorized ACROSS groups: iteration j updates every group's j-th
+    row at once, so the per-block Python loop is bounded by the LONGEST
+    group in the block, not total rows.  ``order_cols`` must be a total
+    order within each key (pass a unique tie-breaker)."""
+    if not (0 < num <= den):
+        raise ValueError("need 0 < num <= den")
+
+    def ewma(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            out = df.copy()
+            out[out_col] = pd.Series(dtype=np.int64)
+            return out
+        s = df.sort_values([key, *order_cols], kind="stable")
+        vals = s[val_col].to_numpy(np.int64)
+        if (vals < 0).any():
+            raise ValueError(f"{val_col} must be non-negative for the "
+                             "fixed-point EWMA (floor vs truncating "
+                             "integer division diverge below zero)")
+        keys = s[key].to_numpy()
+        idx = np.arange(len(s))
+        new_grp = np.r_[True, keys[1:] != keys[:-1]]
+        pos = idx - np.maximum.accumulate(np.where(new_grp, idx, 0))
+        ew = vals.copy()
+        # rows grouped by within-group position, contiguous per j, so
+        # the whole loop is O(n log n) total — not O(n * longest_group)
+        order = np.argsort(pos, kind="stable")
+        maxpos = int(pos.max())
+        starts = np.searchsorted(pos[order], np.arange(maxpos + 2))
+        for j in range(1, maxpos + 1):
+            rows = order[starts[j]:starts[j + 1]]
+            ew[rows] = (num * vals[rows]
+                        + (den - num) * ew[rows - 1]) // den
+        out = s.copy()
+        out[out_col] = ew
+        return out
+
+    return _keyed(ds, [key], cfg, _meta_rows(ds)).map_batches(
+        ewma, batch_format="pandas", batch_size=None)

@@ -111,6 +111,7 @@ SUBSET = [
     "part_copurchase_triangles",
     "image_ahash_dups",
     "image_dup_clusters",
+    "user_value_ewma",
 ]
 
 

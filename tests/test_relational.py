@@ -943,3 +943,50 @@ def test_token_budget_sample(ray_session, cfg):
                                 id_col="id", token_col="tok", budget=0,
                                 cfg=cfg, n_rows=len(df)).to_pandas()
     assert len(empty) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_ewma_exact_and_layout_invariant():
+    """Fixed-point EWMA == the sequential integer recursion, identical
+    across block layouts; negative values rejected."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.relational import (
+        grouped_ewma,
+    )
+
+    rng = np.random.default_rng(9)
+    n = 400
+    df = pd.DataFrame({
+        "k": rng.choice(["u1", "u2", "u3"], size=n),
+        "t": rng.permutation(n).astype(np.int64),
+        "v": rng.integers(0, 50_000, size=n).astype(np.int64),
+    })
+
+    def ref(g):
+        ew, out = None, []
+        for v in g.sort_values("t")["v"]:
+            ew = int(v) if ew is None else (25 * int(v) + 75 * ew) // 100
+            out.append(ew)
+        return pd.Series(out, index=g.sort_values("t").index)
+
+    want = df.copy()
+    want["ewma"] = pd.concat(
+        [ref(g) for _, g in df.groupby("k")]).sort_index()
+
+    got = grouped_ewma(rd.from_pandas(df).repartition(5), key="k",
+                       order_cols=["t"], val_col="v").to_pandas() \
+        .sort_values(["k", "t"]).reset_index(drop=True)
+    exp = want.sort_values(["k", "t"]).reset_index(drop=True)
+    assert (got["ewma"].to_numpy() == exp["ewma"].to_numpy()).all()
+
+    got2 = grouped_ewma(rd.from_pandas(df).repartition(11), key="k",
+                        order_cols=["t"], val_col="v").to_pandas() \
+        .sort_values(["k", "t"]).reset_index(drop=True)
+    assert (got2["ewma"].to_numpy() == got["ewma"].to_numpy()).all()
+
+    bad = df.copy()
+    bad.loc[0, "v"] = -1
+    with pytest.raises(Exception, match="non-negative"):
+        grouped_ewma(rd.from_pandas(bad), key="k", order_cols=["t"],
+                     val_col="v").to_pandas()
