@@ -2679,6 +2679,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda d: d[["event_id", "ewma_cents"]],
             batch_format="pandas")
 
+    def event_cube(sf_dir):
+        """GROUP BY CUBE over (event_type, hour-of-day): every subset
+        grouping from one pass over the raw rows
+        (ops/relational.cube_sum — finest level aggregates once, the
+        2^k subsets cascade from it as combiners)."""
+        from aml_entity_resolution_assignment_ray.ops.relational import (
+            cube_sum,
+        )
+
+        _tune_context()
+        ds = _read(sf_dir, "events").select_columns(
+            ["event_type", "ts", "value"])
+
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "event_type": df["event_type"],
+                "hr": df["ts"].dt.hour.astype(str),
+                "cents": _round_half_away(
+                    df["value"].to_numpy(dtype=np.float64) * 100)
+                .astype(np.int64),
+            })
+
+        return cube_sum(ds.map_batches(prep, batch_format="pandas"),
+                        keys=["event_type", "hr"], val_cols=["cents"])
+
+    def event_type_hour_mi(sf_dir):
+        """Mutual information between event type and hour of day
+        (ops/profile.categorical_mi): exact integer contingency counts
+        through one keyed_sum, closed form over the |A|x|B| cell table,
+        sorted-order float sum rounded to 6 — the grouped_entropy
+        replay pattern."""
+        from aml_entity_resolution_assignment_ray.ops.profile import (
+            categorical_mi,
+        )
+
+        _tune_context()
+        ds = _read(sf_dir, "events").select_columns(["event_type", "ts"])
+
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "event_type": df["event_type"],
+                "hr": df["ts"].dt.hour.astype(str),
+            })
+
+        return categorical_mi(ds.map_batches(prep, batch_format="pandas"),
+                              col_a="event_type", col_b="hr")
+
     # The flagship ER / dedup / ANN / media family leads the dict: the
     # driver sweeps a prefix subset when the registry is large, and these
     # are the queries that evidence the north-star pipeline.
@@ -2798,6 +2845,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_ahash_dups": image_ahash_dups,
         "image_dup_clusters": image_dup_clusters,
         "user_value_ewma": user_value_ewma,
+        "event_cube": event_cube,
+        "event_type_hour_mi": event_type_hour_mi,
     }
 
 
@@ -5621,6 +5670,36 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "supplier_pagerank": _pagerank_sql(3),
+        "event_cube": """
+            WITH t AS (
+                SELECT event_type,
+                       CAST(hour(ts) AS VARCHAR) AS hr,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+            )
+            SELECT coalesce(event_type, '(all)') AS event_type,
+                   coalesce(hr, '(all)') AS hr,
+                   CAST(sum(cents) AS BIGINT) AS cents
+            FROM t GROUP BY CUBE (event_type, hr)
+        """,
+        # MI replay: identical per-cell expression from the same exact
+        # integer counts, rounded to 6 (the grouped_entropy pattern)
+        "event_type_hour_mi": """
+            WITH t AS (
+                SELECT event_type AS a,
+                       CAST(hour(ts) AS VARCHAR) AS b
+                FROM events
+            ),
+            c AS (SELECT a, b, count(*) AS n FROM t GROUP BY 1, 2),
+            ma AS (SELECT a, sum(n) AS na FROM c GROUP BY 1),
+            mb AS (SELECT b, sum(n) AS nb FROM c GROUP BY 1),
+            tot AS (SELECT sum(n) AS nn FROM c)
+            SELECT round(sum((n / CAST(nn AS DOUBLE))
+                             * ln(CAST(n * nn AS DOUBLE)
+                                  / CAST(na * nb AS DOUBLE))), 6) AS mi,
+                   CAST(max(nn) AS BIGINT) AS n_rows
+            FROM c JOIN ma USING (a) JOIN mb USING (b), tot
+        """,
         # fixed-point EWMA replay: the identical integer recursion,
         # stepped row-by-row per user by a recursive CTE (operands are
         # non-negative, so engine floor division == DuckDB //)

@@ -367,3 +367,54 @@ def grouped_ols(ds, *, key: str, x_col: str, y_col: str,
 
     return stats.map_batches(finalize, batch_format="pandas",
                              batch_size=None)
+
+
+def categorical_mi(ds, *, col_a: str, col_b: str, round_to: int = 6,
+                   cfg: EngineConfig = DEFAULT_CONFIG,
+                   n_rows: int | None = None):
+    """Mutual information (nats) between two categorical columns —
+    the feature-relevance / redundancy score of a training mix (is
+    `source` informative about `language`?).  Returns ONE row
+    (mi, n_rows).
+
+    Per-block (a, b) partial counts (the combiner bounds shuffle
+    volume by the DISTINCT pair count, never rows), one keyed_sum,
+    then the contingency table — bounded by |A| x |B| CELLS — gathers
+    to a single block for the closed form.  All counts are exact
+    integers; like grouped_entropy, the only float steps are the final
+    per-cell expression p_ab * ln(n_ab*N / (n_a*n_b)) (each operand an
+    exact integer cast to float64) summed in sorted (a, b) order and
+    rounded, which the SQL oracle replays.  ``n_ab * N`` must fit
+    int64 (N <= ~3e9); at true corpus scale MI runs over a sample
+    anyway."""
+    from .relational import keyed_sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.groupby([col_a, col_b], sort=False).size() \
+            .rename("n").reset_index()
+        d["n"] = d["n"].astype(np.int64)
+        return d
+
+    cells = keyed_sum(ds.map_batches(partial, batch_format="pandas"),
+                      [col_a, col_b], ["n"], cfg, n_rows).repartition(1)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"mi": pd.Series(dtype=np.float64),
+                                 "n_rows": pd.Series(dtype=np.int64)})
+        d = df.groupby([col_a, col_b], sort=False)["n"].sum().reset_index()
+        d = d.sort_values([col_a, col_b], kind="stable")
+        n = d["n"].to_numpy(np.int64)
+        N = int(n.sum())
+        na = d.groupby(col_a, sort=False)["n"].transform("sum") \
+            .to_numpy(np.int64)
+        nb = d.groupby(col_b, sort=False)["n"].transform("sum") \
+            .to_numpy(np.int64)
+        p = n.astype(np.float64) / np.float64(N)
+        ratio = (n * N).astype(np.float64) / (na * nb).astype(np.float64)
+        mi = float(np.round((p * np.log(ratio)).sum(), round_to))
+        return pd.DataFrame({"mi": [mi],
+                             "n_rows": np.array([N], dtype=np.int64)})
+
+    return cells.map_batches(final, batch_format="pandas",
+                             batch_size=None)

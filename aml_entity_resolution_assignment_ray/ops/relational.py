@@ -1076,3 +1076,57 @@ def grouped_ewma(ds, *, key: str, order_cols: list[str], val_col: str,
 
     return _keyed(ds, [key], cfg, _meta_rows(ds)).map_batches(
         ewma, batch_format="pandas", batch_size=None)
+
+
+def cube_sum(ds, *, keys: list[str], val_cols: list[str],
+             filler: str = "(all)",
+             cfg: EngineConfig = DEFAULT_CONFIG):
+    """SQL GROUP BY CUBE: sums at EVERY key subset (2^k groupings),
+    rollup_sum's cross-combination sibling with the same filler
+    sentinel, NULL/filler enforcement and combiner cascade — the
+    finest level aggregates the raw rows exactly once, every other
+    subset is a keyed_sum over THAT already-aggregated table
+    (materialized so it computes once), so total shuffle volume is the
+    finest cardinality plus the subset cardinalities, never 2^k passes
+    over the data."""
+    from itertools import combinations
+
+    def proj(d: pd.DataFrame) -> pd.DataFrame:
+        for c in keys:
+            if d[c].isna().any():
+                raise ValueError(
+                    f"cube_sum: key column {c!r} contains NULLs; "
+                    f"coalesce them before cubing (sentinel is "
+                    f"{filler!r})")
+            if (d[c] == filler).any():
+                raise ValueError(
+                    f"cube_sum: key column {c!r} contains the filler "
+                    f"sentinel {filler!r}; pick a different filler")
+        return d[[*keys, *val_cols]]
+
+    finest = keyed_sum(ds.map_batches(proj, batch_format="pandas"),
+                       keys, val_cols, cfg).materialize()
+    levels = [finest.map_batches(proj, batch_format="pandas")]
+    subsets = [list(s) for r in range(len(keys) - 1, -1, -1)
+               for s in combinations(keys, r)]
+    for sub in subsets:
+
+        def filled(d: pd.DataFrame, s=tuple(sub)) -> pd.DataFrame:
+            out = d.copy()
+            for c in keys:
+                if c not in s:
+                    out[c] = pd.array([filler] * len(d), dtype="string")
+            return out[[*keys, *val_cols]]
+
+        if sub:
+            lvl = keyed_sum(finest, sub, val_cols, cfg)
+            levels.append(lvl.map_batches(filled, batch_format="pandas"))
+        else:
+            def part(d: pd.DataFrame) -> pd.DataFrame:
+                return d[val_cols].sum().to_frame().T
+
+            tot = finest.map_batches(part, batch_format="pandas") \
+                .repartition(1).map_batches(part, batch_format="pandas",
+                                            batch_size=None)
+            levels.append(tot.map_batches(filled, batch_format="pandas"))
+    return levels[0].union(*levels[1:])

@@ -112,6 +112,8 @@ SUBSET = [
     "image_ahash_dups",
     "image_dup_clusters",
     "user_value_ewma",
+    "event_cube",
+    "event_type_hour_mi",
 ]
 
 

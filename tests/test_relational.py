@@ -990,3 +990,64 @@ def test_grouped_ewma_exact_and_layout_invariant():
     with pytest.raises(Exception, match="non-negative"):
         grouped_ewma(rd.from_pandas(bad), key="k", order_cols=["t"],
                      val_col="v").to_pandas()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cube_sum_matches_pandas_and_rejects_filler():
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.relational import cube_sum
+
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y"], size=200),
+        "b": rng.choice(["p", "q", "r"], size=200),
+        "v": rng.integers(0, 1000, size=200).astype(np.int64),
+    })
+    got = cube_sum(rd.from_pandas(df).repartition(5),
+                   keys=["a", "b"], val_cols=["v"]).to_pandas() \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+
+    rows = []
+    for sub in ([["a", "b"], ["a"], ["b"], []]):
+        g = (df.groupby(sub)["v"].sum().reset_index() if sub
+             else pd.DataFrame({"v": [df["v"].sum()]}))
+        for c in ("a", "b"):
+            if c not in sub:
+                g[c] = "(all)"
+        rows.append(g[["a", "b", "v"]])
+    want = pd.concat(rows, ignore_index=True) \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["a"].astype(str).to_numpy() == want["a"].to_numpy()).all()
+    assert (got["b"].astype(str).to_numpy() == want["b"].to_numpy()).all()
+    assert (got["v"].to_numpy() == want["v"].to_numpy()).all()
+
+    bad = df.copy()
+    bad.loc[0, "a"] = "(all)"
+    with pytest.raises(Exception, match="filler"):
+        cube_sum(rd.from_pandas(bad), keys=["a", "b"],
+                 val_cols=["v"]).to_pandas()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_categorical_mi_known_values():
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.profile import (
+        categorical_mi,
+    )
+
+    # independent columns -> MI == 0 exactly (uniform 2x2)
+    ind = pd.DataFrame({"a": ["x", "x", "y", "y"] * 25,
+                        "b": ["p", "q", "p", "q"] * 25})
+    got = categorical_mi(rd.from_pandas(ind), col_a="a",
+                         col_b="b").to_pandas()
+    assert got["mi"].iloc[0] == 0.0
+    assert got["n_rows"].iloc[0] == 100
+
+    # perfectly dependent -> MI == H(a) = ln 2
+    dep = pd.DataFrame({"a": ["x", "y"] * 50, "b": ["p", "q"] * 50})
+    got = categorical_mi(rd.from_pandas(dep).repartition(4),
+                         col_a="a", col_b="b").to_pandas()
+    assert got["mi"].iloc[0] == round(np.log(2), 6)
