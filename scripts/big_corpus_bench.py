@@ -122,6 +122,32 @@ def _write_vectors():
         }), os.path.join(VECS, f"part-{s:03d}.parquet"))
 
 
+N_EDGES = 4 * N_DOCS
+N_NODES = N_DOCS // 2
+EDGES = f"/tmp/er_bigedges_{N_EDGES}"
+
+
+def _write_edges():
+    """Power-law directed graph: zipf out-degrees (hot hubs — the skew
+    case the degree-ordered triangle direction and PageRank's
+    contribution split are designed for), uniform destinations."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(EDGES) and len(os.listdir(EDGES)) == SHARDS:
+        return
+    os.makedirs(EDGES, exist_ok=True)
+    per = N_EDGES // SHARDS
+    for s in range(SHARDS):
+        rng = np.random.RandomState(7000 + s)
+        src = rng.zipf(1.3, per) % N_NODES
+        dst = rng.randint(0, N_NODES, per)
+        pq.write_table(pa.table({
+            "src": pa.array([f"n{v}" for v in src], pa.string()),
+            "dst": pa.array([f"n{v}" for v in dst], pa.string()),
+        }), os.path.join(EDGES, f"part-{s:03d}.parquet"))
+
+
 def _cell_balance(index_path: str) -> dict:
     """Cell-size distribution from the partitioned index's parquet
     metadata only (no data read)."""
@@ -233,6 +259,31 @@ def main():
             timed("semdedup_pairs_sqrtn", lambda: dedup.semdedup_pairs(
                 vread(), ncells=int(N_DOCS ** 0.5), threshold=0.9,
                 index_path=sd_path2, cfg=cfg).count())
+
+    if MODE in ("all", "graph"):
+        from aml_entity_resolution_assignment_ray.ops.graph import (
+            pagerank, triangle_counts)
+
+        _write_edges()
+
+        def eread():
+            return rd.read_parquet(EDGES)
+
+        n_edges = N_EDGES
+
+        def timed_g(name, fn):
+            t0 = time.time()
+            n = fn()
+            wall = time.time() - t0
+            results[name] = {"sec": round(wall, 2),
+                             "edges_per_sec": round(n_edges / wall),
+                             "out_rows": int(n)}
+            print(json.dumps({"op": name, **results[name]}), flush=True)
+
+        timed_g("pagerank_3iter", lambda: pagerank(
+            eread(), iterations=3, cfg=cfg).count())
+        timed_g("triangle_counts", lambda: triangle_counts(
+            eread(), a="src", b="dst", cfg=cfg).count())
 
     print(json.dumps({"metric": "big_corpus_docs_ops", "n_docs": N_DOCS,
                       "num_cpus": NUM_CPUS, "mode": MODE,
