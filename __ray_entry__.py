@@ -2726,6 +2726,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return categorical_mi(ds.map_batches(prep, batch_format="pandas"),
                               col_a="event_type", col_b="hr")
 
+    def doc_contrastive_negatives(sf_dir):
+        """Deterministic negative-pair mining for contrastive training
+        (ops/sample.contrastive_negatives): k=2 arithmetic partners per
+        anchor via the Knuth hash, self-pairs shifted away, accidental
+        positives (equal text) dropped through one digest hash-join."""
+        from aml_entity_resolution_assignment_ray.ops.sample import (
+            contrastive_negatives,
+        )
+
+        _tune_context()
+        ds = _read(sf_dir, "documents", spread=True).select_columns(
+            ["doc_id", "text"])
+        n = _table_rows(sf_dir, "documents")
+        return contrastive_negatives(ds, id_col="doc_id",
+                                     text_col="text", k=2, n_rows=n)
+
     # The flagship ER / dedup / ANN / media family leads the dict: the
     # driver sweeps a prefix subset when the registry is large, and these
     # are the queries that evidence the north-star pipeline.
@@ -2847,6 +2863,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_ewma": user_value_ewma,
         "event_cube": event_cube,
         "event_type_hour_mi": event_type_hour_mi,
+        "doc_contrastive_negatives": doc_contrastive_negatives,
     }
 
 
@@ -5670,6 +5687,34 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "supplier_pagerank": _pagerank_sql(3),
+        # negative mining replay: same Knuth arithmetic over the dense
+        # id domain, accidental positives dropped by direct text
+        # equality (engine: md5-digest equality — equivalent)
+        "doc_contrastive_negatives": """
+            WITH d AS (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                       coalesce(text, '') AS t
+                FROM documents
+            ),
+            nn AS (SELECT count(*) AS n FROM d),
+            c AS (
+                SELECT d.doc_id, j,
+                       ((d.doc_id * 2654435761 + j * 40503)
+                        % 4294967296) % ((SELECT n FROM nn) - 1) AS neg0
+                FROM d, (SELECT unnest(generate_series(1, 2)) AS j) js
+            ),
+            c2 AS (
+                SELECT doc_id, CAST(j AS BIGINT) AS j,
+                       CAST(neg0 + CASE WHEN neg0 >= doc_id
+                                        THEN 1 ELSE 0 END
+                            AS BIGINT) AS neg_id
+                FROM c
+            )
+            SELECT c2.doc_id, c2.neg_id, c2.j
+            FROM c2 JOIN d a ON a.doc_id = c2.doc_id
+                    JOIN d b ON b.doc_id = c2.neg_id
+            WHERE a.t <> b.t
+        """,
         "event_cube": """
             WITH t AS (
                 SELECT event_type,

@@ -446,3 +446,75 @@ def token_budget_sample(ds, *, group_col: str, id_col: str,
 
     return _keyed(ds, [group_col], cfg, n_rows).map_batches(
         block, batch_format="pandas", batch_size=None)
+
+
+def contrastive_negatives(ds, *, id_col: str = "doc_id",
+                          text_col: str = "text", k: int = 2,
+                          n_rows: int | None = None, cfg=None):
+    """Deterministic random NEGATIVE pairs for contrastive training:
+    each anchor gets ``k`` pseudo-random partners via the engine's
+    SQL-replayable Knuth multiplicative hash (salted by the partner
+    slot j), self-pairs avoided by an arithmetic shift over the dense
+    id domain, and ACCIDENTAL POSITIVES — partners whose text equals
+    the anchor's (planted duplicates) — dropped by digest comparison.
+
+    Requires dense int64 ids 0..n-1 (the corpus contract after a
+    shuffle-index assignment); id*KNUTH + j*salt stays within int64 for
+    n up to ~3.5e9 ids.  Scale shape: partner ids are ARITHMETIC (no
+    sampling shuffle), the anchor digest rides along from the one
+    digest pass, and the partner digest hydrates through a single hash
+    join — candidates never all-pairs.  Collision risk of the md5
+    equality proxy is 2^-128 — the same class of bound the engine's
+    64-bit dedup digests document, squared."""
+    import hashlib
+
+    from ..config import DEFAULT_CONFIG
+    from ..util import safe_join
+
+    cfg = cfg or DEFAULT_CONFIG
+    n = n_rows if n_rows is not None else ds.count()
+    if n < 2:
+        raise ValueError("contrastive_negatives: need >= 2 docs")
+    if k < 1:
+        raise ValueError("contrastive_negatives: k must be >= 1")
+    nparts = cfg.resolve_join_partitions()
+
+    def dig(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df[text_col].fillna("").astype(str)
+        return pd.DataFrame({
+            id_col: df[id_col].astype(np.int64),
+            "digest": [hashlib.md5(t.encode()).hexdigest()
+                       for t in texts],
+        })
+
+    digests = ds.map_batches(dig, batch_format="pandas").materialize()
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy(np.int64)
+        outs = []
+        for j in range(1, k + 1):
+            # uint64 like _hash_ints (id * KNUTH overflows int64 past
+            # ~3.5e9 ids; the mod-2^32 result is the same either way)
+            h = (ids.astype(np.uint64) * _KNUTH
+                 + np.uint64(j * 40503)) & _M32
+            neg = (h % np.uint64(n - 1)).astype(np.int64)
+            neg = neg + (neg >= ids)
+            outs.append(pd.DataFrame({
+                id_col: ids,
+                "neg_id": neg.astype(np.int64),
+                "j": np.full(len(ids), j, dtype=np.int64),
+                "a_digest": df["digest"],
+            }))
+        return pd.concat(outs, ignore_index=True)
+
+    cand = digests.map_batches(emit, batch_format="pandas")
+    partner = digests.map_batches(
+        lambda d: pd.DataFrame({"neg_id": d[id_col],
+                                "n_digest": d["digest"]}),
+        batch_format="pandas")
+    joined = safe_join(cand, partner, join_type="inner",
+                       num_partitions=nparts, on=("neg_id",))
+    return joined.map_batches(
+        lambda d: d[d["a_digest"] != d["n_digest"]][
+            [id_col, "neg_id", "j"]].reset_index(drop=True),
+        batch_format="pandas")

@@ -2581,3 +2581,47 @@ def test_image_ahash_bits(ray_session):
     # +40 saturates some pixels, so allow a small Hamming drift
     assert (bits["a"] != bits["b"]).sum() <= 8
     assert (bits["a"] != bits["inv"]).sum() >= 40
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_contrastive_negatives_deterministic_and_excludes_positives():
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.sample import (
+        contrastive_negatives,
+    )
+
+    n = 60
+    texts = [f"text {i}" for i in range(n)]
+    # plant a TARGETED accidental positive: doc 5's j=1 hash partner
+    # gets doc 5's text, so exactly that pair must be dropped
+    h5 = (5 * 2654435761 + 40503) % (2 ** 32)
+    neg5 = h5 % (n - 1)
+    neg5 = neg5 + (1 if neg5 >= 5 else 0)
+    texts[neg5] = texts[5]
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                       "text": texts})
+    got = contrastive_negatives(rd.from_pandas(df).repartition(4),
+                                k=2, n_rows=n).to_pandas()
+
+    # reference: same Knuth arithmetic + text-equality filter
+    want = set()
+    for i in range(n):
+        for j in (1, 2):
+            h = (i * 2654435761 + j * 40503) % (2 ** 32)
+            neg = h % (n - 1)
+            neg = neg + (1 if neg >= i else 0)
+            if texts[neg] != texts[i]:
+                want.add((i, neg, j))
+    got_set = {(int(r.doc_id), int(r.neg_id), int(r.j))
+               for r in got.itertuples()}
+    assert got_set == want
+    assert not any(a == b for a, b, _ in got_set)  # no self pairs
+    assert (5, neg5, 1) not in got_set  # the planted positive dropped
+    assert len(want) < 2 * n
+
+    # layout invariance
+    got2 = contrastive_negatives(rd.from_pandas(df).repartition(9),
+                                 k=2, n_rows=n).to_pandas()
+    assert {(int(r.doc_id), int(r.neg_id), int(r.j))
+            for r in got2.itertuples()} == got_set

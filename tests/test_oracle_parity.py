@@ -114,6 +114,7 @@ SUBSET = [
     "user_value_ewma",
     "event_cube",
     "event_type_hour_mi",
+    "doc_contrastive_negatives",
 ]
 
 
