@@ -1696,6 +1696,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return kmv_distinct(ev, key="event_type", col="user_id", k=64,
                             out_col="approx_users")
 
+    def event_type_hll_users(sf_dir):
+        """HyperLogLog distinct-count sketch: approximate distinct
+        users per event type (ops/sketch.hll_distinct — 64 fixed-size
+        registers merged by elementwise max, integer harmonic sum;
+        deterministic AND exactly SQL-replayable, so the oracle
+        checks values, not tolerances).  KMV's fixed-size sibling:
+        the register table is 2^p rows per key however many distinct
+        users exist."""
+        from aml_entity_resolution_assignment_ray.ops.sketch import (
+            hll_distinct,
+        )
+
+        _tune_context()
+        ev = _read(sf_dir, "events").select_columns(
+            ["event_type", "user_id"])
+        return hll_distinct(ev, key="event_type", col="user_id", p=6,
+                            out_col="approx_users")
+
     def doc_contamination_bloom(sf_dir):
         """Bloom-gated decontamination (ops/sketch.bloom_build +
         bloom_maybe_contains): the benchmark side's distinct 4-grams
@@ -2848,6 +2866,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantiles": price_quantiles,
         "events_above_median": events_above_median,
         "event_type_approx_users": event_type_approx_users,
+        "event_type_hll_users": event_type_hll_users,
         "event_type_cm_counts": event_type_cm_counts,
         "hourly_approx_users": hourly_approx_users,
         "event_value_quantiles_sketch": event_value_quantiles_sketch,
@@ -2876,6 +2895,33 @@ def _poly_hash_sql(col: str) -> str:
             f"list_reduce(list_transform(generate_series(1, "
             f"length({col})), i -> CAST(unicode({col}[i]) AS BIGINT)), "
             f"(a, b) -> (a * 1000003 + b) % 4294967296) END")
+
+
+def _bitlen_sql(expr: str, max_bits: int) -> str:
+    """DuckDB replay of an exact integer bit length (0 for 0) for
+    values known < 2^max_bits — a comparison CASE chain, no floating
+    log2 anywhere (mirrors ops/sketch._hll_rank's frexp exponent)."""
+    arms = " ".join(f"WHEN {expr} >= {1 << (b - 1)} THEN {b}"
+                    for b in range(max_bits, 0, -1))
+    return f"CASE {arms} ELSE 0 END"
+
+
+def _dbl_sql(x: float) -> str:
+    """A double literal DuckDB types as DOUBLE (plain decimal literals
+    parse as DECIMAL, whose arithmetic would diverge from numpy)."""
+    r = repr(float(x))
+    return r if ("e" in r or "E" in r or "inf" in r) else r + "e0"
+
+
+def _hll_const() -> float:
+    """The folded double constant alpha_m * m^2 * 2^R of the p=6 HLL
+    estimator, computed with the SAME expression order as
+    ops/sketch._hll_estimate so the embedded SQL literal is the
+    identical IEEE double."""
+    from aml_entity_resolution_assignment_ray.ops.sketch import _HLL_ALPHA_64
+
+    m, field_bits = 64, 26
+    return _HLL_ALPHA_64 * float(m) * float(m) * float(2 ** (field_bits + 1))
 
 
 def _lang_vote_sql_parts() -> tuple[list, list]:
@@ -5238,6 +5284,51 @@ def oracle_sql() -> dict[str, str]:
                              ELSE round(63 * 4294967296.0 / hk)
                         END AS BIGINT) AS approx_users
             FROM agg
+        """,
+        # HyperLogLog replay: Knuth hash in BIGINT, register index =
+        # hv % 64, rank = 27 - bitlength(hv // 64) via a comparison
+        # CASE chain, registers = MAX per (key, j), harmonic sum in
+        # exact BIGINT shifts, then the same double-precision Flajolet
+        # estimator expression as ops/sketch._hll_estimate
+        "event_type_hll_users": f"""
+            WITH h AS (
+                SELECT DISTINCT event_type,
+                       (user_id * 2654435761) % 4294967296 AS hv
+                FROM events
+            ),
+            regs AS (
+                SELECT event_type, hv % 64 AS j,
+                       max(27 - ({_bitlen_sql('(hv // 64)', 26)})) AS r
+                FROM h GROUP BY event_type, hv % 64
+            ),
+            sums AS (
+                SELECT event_type,
+                       sum(CAST(1 AS BIGINT) << (27 - r)) AS sp,
+                       count(*) AS np
+                FROM regs GROUP BY event_type
+            ),
+            fin AS (
+                SELECT event_type,
+                       CAST(sp + (64 - np) * (CAST(1 AS BIGINT) << 27)
+                            AS BIGINT) AS s,
+                       64 - np AS v
+                FROM sums
+            )
+            SELECT event_type,
+                   CAST(round(CASE
+                        WHEN {_dbl_sql(_hll_const())} / s <= {_dbl_sql(160.0)}
+                             AND v > 0
+                            THEN {_dbl_sql(64.0)}
+                                 * ln({_dbl_sql(64.0)} / v)
+                        WHEN {_dbl_sql(_hll_const())} / s
+                             <= {_dbl_sql(4294967296.0)} / {_dbl_sql(30.0)}
+                            THEN {_dbl_sql(_hll_const())} / s
+                        ELSE -{_dbl_sql(4294967296.0)}
+                             * ln({_dbl_sql(1.0)}
+                                  - ({_dbl_sql(_hll_const())} / s)
+                                    / {_dbl_sql(4294967296.0)})
+                   END) AS BIGINT) AS approx_users
+            FROM fin
         """,
         # Count-Min replay: the engine's polynomial string hash, then
         # row i's cell = ((a_i*h + b_i) % (2^31-1)) % w in BIGINT

@@ -69,6 +69,29 @@ broadcast membership pre-filter: the bitmap is FIXED-SIZE however
 large the build side grows, so a Bloom-gated semi/anti join ships
 m/8 bytes once and shuffles only the maybe-rows to the exact check.
 Deterministic and exactly SQL-replayable like the others.
+
+HyperLogLog [Flajolet et al. 2007, "HyperLogLog: the analysis of a
+near-optimal cardinality estimation algorithm"]: the industry-standard
+distinct sketch and KMV's fixed-size sibling — m = 2^p registers, the
+hash splits into a register index j = h mod m and a suffix
+w = h div m, and register j keeps the MAX of rank(w) = (number of
+leading zero bits of w in its 32-p bit field) + 1.  The estimate is
+the bias-corrected harmonic mean alpha_m * m^2 / sum_j 2^-M_j with
+Flajolet's small-range (linear counting on empty registers) and
+32-bit large-range corrections.  Relative standard error is
+~1.04/sqrt(m) (~13% at m=64).  The engine keeps the harmonic sum in
+EXACT integer form — sum_j 2^(R - M_j) with R the max possible rank —
+so the only float steps are the final constant-multiply/divide (and
+ln in the correction branches), shared verbatim with the SQL oracle:
+
+* deterministic — register M_j is a MAX over a pure function of the
+  value set: repartition- and merge-order-invariant, like KMV;
+* mergeable — registers combine by elementwise max, so per-block
+  partials are <= m rows per (block, key) whatever the block holds,
+  and a persisted register table absorbs new shards by max;
+* exactly SQL-replayable — rank via an integer bit-length CASE chain
+  (no floating log2 on the hot path), the harmonic sum in BIGINT, and
+  the same double-precision estimator expression on both sides.
 """
 
 from __future__ import annotations
@@ -245,6 +268,114 @@ def kmv_overlap(ds_a, ds_b, *, col: str, k: int = 256) -> pd.DataFrame:
         "jaccard": pd.array([float(round_half_away(jr, 6))],
                             dtype="float64"),
     })
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog distinct sketch
+# --------------------------------------------------------------------------
+
+#: bias-correction constant alpha_m for m = 64 [Flajolet et al. 2007]
+_HLL_ALPHA_64 = 0.709
+
+
+def _hll_rank(w: np.ndarray, field_bits: int) -> np.ndarray:
+    """rank(w) = leading zeros of w in a field_bits-wide field, + 1 =
+    field_bits + 1 - bitlength(w).  Exact integer bit lengths via the
+    frexp exponent (exact for any integer < 2^53)."""
+    bl = np.zeros(len(w), dtype=np.int64)
+    nz = w > 0
+    if nz.any():
+        bl[nz] = np.frexp(w[nz].astype(np.float64))[1]
+    return field_bits + 1 - bl
+
+
+def _hll_estimate(s: np.ndarray, v: np.ndarray, m: int,
+                  field_bits: int) -> np.ndarray:
+    """Flajolet estimator from the integer harmonic sum ``s`` (in units
+    of 2^-R, R = field_bits + 1) and the empty-register count ``v``.
+    Every float expression here is mirrored verbatim in the SQL
+    oracle, so keep the operation ORDER stable."""
+    two32 = 4294967296.0
+    const = _HLL_ALPHA_64 * float(m) * float(m) * float(2 ** (field_bits + 1))
+    raw = const / s.astype(np.float64)
+    est = raw.copy()
+    small = (raw <= 2.5 * m) & (v > 0)
+    if small.any():
+        est[small] = float(m) * np.log(float(m) / v[small].astype(np.float64))
+    large = ~small & (raw > two32 / 30.0)
+    if large.any():
+        est[large] = -two32 * np.log(1.0 - raw[large] / two32)
+    return est
+
+
+def hll_distinct(ds, *, key: str, col: str, p: int = 6,
+                 out_col: str = "approx_distinct",
+                 cfg: EngineConfig = DEFAULT_CONFIG):
+    """Approximate count-distinct of ``col`` per ``key`` group via a
+    HyperLogLog register table (m = 2^p registers, p defaults to 6 for
+    the SQL-replay test budget; use 11+ for ~2% error at corpus
+    scale).  Output (key, out_col BIGINT).
+
+    Shape: per-batch combiner folds each block to its per-key register
+    maxima (<= m rows per block-key); keyed_reduce(max) on (key,
+    register) merges partials with ONE keyed shuffle; a second bounded
+    keyed_sum folds each key's <= m register rows into the integer
+    harmonic-sum partials; the finalize is a per-row map.  Values
+    hash through the engine's fixed deterministic map (ops/sample),
+    so the registers — and hence the estimate — are a pure function
+    of the value SET: repartition-invariant, merge-order-invariant,
+    and replayed bit-for-bit by the DuckDB oracle."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in 4..16, got {p}")
+    if p != 6:
+        raise ValueError("alpha is tabulated for p=6 (m=64) only; "
+                         "extend _HLL_ALPHA before raising p")
+    m = 1 << p
+    field_bits = 32 - p
+    rmax = field_bits + 1
+    from .relational import _meta_rows, keyed_reduce, keyed_sum
+    from .sample import _hash_values
+    from ..util import round_half_away
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = _hash_values(df[col].to_numpy()).astype(np.int64)
+        d = pd.DataFrame({key: df[key].to_numpy(),
+                          "_j": h % m,
+                          "_r": _hll_rank(h // m, field_bits)})
+        return (d.groupby([key, "_j"], sort=False)["_r"]
+                .max().reset_index())
+
+    regs = keyed_reduce(
+        ds.select_columns([key, col]).map_batches(
+            partial, batch_format="pandas"),
+        [key, "_j"], ["_r"], how="max", cfg=cfg, n_rows=_meta_rows(ds))
+
+    def to_terms(df: pd.DataFrame) -> pd.DataFrame:
+        # integer harmonic-sum term 2^(R - M_j) <= 2^R; summed over m
+        # registers this stays far under int64
+        return pd.DataFrame({
+            key: df[key].to_numpy(),
+            "_s": np.left_shift(
+                np.int64(1), rmax - df["_r"].to_numpy(np.int64)),
+            "_n": np.ones(len(df), dtype=np.int64)})
+
+    sums = keyed_sum(regs.map_batches(to_terms, batch_format="pandas"),
+                     [key], ["_s", "_n"], cfg=cfg)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                key: df[key],
+                out_col: pd.Series([], dtype="int64")})
+        npresent = df["_n"].to_numpy(np.int64)
+        v = m - npresent                       # empty (zero) registers
+        s = df["_s"].to_numpy(np.int64) + v * (1 << rmax)
+        est = _hll_estimate(s, v, m, field_bits)
+        return pd.DataFrame({
+            key: df[key].to_numpy(),
+            out_col: round_half_away(est).astype(np.int64)})
+
+    return sums.map_batches(final, batch_format="pandas")
 
 
 # --------------------------------------------------------------------------

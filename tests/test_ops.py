@@ -1842,6 +1842,52 @@ def test_kmv_distinct(ray_session):
         kmv_distinct(rd.from_pandas(df), key="k", col="u", k=1)
 
 
+def test_hll_distinct(ray_session):
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.sketch import hll_distinct
+
+    rng = np.random.RandomState(23)
+    df = pd.DataFrame({
+        "k": np.repeat(["big", "tiny"], 8000),
+        # big: ~4000 distinct (raw-estimate branch); tiny: 7 distinct
+        # (linear-counting branch: raw <= 2.5*m with empty registers)
+        "u": np.concatenate([rng.randint(0, 4000, 8000),
+                             np.arange(7).repeat(8000 // 7 + 1)[:8000]])
+        .astype(np.int64),
+    })
+    truth = df.groupby("k")["u"].nunique()
+    res = hll_distinct(rd.from_pandas(df).repartition(7), key="k",
+                       col="u", p=6, cfg=CFG).to_pandas() \
+        .set_index("k")["approx_distinct"]
+    # ~1.04/sqrt(64) = 13% rse; allow 4 sigma on the raw branch and
+    # generous absolute slack on the tiny linear-counting group
+    assert abs(res["big"] - truth["big"]) / truth["big"] < 4 * 1.04 / 8
+    assert abs(res["tiny"] - truth["tiny"]) <= 3
+
+    # repartition-invariant: registers are maxima over a pure function
+    # of the value set, so block boundaries cannot move the estimate
+    res2 = hll_distinct(rd.from_pandas(df).repartition(31), key="k",
+                        col="u", p=6, cfg=CFG).to_pandas() \
+        .set_index("k")["approx_distinct"]
+    assert (res.sort_index() == res2.sort_index()).all()
+
+    with pytest.raises(ValueError):
+        hll_distinct(rd.from_pandas(df), key="k", col="u", p=3)
+    with pytest.raises(ValueError):
+        hll_distinct(rd.from_pandas(df), key="k", col="u", p=8)
+
+
+def test_hll_rank_bitlen():
+    from aml_entity_resolution_assignment_ray.ops.sketch import _hll_rank
+
+    w = np.array([0, 1, 2, 3, 4, (1 << 25) - 1, 1 << 25, (1 << 26) - 1],
+                 dtype=np.int64)
+    # rank = 26 + 1 - bitlen(w)
+    want = np.array([27, 26, 25, 25, 24, 2, 1, 1], dtype=np.int64)
+    assert (_hll_rank(w, 26) == want).all()
+
+
 def test_kmv_overlap(ray_session):
     import ray.data as rd
 

@@ -59,6 +59,7 @@ SUBSET = [
     "source_mixture",
     "events_above_median",
     "event_type_approx_users",
+    "event_type_hll_users",
     "event_type_cm_counts",
     "hourly_approx_users",
     "event_value_quantiles_sketch",
