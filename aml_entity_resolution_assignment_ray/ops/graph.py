@@ -205,6 +205,77 @@ def triangle_counts(edges, *, a: str = "a", b: str = "b",
     return keyed_sum(tri, ["node"], ["n_tri"], cfg)
 
 
+def k_core(edges, *, k: int, a: str = "a", b: str = "b",
+           max_rounds: int = 64,
+           cfg: EngineConfig = DEFAULT_CONFIG):
+    """The k-core of the undirected graph given by an edge table
+    (self-loops dropped, duplicates folded): the maximal subgraph in
+    which every node has degree >= k, found by iterative peeling
+    [Matula & Beck 1983; distributed form: Montresor et al. 2013,
+    "Distributed k-core decomposition"].  Returns a Dataset of
+    (node, deg) — each surviving node with its WITHIN-CORE degree.
+
+    Each peel round is built from the engine's two core moves: one
+    keyed_sum over the surviving edges' endpoints for degrees, then a
+    semi_join of the edge table against the still-alive node set on
+    each endpoint — no driver-side graph state, only the alive COUNT
+    crosses to the driver per round (one integer, to detect the
+    fixpoint).  Rounds are bounded by the peel depth, not the node
+    count: a round removes every currently-under-k node at once, so
+    real graphs converge in a handful of rounds (TPC-H-shaped inputs:
+    1-2).  Degrees are exact integers — the peel sequence, and hence
+    the core, is layout-invariant and replayed bit-for-bit by a
+    generated per-round SQL CTE chain (the pagerank/BPE oracle trick).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from .relational import keyed_sum, semi_join
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        x, y = df[a].to_numpy(), df[b].to_numpy()
+        fwd = x < y
+        d = pd.DataFrame({"a": np.where(fwd, x, y),
+                          "b": np.where(fwd, y, x)})
+        return d[x != y].drop_duplicates()
+
+    cur = _distinct(edges.map_batches(canon, batch_format="pandas"),
+                    ["a", "b"], cfg).materialize()
+    m = cur.count()
+
+    def endpoints(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "node": pd.concat([df["a"], df["b"]], ignore_index=True),
+            "deg": np.ones(2 * len(df), dtype=np.int64)})
+
+    def degrees(e, n_edges):
+        return keyed_sum(e.map_batches(endpoints, batch_format="pandas"),
+                         ["node"], ["deg"], cfg, 2 * n_edges)
+
+    deg = degrees(cur, m).materialize()
+    prev_alive = -1
+    for _ in range(max_rounds):
+        alive = deg.map_batches(lambda d: d[d["deg"] >= k],
+                                batch_format="pandas").materialize()
+        n_alive = alive.count()
+        if n_alive == prev_alive:
+            break
+        prev_alive = n_alive
+        if n_alive == 0:
+            return alive
+        alive_a = alive.map_batches(
+            lambda d: pd.DataFrame({"a": d["node"]}),
+            batch_format="pandas")
+        alive_b = alive.map_batches(
+            lambda d: pd.DataFrame({"b": d["node"]}),
+            batch_format="pandas")
+        cur = semi_join(semi_join(cur, alive_a, on=["a"], cfg=cfg),
+                        alive_b, on=["b"], cfg=cfg).materialize()
+        m = cur.count()
+        deg = degrees(cur, m).materialize()
+    return deg.map_batches(lambda d: d[d["deg"] >= k],
+                           batch_format="pandas")
+
+
 def pagerank(edges, *, src: str = "src", dst: str = "dst",
              iterations: int = 4, scale: int = 10 ** 12,
              damp_num: int = 85, damp_den: int = 100,

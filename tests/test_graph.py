@@ -250,3 +250,66 @@ def test_image_ahash_dup_pairs_vs_bruteforce():
             want.add((a, b, d))
     assert got_set == want
     assert want  # planted dups must actually pair
+
+
+def _ref_kcore(edges, k):
+    """Sequential peeling reference: repeatedly drop under-k nodes."""
+    e = {tuple(sorted(p)) for p in edges if p[0] != p[1]}
+    while True:
+        deg = {}
+        for u, v in e:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        alive = {n for n, d in deg.items() if d >= k}
+        ne = {(u, v) for u, v in e if u in alive and v in alive}
+        if ne == e:
+            # fixpoint: every remaining endpoint has degree >= k
+            return deg
+        e = ne
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_k_core_deep_peel():
+    """A 6-cycle with a 10-node tail: the 2-core is exactly the cycle,
+    reached only after the tail peels one node per round (~10 rounds)
+    — exercises the fixpoint loop far past the TPC-H graphs' 1-2."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.graph import k_core
+
+    cfg = EngineConfig(broadcast_max_rows=0)  # force the shuffle path
+    cyc = [(f"c{i}", f"c{(i + 1) % 6}") for i in range(6)]
+    tail = [("c0", "t0")] + [(f"t{i}", f"t{i + 1}") for i in range(9)]
+    edges = pd.DataFrame(cyc + tail, columns=["a", "b"])
+    res = k_core(rd.from_pandas(edges).repartition(5), k=2,
+                 cfg=cfg).to_pandas().set_index("node")["deg"]
+    assert sorted(res.index) == [f"c{i}" for i in range(6)]
+    assert (res == 2).all()
+
+    # k above the max degree: empty core
+    empty = k_core(rd.from_pandas(edges), k=9, cfg=cfg).to_pandas()
+    assert len(empty) == 0
+
+    with pytest.raises(ValueError):
+        k_core(rd.from_pandas(edges), k=0, cfg=cfg)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_k_core_matches_reference_random():
+    """Random sparse graph vs the sequential peeling reference, and
+    layout invariance across repartitions."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.graph import k_core
+
+    rng = np.random.RandomState(7)
+    e = rng.randint(0, 60, size=(400, 2))
+    edges = pd.DataFrame({"a": [f"n{x}" for x in e[:, 0]],
+                          "b": [f"n{x}" for x in e[:, 1]]})
+    want = _ref_kcore(list(zip(edges["a"], edges["b"])), 4)
+    res = k_core(rd.from_pandas(edges).repartition(7), k=4) \
+        .to_pandas().set_index("node")["deg"].to_dict()
+    assert res == want
+    res2 = k_core(rd.from_pandas(edges).repartition(23), k=4) \
+        .to_pandas().set_index("node")["deg"].to_dict()
+    assert res2 == want
