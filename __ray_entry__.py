@@ -933,6 +933,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return run.map_batches(finalize, batch_format="pandas")
 
+    def user_retention(sf_dir):
+        """Cohort retention triangle: users cohorted by their first
+        active hour, distinct-user counts per (cohort, hours-since-
+        cohort) cell (ops/events.retention_cohorts — distinct-pair
+        combiner, first-touch keyed_reduce(min), ONE user-keyed hash
+        join, keyed_sum; exact integers end to end)."""
+        from aml_entity_resolution_assignment_ray.ops.events import (
+            retention_cohorts,
+        )
+
+        _tune_context()
+        ds = _read(sf_dir, "events").select_columns(["user_id", "ts"])
+        hour_us = 3_600_000_000
+
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "user_id": df["user_id"].astype(np.int64),
+                "hour": df["ts"].dt.floor("h")
+                .to_numpy(dtype="datetime64[us]").astype(np.int64)
+                // hour_us,
+            })
+
+        res = retention_cohorts(
+            ds.map_batches(prep, batch_format="pandas"),
+            user_col="user_id", bucket_col="hour")
+
+        def finalize(d: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "cohort_hour": pd.to_datetime(
+                    d["cohort"].to_numpy(np.int64) * hour_us, unit="us")
+                .strftime("%Y-%m-%d %H:%M:%S"),
+                "offset_hours": d["offset"].astype(np.int64),
+                "n_users": d["n_users"].astype(np.int64),
+            })
+
+        return res.map_batches(finalize, batch_format="pandas")
+
     def user_funnel(sf_dir):
         """Ordered click -> signup -> purchase funnel per user
         (ops/events.funnel_conversion): one user shuffle, a vectorized
@@ -2538,6 +2575,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                     "pr": d["rank"].astype(np.int64)}),
             batch_format="pandas")
 
+    def cust_supp_kcore(sf_dir):
+        """10-core of the customer-supplier purchase graph — the
+        maximal subgraph where every node keeps >= 10 within-core
+        neighbors (ops/graph.k_core: iterative peeling, one keyed_sum
+        + two semi_joins per round, only the alive COUNT reaching the
+        driver).  Exact integer degrees make the peel layout-invariant
+        and replayed bit-for-bit by a generated per-round CTE chain."""
+        from aml_entity_resolution_assignment_ray.ops.graph import k_core
+
+        _tune_context()
+        cfg = EngineConfig()
+        nparts = cfg.resolve_join_partitions()
+
+        orders = _read(sf_dir, "orders").select_columns(
+            ["o_orderkey", "o_custkey"]).map_batches(
+            lambda d: pd.DataFrame({
+                "orderkey": d["o_orderkey"].astype(np.int64),
+                "custkey": d["o_custkey"].astype(np.int64)}),
+            batch_format="pandas")
+        li = _read(sf_dir, "lineitem").select_columns(
+            ["l_orderkey", "l_suppkey"]).map_batches(
+            lambda d: pd.DataFrame({
+                "orderkey": d["l_orderkey"].astype(np.int64),
+                "suppkey": d["l_suppkey"].astype(np.int64)}),
+            batch_format="pandas")
+        ol = safe_join(li, orders, join_type="inner",
+                       num_partitions=nparts, on=("orderkey",))
+        edges = ol.map_batches(
+            lambda d: pd.DataFrame({
+                "a": "c" + d["custkey"].astype(np.int64).astype(str),
+                "b": "s" + d["suppkey"].astype(np.int64).astype(str)}),
+            batch_format="pandas")
+        return k_core(edges, k=10, cfg=cfg)
+
     def part_copurchase_triangles(sf_dir):
         """Per-part triangle counts of the co-purchase graph (parts
         appearing in the same order) — ops/graph.triangle_counts: the
@@ -2824,6 +2895,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_revenue_running": global_revenue_running,
         "user_funnel": user_funnel,
         "new_users_per_hour": new_users_per_hour,
+        "user_retention": user_retention,
         "hourly_top_types": hourly_top_types,
         "event_value_outliers": event_value_outliers,
         "hourly_distinct_users": hourly_distinct_users,
@@ -2876,6 +2948,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gram_overlap_est": gram_overlap_est,
         "event_hour_value_ols": event_hour_value_ols,
         "supplier_pagerank": supplier_pagerank,
+        "cust_supp_kcore": cust_supp_kcore,
         "part_copurchase_triangles": part_copurchase_triangles,
         "image_ahash_dups": image_ahash_dups,
         "image_dup_clusters": image_dup_clusters,
@@ -3956,6 +4029,43 @@ def _media_features_sql(out: int = 32) -> str:
     """
 
 
+def _kcore_sql(k: int, rounds: int) -> str:
+    """k-core replay, one generated CTE stage per peel round (degree
+    count -> alive filter -> edge semi-join), mirroring
+    ops/graph.k_core exactly.  ``rounds`` only needs to be >= the peel
+    depth — extra rounds are no-ops (the engine iterates to the same
+    fixpoint), and the TPC-H-shaped graphs converge in 1-2."""
+    parts = ["""
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+             's' || CAST(l_suppkey AS VARCHAR) AS b
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    )"""]
+    for i in range(rounds):
+        parts.append(f"""
+    d{i} AS MATERIALIZED (
+      SELECT node, count(*) AS deg FROM
+        (SELECT a AS node FROM e{i}
+         UNION ALL SELECT b AS node FROM e{i}) u
+      GROUP BY node
+    ),
+    a{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE deg >= {k}),
+    e{i + 1} AS MATERIALIZED (
+      SELECT e.a, e.b FROM e{i} e
+      JOIN a{i} x ON e.a = x.node
+      JOIN a{i} y ON e.b = y.node
+    )""")
+    parts.append(f"""
+    dfin AS (
+      SELECT node, count(*) AS deg FROM
+        (SELECT a AS node FROM e{rounds}
+         UNION ALL SELECT b AS node FROM e{rounds}) u
+      GROUP BY node
+    )""")
+    return ("WITH " + ",".join(parts)
+            + f" SELECT node, deg FROM dfin WHERE deg >= {k}")
+
+
 def _pagerank_sql(iterations: int = 3, scale: int = 10 ** 12) -> str:
     """PageRank replay, one generated CTE stage per power-iteration
     round, mirroring ops/graph.pagerank's integer recurrence exactly:
@@ -4604,6 +4714,21 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                        AS BIGINT) AS cum_users
             FROM c
+        """,
+        "user_retention": """
+            WITH b AS (
+                SELECT DISTINCT user_id, date_trunc('hour', ts) AS h
+                FROM events
+            ),
+            c AS (
+                SELECT user_id, min(h) AS ch FROM b GROUP BY user_id
+            )
+            SELECT strftime(c.ch, '%Y-%m-%d %H:%M:%S') AS cohort_hour,
+                   CAST(date_diff('hour', c.ch, b.h) AS BIGINT)
+                       AS offset_hours,
+                   count(*) AS n_users
+            FROM b JOIN c USING (user_id)
+            GROUP BY 1, 2
         """,
         "user_funnel": """
             WITH s1 AS (
@@ -5778,6 +5903,7 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "supplier_pagerank": _pagerank_sql(3),
+        "cust_supp_kcore": _kcore_sql(10, 8),
         # negative mining replay: same Knuth arithmetic over the dense
         # id domain, accidental positives dropped by direct text
         # equality (engine: md5-digest equality — equivalent)

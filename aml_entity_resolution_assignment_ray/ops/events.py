@@ -251,3 +251,72 @@ def funnel_conversion(ds, *, key: str, ts_col: str, step_col: str,
 
     return _keyed(ds, [key], cfg, n_rows).map_batches(
         block, batch_format="pandas", batch_size=None)
+
+
+def retention_cohorts(ds, *, user_col: str, bucket_col: str,
+                      cfg: EngineConfig = DEFAULT_CONFIG,
+                      n_rows: int | None = None):
+    """Cohort retention analysis: assign every user to the cohort of
+    their FIRST activity bucket, then count, for each (cohort, offset)
+    cell, the distinct users from that cohort active ``offset`` buckets
+    later — the classic product-analytics retention triangle, and the
+    freshness/decay profile of a training-data source.
+
+    Input is pre-bucketed: (user_col, bucket_col int64).  Output
+    (cohort BIGINT, offset BIGINT, n_users BIGINT); offset 0 rows are
+    cohort sizes.
+
+    Shape: (1) distinct (user, bucket) pairs — per-block dedup
+    combiner, ONE keyed shuffle, final dedup; (2) first-touch cohort
+    per user — keyed_reduce(min), an order-free combiner; (3) ONE hash
+    join on user attaches each user's cohort to their activity pairs
+    (both sides are already user-keyed; the cohort side is #users rows
+    so it shuffles, never broadcasts); (4) distinct-user counts per
+    (cohort, offset) are plain row counts after the dedup — keyed_sum
+    of ones.  Exact integers end to end: layout-invariant, and the SQL
+    oracle replays it with a GROUP BY chain."""
+    from ..util import safe_join
+    from .relational import _keyed, keyed_reduce, keyed_sum
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            user_col: df[user_col],
+            bucket_col: df[bucket_col].astype(np.int64),
+        }).drop_duplicates()
+
+    pairs = _keyed(
+        ds.select_columns([user_col, bucket_col]).map_batches(
+            dedup, batch_format="pandas"),
+        [user_col, bucket_col], cfg, n_rows,
+    ).map_batches(dedup, batch_format="pandas", batch_size=None) \
+        .materialize()
+
+    cohorts = keyed_reduce(
+        pairs.map_batches(
+            lambda d: pd.DataFrame({
+                user_col: d[user_col],
+                "_cohort": d[bucket_col].astype(np.int64)}),
+            batch_format="pandas"),
+        [user_col], ["_cohort"], how="min", cfg=cfg,
+        n_rows=_proxy_count(pairs))
+
+    joined = safe_join(pairs, cohorts, join_type="inner",
+                       num_partitions=cfg.resolve_join_partitions(),
+                       on=(user_col,))
+
+    def to_cells(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["_cohort"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "cohort": c,
+            "offset": df[bucket_col].to_numpy(np.int64) - c,
+            "n_users": np.ones(len(df), dtype=np.int64)})
+
+    return keyed_sum(joined.map_batches(to_cells, batch_format="pandas"),
+                     ["cohort", "offset"], ["n_users"], cfg=cfg)
+
+
+def _proxy_count(ds) -> int | None:
+    try:
+        return ds._meta_count()
+    except Exception:
+        return None

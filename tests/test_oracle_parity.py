@@ -78,6 +78,7 @@ SUBSET = [
     "global_revenue_running",
     "user_funnel",
     "new_users_per_hour",
+    "user_retention",
     "hourly_top_types",
     "event_value_outliers",
     "hourly_distinct_users",
@@ -109,6 +110,7 @@ SUBSET = [
     "er_eval_metrics",
     "event_hour_value_ols",
     "supplier_pagerank",
+    "cust_supp_kcore",
     "part_copurchase_triangles",
     "image_ahash_dups",
     "image_dup_clusters",

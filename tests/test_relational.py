@@ -1051,3 +1051,44 @@ def test_categorical_mi_known_values():
     got = categorical_mi(rd.from_pandas(dep).repartition(4),
                          col_a="a", col_b="b").to_pandas()
     assert got["mi"].iloc[0] == round(np.log(2), 6)
+
+
+@pytest.mark.parametrize("cfg", [SHUFFLE_CFG, GATHER_CFG])
+def test_retention_cohorts(ray_session, cfg):
+    """Cohort triangle == a brute-force pandas reference: first-touch
+    cohorts, duplicate events collapse to one (user, bucket), and
+    offset-0 cells equal cohort sizes."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.events import (
+        retention_cohorts,
+    )
+
+    rng = np.random.RandomState(31)
+    n = 900
+    df = pd.DataFrame({
+        "u": rng.randint(0, 40, n).astype(np.int64),
+        "bkt": rng.randint(100, 130, n).astype(np.int64),
+    })
+    # duplicates on purpose: same user active twice in one bucket
+    df = pd.concat([df, df.head(50)], ignore_index=True)
+
+    pairs = df.drop_duplicates()
+    cohort = pairs.groupby("u")["bkt"].min().rename("c")
+    j = pairs.join(cohort, on="u")
+    exp = (j.assign(offset=j["bkt"] - j["c"])
+           .groupby(["c", "offset"]).size().rename("n_users")
+           .reset_index())
+
+    got = retention_cohorts(
+        rd.from_pandas(df).repartition(7), user_col="u",
+        bucket_col="bkt", cfg=cfg, n_rows=len(df)).to_pandas()
+    g = got.sort_values(["cohort", "offset"]).reset_index(drop=True)
+    e = exp.sort_values(["c", "offset"]).reset_index(drop=True)
+    assert (g["cohort"].to_numpy() == e["c"].to_numpy()).all()
+    assert (g["offset"].to_numpy() == e["offset"].to_numpy()).all()
+    assert (g["n_users"].to_numpy() == e["n_users"].to_numpy()).all()
+    # offset-0 diagonal = cohort sizes
+    diag = g[g["offset"] == 0].set_index("cohort")["n_users"]
+    sizes = cohort.value_counts().sort_index()
+    assert (diag.sort_index().to_numpy() == sizes.to_numpy()).all()
