@@ -632,6 +632,48 @@ def grouped_running_sum(ds, *, key: str, order_cols: list[str], val_col: str,
         cum, batch_format="pandas", batch_size=None)
 
 
+def grouped_frame_sum(ds, *, key: str, order_cols: list[str],
+                      val_col: str, preceding: int,
+                      out_col: str = "frame_sum",
+                      cfg: EngineConfig = DEFAULT_CONFIG):
+    """SUM(val) OVER (PARTITION BY key ORDER BY order_cols ROWS BETWEEN
+    ``preceding`` PRECEDING AND CURRENT ROW) — the bounded-frame
+    sliding window (trailing spend, rolling token budget), the frame
+    sibling of grouped_running_sum's UNBOUNDED PRECEDING.
+
+    ``order_cols`` must be a total order within each key group (pass a
+    unique tie-breaker).  ``val_col`` must be integer: the frame sum is
+    computed as a grouped cumsum minus its window-shifted self, all in
+    int64, so results are exact and layout-invariant.  ONE hash shuffle
+    on the key, then a per-block sort + vectorized difference — no
+    per-window loop, O(rows) per block regardless of frame width."""
+    if preceding < 0:
+        raise ValueError(f"preceding must be >= 0, got {preceding}")
+    cols = list(ds.schema().names)
+    window = preceding + 1
+
+    def frame(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            out = df[cols].copy()
+            out[out_col] = pd.Series([], dtype="int64")
+            return out
+        s = df.sort_values([key, *order_cols], kind="stable")
+        out = s[cols].copy()
+        g = s.groupby(key, sort=False)
+        cs = g[val_col].cumsum().to_numpy(np.int64)
+        # cs[i - window] belongs to the same group exactly when the
+        # row's within-group ordinal is >= window
+        idx = g.cumcount().to_numpy(np.int64)
+        shifted = np.concatenate(
+            [np.zeros(min(window, len(cs)), dtype=np.int64),
+             cs[:-window]])[:len(cs)]
+        out[out_col] = cs - np.where(idx >= window, shifted, 0)
+        return out
+
+    return _keyed(ds, [key], cfg, _meta_rows(ds)).map_batches(
+        frame, batch_format="pandas", batch_size=None)
+
+
 def grouped_lag(ds, *, key: str, order_cols: list[str], cols: list[str],
                 offset: int = 1, prefix: str = "prev_",
                 cfg: EngineConfig = DEFAULT_CONFIG):
