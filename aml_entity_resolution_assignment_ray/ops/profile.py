@@ -418,3 +418,92 @@ def categorical_mi(ds, *, col_a: str, col_b: str, round_to: int = 6,
 
     return cells.map_batches(final, batch_format="pandas",
                              batch_size=None)
+
+
+def cooccurrence_jaccard(ds, *, set_col: str, item_col: str,
+                         cfg: EngineConfig = DEFAULT_CONFIG,
+                         n_rows: int | None = None):
+    """Pairwise Jaccard similarity between ``item_col`` values by the
+    overlap of their ``set_col`` sets (e.g. event types by the users
+    who perform them, sources by the documents they share, tags by
+    co-tagged items) -> Dataset of (item_a, item_b, n_a, n_b,
+    n_common, jaccard) over pairs with at least one common set member,
+    item_a < item_b.
+
+    Shape: (1) distinct (set, item) pairs — per-block dedup combiner,
+    ONE keyed shuffle, final dedup; (2) per-item set sizes — keyed_sum
+    of ones; (3) intersections — repartition on set_col co-locates
+    each set's items, a block-local self-merge emits ordered item
+    pairs, keyed_sum folds counts; (4) sizes attach via two hash
+    joins on the item columns.  Exact integers throughout; the one
+    float is the final n_common / (n_a + n_b - n_common) division —
+    deterministic and replayed exactly by SQL.
+
+    Scale contract: the self-merge is O(k^2) per set member where k is
+    the member's ITEM count — bounded by the item domain, which is
+    also what bounds the O(|items|^2) output.  This operator is for
+    categorical domains (event types, sources, languages), not for
+    unbounded id-vs-id similarity — that's MinHash/LSH territory
+    (ops/dedup)."""
+    from ..util import safe_join
+    from .relational import _keyed, keyed_sum
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            set_col: df[set_col],
+            item_col: df[item_col],
+        }).drop_duplicates()
+
+    pairs = _keyed(
+        ds.select_columns([set_col, item_col]).map_batches(
+            dedup, batch_format="pandas"),
+        [set_col, item_col], cfg, n_rows,
+    ).map_batches(dedup, batch_format="pandas", batch_size=None) \
+        .materialize()
+
+    sizes = keyed_sum(
+        pairs.map_batches(
+            lambda d: pd.DataFrame({
+                item_col: d[item_col],
+                "_n": np.ones(len(d), dtype=np.int64)}),
+            batch_format="pandas"),
+        [item_col], ["_n"], cfg=cfg).materialize()
+
+    def emit_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on=set_col, suffixes=("_a", "_b"))
+        m = m[m[f"{item_col}_a"] < m[f"{item_col}_b"]]
+        return pd.DataFrame({
+            "item_a": m[f"{item_col}_a"].to_numpy(),
+            "item_b": m[f"{item_col}_b"].to_numpy(),
+            "n_common": np.ones(len(m), dtype=np.int64)})
+
+    inter = keyed_sum(
+        _keyed(pairs, [set_col], cfg, None).map_batches(
+            emit_pairs, batch_format="pandas", batch_size=None),
+        ["item_a", "item_b"], ["n_common"], cfg=cfg)
+
+    nparts = cfg.resolve_join_partitions()
+    sa = sizes.map_batches(
+        lambda d: pd.DataFrame({"item_a": d[item_col],
+                                "n_a": d["_n"].astype(np.int64)}),
+        batch_format="pandas")
+    sb = sizes.map_batches(
+        lambda d: pd.DataFrame({"item_b": d[item_col],
+                                "n_b": d["_n"].astype(np.int64)}),
+        batch_format="pandas")
+    j = safe_join(safe_join(inter, sa, join_type="inner",
+                            num_partitions=nparts, on=("item_a",)),
+                  sb, join_type="inner", num_partitions=nparts,
+                  on=("item_b",))
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["n_common"].to_numpy(np.int64)
+        na = df["n_a"].to_numpy(np.int64)
+        nb = df["n_b"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "item_a": df["item_a"].to_numpy(),
+            "item_b": df["item_b"].to_numpy(),
+            "n_a": na, "n_b": nb, "n_common": c,
+            "jaccard": c.astype(np.float64) / (na + nb - c)})
+
+    return j.map_batches(finalize, batch_format="pandas")
