@@ -970,6 +970,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return res.map_batches(finalize, batch_format="pandas")
 
+    def user_value_window_sum(sf_dir):
+        """Bounded-frame sliding window: each event's trailing-4-row
+        spend per user (ops/relational.grouped_frame_sum — grouped
+        cumsum minus its window-shifted self, exact int64; ONE user
+        shuffle, O(rows) per block whatever the frame width)."""
+        from aml_entity_resolution_assignment_ray.ops.relational import (
+            grouped_frame_sum,
+        )
+
+        _tune_context()
+        ds = _read(sf_dir, "events").select_columns(
+            ["user_id", "event_id", "ts", "value"])
+
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "user_id": df["user_id"].astype(np.int64),
+                "event_id": df["event_id"].astype(np.int64),
+                "ts_us": df["ts"].to_numpy(dtype="datetime64[us]")
+                .astype(np.int64),
+                "cents": _round_half_away(
+                    df["value"].to_numpy(np.float64) * 100)
+                .astype(np.int64),
+            })
+
+        res = grouped_frame_sum(
+            ds.map_batches(prep, batch_format="pandas"),
+            key="user_id", order_cols=["ts_us", "event_id"],
+            val_col="cents", preceding=3, out_col="win_cents")
+        return res.map_batches(
+            lambda d: pd.DataFrame({
+                "user_id": d["user_id"].astype(np.int64),
+                "event_id": d["event_id"].astype(np.int64),
+                "win_cents": d["win_cents"].astype(np.int64)}),
+            batch_format="pandas")
+
+    def event_type_jaccard(sf_dir):
+        """Pairwise Jaccard similarity between event types by shared
+        users (ops/profile.cooccurrence_jaccard — distinct-pair
+        combiner, block-local self-merge per user, keyed_sum; exact
+        integer overlaps, one exact float division at the end)."""
+        from aml_entity_resolution_assignment_ray.ops.profile import (
+            cooccurrence_jaccard,
+        )
+
+        _tune_context()
+        ds = _read(sf_dir, "events").select_columns(
+            ["user_id", "event_type"]).map_batches(
+            lambda d: pd.DataFrame({
+                "user_id": d["user_id"].astype(np.int64),
+                "event_type": d["event_type"]}),
+            batch_format="pandas")
+        return cooccurrence_jaccard(ds, set_col="user_id",
+                                    item_col="event_type")
+
     def user_funnel(sf_dir):
         """Ordered click -> signup -> purchase funnel per user
         (ops/events.funnel_conversion): one user shuffle, a vectorized
@@ -1917,6 +1971,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "documents", spread=True), threshold=0.5
         ).select_columns(["id_a", "id_b"])
 
+    def doc_cosine_pairs(sf_dir):
+        """Exact all-pairs TF-vector cosine >= 0.9 via inverted
+        posting lists (ops/dedup.sparse_cosine_pairs, Bayardo-style):
+        term-keyed shuffle, chunked per-term pair emission, keyed_sum
+        dot folds — exact int64 until the final divide, so the pair
+        set is layout-invariant and SQL-replayable."""
+        _tune_context()
+        res = dedup.sparse_cosine_pairs(
+            _read(sf_dir, "documents", spread=True), threshold=0.9)
+        return res.map_batches(
+            lambda d: pd.DataFrame({
+                "id_a": d["id_a"].astype(np.int64),
+                "id_b": d["id_b"].astype(np.int64),
+                "cosine": d["cosine"].astype(np.float64)}),
+            batch_format="pandas")
+
     # ---- embeddings: similarity search ----
 
     def ann_top10(sf_dir):
@@ -2847,6 +2917,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_docs": minhash_dedup_docs,
         "minhash_dedup_incremental": minhash_dedup_incremental,
         "ngram_jaccard_docs": ngram_jaccard_docs,
+        "doc_cosine_pairs": doc_cosine_pairs,
         "ann_top10": ann_top10,
         "ann_ivf_top10": ann_ivf_top10,
         "ann_ivf_appended": ann_ivf_appended,
@@ -2896,6 +2967,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_funnel": user_funnel,
         "new_users_per_hour": new_users_per_hour,
         "user_retention": user_retention,
+        "user_value_window_sum": user_value_window_sum,
+        "event_type_jaccard": event_type_jaccard,
         "hourly_top_types": hourly_top_types,
         "event_value_outliers": event_value_outliers,
         "hourly_distinct_users": hourly_distinct_users,
@@ -4344,6 +4417,34 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup_docs": _minhash_dedup_sql(threshold=0.8),
         "minhash_dedup_incremental": _incremental_minhash_sql(0.8),
         "simhash_dup_pairs_docs": _simhash_pairs_sql(max_hamming=6),
+        "doc_cosine_pairs": """
+            WITH tok AS (
+              SELECT doc_id, unnest(regexp_extract_all(
+                         lower(coalesce(text, '')), '[a-z0-9]+')) AS word
+              FROM documents
+            ),
+            tf AS (SELECT doc_id, word, count(*) AS tf
+                   FROM tok GROUP BY 1, 2),
+            dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+            kept AS (SELECT word FROM dfreq WHERE df >= 2),
+            ftf AS (SELECT tf.* FROM tf JOIN kept USING (word)),
+            norm AS (SELECT doc_id, sum(tf * tf) AS n2
+                     FROM ftf GROUP BY 1),
+            dot AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                           sum(a.tf * b.tf) AS d
+                    FROM ftf a JOIN ftf b ON a.word = b.word
+                         AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   CAST(d AS DOUBLE)
+                       / (sqrt(CAST(na.n2 AS DOUBLE))
+                          * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+            FROM dot JOIN norm na ON na.doc_id = id_a
+                 JOIN norm nb ON nb.doc_id = id_b
+            WHERE CAST(d AS DOUBLE)
+                      / (sqrt(CAST(na.n2 AS DOUBLE))
+                         * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.9
+        """,
         "ngram_jaccard_docs": """
             WITH g AS (
               SELECT DISTINCT id, substr(t, i, 3) AS gram
@@ -4714,6 +4815,35 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                        AS BIGINT) AS cum_users
             FROM c
+        """,
+        "event_type_jaccard": """
+            WITH p AS (
+                SELECT DISTINCT user_id, event_type FROM events
+            ),
+            s AS (
+                SELECT event_type, count(*) AS n FROM p GROUP BY 1
+            ),
+            i AS (
+                SELECT a.event_type AS item_a, b.event_type AS item_b,
+                       count(*) AS n_common
+                FROM p a JOIN p b ON a.user_id = b.user_id
+                     AND a.event_type < b.event_type
+                GROUP BY 1, 2
+            )
+            SELECT item_a, item_b, sa.n AS n_a, sb.n AS n_b, n_common,
+                   CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)
+                       AS jaccard
+            FROM i JOIN s sa ON sa.event_type = item_a
+                 JOIN s sb ON sb.event_type = item_b
+        """,
+        "user_value_window_sum": """
+            SELECT user_id, event_id,
+                   CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                        OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS win_cents
+            FROM events
         """,
         "user_retention": """
             WITH b AS (

@@ -1377,3 +1377,157 @@ def read_minhash_index(index_path: str):
             f"no minhash index shards under {index_path!r} — run "
             "incremental_minhash_dedup first")
     return rd.read_parquet(files)
+
+
+# --------------------------------------------------------------------------
+# sparse cosine all-pairs (posting-list join)
+# --------------------------------------------------------------------------
+
+
+def sparse_cosine_pairs(ds, *, id_col: str = "doc_id",
+                        col: str = "text", threshold: float = 0.9,
+                        min_df: int = 2,
+                        max_df_ratio: tuple[int, int] | None = None,
+                        chunk_pairs: int = 4_000_000,
+                        cfg: EngineConfig = DEFAULT_CONFIG):
+    """Exact all-pairs cosine similarity over the term-frequency
+    vectors of a document column, by inverted posting lists [Bayardo
+    et al. 2007, "Scaling up all pairs similarity search"] -> Dataset
+    (id_a, id_b, cosine) with id_a < id_b and cosine >= threshold.
+
+    The sparse-vector sibling of ``exact_cosine_pairs``: instead of a
+    dense matmul against a broadcast matrix, each term's posting list
+    meets in one block after a term-keyed shuffle and contributes
+    tf_a * tf_b to every co-occurring pair; keyed_sum folds the dot
+    products.  Everything before the final divide is exact int64, so
+    the pair set is layout-invariant and SQL-replayable.
+
+    Scale contract: the work is sum(df^2) over kept terms.  ``min_df``
+    drops hapax terms (df < 2 cannot form a pair — lossless);
+    ``max_df_ratio`` = (num, den) drops terms with df * den > n * num
+    — the stop-word cap that bounds the quadratic blow-up, at the
+    documented cost of measuring cosine in the FILTERED term space
+    (both the norms and the dots exclude capped terms, consistently).
+    Hot terms that survive the cap are emitted in bounded chunks of
+    ~``chunk_pairs`` pairs so no single merge materializes df^2 rows
+    at once.  For web-scale corpora run MinHash-LSH (approximate
+    candidates) instead; this is the exact path."""
+    from .relational import _keyed, _meta_rows, keyed_sum, semi_join
+    from .text import _TERM_RE
+
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    n_docs = ds.count()
+
+    def tf_batch(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[col].fillna("").astype(str).str.lower() \
+            .str.findall(_TERM_RE)
+        lens = toks.str.len().to_numpy(np.int64)
+        if not lens.sum():
+            return pd.DataFrame({
+                id_col: df[id_col].iloc[:0],
+                "word": pd.Series([], dtype="string"),
+                "tf": pd.Series([], dtype="int64")})
+        flat = np.concatenate(
+            [np.asarray(t, dtype=object) for t in toks if len(t)])
+        ids = np.repeat(df[id_col].to_numpy(), lens)
+        d = pd.DataFrame({id_col: ids, "word": flat.astype(str)})
+        return (d.groupby([id_col, "word"], sort=False).size()
+                .rename("tf").reset_index())
+
+    tf = ds.select_columns([id_col, col]).map_batches(
+        tf_batch, batch_format="pandas").materialize()
+
+    dfreq = keyed_sum(
+        tf.map_batches(
+            lambda d: pd.DataFrame({
+                "word": d["word"],
+                "df": np.ones(len(d), dtype=np.int64)}),
+            batch_format="pandas"),
+        ["word"], ["df"], cfg=cfg)
+
+    num, den = max_df_ratio if max_df_ratio else (1, 1)
+
+    def keep(d: pd.DataFrame) -> pd.DataFrame:
+        m = d["df"].to_numpy(np.int64) >= min_df
+        if max_df_ratio:
+            m &= d["df"].to_numpy(np.int64) * den <= n_docs * num
+        return d[m][["word"]]
+
+    kept = dfreq.map_batches(keep, batch_format="pandas")
+    ftf = semi_join(tf, kept, on=["word"], cfg=cfg).materialize()
+
+    norms = keyed_sum(
+        ftf.map_batches(
+            lambda d: pd.DataFrame({
+                id_col: d[id_col],
+                "n2": (d["tf"].to_numpy(np.int64) ** 2)}),
+            batch_format="pandas"),
+        [id_col], ["n2"], cfg=cfg)
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": df[id_col].iloc[:0],
+                              "id_b": df[id_col].iloc[:0],
+                              "dot": pd.Series([], dtype="int64")})
+        if not len(df):
+            return empty
+        out = [empty]
+        s = df.sort_values(["word", id_col], kind="stable")
+        words = s["word"].to_numpy()
+        ids = s[id_col].to_numpy()
+        tfs = s["tf"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, words[1:] != words[:-1]])
+        sizes = np.diff(np.r_[starts, len(words)])
+        for st, g in zip(starts, sizes):
+            if g < 2:
+                continue
+            gi, gt = ids[st:st + g], tfs[st:st + g]
+            step = max(1, chunk_pairs // int(g))
+            for lo in range(0, g, step):
+                hi = min(lo + step, g)
+                # pairs (i, j) with lo <= i < hi, i < j < g
+                cnt = g - 1 - np.arange(lo, hi)
+                tot = int(cnt.sum())
+                if tot <= 0:
+                    continue
+                i_idx = np.repeat(np.arange(lo, hi), cnt)
+                offs = np.cumsum(cnt) - cnt
+                j_idx = (np.arange(tot) - np.repeat(offs, cnt)
+                         + i_idx + 1)
+                fwd = gi[i_idx] < gi[j_idx]
+                out.append(pd.DataFrame({
+                    "id_a": np.where(fwd, gi[i_idx], gi[j_idx]),
+                    "id_b": np.where(fwd, gi[j_idx], gi[i_idx]),
+                    "dot": gt[i_idx] * gt[j_idx]}))
+        return pd.concat(out, ignore_index=True)
+
+    dots = keyed_sum(
+        _keyed(ftf, ["word"], cfg, _meta_rows(ftf)).map_batches(
+            emit, batch_format="pandas", batch_size=None),
+        ["id_a", "id_b"], ["dot"], cfg=cfg)
+
+    nparts = cfg.resolve_join_partitions()
+    na = norms.map_batches(
+        lambda d: pd.DataFrame({"id_a": d[id_col],
+                                "n2_a": d["n2"].astype(np.int64)}),
+        batch_format="pandas")
+    nb = norms.map_batches(
+        lambda d: pd.DataFrame({"id_b": d[id_col],
+                                "n2_b": d["n2"].astype(np.int64)}),
+        batch_format="pandas")
+    j = safe_join(safe_join(dots, na, join_type="inner",
+                            num_partitions=nparts, on=("id_a",)),
+                  nb, join_type="inner", num_partitions=nparts,
+                  on=("id_b",))
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        c = (df["dot"].to_numpy(np.int64).astype(np.float64)
+             / (np.sqrt(df["n2_a"].to_numpy(np.int64).astype(np.float64))
+                * np.sqrt(df["n2_b"].to_numpy(np.int64)
+                          .astype(np.float64))))
+        out = pd.DataFrame({"id_a": df["id_a"].to_numpy(),
+                            "id_b": df["id_b"].to_numpy(),
+                            "cosine": c})
+        return out[c >= threshold]
+
+    return j.map_batches(finalize, batch_format="pandas")

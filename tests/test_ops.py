@@ -2671,3 +2671,95 @@ def test_contrastive_negatives_deterministic_and_excludes_positives():
                                  k=2, n_rows=n).to_pandas()
     assert {(int(r.doc_id), int(r.neg_id), int(r.j))
             for r in got2.itertuples()} == got_set
+
+
+def test_sparse_cosine_pairs(ray_session):
+    """Posting-list cosine == brute-force numpy TF cosine; chunked
+    hot-term emission is exact; max_df cap measures in filtered space."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.dedup import (
+        sparse_cosine_pairs,
+    )
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": [
+            "apple banana apple cherry",
+            "apple banana apple cherry",        # exact dup of 0
+            "apple banana cherry date",         # near dup
+            "zebra yak xylophone",              # shares nothing kept
+            "zebra yak walrus",                 # overlaps 3
+            "unique singleton words only",      # all hapax -> isolated
+        ],
+    })
+
+    def brute(min_df=2):
+        from collections import Counter
+        tfs = [Counter(t.lower().split()) for t in docs["text"]]
+        df = Counter(w for tf in tfs for w in tf)
+        kept = {w for w, c in df.items() if c >= min_df}
+        out = {}
+        for i in range(len(tfs)):
+            for j in range(i + 1, len(tfs)):
+                a = {w: c for w, c in tfs[i].items() if w in kept}
+                b = {w: c for w, c in tfs[j].items() if w in kept}
+                dot = sum(a[w] * b[w] for w in a.keys() & b.keys())
+                if not dot:
+                    continue
+                na = sum(v * v for v in a.values()) ** 0.5
+                nb = sum(v * v for v in b.values()) ** 0.5
+                out[(i, j)] = dot / (na * nb)
+        return out
+
+    want = {p: c for p, c in brute().items() if c >= 0.5}
+    got = sparse_cosine_pairs(
+        rd.from_pandas(docs).repartition(4), threshold=0.5,
+        cfg=CFG).to_pandas()
+    gmap = {(int(r.id_a), int(r.id_b)): r.cosine
+            for r in got.itertuples()}
+    assert set(gmap) == set(want)
+    for p in want:
+        assert abs(gmap[p] - want[p]) < 1e-12
+    # identical vectors: dot/(sqrt(n2)*sqrt(n2)) may exceed 1 by one
+    # ulp (sqrt rounding) — identically on the SQL side
+    assert abs(gmap[(0, 1)] - 1.0) < 1e-12          # exact dup
+
+    # forcing tiny chunks must not change the result
+    got2 = sparse_cosine_pairs(
+        rd.from_pandas(docs).repartition(4), threshold=0.5,
+        chunk_pairs=2, cfg=CFG).to_pandas()
+    g2 = {(int(r.id_a), int(r.id_b)): r.cosine for r in got2.itertuples()}
+    assert g2 == gmap
+
+    # stop-word cap: drop terms in > 1/2 of docs ("apple", "banana",
+    # "cherry" have df 3 = n/2, kept; df > 3 dropped) — still exact
+    # vs the same-capped brute force
+    def brute_cap(num, den):
+        from collections import Counter
+        tfs = [Counter(t.lower().split()) for t in docs["text"]]
+        df = Counter(w for tf in tfs for w in tf)
+        kept = {w for w, c in df.items()
+                if c >= 2 and c * den <= len(docs) * num}
+        out = {}
+        for i in range(len(tfs)):
+            for j in range(i + 1, len(tfs)):
+                a = {w: c for w, c in tfs[i].items() if w in kept}
+                b = {w: c for w, c in tfs[j].items() if w in kept}
+                dot = sum(a[w] * b[w] for w in a.keys() & b.keys())
+                if not dot:
+                    continue
+                na = sum(v * v for v in a.values()) ** 0.5
+                nb = sum(v * v for v in b.values()) ** 0.5
+                out[(i, j)] = dot / (na * nb)
+        return out
+
+    want3 = {p: c for p, c in brute_cap(1, 3).items() if c >= 0.5}
+    got3 = sparse_cosine_pairs(
+        rd.from_pandas(docs), threshold=0.5, max_df_ratio=(1, 3),
+        cfg=CFG).to_pandas()
+    g3 = {(int(r.id_a), int(r.id_b)): r.cosine for r in got3.itertuples()}
+    assert set(g3) == set(want3)
+
+    with pytest.raises(ValueError):
+        sparse_cosine_pairs(rd.from_pandas(docs), threshold=0.0)

@@ -79,6 +79,8 @@ SUBSET = [
     "user_funnel",
     "new_users_per_hour",
     "user_retention",
+    "user_value_window_sum",
+    "event_type_jaccard",
     "hourly_top_types",
     "event_value_outliers",
     "hourly_distinct_users",
@@ -97,6 +99,7 @@ SUBSET = [
     "video_motion",
     "video_mp4_samples",
     "simhash_dup_pairs_docs",
+    "doc_cosine_pairs",
     "ann_top10",
     "ann_ivf_appended",
     "embedding_dup_pairs",

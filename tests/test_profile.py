@@ -205,3 +205,34 @@ def test_mad_outliers(ray_session, cfg):
                 == exp_flag.to_numpy()).all()
     assert got.loc[got["id"] == 0, "is_outlier"].iloc[0] == 1
     assert got["is_outlier"].sum() <= 5
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cooccurrence_jaccard():
+    """Known overlaps on a hand-built set system, and invariance to
+    duplicates and repartitioning."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.profile import (
+        cooccurrence_jaccard,
+    )
+
+    # sets: x={1,2,3}, y={2,3,4}, z={9} -> J(x,y)=2/4, z isolated
+    df = pd.DataFrame({
+        "s": [1, 2, 3, 2, 3, 4, 9, 1, 2],       # dup (x,1), (y,2)
+        "i": list("xxxyyyzxy"),
+    })
+    got = cooccurrence_jaccard(
+        rd.from_pandas(df).repartition(4), set_col="s", item_col="i",
+        n_rows=len(df)).to_pandas().sort_values(["item_a", "item_b"])
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert (r["item_a"], r["item_b"]) == ("x", "y")
+    assert (r["n_a"], r["n_b"], r["n_common"]) == (3, 3, 2)
+    assert r["jaccard"] == 2.0 / 4.0
+
+    got2 = cooccurrence_jaccard(
+        rd.from_pandas(df).repartition(9), set_col="s", item_col="i") \
+        .to_pandas().sort_values(["item_a", "item_b"])
+    assert got2.reset_index(drop=True).equals(
+        got.reset_index(drop=True))

@@ -1092,3 +1092,42 @@ def test_retention_cohorts(ray_session, cfg):
     diag = g[g["offset"] == 0].set_index("cohort")["n_users"]
     sizes = cohort.value_counts().sort_index()
     assert (diag.sort_index().to_numpy() == sizes.to_numpy()).all()
+
+
+@pytest.mark.parametrize("cfg", [SHUFFLE_CFG, GATHER_CFG])
+def test_grouped_frame_sum(ray_session, cfg):
+    """Cumsum-difference frame == pandas groupby.rolling, exact int64;
+    preceding=0 degenerates to the value itself."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.relational import (
+        grouped_frame_sum,
+    )
+
+    rng = np.random.RandomState(41)
+    n = 800
+    df = pd.DataFrame({
+        "k": rng.randint(0, 25, n).astype(np.int64),
+        "t": rng.permutation(n).astype(np.int64),
+        "v": rng.randint(-5000, 5000, n).astype(np.int64),
+    })
+    s = df.sort_values(["k", "t"], kind="stable")
+    exp = (s.groupby("k", sort=False)["v"]
+           .rolling(4, min_periods=1).sum()
+           .reset_index(level=0, drop=True).astype(np.int64))
+
+    got = grouped_frame_sum(
+        rd.from_pandas(df).repartition(7), key="k", order_cols=["t"],
+        val_col="v", preceding=3, cfg=cfg).to_pandas() \
+        .sort_values(["k", "t"], kind="stable")
+    assert (got["frame_sum"].to_numpy() == exp.to_numpy()).all()
+    assert got["frame_sum"].dtype == np.int64
+
+    one = grouped_frame_sum(
+        rd.from_pandas(df), key="k", order_cols=["t"], val_col="v",
+        preceding=0, cfg=cfg).to_pandas().sort_values(["k", "t"])
+    assert (one["frame_sum"].to_numpy() == one["v"].to_numpy()).all()
+
+    with pytest.raises(ValueError):
+        grouped_frame_sum(rd.from_pandas(df), key="k", order_cols=["t"],
+                          val_col="v", preceding=-1, cfg=cfg)
