@@ -518,3 +518,79 @@ def contrastive_negatives(ds, *, id_col: str = "doc_id",
         lambda d: d[d["a_digest"] != d["n_digest"]][
             [id_col, "neg_id", "j"]].reset_index(drop=True),
         batch_format="pandas")
+
+
+def greedy_cover_select(ds, *, id_col: str, item_col: str, k: int,
+                        cfg=None, n_rows: int | None = None):
+    """Greedy maximum-coverage data selection [Nemhauser et al. 1978
+    — the (1 - 1/e) greedy; coreset-style "pick the k docs that cover
+    the most distinct features"]: round by round, select the id whose
+    ITEMS (terms, n-grams, tool names) cover the most not-yet-covered
+    values, ties to the smallest id.  Returns one row per round:
+    (round BIGINT, id, gain BIGINT, covered_total BIGINT).
+
+    The driver holds ONLY the current winner row and a covered-count
+    integer; the covered set itself stays distributed.  Each round is
+    an anti_join of the (id, item) table against the covered items, a
+    keyed_sum of per-id gains, and a global_topk(1) combiner — three
+    bounded shuffles, no input-sized driver state.  Rounds end early
+    when everything is covered (the gain table goes empty).  All
+    counts are exact integers: the selection sequence is layout-
+    invariant and replayed bit-for-bit by a generated per-round SQL
+    CTE chain."""
+    from ..config import DEFAULT_CONFIG
+    from .relational import _keyed, anti_join, global_topk, keyed_sum
+
+    cfg = cfg or DEFAULT_CONFIG
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df[[id_col, item_col]].drop_duplicates()
+
+    pairs = _keyed(
+        ds.select_columns([id_col, item_col]).map_batches(
+            dedup, batch_format="pandas"),
+        [id_col, item_col], cfg, n_rows,
+    ).map_batches(dedup, batch_format="pandas", batch_size=None) \
+        .materialize()
+
+    covered = None          # Dataset of distinct covered items
+    covered_total = 0
+    out_rows = []
+    for rnd in range(1, k + 1):
+        live = pairs if covered is None else anti_join(
+            pairs, covered, on=[item_col], cfg=cfg)
+        # materialize: anti_join's empty shuffle partitions otherwise
+        # leave the lazy gains dataset without an inferable schema
+        gains = keyed_sum(
+            live.map_batches(
+                lambda d: pd.DataFrame({
+                    id_col: d[id_col],
+                    "gain": np.ones(len(d), dtype=np.int64)}),
+                batch_format="pandas"),
+            [id_col], ["gain"], cfg=cfg).materialize()
+        if gains.count() == 0:
+            break                        # everything covered
+        top = global_topk(gains, order_cols=["gain", id_col],
+                          descending=[True, False], k=1).take_all()
+        if not top:
+            break                        # everything covered
+        win_id, gain = top[0][id_col], int(top[0]["gain"])
+        covered_total += gain
+        out_rows.append({"round": rnd, id_col: win_id,
+                         "gain": gain, "covered_total": covered_total})
+        win_items = pairs.map_batches(
+            lambda d, w=win_id: d[d[id_col] == w][[item_col]],
+            batch_format="pandas")
+        covered = (win_items if covered is None
+                   else covered.union(win_items)).materialize()
+
+    import ray.data as rd
+
+    res = pd.DataFrame(out_rows, columns=[
+        "round", id_col, "gain", "covered_total"])
+    res["round"] = res["round"].astype(np.int64)
+    res["gain"] = res["gain"].astype(np.int64)
+    res["covered_total"] = res["covered_total"].astype(np.int64)
+    return rd.from_pandas(res)
