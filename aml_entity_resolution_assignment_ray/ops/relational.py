@@ -1172,3 +1172,53 @@ def cube_sum(ds, *, keys: list[str], val_cols: list[str],
                                             batch_size=None)
             levels.append(tot.map_batches(filled, batch_format="pandas"))
     return levels[0].union(*levels[1:])
+
+
+def grouped_winsorize(ds, *, key: str, col: str,
+                      q_lo: float = 0.05, q_hi: float = 0.95,
+                      out_col: str = "winsorized",
+                      cfg: EngineConfig = DEFAULT_CONFIG):
+    """Winsorization: clamp ``col`` to its per-``key`` [q_lo, q_hi]
+    EXACT discrete quantiles (outlier taming before normalization /
+    loss weighting).  All input columns pass through; the clamped
+    value is appended as ``out_col`` in ``col``'s dtype — bounds are
+    actual group elements (quantile_disc semantics via
+    grouped_quantiles), so no float arithmetic enters and the result
+    is layout-invariant and SQL-replayable.
+
+    Shape: grouped_quantiles' (key, value)-count combiner produces the
+    per-key bound table (2 rows per key); ONE hash join on the key
+    attaches bounds (the bound table is #keys-sized — it shuffles,
+    never broadcasts); the clamp is a stateless vectorized map."""
+    if not 0 <= q_lo <= q_hi <= 1:
+        raise ValueError(f"need 0 <= q_lo <= q_hi <= 1, "
+                         f"got ({q_lo}, {q_hi})")
+    from ..util import safe_join
+
+    qt = grouped_quantiles(ds, key=key, col=col, qs=[q_lo, q_hi],
+                           cfg=cfg)
+
+    def to_bounds(df: pd.DataFrame) -> pd.DataFrame:
+        lo = df[df["q"] == q_lo][[key, "value"]].rename(
+            columns={"value": "_lo"})
+        hi = df[df["q"] == q_hi][[key, "value"]].rename(
+            columns={"value": "_hi"})
+        return lo.merge(hi, on=key, how="inner")
+
+    # both quantile rows of a key land in the same finalize block, so
+    # the lo/hi merge is block-local
+    bounds = qt.map_batches(to_bounds, batch_format="pandas")
+
+    cols = list(ds.schema().names)
+    j = safe_join(ds, bounds, join_type="inner",
+                  num_partitions=cfg.resolve_join_partitions(),
+                  on=(key,))
+
+    def clamp(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[cols].copy()
+        v = df[col].to_numpy()
+        out[out_col] = np.minimum(
+            np.maximum(v, df["_lo"].to_numpy()), df["_hi"].to_numpy())
+        return out
+
+    return j.map_batches(clamp, batch_format="pandas")
