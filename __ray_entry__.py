@@ -1024,6 +1024,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return cooccurrence_jaccard(ds, set_col="user_id",
                                     item_col="event_type")
 
+    def event_value_winsorized(sf_dir):
+        """Per-type winsorization: event cents clamped to the exact
+        [p05, p95] discrete quantiles of their event type
+        (ops/relational.grouped_winsorize — quantile-count combiner,
+        ONE key join, stateless clamp; bounds are actual group
+        elements so everything stays int64)."""
+        from aml_entity_resolution_assignment_ray.ops.relational import (
+            grouped_winsorize,
+        )
+
+        _tune_context()
+        ds = _read(sf_dir, "events").select_columns(
+            ["event_id", "event_type", "value"])
+
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "event_id": df["event_id"].astype(np.int64),
+                "event_type": df["event_type"],
+                "cents": _round_half_away(
+                    df["value"].to_numpy(np.float64) * 100)
+                .astype(np.int64),
+            })
+
+        return grouped_winsorize(
+            ds.map_batches(prep, batch_format="pandas"),
+            key="event_type", col="cents", q_lo=0.05, q_hi=0.95)
+
     def user_funnel(sf_dir):
         """Ordered click -> signup -> purchase funnel per user
         (ops/events.funnel_conversion): one user shuffle, a vectorized
@@ -1987,6 +2014,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "cosine": d["cosine"].astype(np.float64)}),
             batch_format="pandas")
 
+    def doc_greedy_cover(sf_dir):
+        """Greedy maximum-coverage selection: the 5 documents that
+        together cover the most distinct word BIGRAMS, picked round by
+        round (ops/sample.greedy_cover_select — anti_join vs the
+        distributed covered set, keyed_sum gains, global_topk(1);
+        driver holds one winner row per round).  The (1-1/e) greedy of
+        coreset-style training-data selection, replayed by a per-round
+        SQL chain."""
+        from aml_entity_resolution_assignment_ray.ops.sample import (
+            greedy_cover_select,
+        )
+        from aml_entity_resolution_assignment_ray.ops.text import _TERM_RE
+
+        _tune_context()
+        docs = _read(sf_dir, "documents", spread=True)
+
+        def tok(df: pd.DataFrame) -> pd.DataFrame:
+            t = df["text"].fillna("").astype(str).str.lower() \
+                .str.findall(_TERM_RE)
+            ids, grams = [], []
+            for i, toks_ in zip(df["doc_id"].to_numpy(np.int64), t):
+                if len(toks_) < 2:
+                    continue
+                a = np.asarray(toks_, dtype=object)
+                bg = np.char.add(np.char.add(a[:-1].astype(str), " "),
+                                 a[1:].astype(str))
+                ids.append(np.full(len(bg), i, dtype=np.int64))
+                grams.append(bg)
+            if not ids:
+                return pd.DataFrame({
+                    "doc_id": df["doc_id"].iloc[:0].astype(np.int64),
+                    "word": pd.Series([], dtype="string")})
+            return pd.DataFrame({
+                "doc_id": np.concatenate(ids),
+                "word": np.concatenate(grams).astype(str)})
+
+        return greedy_cover_select(
+            docs.map_batches(tok, batch_format="pandas"),
+            id_col="doc_id", item_col="word", k=5)
+
     # ---- embeddings: similarity search ----
 
     def ann_top10(sf_dir):
@@ -2918,6 +2985,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_incremental": minhash_dedup_incremental,
         "ngram_jaccard_docs": ngram_jaccard_docs,
         "doc_cosine_pairs": doc_cosine_pairs,
+        "doc_greedy_cover": doc_greedy_cover,
         "ann_top10": ann_top10,
         "ann_ivf_top10": ann_ivf_top10,
         "ann_ivf_appended": ann_ivf_appended,
@@ -2969,6 +3037,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_retention": user_retention,
         "user_value_window_sum": user_value_window_sum,
         "event_type_jaccard": event_type_jaccard,
+        "event_value_winsorized": event_value_winsorized,
         "hourly_top_types": hourly_top_types,
         "event_value_outliers": event_value_outliers,
         "hourly_distinct_users": hourly_distinct_users,
@@ -4139,6 +4208,44 @@ def _kcore_sql(k: int, rounds: int) -> str:
             + f" SELECT node, deg FROM dfin WHERE deg >= {k}")
 
 
+def _greedy_cover_sql(k: int) -> str:
+    """Greedy max-coverage replay, one generated CTE stage per round
+    (gain counts over not-yet-covered words -> deterministic argmax ->
+    covered-set union), mirroring ops/sample.greedy_cover_select."""
+    parts = ["""
+    toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(
+                 lower(coalesce(text, '')), '[a-z0-9]+')) AS w,
+             generate_subscripts(regexp_extract_all(
+                 lower(coalesce(text, '')), '[a-z0-9]+'), 1) AS i
+      FROM documents
+    ),
+    t AS MATERIALIZED (
+      SELECT DISTINCT doc_id, w || ' '
+             || lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS word
+      FROM toks
+      QUALIFY lead(w) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL
+    )"""]
+    sel = []
+    for r in range(1, k + 1):
+        cov = (f"WHERE word NOT IN (SELECT word FROM c{r - 1})"
+               if r > 1 else "")
+        parts.append(f"""
+    g{r} AS (SELECT doc_id, count(*) AS gain FROM t {cov} GROUP BY 1),
+    w{r} AS (SELECT doc_id, gain FROM g{r}
+             ORDER BY gain DESC, doc_id LIMIT 1),
+    c{r} AS MATERIALIZED (
+      {f'SELECT word FROM c{r - 1} UNION ' if r > 1 else ''}
+      SELECT DISTINCT word FROM t JOIN w{r} USING (doc_id)
+    )""")
+        sel.append(
+            f"SELECT CAST({r} AS BIGINT) AS round, doc_id,"
+            f" CAST(gain AS BIGINT) AS gain,"
+            f" (SELECT count(*) FROM c{r}) AS covered_total FROM w{r}")
+    return "WITH " + ",".join(parts) + " " + " UNION ALL ".join(sel)
+
+
 def _pagerank_sql(iterations: int = 3, scale: int = 10 ** 12) -> str:
     """PageRank replay, one generated CTE stage per power-iteration
     round, mirroring ops/graph.pagerank's integer recurrence exactly:
@@ -4417,6 +4524,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup_docs": _minhash_dedup_sql(threshold=0.8),
         "minhash_dedup_incremental": _incremental_minhash_sql(0.8),
         "simhash_dup_pairs_docs": _simhash_pairs_sql(max_hamming=6),
+        "doc_greedy_cover": _greedy_cover_sql(5),
         "doc_cosine_pairs": """
             WITH tok AS (
               SELECT doc_id, unnest(regexp_extract_all(
@@ -4815,6 +4923,22 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                        AS BIGINT) AS cum_users
             FROM c
+        """,
+        "event_value_winsorized": """
+            WITH b AS (
+                SELECT event_type,
+                       quantile_disc(CAST(round(value * 100, 0)
+                                          AS BIGINT), 0.05) AS lo,
+                       quantile_disc(CAST(round(value * 100, 0)
+                                          AS BIGINT), 0.95) AS hi
+                FROM events GROUP BY 1
+            )
+            SELECT e.event_id, e.event_type,
+                   CAST(round(e.value * 100, 0) AS BIGINT) AS cents,
+                   least(greatest(CAST(round(e.value * 100, 0)
+                                       AS BIGINT), b.lo), b.hi)
+                       AS winsorized
+            FROM events e JOIN b USING (event_type)
         """,
         "event_type_jaccard": """
             WITH p AS (

@@ -2763,3 +2763,51 @@ def test_sparse_cosine_pairs(ray_session):
 
     with pytest.raises(ValueError):
         sparse_cosine_pairs(rd.from_pandas(docs), threshold=0.0)
+
+
+def test_greedy_cover_select(ray_session):
+    """Distributed greedy max-coverage == sequential greedy with the
+    same (max gain, min id) tie-break; early-stops when covered."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.sample import (
+        greedy_cover_select,
+    )
+
+    rng = np.random.RandomState(13)
+    rows = []
+    for did in range(20):
+        items = rng.choice(200, size=rng.randint(3, 30), replace=False)
+        rows.extend((did, f"i{x}") for x in items)
+    df = pd.DataFrame(rows, columns=["id", "it"])
+
+    def brute(k):
+        sets = {d: set(g["it"]) for d, g in df.groupby("id")}
+        covered, out = set(), []
+        for r in range(1, k + 1):
+            gains = {d: len(s - covered) for d, s in sets.items()
+                     if len(s - covered) > 0}
+            if not gains:
+                break
+            win = min(gains, key=lambda d: (-gains[d], d))
+            covered |= sets[win]
+            out.append((r, win, gains[win], len(covered)))
+        return out
+
+    got = greedy_cover_select(
+        rd.from_pandas(df).repartition(5), id_col="id", item_col="it",
+        k=6, cfg=CFG).to_pandas()
+    want = brute(6)
+    assert [tuple(r) for r in got.to_numpy()] == want
+
+    # early stop: 2 docs cover everything, k=5 emits 2 rows
+    small = pd.DataFrame({"id": [1, 1, 2, 2, 3],
+                          "it": ["a", "b", "c", "d", "a"]})
+    got2 = greedy_cover_select(rd.from_pandas(small), id_col="id",
+                               item_col="it", k=5, cfg=CFG).to_pandas()
+    assert len(got2) == 2
+    assert got2["covered_total"].iloc[-1] == 4
+
+    with pytest.raises(ValueError):
+        greedy_cover_select(rd.from_pandas(small), id_col="id",
+                            item_col="it", k=0)

@@ -81,6 +81,8 @@ SUBSET = [
     "user_retention",
     "user_value_window_sum",
     "event_type_jaccard",
+    "event_value_winsorized",
+    "doc_greedy_cover",
     "hourly_top_types",
     "event_value_outliers",
     "hourly_distinct_users",

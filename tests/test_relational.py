@@ -1131,3 +1131,40 @@ def test_grouped_frame_sum(ray_session, cfg):
     with pytest.raises(ValueError):
         grouped_frame_sum(rd.from_pandas(df), key="k", order_cols=["t"],
                           val_col="v", preceding=-1, cfg=cfg)
+
+
+@pytest.mark.parametrize("cfg", [SHUFFLE_CFG, GATHER_CFG])
+def test_grouped_winsorize(ray_session, cfg):
+    """Clamp bounds are the exact discrete quantiles; values inside
+    the band pass through untouched; dtype stays int64."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.relational import (
+        grouped_winsorize,
+    )
+
+    rng = np.random.RandomState(53)
+    n = 1000
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b"], n),
+        "v": rng.randint(-1000, 1000, n).astype(np.int64),
+    })
+
+    def disc(g, q):
+        s = np.sort(g)
+        return s[max(int(np.ceil(q * len(s))), 1) - 1]
+
+    got = grouped_winsorize(
+        rd.from_pandas(df).repartition(6), key="k", col="v",
+        q_lo=0.1, q_hi=0.9, cfg=cfg).to_pandas()
+    assert got["winsorized"].dtype == np.int64
+    assert len(got) == n
+    for kval, g in df.groupby("k"):
+        lo, hi = disc(g["v"].to_numpy(), 0.1), disc(g["v"].to_numpy(), 0.9)
+        sub = got[got["k"] == kval]
+        exp = np.clip(sub["v"].to_numpy(), lo, hi)
+        assert (sub["winsorized"].to_numpy() == exp).all()
+
+    with pytest.raises(ValueError):
+        grouped_winsorize(rd.from_pandas(df), key="k", col="v",
+                          q_lo=0.9, q_hi=0.1, cfg=cfg)
