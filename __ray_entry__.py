@@ -2589,6 +2589,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              "norm_last_name", "norm_email", "norm_phone",
                              "norm_nid", "norm_dob"])
 
+    def er_turn_context(sf_dir):
+        """Rolling context-window assembly over the transcript corpus
+        (ops/text.rolling_context): every turn paired with its previous
+        2 same-conversation turns joined by newline — the context ->
+        next-turn training-example constructor, ONE conv shuffle and k
+        grouped shifts, matching the SQL string_agg frame exactly."""
+        from aml_entity_resolution_assignment_ray.ops.text import (
+            rolling_context,
+        )
+
+        _tune_context()
+        n = _corpus_entities(sf_dir)
+        _write_oracle_corpus(n)
+        transcripts, _ = _corpus(n)
+        res = rolling_context(
+            transcripts.select_columns(["conv_id", "turn_idx", "text"]),
+            key="conv_id", order_cols=["turn_idx"], text_col="text",
+            k=2)
+        return res.map_batches(
+            lambda d: pd.DataFrame({
+                "conv_id": d["conv_id"],
+                "turn_idx": d["turn_idx"].astype(np.int64),
+                "context": d["context"]}),
+            batch_format="pandas")
+
     def er_pairs(sf_dir):
         n = _corpus_entities(sf_dir)
         _write_oracle_corpus(n)  # the full-pair DuckDB oracle reads it
@@ -2974,6 +2999,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_profiles": er_profiles,
         "er_pairs": er_pairs,
+        "er_turn_context": er_turn_context,
         "er_pairs_exact_keys": er_pairs_exact_keys,
         "er_classified": er_classified,
         "er_name_cosine": er_name_cosine,
@@ -4644,6 +4670,14 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_id": _lang_id_sql(),
         "er_profiles": _er_profiles_sql(),
         "er_pairs_exact_keys": _er_pairs_exact_sql(),
+        "er_turn_context": f"""
+            SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                   string_agg(text, chr(10))
+                       OVER (PARTITION BY conv_id ORDER BY turn_idx
+                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                       AS context
+            FROM read_parquet('{_oracle_corpus_path(_oracle_n())}')
+        """,
         "er_pairs": _er_pairs_sql(),
         "er_classified": _er_classified_sql(),
         "er_name_cosine": _er_name_cosine_sql(),

@@ -830,3 +830,56 @@ def train_bpe_merges(ds, n_merges: int = 8, col: str = "text",
             .materialize()
     return pd.DataFrame(out, columns=["rank", "a", "b", "pair_count"]) \
         .astype({"rank": "int64", "pair_count": "int64"})
+
+
+def rolling_context(ds, *, key: str, order_cols: list[str],
+                    text_col: str, k: int, sep: str = "\n",
+                    out_col: str = "context", cfg=None):
+    """Training-example construction for transcript corpora: for every
+    row, the concatenation of its previous ``k`` same-``key`` texts
+    plus itself, in ``order_cols`` order, joined by ``sep`` — the
+    rolling context window that turns a turn table into (context ->
+    next-turn) training rows.
+
+    ``order_cols`` must be a total order within each key group.  NULL
+    texts are skipped (SQL string_agg semantics).  ONE hash shuffle on
+    the key, then a per-block sort and k grouped shifts — vectorized
+    string concatenation, no per-row loop; cost is O(rows * k) with k
+    a small constant.  Matches
+    ``string_agg(text, sep) OVER (PARTITION BY key ORDER BY ...
+    ROWS BETWEEN k PRECEDING AND CURRENT ROW)`` exactly."""
+    from ..config import DEFAULT_CONFIG
+    from .relational import _keyed, _meta_rows
+
+    cfg = cfg or DEFAULT_CONFIG
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    cols = list(ds.schema().names)
+
+    def build(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            out = df[cols].copy()
+            out[out_col] = pd.Series([], dtype="string")
+            return out
+        s = df.sort_values([key, *order_cols], kind="stable")
+        out = s[cols].copy()
+        g = s.groupby(key, sort=False)[text_col]
+        ctx = pd.Series(np.full(len(s), "", dtype=object),
+                        index=s.index)
+        started = np.zeros(len(s), dtype=bool)
+        for i in range(k, -1, -1):
+            t = g.shift(i) if i else s[text_col]
+            have = t.notna().to_numpy()
+            tv = t.fillna("").astype(str)
+            ctx = pd.Series(
+                np.where(have & started, ctx + sep + tv,
+                         np.where(have, tv.to_numpy(dtype=object), ctx)),
+                index=s.index)
+            started |= have
+        # rows whose whole frame is NULL agg to SQL NULL
+        out[out_col] = pd.Series(
+            np.where(started, ctx, None), index=s.index)
+        return out
+
+    return _keyed(ds, [key], cfg, _meta_rows(ds)).map_batches(
+        build, batch_format="pandas", batch_size=None)

@@ -2811,3 +2811,34 @@ def test_greedy_cover_select(ray_session):
     with pytest.raises(ValueError):
         greedy_cover_select(rd.from_pandas(small), id_col="id",
                             item_col="it", k=0)
+
+
+def test_rolling_context(ray_session):
+    """k-preceding context assembly == SQL string_agg frame semantics,
+    including NULL-text skipping and all-NULL frames."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.text import (
+        rolling_context,
+    )
+
+    df = pd.DataFrame({
+        "c": ["a", "a", "a", "a", "b", "b"],
+        "i": [1, 2, 3, 4, 1, 2],
+        "x": ["t1", None, "t3", "t4", None, "z2"],
+    })
+    got = rolling_context(
+        rd.from_pandas(df).repartition(3), key="c", order_cols=["i"],
+        text_col="x", k=2, cfg=CFG).to_pandas() \
+        .sort_values(["c", "i"]).reset_index(drop=True)
+    want = ["t1", "t1", "t1\nt3", "t3\nt4", None, "z2"]
+    assert list(got["context"]) == want
+
+    zero = rolling_context(rd.from_pandas(df), key="c",
+                           order_cols=["i"], text_col="x", k=0,
+                           cfg=CFG).to_pandas().sort_values(["c", "i"])
+    assert list(zero["context"]) == ["t1", None, "t3", "t4", None, "z2"]
+
+    with pytest.raises(ValueError):
+        rolling_context(rd.from_pandas(df), key="c", order_cols=["i"],
+                        text_col="x", k=-1)
