@@ -1800,6 +1800,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return res.map_batches(finalize, batch_format="pandas")
 
+    def user_event_transitions(sf_dir):
+        """First-order Markov transition counts over each user's
+        event-type sequence (ops/relational.grouped_lag composed with
+        keyed_sum): how often event type A is followed by B — the
+        behavioral-sequence statistic that feeds session modeling and
+        next-event sampling.  One hash shuffle on user_id for the
+        ordered shift, then a combiner-reduced count per (prev, cur);
+        each user's first event has no predecessor and is excluded,
+        exactly as the SQL LAG window's NULL rows."""
+        from aml_entity_resolution_assignment_ray.ops.relational import (
+            grouped_lag, keyed_sum,
+        )
+
+        _tune_context()
+        cfg = EngineConfig()
+        ev = _read(sf_dir, "events").select_columns(
+            ["event_id", "user_id", "ts", "event_type"])
+        lagged = grouped_lag(ev, key="user_id",
+                             order_cols=["ts", "event_id"],
+                             cols=["event_type"], cfg=cfg)
+
+        def pairs(df: pd.DataFrame) -> pd.DataFrame:
+            d = df[df["prev_event_type"].notna()]
+            return pd.DataFrame({
+                "prev_type": d["prev_event_type"].astype(str),
+                "cur_type": d["event_type"].astype(str),
+                "n": np.ones(len(d), dtype=np.int64)})
+
+        return keyed_sum(lagged.map_batches(pairs, batch_format="pandas"),
+                         ["prev_type", "cur_type"], ["n"], cfg)
+
     def event_type_approx_users(sf_dir):
         """KMV distinct-count sketch: approximate distinct users per
         event type (ops/sketch.kmv_distinct — k smallest distinct
@@ -2771,6 +2802,88 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pandas")
         return k_core(edges, k=10, cfg=cfg)
 
+    def supplier_bfs_hops(sf_dir):
+        """Multi-source BFS hop distance (ops/graph.bfs_hops): every
+        node of the customer-supplier purchase graph within 2 hops of
+        the seed customers (custkey % 17 == 0) — the graph-proximity
+        pruning primitive.  Per round: one hash join of the
+        symmetrized edges against the frontier + one anti_join against
+        the visited set; exact integer hops, replayed by a DuckDB
+        recursive CTE with min(hop) over the bounded walk."""
+        from aml_entity_resolution_assignment_ray.ops.graph import bfs_hops
+
+        _tune_context()
+        cfg = EngineConfig()
+        nparts = cfg.resolve_join_partitions()
+
+        orders = _read(sf_dir, "orders").select_columns(
+            ["o_orderkey", "o_custkey"]).map_batches(
+            lambda d: pd.DataFrame({
+                "orderkey": d["o_orderkey"].astype(np.int64),
+                "custkey": d["o_custkey"].astype(np.int64)}),
+            batch_format="pandas")
+        li = _read(sf_dir, "lineitem").select_columns(
+            ["l_orderkey", "l_suppkey"]).map_batches(
+            lambda d: pd.DataFrame({
+                "orderkey": d["l_orderkey"].astype(np.int64),
+                "suppkey": d["l_suppkey"].astype(np.int64)}),
+            batch_format="pandas")
+        ol = safe_join(li, orders, join_type="inner",
+                       num_partitions=nparts, on=("orderkey",))
+        edges = ol.map_batches(
+            lambda d: pd.DataFrame({
+                "a": "c" + d["custkey"].astype(np.int64).astype(str),
+                "b": "s" + d["suppkey"].astype(np.int64).astype(str)}),
+            batch_format="pandas")
+        seeds = _read(sf_dir, "customer").select_columns(
+            ["c_custkey"]).map_batches(
+            lambda d: pd.DataFrame({
+                "node": "c" + d["c_custkey"][
+                    d["c_custkey"] % 17 == 0].astype(np.int64).astype(str)}),
+            batch_format="pandas")
+        return bfs_hops(edges, seeds, max_hops=2, cfg=cfg)
+
+    def supplier_adamic_adar(sf_dir):
+        """Adamic-Adar link prediction (ops/graph.adamic_adar) over
+        the high-quantity (l_quantity >= 45) customer-supplier
+        purchase graph: for each node pair sharing a neighbor, the sum
+        of floor(1e9 / ln(deg(z))) over common neighbors z as exact
+        int64 — fixed-point so the distributed sum is layout-invariant
+        and the oracle replays the driver-generated per-degree weight
+        table via VALUES (no SQL/numpy libm divergence possible).
+        Centers above deg 64 are dropped on BOTH sides (the documented
+        hot-key cap, same hazard as pair blocking)."""
+        from aml_entity_resolution_assignment_ray.ops.graph import (
+            adamic_adar,
+        )
+
+        _tune_context()
+        cfg = EngineConfig()
+        nparts = cfg.resolve_join_partitions()
+
+        orders = _read(sf_dir, "orders").select_columns(
+            ["o_orderkey", "o_custkey"]).map_batches(
+            lambda d: pd.DataFrame({
+                "orderkey": d["o_orderkey"].astype(np.int64),
+                "custkey": d["o_custkey"].astype(np.int64)}),
+            batch_format="pandas")
+        li = _read(sf_dir, "lineitem").select_columns(
+            ["l_orderkey", "l_suppkey", "l_quantity"]).map_batches(
+            lambda d: pd.DataFrame({
+                "orderkey": d["l_orderkey"][
+                    d["l_quantity"] >= 45].astype(np.int64),
+                "suppkey": d["l_suppkey"][
+                    d["l_quantity"] >= 45].astype(np.int64)}),
+            batch_format="pandas")
+        ol = safe_join(li, orders, join_type="inner",
+                       num_partitions=nparts, on=("orderkey",))
+        edges = ol.map_batches(
+            lambda d: pd.DataFrame({
+                "a": "c" + d["custkey"].astype(np.int64).astype(str),
+                "b": "s" + d["suppkey"].astype(np.int64).astype(str)}),
+            batch_format="pandas")
+        return adamic_adar(edges, max_degree=64, cfg=cfg)
+
     def part_copurchase_triangles(sf_dir):
         """Per-part triangle counts of the co-purchase graph (parts
         appearing in the same order) — ops/graph.triangle_counts: the
@@ -3112,10 +3225,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_quantiles_sketch": event_value_quantiles_sketch,
         "event_value_pct_rank": event_value_pct_rank,
         "event_gaps": event_gaps,
+        "user_event_transitions": user_event_transitions,
         "event_value_ntile": event_value_ntile,
         "gram_overlap_est": gram_overlap_est,
         "event_hour_value_ols": event_hour_value_ols,
         "supplier_pagerank": supplier_pagerank,
+        "supplier_bfs_hops": supplier_bfs_hops,
+        "supplier_adamic_adar": supplier_adamic_adar,
         "cust_supp_kcore": cust_supp_kcore,
         "part_copurchase_triangles": part_copurchase_triangles,
         "image_ahash_dups": image_ahash_dups,
@@ -4270,6 +4386,16 @@ def _greedy_cover_sql(k: int) -> str:
             f" CAST(gain AS BIGINT) AS gain,"
             f" (SELECT count(*) FROM c{r}) AS covered_total FROM w{r}")
     return "WITH " + ",".join(parts) + " " + " UNION ALL ".join(sel)
+
+
+def _aa_weight_values() -> str:
+    """Adamic-Adar per-degree weight VALUES for the oracle — generated
+    from the SAME math.log table ops/graph.adamic_adar uses."""
+    from aml_entity_resolution_assignment_ray.ops.graph import (
+        adamic_adar_weight_values,
+    )
+
+    return adamic_adar_weight_values(scale=10 ** 9, max_degree=64)
 
 
 def _pagerank_sql(iterations: int = 3, scale: int = 10 ** 12) -> str:
@@ -6191,6 +6317,70 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "supplier_pagerank": _pagerank_sql(3),
+        "user_event_transitions": """
+            WITH lagged AS (
+                SELECT event_type AS cur_type,
+                       lag(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_type
+                FROM events
+            )
+            SELECT prev_type, cur_type, count(*) AS n
+            FROM lagged WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, cur_type
+        """,
+        "supplier_bfs_hops": """
+            WITH RECURSIVE raw AS (
+                SELECT 'c' || CAST(o_custkey AS BIGINT) AS a,
+                       's' || CAST(l_suppkey AS BIGINT) AS b
+                FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            ),
+            sym AS (
+                SELECT DISTINCT a AS src, b AS dst FROM raw WHERE a <> b
+                UNION
+                SELECT DISTINCT b AS src, a AS dst FROM raw WHERE a <> b
+            ),
+            seeds AS (
+                SELECT DISTINCT 'c' || CAST(c_custkey AS BIGINT) AS node
+                FROM customer WHERE c_custkey % 17 = 0
+            ),
+            walk(node, hop) AS (
+                SELECT node, 0 FROM seeds
+                UNION
+                SELECT s.dst, w.hop + 1
+                FROM walk w JOIN sym s ON s.src = w.node
+                WHERE w.hop < 2
+            )
+            SELECT node, CAST(min(hop) AS BIGINT) AS hop
+            FROM walk GROUP BY node
+        """,
+        "supplier_adamic_adar": f"""
+            WITH raw AS (
+                SELECT DISTINCT 'c' || CAST(o_custkey AS BIGINT) AS a,
+                       's' || CAST(l_suppkey AS BIGINT) AS b
+                FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+                WHERE l_quantity >= 45
+            ),
+            e AS (SELECT a, b FROM raw WHERE a <> b),
+            sym AS (
+                SELECT a AS src, b AS dst FROM e
+                UNION
+                SELECT b AS src, a AS dst FROM e
+            ),
+            deg AS (SELECT src AS node, count(*) AS deg
+                    FROM sym GROUP BY src),
+            -- the engine's driver-generated fixed-point weight table,
+            -- embedded verbatim: floor(1e9 / math.log(deg))
+            wt(wdeg, w) AS (VALUES {_aa_weight_values()}),
+            pairs AS (
+                SELECT s1.dst AS u, s2.dst AS v, wt.w
+                FROM sym s1
+                JOIN sym s2 ON s1.src = s2.src AND s1.dst < s2.dst
+                JOIN deg d ON d.node = s1.src
+                JOIN wt ON wt.wdeg = d.deg
+            )
+            SELECT u, v, CAST(sum(w) AS BIGINT) AS aa_score
+            FROM pairs GROUP BY u, v
+        """,
         "cust_supp_kcore": _kcore_sql(10, 8),
         # negative mining replay: same Knuth arithmetic over the dense
         # id domain, accidental positives dropped by direct text

@@ -392,3 +392,158 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst",
             .materialize()
 
     return ranks
+
+
+def bfs_hops(edges, seeds, *, a: str = "a", b: str = "b",
+             node_col: str = "node", max_hops: int = 4,
+             cfg: EngineConfig = DEFAULT_CONFIG):
+    """Multi-source BFS hop distance over the undirected graph given
+    by an edge table -> Dataset of (node, hop) for every node within
+    ``max_hops`` of any seed (seeds themselves at hop 0, including
+    seeds absent from the edge table).
+
+    The reachability / neighborhood-expansion primitive of a pipeline
+    that prunes or samples data by graph proximity (e.g. keep every
+    supplier within 2 purchase hops of a flagged entity).  Each round
+    is built from the engine's core moves: one hash-shuffle inner join
+    of the symmetrized edge table against the current frontier (emit
+    neighbors), one distinct fold, one anti_join against the visited
+    set — no driver-side graph state; only the frontier COUNT crosses
+    to the driver per round, and rounds are bounded by ``max_hops``,
+    not the node count.  Hops are exact integers, so the result is
+    layout-invariant and a DuckDB recursive CTE replays it with
+    ``min(hop)`` over the bounded walk.
+    """
+    from ..util import safe_join
+    from .relational import anti_join
+
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    nparts = cfg.resolve_join_partitions()
+
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        x, y = df[a].astype(str), df[b].astype(str)
+        d = pd.DataFrame({
+            "src": pd.concat([x, y], ignore_index=True),
+            "dst": pd.concat([y, x], ignore_index=True)})
+        return d[d["src"] != d["dst"]].drop_duplicates()
+
+    e = _distinct(edges.map_batches(sym, batch_format="pandas"),
+                  ["src", "dst"], cfg).materialize()
+
+    def seed_fold(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "node": df[node_col].astype(str),
+            "hop": np.zeros(len(df), dtype=np.int64)})
+
+    visited = _distinct(
+        seeds.map_batches(seed_fold, batch_format="pandas"),
+        ["node", "hop"], cfg).materialize()
+    frontier = visited
+
+    for h in range(1, max_hops + 1):
+        fr = frontier.map_batches(
+            lambda d: pd.DataFrame({"src": d["node"]}),
+            batch_format="pandas")
+        nbrs = safe_join(e, fr, "inner", nparts, ("src",))
+        nbrs = _distinct(
+            nbrs.map_batches(
+                lambda d: pd.DataFrame({"node": d["dst"]})
+                if len(d) else pd.DataFrame({"node": pd.Series(dtype=object)}),
+                batch_format="pandas"),
+            ["node"], cfg)
+        fresh = anti_join(
+            nbrs,
+            visited.map_batches(lambda d: d[["node"]],
+                                batch_format="pandas"),
+            on=["node"], cfg=cfg).map_batches(
+            lambda d, h=h: d.assign(hop=np.full(len(d), h, np.int64)),
+            batch_format="pandas").materialize()
+        if fresh.count() == 0:
+            break
+        visited = visited.union(fresh).materialize()
+        frontier = fresh
+    return visited
+
+
+def adamic_adar(edges, *, a: str = "a", b: str = "b",
+                scale: int = 10 ** 9, max_degree: int = 256,
+                cfg: EngineConfig = DEFAULT_CONFIG):
+    """Adamic-Adar link-prediction scores [Adamic & Adar 2003] over
+    the undirected graph given by an edge table -> Dataset of
+    (u, v, aa_score): for every non-adjacent-or-adjacent node pair
+    sharing >= 1 common neighbor, ``sum over common neighbors z of
+    floor(scale / ln(deg(z)))`` as an exact int64.
+
+    Why fixed-point: a float AA sum is summation-order-dependent;
+    with per-degree integer weights every partial sum is exact, so
+    the score is layout-invariant and SQL-replayable.  The weight
+    table (one row per degree 2..max_degree) is computed ONCE from
+    ``math.log`` on the driver and embedded in the oracle as VALUES,
+    so no SQL/numpy libm divergence can break the hash.
+
+    Scale shape: wedge emission per center z is O(deg(z)^2) — the
+    same hot-key hazard as pair blocking (stages/pairs.py), handled
+    the same way: centers above ``max_degree`` are dropped (documented
+    cap, mirrored in the oracle's WHERE).  One keyed shuffle
+    co-locates each center's adjacency; emission is a per-center
+    numpy triu; the final keyed_sum folds scores per (u, v).
+    """
+    import math
+
+    from .relational import _keyed, keyed_sum
+
+    if max_degree < 2:
+        raise ValueError(f"max_degree must be >= 2, got {max_degree}")
+    wt = {d: int(math.floor(scale / math.log(d)))
+          for d in range(2, max_degree + 1)}
+
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        x, y = df[a].astype(str), df[b].astype(str)
+        d = pd.DataFrame({
+            "src": pd.concat([x, y], ignore_index=True),
+            "dst": pd.concat([y, x], ignore_index=True)})
+        return d[d["src"] != d["dst"]].drop_duplicates()
+
+    e = _distinct(edges.map_batches(sym, batch_format="pandas"),
+                  ["src", "dst"], cfg).materialize()
+    n_sym = e.count()
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        out_u, out_v, out_w = [], [], []
+        if len(df):
+            s = df.sort_values(["src", "dst"], kind="stable")
+            for _, g in s.groupby("src", sort=False):
+                d = len(g)
+                if d < 2 or d > max_degree:
+                    continue
+                w = wt[d]
+                nb = g["dst"].to_numpy()
+                i, j = np.triu_indices(d, k=1)
+                out_u.append(nb[i])
+                out_v.append(nb[j])
+                out_w.append(np.full(len(i), w, dtype=np.int64))
+        if not out_u:
+            return pd.DataFrame({"u": pd.Series(dtype=object),
+                                 "v": pd.Series(dtype=object),
+                                 "aa_score": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({"u": np.concatenate(out_u),
+                             "v": np.concatenate(out_v),
+                             "aa_score": np.concatenate(out_w)})
+
+    wedges = _keyed(e, ["src"], cfg, n_sym).map_batches(
+        emit, batch_format="pandas", batch_size=None)
+    return keyed_sum(wedges, ["u", "v"], ["aa_score"], cfg)
+
+
+def adamic_adar_weight_values(scale: int = 10 ** 9,
+                              max_degree: int = 256) -> str:
+    """The (deg, weight) VALUES list for ``adamic_adar``'s SQL oracle
+    — generated from the SAME driver-side math.log table the engine
+    uses, so the oracle replays the weights bit-for-bit."""
+    import math
+
+    rows = ", ".join(
+        f"({d}, {int(math.floor(scale / math.log(d)))})"
+        for d in range(2, max_degree + 1))
+    return rows

@@ -313,3 +313,83 @@ def test_k_core_matches_reference_random():
     res2 = k_core(rd.from_pandas(edges).repartition(23), k=4) \
         .to_pandas().set_index("node")["deg"].to_dict()
     assert res2 == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bfs_hops_matches_bruteforce():
+    """Random graph vs a sequential BFS; seeds outside the edge table
+    stay at hop 0; layout invariance across repartitions."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.graph import bfs_hops
+
+    rng = np.random.RandomState(11)
+    e = rng.randint(0, 40, size=(120, 2))
+    edges = pd.DataFrame({"a": [f"n{x}" for x in e[:, 0]],
+                          "b": [f"n{x}" for x in e[:, 1]]})
+    seeds = pd.DataFrame({"node": ["n0", "n7", "zzz_isolated"]})
+
+    adj = {}
+    for u, v in zip(edges["a"], edges["b"]):
+        if u != v:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+    want, frontier = {s: 0 for s in seeds["node"]}, set(seeds["node"])
+    for h in range(1, 4):
+        nxt = {w for u in frontier for w in adj.get(u, ())} - set(want)
+        for w in nxt:
+            want[w] = h
+        frontier = nxt
+
+    for nparts in (3, 17):
+        res = bfs_hops(rd.from_pandas(edges).repartition(nparts),
+                       rd.from_pandas(seeds), max_hops=3) \
+            .to_pandas().set_index("node")["hop"].to_dict()
+        assert res == want
+    # max_hops=0 -> seeds only
+    res0 = bfs_hops(rd.from_pandas(edges), rd.from_pandas(seeds),
+                    max_hops=0).to_pandas()
+    assert set(res0["node"]) == set(seeds["node"])
+    assert (res0["hop"] == 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_adamic_adar_matches_bruteforce():
+    """Random graph vs a sequential AA with the identical integer
+    weight table; high-degree centers dropped by the cap on BOTH
+    sides; layout invariance."""
+    import math
+
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.graph import adamic_adar
+
+    rng = np.random.RandomState(5)
+    e = rng.randint(0, 30, size=(150, 2))
+    edges = pd.DataFrame({"a": [f"n{x}" for x in e[:, 0]],
+                          "b": [f"n{x}" for x in e[:, 1]]})
+    max_degree, scale = 9, 10 ** 9
+
+    adj = {}
+    for u, v in zip(edges["a"], edges["b"]):
+        if u != v:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+    want = {}
+    for z, nb in adj.items():
+        d = len(nb)
+        if d < 2 or d > max_degree:
+            continue
+        w = int(math.floor(scale / math.log(d)))
+        nbs = sorted(nb)
+        for i in range(len(nbs)):
+            for j in range(i + 1, len(nbs)):
+                k = (nbs[i], nbs[j])
+                want[k] = want.get(k, 0) + w
+
+    for nparts in (4, 13):
+        res = adamic_adar(rd.from_pandas(edges).repartition(nparts),
+                          max_degree=max_degree).to_pandas()
+        got = {(u, v): s for u, v, s in
+               zip(res["u"], res["v"], res["aa_score"])}
+        assert got == want
