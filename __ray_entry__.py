@@ -1964,6 +1964,121 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              id_col="event_id", qs=[0.25, 0.5, 0.9, 0.99],
                              m=256)
 
+    def price_quantiles_cont(sf_dir):
+        """Exact INTERPOLATED grouped quantiles (percentile_cont
+        semantics) via the same (key, value)-count combiner as
+        price_quantiles — ops/relational.grouped_quantiles_cont; the
+        float interpolation expression is replayed verbatim by the
+        oracle from row_number()-ranked values, so the hash compares
+        bit-identical doubles."""
+        _tune_context()
+        from aml_entity_resolution_assignment_ray.ops.relational import (
+            grouped_quantiles_cont,
+        )
+
+        li = _read(sf_dir, "lineitem").select_columns(
+            ["l_returnflag", "l_extendedprice"])
+        return grouped_quantiles_cont(li, key="l_returnflag",
+                                      col="l_extendedprice",
+                                      qs=[0.5, 0.9, 0.99])
+
+    def cust_pareto(sf_dir):
+        """Pareto frontier (ops/relational.pareto_front): customers
+        undominated on (acctbal_cents, n_orders) — the multi-objective
+        selection primitive.  Block-local skylines are a lossless
+        combiner (any dominator of a pruned row survives into the
+        fold), so only the expected-O(log^2 n) candidates cross the
+        wire; exact int64 dims make the frontier layout-invariant and
+        the NOT EXISTS oracle hash-exact."""
+        from aml_entity_resolution_assignment_ray.ops.relational import (
+            keyed_sum, pareto_front,
+        )
+        from aml_entity_resolution_assignment_ray.util import (
+            round_half_away, safe_join,
+        )
+
+        _tune_context()
+        cfg = EngineConfig()
+        nparts = cfg.resolve_join_partitions()
+        cust = _read(sf_dir, "customer").select_columns(
+            ["c_custkey", "c_acctbal"]).map_batches(
+            lambda d: pd.DataFrame({
+                "c_custkey": d["c_custkey"].astype(np.int64),
+                "acctbal_cents": round_half_away(
+                    d["c_acctbal"].to_numpy() * 100).astype(np.int64)}),
+            batch_format="pandas")
+        ords = _read(sf_dir, "orders").select_columns(
+            ["o_custkey"]).map_batches(
+            lambda d: pd.DataFrame({
+                "c_custkey": d["o_custkey"].astype(np.int64),
+                "n_orders": np.ones(len(d), dtype=np.int64)}),
+            batch_format="pandas")
+        counts = keyed_sum(ords, ["c_custkey"], ["n_orders"], cfg)
+        j = safe_join(cust, counts, join_type="left_outer",
+                      num_partitions=nparts, on=("c_custkey",))
+        full = j.map_batches(
+            lambda d: pd.DataFrame({
+                "c_custkey": d["c_custkey"].astype(np.int64),
+                "acctbal_cents": d["acctbal_cents"].astype(np.int64),
+                "n_orders": d["n_orders"].fillna(0).astype(np.int64)}),
+            batch_format="pandas")
+        return pareto_front(full, id_cols=["c_custkey"],
+                            dims=["acctbal_cents", "n_orders"], cfg=cfg)
+
+    def hourly_value_ohlc(sf_dir):
+        """Per-(event_type, hour) open/high/low/close of the event
+        value in cents (ops/relational.grouped_ohlc): each block emits
+        at most 4 candidate rows per key (a lossless combiner), open /
+        close tie-broken by the unique (ts, event_id) order so the
+        result is deterministic and the SQL window replay hash-exact."""
+        from aml_entity_resolution_assignment_ray.ops.relational import (
+            grouped_ohlc,
+        )
+        from aml_entity_resolution_assignment_ray.util import (
+            round_half_away,
+        )
+
+        _tune_context()
+        ev = _read(sf_dir, "events").select_columns(
+            ["event_id", "event_type", "ts", "value"]).map_batches(
+            lambda d: pd.DataFrame({
+                "event_type": d["event_type"].astype(str),
+                "hour": d["ts"].dt.floor("h").dt.strftime(
+                    "%Y-%m-%d %H:%M:%S"),
+                "ts": d["ts"],
+                "event_id": d["event_id"].astype(np.int64),
+                "value_cents": round_half_away(
+                    d["value"].to_numpy() * 100).astype(np.int64)}),
+            batch_format="pandas")
+        return grouped_ohlc(ev, keys=["event_type", "hour"],
+                            order_cols=["ts", "event_id"],
+                            val_col="value_cents")
+
+    def event_hour_value_corr(sf_dir):
+        """Per-type Pearson correlation of hour-of-day vs value in
+        cents (ops/profile.grouped_corr): exact integer sufficient
+        statistics folded by ONE combiner-bounded shuffle, float64
+        entering only in the final closed form — the identical
+        expression the oracle evaluates from HUGEINT sums, so the
+        driver hash compares bit-identical doubles."""
+        from aml_entity_resolution_assignment_ray.ops.profile import (
+            grouped_corr,
+        )
+        from aml_entity_resolution_assignment_ray.util import (
+            round_half_away,
+        )
+
+        _tune_context()
+        ev = _read(sf_dir, "events").select_columns(
+            ["event_type", "ts", "value"]).map_batches(
+            lambda d: pd.DataFrame({
+                "event_type": d["event_type"].astype(str),
+                "x": d["ts"].dt.hour.astype(np.int64),
+                "y": round_half_away(
+                    d["value"].to_numpy() * 100).astype(np.int64)}),
+            batch_format="pandas")
+        return grouped_corr(ev, key="event_type", x_col="x", y_col="y")
+
     def events_above_median(sf_dir):
         """Per-group quantile gate: events at or above their OWN
         event_type's exact median value (ops/relational.
@@ -3217,6 +3332,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_ship_window": lineitem_ship_window,
         "cust_top_orders": cust_top_orders,
         "price_quantiles": price_quantiles,
+        "price_quantiles_cont": price_quantiles_cont,
+        "cust_pareto": cust_pareto,
+        "hourly_value_ohlc": hourly_value_ohlc,
+        "event_hour_value_corr": event_hour_value_corr,
         "events_above_median": events_above_median,
         "event_type_approx_users": event_type_approx_users,
         "event_type_hll_users": event_type_hll_users,
@@ -5671,6 +5790,85 @@ def oracle_sql() -> dict[str, str]:
                        AS rank
             FROM orders
             QUALIFY rank <= 3
+        """,
+        "price_quantiles_cont": """
+            -- replay of grouped_quantiles_cont's exact interpolation
+            -- (NOT DuckDB's quantile_cont internals): v[floor(pos)]
+            -- + (v[ceil(pos)] - v[floor(pos)]) * frac at pos = q*(n-1)
+            WITH ranked AS (
+                SELECT l_returnflag AS k, l_extendedprice AS v,
+                       row_number() OVER (PARTITION BY l_returnflag
+                                          ORDER BY l_extendedprice) - 1 AS r,
+                       count(*) OVER (PARTITION BY l_returnflag) AS n
+                FROM lineitem
+            ), qq AS (SELECT unnest([0.5e0, 0.9e0, 0.99e0]) AS q)
+            SELECT k AS l_returnflag, q,
+                   max(CASE WHEN r = CAST(floor(q * (n-1)) AS BIGINT)
+                       THEN CAST(v AS DOUBLE) END)
+                   + (max(CASE WHEN r = CAST(ceil(q * (n-1)) AS BIGINT)
+                          THEN CAST(v AS DOUBLE) END)
+                      - max(CASE WHEN r = CAST(floor(q * (n-1)) AS BIGINT)
+                            THEN CAST(v AS DOUBLE) END))
+                     * (q * (any_value(n)-1) - floor(q * (any_value(n)-1)))
+                     AS value
+            FROM ranked, qq GROUP BY k, q
+        """,
+        "cust_pareto": """
+            WITH t AS (
+                SELECT c.c_custkey,
+                       CAST(round(c.c_acctbal * 100) AS BIGINT)
+                           AS acctbal_cents,
+                       count(o.o_orderkey) AS n_orders
+                FROM customer c
+                LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                GROUP BY 1, 2
+            )
+            SELECT c_custkey, acctbal_cents, n_orders
+            FROM t x
+            WHERE NOT EXISTS (
+                SELECT 1 FROM t y
+                WHERE y.acctbal_cents >= x.acctbal_cents
+                  AND y.n_orders >= x.n_orders
+                  AND (y.acctbal_cents > x.acctbal_cents
+                       OR y.n_orders > x.n_orders))
+        """,
+        "hourly_value_ohlc": """
+            WITH t AS (
+                SELECT event_type,
+                       strftime(date_trunc('hour', ts),
+                                '%Y-%m-%d %H:%M:%S') AS hour,
+                       CAST(round(value * 100) AS BIGINT) AS v,
+                       row_number() OVER (PARTITION BY event_type,
+                           date_trunc('hour', ts)
+                           ORDER BY ts, event_id) AS rn_a,
+                       row_number() OVER (PARTITION BY event_type,
+                           date_trunc('hour', ts)
+                           ORDER BY ts DESC, event_id DESC) AS rn_d
+                FROM events
+            )
+            SELECT event_type, hour,
+                   max(CASE WHEN rn_a = 1 THEN v END) AS open,
+                   max(v) AS high, min(v) AS low,
+                   max(CASE WHEN rn_d = 1 THEN v END) AS close
+            FROM t GROUP BY event_type, hour
+        """,
+        "event_hour_value_corr": """
+            WITH t AS (
+                SELECT event_type,
+                       CAST(hour(ts) AS BIGINT) AS x,
+                       CAST(round(value * 100) AS BIGINT) AS y
+                FROM events
+            ), s AS (
+                SELECT event_type, count(*) AS n,
+                       sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx,
+                       sum(y*y) AS syy, sum(x*y) AS sxy
+                FROM t GROUP BY 1
+            )
+            SELECT event_type,
+                   CAST(n*sxy - sx*sy AS DOUBLE)
+                     / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                            * CAST(n*syy - sy*sy AS DOUBLE)) AS corr
+            FROM s
         """,
         "price_quantiles": """
             SELECT l_returnflag, 0.5 AS q,

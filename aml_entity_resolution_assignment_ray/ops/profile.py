@@ -507,3 +507,60 @@ def cooccurrence_jaccard(ds, *, set_col: str, item_col: str,
             "jaccard": c.astype(np.float64) / (na + nb - c)})
 
     return j.map_batches(finalize, batch_format="pandas")
+
+
+def grouped_corr(ds, *, key: str, x_col: str, y_col: str,
+                 cfg: EngineConfig = DEFAULT_CONFIG,
+                 n_rows: int | None = None):
+    """Per-group Pearson correlation of two int64 columns via EXACT
+    integer sufficient statistics — grouped_ols's sibling (same
+    combiner, same shuffle shape, same bit-reproducibility argument):
+
+        corr = (n*Sxy - Sx*Sy)
+             / sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2))
+
+    with every sum exact (int64 per block, arbitrary-precision at
+    finalize) and float64 entering ONLY at the final cast / multiply /
+    sqrt / divide — the identical expression a DuckDB oracle evaluates
+    from HUGEINT sums, so both sides agree bit-for-bit.  Groups where
+    either variance is zero return NaN (SQL corr returns NULL)."""
+    from .relational import keyed_sum
+
+    stat_cols = ["n", "sx", "sy", "sxx", "syy", "sxy"]
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        x = df[x_col].to_numpy(np.int64)
+        y = df[y_col].to_numpy(np.int64)
+        return pd.DataFrame({
+            key: df[key],
+            "n": np.ones(len(df), dtype=np.int64),
+            "sx": x, "sy": y,
+            "sxx": x * x, "syy": y * y, "sxy": x * y,
+        })
+
+    stats = keyed_sum(ds.map_batches(expand, batch_format="pandas"),
+                      [key], stat_cols, cfg, n_rows)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        if not len(df):
+            return pd.DataFrame({key: df.get(key, pd.Series(dtype=object)),
+                                 "corr": pd.Series(dtype=np.float64)})[
+                [key, "corr"]]
+        corr = np.empty(len(df), dtype=np.float64)
+        cols = [df[c].to_numpy() for c in stat_cols]
+        for i, (n, sx, sy, sxx, syy, sxy) in enumerate(zip(*cols)):
+            n, sx, sy, sxx, syy, sxy = (
+                int(n), int(sx), int(sy), int(sxx), int(syy), int(sxy))
+            num = n * sxy - sx * sy
+            dx = n * sxx - sx * sx
+            dy = n * syy - sy * sy
+            if dx == 0 or dy == 0:
+                corr[i] = np.nan
+                continue
+            corr[i] = float(num) / math.sqrt(float(dx) * float(dy))
+        return pd.DataFrame({key: df[key], "corr": corr})
+
+    return stats.map_batches(finalize, batch_format="pandas",
+                             batch_size=None)

@@ -1222,3 +1222,187 @@ def grouped_winsorize(ds, *, key: str, col: str,
         return out
 
     return j.map_batches(clamp, batch_format="pandas")
+
+
+def grouped_quantiles_cont(ds, *, key: str, col: str, qs: list[float],
+                           cfg: EngineConfig = DEFAULT_CONFIG):
+    """EXACT linearly-interpolated quantiles of ``col`` per ``key``
+    (SQL ``percentile_cont`` semantics): for each q, with the group's
+    n values sorted ascending and pos = q*(n-1),
+
+        value = v[floor(pos)] + (v[ceil(pos)] - v[floor(pos)])
+                              * (pos - floor(pos))
+
+    evaluated in float64 in EXACTLY that expression shape, so a SQL
+    oracle that replays the same formula from row_number()-ranked
+    values agrees bit-for-bit (DuckDB's own quantile_cont internals
+    are NOT relied on).  Output: (key, q, value float64).
+
+    Same scale shape as grouped_quantiles: a per-block
+    (key, value) -> count combiner bounds the shuffle by DISTINCT
+    (key, value) pairs; unbounded continuous domains should quantize
+    upstream or use ops/sketch.kmv_quantiles."""
+    qs = sorted(qs)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby([key, col], sort=False).size()
+                .reset_index(name="cnt"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        m = (df.groupby([key, col], sort=False)["cnt"].sum().reset_index()
+             .sort_values([key, col], kind="stable").reset_index(drop=True))
+        kv = m[key].to_numpy()
+        vals = m[col].to_numpy()
+        cnts = m["cnt"].to_numpy(dtype=np.int64)
+        first = np.ones(len(m), dtype=bool)
+        first[1:] = kv[1:] != kv[:-1]
+        starts = np.where(first)[0]
+        ends = np.append(starts[1:], len(m))
+        csum = np.cumsum(cnts)
+        out_k, out_q, out_v = [], [], []
+        for s, e in zip(starts, ends):       # loop over keys IN BLOCK only
+            base = csum[s - 1] if s else 0
+            seg = csum[s:e] - base
+            n = int(seg[-1])
+            for q in qs:
+                pos = np.float64(q) * np.float64(n - 1)
+                lo = int(np.floor(pos))
+                hi = int(np.ceil(pos))
+                # ranks are 0-based; element r lives at the first seg
+                # index whose cumulative count exceeds r
+                vlo = np.float64(vals[s + int(np.searchsorted(seg, lo + 1))])
+                vhi = np.float64(vals[s + int(np.searchsorted(seg, hi + 1))])
+                frac = pos - np.float64(np.floor(pos))
+                out_k.append(kv[s])
+                out_q.append(q)
+                out_v.append(vlo + (vhi - vlo) * frac)
+        return pd.DataFrame({key: np.asarray(out_k),
+                             "q": np.asarray(out_q, dtype=np.float64),
+                             "value": np.asarray(out_v, dtype=np.float64)})
+
+    counts = ds.select_columns([key, col]).map_batches(
+        partial, batch_format="pandas")
+    return _keyed(counts, [key], cfg, _meta_rows(ds)).map_batches(
+        final, batch_format="pandas", batch_size=None)
+
+
+def pareto_front(ds, *, id_cols: list[str], dims: list[str],
+                 chunk: int = 2048, cfg: EngineConfig = DEFAULT_CONFIG):
+    """The Pareto frontier (skyline, maximizing every ``dims`` column):
+    rows for which NO other row is >= on all dims and > on at least
+    one — the multi-objective data-selection primitive (keep the
+    quality/recency/diversity-undominated examples).  Duplicate dim
+    vectors do not dominate each other, so all co-optimal rows
+    survive, matching the SQL NOT EXISTS oracle exactly.
+
+    Scale shape: dominance is transitive through the skyline (any
+    dominator of x is itself dominated only by skyline members), so a
+    block-local skyline is a lossless combiner — stage 1 prunes each
+    block to its local frontier in parallel, stage 2 folds the
+    surviving candidates (expected O(log^d n) of them, the classic
+    skyline bound) in ONE final block.  Within a block: rows sort
+    lexicographically descending on dims, so every dominator of a row
+    precedes it; candidates are checked chunk-at-a-time against the
+    kept set with one numpy broadcast per chunk, and only the few
+    intra-chunk survivors loop.
+    """
+    if not dims:
+        raise ValueError("dims must be non-empty")
+    cols = [*id_cols, *dims]
+
+    def local_skyline(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df[cols]
+        s = df[cols].sort_values(
+            dims, ascending=False, kind="stable").reset_index(drop=True)
+        m = s[dims].to_numpy()
+        kept_rows: list[np.ndarray] = []
+        kept = np.empty((0, m.shape[1]), dtype=m.dtype)
+        for c0 in range(0, len(m), chunk):
+            blk = m[c0:c0 + chunk]
+            if len(kept):
+                # dominated by an already-kept row?
+                ge = kept[None, :, :] >= blk[:, None, :]
+                gt = kept[None, :, :] > blk[:, None, :]
+                dom = (ge.all(axis=2) & gt.any(axis=2)).any(axis=1)
+            else:
+                dom = np.zeros(len(blk), dtype=bool)
+            idx = np.where(~dom)[0]
+            surv: list[int] = []
+            for i in idx:                     # few intra-chunk survivors
+                x = blk[i]
+                ok = True
+                for j in surv:
+                    y = blk[j]
+                    if (y >= x).all() and (y > x).any():
+                        ok = False
+                        break
+                if ok:
+                    surv.append(int(i))
+            if surv:
+                rows = np.asarray(surv, dtype=np.int64) + c0
+                kept_rows.append(rows)
+                kept = np.concatenate([kept, m[rows]], axis=0)
+        keep_idx = (np.concatenate(kept_rows)
+                    if kept_rows else np.empty(0, dtype=np.int64))
+        return s.iloc[keep_idx]
+
+    local = ds.select_columns(cols).map_batches(
+        local_skyline, batch_format="pandas")
+    # fold all local survivors in ONE block: constant-key repartition
+    folded = local.map_batches(
+        lambda d: d.assign(_pf=np.int64(0)), batch_format="pandas")
+    return _keyed(folded, ["_pf"], cfg, None).map_batches(
+        lambda d: local_skyline(d)[cols],
+        batch_format="pandas", batch_size=None)
+
+
+def grouped_ohlc(ds, *, keys: list[str], order_cols: list[str],
+                 val_col: str,
+                 cfg: EngineConfig = DEFAULT_CONFIG):
+    """Open/high/low/close of ``val_col`` per key group, ordered by
+    ``order_cols`` (which must be a total order within each group —
+    pass a unique tie-breaker): the bucketed time-series summary
+    (first/last/extremes per bucket).  Output: (keys..., open, high,
+    low, close) with exact passthrough dtypes.
+
+    Scale shape: a lossless combiner — each block emits at most FOUR
+    candidate rows per key (argmin/argmax of the order tuple, min/max
+    of the value), so the shuffle is bounded by 4 x #keys x #blocks;
+    the final per-key fold applies the same selection to candidates.
+    First/last are deterministic because the order tuple is unique;
+    min/max are value-only and order-free."""
+    sel = [*keys, *order_cols, val_col]
+
+    def candidates(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df[sel]
+        s = df[sel].sort_values([*keys, *order_cols], kind="stable")
+        g = s.groupby(keys, sort=False, dropna=False)
+        first = g.head(1)
+        last = g.tail(1)
+        vmin = s.loc[g[val_col].idxmin()]
+        vmax = s.loc[g[val_col].idxmax()]
+        return (pd.concat([first, last, vmin, vmax], ignore_index=True)
+                .drop_duplicates())
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        base = candidates(df)
+        if not len(base):
+            out = base[keys].copy()
+            for c in ("open", "high", "low", "close"):
+                out[c] = base[val_col]
+            return out
+        s = base.sort_values([*keys, *order_cols], kind="stable")
+        g = s.groupby(keys, sort=False, dropna=False)
+        first = g.head(1).set_index(keys)[val_col].rename("open")
+        last = g.tail(1).set_index(keys)[val_col].rename("close")
+        agg = g[val_col].agg(["max", "min"]).rename(
+            columns={"max": "high", "min": "low"})
+        out = pd.concat([first, agg, last], axis=1).reset_index()
+        return out[[*keys, "open", "high", "low", "close"]]
+
+    parts = ds.select_columns(sel).map_batches(
+        candidates, batch_format="pandas")
+    return _keyed(parts, keys, cfg, _meta_rows(ds)).map_batches(
+        final, batch_format="pandas", batch_size=None)

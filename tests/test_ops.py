@@ -2842,3 +2842,136 @@ def test_rolling_context(ray_session):
     with pytest.raises(ValueError):
         rolling_context(rd.from_pandas(df), key="c", order_cols=["i"],
                         text_col="x", k=-1)
+
+
+def test_grouped_quantiles_cont(ray_session):
+    """Interpolated quantiles == DuckDB's percentile_cont replay
+    formula, layout-invariant."""
+    import duckdb
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.relational import (
+        grouped_quantiles_cont,
+    )
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame({"k": rng.choice(["a", "b", "c"], 500),
+                       "v": rng.randint(0, 200, 500).astype(np.int64)})
+    got = grouped_quantiles_cont(
+        rd.from_pandas(df).repartition(7), key="k", col="v",
+        qs=[0.25, 0.5, 0.9], cfg=CFG).to_pandas() \
+        .sort_values(["k", "q"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute("""
+        WITH ranked AS (
+            SELECT k, v,
+                   row_number() OVER (PARTITION BY k ORDER BY v) - 1 AS r,
+                   count(*) OVER (PARTITION BY k) AS n
+            FROM t
+        ), qq AS (SELECT unnest([0.25e0, 0.5e0, 0.9e0]) AS q)
+        SELECT k, q,
+               max(CASE WHEN r = CAST(floor(q * (n-1)) AS BIGINT)
+                   THEN CAST(v AS DOUBLE) END)
+               + (max(CASE WHEN r = CAST(ceil(q * (n-1)) AS BIGINT)
+                      THEN CAST(v AS DOUBLE) END)
+                  - max(CASE WHEN r = CAST(floor(q * (n-1)) AS BIGINT)
+                        THEN CAST(v AS DOUBLE) END))
+                 * (q * (any_value(n)-1) - floor(q * (any_value(n)-1)))
+               AS value
+        FROM ranked, qq GROUP BY k, q ORDER BY k, q
+    """).fetchdf()
+    assert list(got["k"]) == list(exp["k"])
+    assert np.array_equal(got["value"].to_numpy(), exp["value"].to_numpy())
+    # sanity vs numpy's linear interpolation
+    for k in ("a", "b", "c"):
+        want = np.percentile(df[df["k"] == k]["v"], 50,
+                             method="linear")
+        g = got[(got["k"] == k) & (got["q"] == 0.5)]["value"].iloc[0]
+        assert abs(g - want) < 1e-9
+
+
+def test_pareto_front(ray_session):
+    """Skyline == brute-force NOT EXISTS dominance; duplicates of a
+    frontier point all survive; layout-invariant."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.relational import (
+        pareto_front,
+    )
+
+    rng = np.random.RandomState(9)
+    df = pd.DataFrame({"id": np.arange(400, dtype=np.int64),
+                       "x": rng.randint(0, 50, 400).astype(np.int64),
+                       "y": rng.randint(0, 50, 400).astype(np.int64)})
+    # plant an exact duplicate of a certainly-undominated corner point
+    df.loc[0, ["x", "y"]] = [60, 60]
+    df.loc[1, ["x", "y"]] = [60, 60]
+    m = df[["x", "y"]].to_numpy()
+    dom = ((m[None, :, :] >= m[:, None, :]).all(2)
+           & (m[None, :, :] > m[:, None, :]).any(2)).any(1)
+    want = set(df["id"][~dom])
+    for nparts in (3, 11):
+        got = pareto_front(rd.from_pandas(df).repartition(nparts),
+                           id_cols=["id"], dims=["x", "y"], chunk=64,
+                           cfg=CFG).to_pandas()
+        assert set(got["id"]) == want
+    assert {0, 1} <= want
+
+
+def test_grouped_ohlc(ray_session):
+    """OHLC == SQL first/last-by-window + min/max, with tie-broken
+    deterministic open/close; layout-invariant."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.relational import (
+        grouped_ohlc,
+    )
+
+    rng = np.random.RandomState(4)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b"], 300),
+        "ts": rng.randint(0, 40, 300).astype(np.int64),  # many order ties
+        "id": np.arange(300, dtype=np.int64),            # unique tiebreak
+        "v": rng.randint(-100, 100, 300).astype(np.int64)})
+    want = {}
+    for k, g in df.groupby("k"):
+        s = g.sort_values(["ts", "id"])
+        want[k] = (s["v"].iloc[0], g["v"].max(), g["v"].min(),
+                   s["v"].iloc[-1])
+    for nparts in (2, 9):
+        got = grouped_ohlc(rd.from_pandas(df).repartition(nparts),
+                           keys=["k"], order_cols=["ts", "id"],
+                           val_col="v", cfg=CFG).to_pandas()
+        res = {r["k"]: (r["open"], r["high"], r["low"], r["close"])
+               for _, r in got.iterrows()}
+        assert res == want
+
+
+def test_grouped_corr(ray_session):
+    """Pearson corr from exact integer sums == the replay formula and
+    numpy's corrcoef to fp tolerance; zero-variance group -> NaN."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.profile import (
+        grouped_corr,
+    )
+
+    rng = np.random.RandomState(6)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b"], 400),
+        "x": rng.randint(0, 100, 400).astype(np.int64),
+    })
+    df["y"] = (df["x"] * 3 + rng.randint(0, 50, 400)).astype(np.int64)
+    flat = pd.DataFrame({"k": ["z"] * 5,
+                         "x": np.int64(7) * np.ones(5, dtype=np.int64),
+                         "y": np.arange(5, dtype=np.int64)})
+    df = pd.concat([df, flat], ignore_index=True)
+    got = grouped_corr(rd.from_pandas(df).repartition(5), key="k",
+                       x_col="x", y_col="y", cfg=CFG).to_pandas() \
+        .set_index("k")["corr"]
+    for k in ("a", "b"):
+        g = df[df["k"] == k]
+        want = np.corrcoef(g["x"], g["y"])[0, 1]
+        assert abs(got[k] - want) < 1e-12
+    assert np.isnan(got["z"])
