@@ -1435,6 +1435,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             n_merges=8)
         return res.rename(columns={"rank": "merge_rank"})
 
+    def bpe_token_histogram(sf_dir):
+        """Subword vocabulary usage histogram after applying the
+        engine's merge table (ops/text.bpe_token_histogram): per-block
+        Counter combiner bounds the shuffle by the DISTINCT subword
+        vocabulary; the oracle replays the identical replace() chain
+        over the identical spaced layout and unnests the split."""
+        _tune_context()
+        return text.bpe_token_histogram(
+            _read(sf_dir, "documents").select_columns(["text"]))
+
     def source_mixture(sf_dir):
         """Data-mixing weight table: per-source token shares and the
         sampling weights that reshape the corpus to a uniform token
@@ -3319,6 +3329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_mixture": source_mixture,
         "doc_chunks": doc_chunks,
         "bpe_learned_merges": bpe_learned_merges,
+        "bpe_token_histogram": bpe_token_histogram,
         "doc_stratified_sample": doc_stratified_sample,
         "doc_pack": doc_pack,
         "doc_pack_texts": doc_pack_texts,
@@ -4375,6 +4386,25 @@ def _bpe_merged_sql_expr(col: str = "text") -> str:
     return f"CAST(length(regexp_extract_all({expr}, '[^ ]+')) AS BIGINT)"
 
 
+def _bpe_histogram_sql() -> str:
+    """Corpus subword histogram oracle: the SAME spaced layout +
+    replace() merge chain as _bpe_merged_sql_expr, then unnest the
+    split and count per subword (ops/text.bpe_token_histogram)."""
+    from aml_entity_resolution_assignment_ray.ops.text import _BPE_MERGES
+
+    expr = _bpe_spaced_sql_expr("text")
+    for a, b in _BPE_MERGES:
+        pat, rep = f" {a} {b} ", f" {a}{b} "
+        expr = f"replace(replace({expr}, '{pat}', '{rep}'), '{pat}', '{rep}')"
+    return f"""
+        WITH tok AS (
+            SELECT unnest(regexp_extract_all({expr}, '[^ ]+')) AS token
+            FROM documents
+        )
+        SELECT token, count(*) AS n FROM tok GROUP BY token
+    """
+
+
 def _projection_sign_values_sql(d: int = 64, k: int = 8,
                                 seed: int = 7) -> str:
     """The random_projection_q8 sign matrix as a SQL VALUES literal —
@@ -5373,6 +5403,7 @@ def oracle_sql() -> dict[str, str]:
         # charset, so C0/Unicode-space inputs count identically in RE2
         # and Python re
         "bpe_learned_merges": _bpe_train_sql(8),
+        "bpe_token_histogram": _bpe_histogram_sql(),
         # token-window chunking: same whitespace tokenize as
         # doc_token_counts; chunk text re-joined with single spaces
         # (list_slice bounds are INCLUSIVE; starts step by the stride)

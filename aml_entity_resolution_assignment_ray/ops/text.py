@@ -883,3 +883,45 @@ def rolling_context(ds, *, key: str, order_cols: list[str],
 
     return _keyed(ds, [key], cfg, _meta_rows(ds)).map_batches(
         build, batch_format="pandas", batch_size=None)
+
+
+def bpe_token_histogram(ds, col: str = "text", merges=None, cfg=None):
+    """Corpus-wide subword vocabulary histogram: apply the BPE merge
+    table in rank order (the bpe_merge_token_count buffer contract —
+    two non-overlapping str.replace passes per merge, see the KNOWN
+    DIVERGENCE note on train_bpe_merges) and count every resulting
+    subword unit -> Dataset of (token, n).  The tokenizer-audit op: a
+    vocabulary's actual usage distribution over the corpus, which
+    drives merge-table pruning and OOV analysis.
+
+    Scale shape: per-block Counter fold is a pure combiner (shuffle
+    volume is the DISTINCT subword vocabulary per block — thousands —
+    never token occurrences), then ONE keyed_sum.  Deterministic and
+    exactly SQL-replayable: the oracle chains the same replace()
+    pairs over the same spaced layout and unnests the split."""
+    from collections import Counter
+
+    from ..config import DEFAULT_CONFIG
+    from .relational import keyed_sum
+
+    cfg = cfg or DEFAULT_CONFIG
+    merges = list(_BPE_MERGES if merges is None else merges)
+    sep = "\x1e"
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        low = df[col].fillna("").astype(str).str.lower()
+        big = sep.join(
+            " " + "  ".join(" ".join(p) for p in _BPE_RE.findall(t)) + " "
+            for t in low)
+        for a, b in merges:
+            pat, rep = f" {a} {b} ", f" {a}{b} "
+            big = big.replace(pat, rep)
+            big = big.replace(pat, rep)
+        c = Counter(big.replace(sep, " ").split())
+        return pd.DataFrame({"token": list(c.keys()),
+                             "n": np.fromiter(c.values(), dtype=np.int64,
+                                              count=len(c))})
+
+    parts = ds.select_columns([col]).map_batches(
+        partial, batch_format="pandas")
+    return keyed_sum(parts, ["token"], ["n"], cfg)

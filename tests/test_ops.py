@@ -2975,3 +2975,35 @@ def test_grouped_corr(ray_session):
         want = np.corrcoef(g["x"], g["y"])[0, 1]
         assert abs(got[k] - want) < 1e-12
     assert np.isnan(got["z"])
+
+
+def test_bpe_token_histogram(ray_session):
+    """Vocabulary histogram == a sequential replay of the same merge
+    chain; counts sum to the corpus merged-token total."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.text import (
+        _BPE_MERGES, bpe_merge_token_count, bpe_token_histogram,
+    )
+
+    docs = pd.DataFrame({"text": [
+        "the theory of the matter", "There, the cat!", "", None,
+        "thesis on theta 123 the-ory",
+    ]})
+    got = bpe_token_histogram(
+        rd.from_pandas(docs).repartition(3), cfg=CFG).to_pandas()
+    assert int(got["n"].sum()) == int(
+        bpe_merge_token_count(docs["text"].fillna("")).sum())
+
+    # independent sequential replay
+    import re
+    want = {}
+    rx = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+")
+    for t in docs["text"].fillna("").str.lower():
+        s = " " + "  ".join(" ".join(p) for p in rx.findall(t)) + " "
+        for a, b in _BPE_MERGES:
+            pat, rep = f" {a} {b} ", f" {a}{b} "
+            s = s.replace(pat, rep).replace(pat, rep)
+        for tok in s.split():
+            want[tok] = want.get(tok, 0) + 1
+    assert dict(zip(got["token"], got["n"])) == want
