@@ -1624,6 +1624,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return sessionize(_read(sf_dir, "events"), gap_s=1800)
 
+    def session_type_lift(sf_dir):
+        """Market-basket association over sessions (ops/events.
+        session_association): sessions as baskets of distinct event
+        types -> per-pair exact support + lift from exact integer
+        counts.  ONE user-keyed shuffle; pair/singleton/total partials
+        fold through a single tagged keyed_sum bounded by the type
+        vocabulary; lift's only float step is the final cast-divide
+        the oracle replays from HUGEINT counts."""
+        from aml_entity_resolution_assignment_ray.ops.events import (
+            session_association,
+        )
+
+        _tune_context()
+        return session_association(_read(sf_dir, "events"), gap_s=1800)
+
     def sliding_event_counts(sf_dir):
         """Sliding-window aggregate (1h window, 15min slide): replicate
         each event to its nrep windows with an in-batch combiner, one
@@ -3338,6 +3353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_prep": corpus_prep_q,
         "doc_dup_grams": doc_dup_grams,
         "event_sessions": event_sessions,
+        "session_type_lift": session_type_lift,
         "sliding_event_counts": sliding_event_counts,
         "orders_asof": orders_asof,
         "lineitem_ship_window": lineitem_ship_window,
@@ -5767,6 +5783,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(start_off // 2048 AS BIGINT) AS seq_id,
                    CAST(start_off % 2048 AS BIGINT) AS seq_offset
             FROM c
+        """,
+        "session_type_lift": """
+            WITH o AS (
+              SELECT event_id, user_id, ts, event_type,
+                     CASE WHEN ts - lag(ts) OVER (
+                              PARTITION BY user_id ORDER BY ts, event_id)
+                              > INTERVAL 1800 SECOND
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+            ), s AS (
+              SELECT event_type,
+                     CAST(user_id AS VARCHAR) || ':' ||
+                     CAST(SUM(brk) OVER (
+                          PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS VARCHAR)
+                         AS session_id
+              FROM o
+            ), d AS (SELECT DISTINCT session_id, event_type FROM s),
+            tot AS (SELECT count(DISTINCT session_id) AS ns FROM d),
+            sup1 AS (SELECT event_type, count(*) AS sup
+                     FROM d GROUP BY 1),
+            pairs AS (
+              SELECT d1.event_type AS type_a, d2.event_type AS type_b,
+                     count(*) AS support
+              FROM d d1 JOIN d d2 ON d1.session_id = d2.session_id
+                                 AND d1.event_type < d2.event_type
+              GROUP BY 1, 2
+            )
+            SELECT p.type_a, p.type_b, p.support,
+                   CAST(p.support * tot.ns AS DOUBLE)
+                     / CAST(a.sup * b.sup AS DOUBLE) AS lift
+            FROM pairs p
+            CROSS JOIN tot
+            JOIN sup1 a ON a.event_type = p.type_a
+            JOIN sup1 b ON b.event_type = p.type_b
         """,
         "event_sessions": """
             WITH o AS (

@@ -320,3 +320,97 @@ def _proxy_count(ds) -> int | None:
         return ds._meta_count()
     except Exception:
         return None
+
+
+def session_association(events, gap_s: float = 1800.0,
+                        cfg: EngineConfig = DEFAULT_CONFIG):
+    """Market-basket association over sessions: sessionize each user's
+    event stream (gap > ``gap_s`` breaks), treat each session as a
+    basket of DISTINCT event types, and return every co-occurring type
+    pair with its exact support and lift
+
+        lift = (support * n_sessions) / (support_a * support_b)
+
+    — the behavioral co-occurrence / recommendation primitive.
+    Supports are exact int64; lift's ONLY float step is the final
+    cast-and-divide of exact integer products, the same expression the
+    SQL oracle evaluates from HUGEINT counts, so both sides agree
+    bit-for-bit.
+
+    Scale shape: ONE user-keyed shuffle (sessions are complete within
+    a user's block); per block, baskets fold to distinct types and
+    emit C(t, 2) pair rows per session (t is the small per-session
+    distinct-type count) plus singleton and session-count partials
+    into a single tagged keyed_sum — combiner-bounded by the type
+    vocabulary, never by events.  The aggregated table is
+    #types^2-sized, so the final lift join is one tiny block."""
+    from .relational import _keyed, keyed_sum
+
+    nparts = cfg.resolve_join_partitions()
+    cols = events.select_columns(["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def baskets(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"ta": pd.Series(dtype=object),
+                              "tb": pd.Series(dtype=object),
+                              "n": pd.Series(dtype=np.int64)})
+        if not len(df):
+            return empty
+        sess = _sessionize_block(df[["event_id", "ts", "user_id"]],
+                                 gap_s)
+        d = df.merge(sess, on=["event_id", "user_id"], how="inner")
+        d = d[["session_id", "event_type"]].drop_duplicates()
+        out_a, out_b = [], []
+        for _, g in d.groupby("session_id", sort=False):
+            t = np.sort(g["event_type"].to_numpy())
+            if len(t) >= 2:
+                i, j = np.triu_indices(len(t), k=1)
+                out_a.append(t[i])
+                out_b.append(t[j])
+        parts = [empty]
+        if out_a:
+            a = np.concatenate(out_a)
+            b = np.concatenate(out_b)
+            parts.append(pd.DataFrame(
+                {"ta": a, "tb": b, "n": np.ones(len(a), np.int64)}))
+        sing = d.groupby("event_type", sort=False).size()
+        parts.append(pd.DataFrame({
+            "ta": sing.index.to_numpy(dtype=object),
+            "tb": "", "n": sing.to_numpy(np.int64)}))
+        n_sessions = d["session_id"].nunique()
+        parts.append(pd.DataFrame({"ta": [""], "tb": [""],
+                                   "n": np.int64(n_sessions)}))
+        return pd.concat(parts, ignore_index=True)
+
+    keyed = cols.repartition(nparts, keys=["user_id"]).map_batches(
+        baskets, batch_format="pandas", batch_size=None)
+    agg = keyed_sum(keyed, ["ta", "tb"], ["n"], cfg)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "type_a": pd.Series(dtype=object),
+            "type_b": pd.Series(dtype=object),
+            "support": pd.Series(dtype=np.int64),
+            "lift": pd.Series(dtype=np.float64)})
+        if not len(df):
+            return empty
+        ns = int(df[(df["ta"] == "") & (df["tb"] == "")]["n"].iloc[0])
+        sing = df[(df["ta"] != "") & (df["tb"] == "")] \
+            .set_index("ta")["n"].to_dict()
+        pairs = df[(df["ta"] != "") & (df["tb"] != "")]
+        if not len(pairs):
+            return empty
+        sup = pairs["n"].to_numpy(np.int64)
+        lift = np.empty(len(pairs), dtype=np.float64)
+        for i, (a, b, s) in enumerate(zip(pairs["ta"], pairs["tb"], sup)):
+            lift[i] = (float(int(s) * ns)
+                       / float(int(sing[a]) * int(sing[b])))
+        return pd.DataFrame({"type_a": pairs["ta"].to_numpy(),
+                             "type_b": pairs["tb"].to_numpy(),
+                             "support": sup, "lift": lift})
+
+    # the aggregate is #types^2-sized: fold it in ONE block
+    one = agg.map_batches(
+        lambda d: d.assign(_g=np.int64(0)), batch_format="pandas")
+    return _keyed(one, ["_g"], cfg, None).map_batches(
+        finalize, batch_format="pandas", batch_size=None)

@@ -3007,3 +3007,53 @@ def test_bpe_token_histogram(ray_session):
         for tok in s.split():
             want[tok] = want.get(tok, 0) + 1
     assert dict(zip(got["token"], got["n"])) == want
+
+
+def test_session_association(ray_session):
+    """Pair supports and lift == a sequential basket replay with the
+    identical session definition; layout-invariant."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.events import (
+        session_association,
+    )
+
+    rng = np.random.RandomState(2)
+    n = 400
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.randint(0, 12, n).astype(np.int64),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.randint(0, 4 * 86400, n), unit="s"),
+        "event_type": rng.choice(["a", "b", "c", "d"], n),
+    })
+    # sequential replay
+    baskets = {}
+    for uid, g in df.groupby("user_id"):
+        s = g.sort_values(["ts", "event_id"])
+        sess, prev = 0, None
+        for _, r in s.iterrows():
+            if prev is not None and (r["ts"] - prev).total_seconds() > 1800:
+                sess += 1
+            prev = r["ts"]
+            baskets.setdefault((uid, sess), set()).add(r["event_type"])
+    ns = len(baskets)
+    sup1, want = {}, {}
+    for types in baskets.values():
+        for t in types:
+            sup1[t] = sup1.get(t, 0) + 1
+        ts = sorted(types)
+        for i in range(len(ts)):
+            for j in range(i + 1, len(ts)):
+                want[(ts[i], ts[j])] = want.get((ts[i], ts[j]), 0) + 1
+    for nparts in (3, 9):
+        got = session_association(
+            rd.from_pandas(df).repartition(nparts), gap_s=1800,
+            cfg=CFG).to_pandas()
+        sup = {(a, b): s for a, b, s in
+               zip(got["type_a"], got["type_b"], got["support"])}
+        assert sup == want
+        for _, r in got.iterrows():
+            exp = float(want[(r["type_a"], r["type_b"])] * ns) / float(
+                sup1[r["type_a"]] * sup1[r["type_b"]])
+            assert r["lift"] == exp
