@@ -326,6 +326,85 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .rename_columns({"o_custkey": "c_custkey"})
         return anti_join(cust, ok, on=["c_custkey"], cfg=cfg)
 
+    def fk_orphans(sf_dir):
+        """Referential-integrity audit across the warehouse: for each
+        declared FK edge, the exact count of orphan rows (child keys
+        with no parent) — the data-quality gate a 100-TB ingest runs
+        before joining.  Four ops/relational.anti_joins, each a
+        broadcast-or-shuffle exists-filter over ONLY the key columns
+        (payloads never move), folded to one tiny relation/count
+        table.  events.user_id -> customer is the deliberately-broken
+        edge in the synthetic data, so the audit returns real
+        nonzero counts, not a vacuous all-zeros row."""
+        from aml_entity_resolution_assignment_ray.ops.relational import (
+            anti_join,
+        )
+
+        _tune_context()
+        cfg = EngineConfig()
+
+        def orphan_count(child, parent, col):
+            return anti_join(child, parent, on=[col], cfg=cfg).count()
+
+        li = _read(sf_dir, "lineitem").select_columns(["l_orderkey"]) \
+            .rename_columns({"l_orderkey": "k"})
+        ok = _read(sf_dir, "orders").select_columns(["o_orderkey"]) \
+            .rename_columns({"o_orderkey": "k"})
+        oc = _read(sf_dir, "orders").select_columns(["o_custkey"]) \
+            .rename_columns({"o_custkey": "k"})
+        ck = _read(sf_dir, "customer").select_columns(["c_custkey"]) \
+            .rename_columns({"c_custkey": "k"})
+        cn = _read(sf_dir, "customer").select_columns(["c_nationkey"]) \
+            .rename_columns({"c_nationkey": "k"})
+        nk = _read(sf_dir, "nation").select_columns(["n_nationkey"]) \
+            .rename_columns({"n_nationkey": "k"})
+        eu = _read(sf_dir, "events").select_columns(["user_id"]) \
+            .rename_columns({"user_id": "k"})
+        rows = [
+            ("lineitem.l_orderkey->orders", orphan_count(li, ok, "k")),
+            ("orders.o_custkey->customer", orphan_count(oc, ck, "k")),
+            ("customer.c_nationkey->nation", orphan_count(cn, nk, "k")),
+            ("events.user_id->customer", orphan_count(eu, ck, "k")),
+        ]
+        return pd.DataFrame({
+            "fk_edge": [r[0] for r in rows],
+            "n_orphans": np.asarray([r[1] for r in rows],
+                                    dtype=np.int64)})
+
+    def user_value_intervals(sf_dir):
+        """SCD2-style validity intervals: each event's value becomes a
+        row valid from its own ts until the user's NEXT event (NULL
+        end on the last) — the slowly-changing-dimension build.
+        ops/relational.grouped_lag with a negative offset (LEAD); one
+        user-keyed shuffle, vectorized grouped shift, timestamps
+        rendered to strings so the NULL-end contract is explicit."""
+        from aml_entity_resolution_assignment_ray.ops.relational import (
+            grouped_lag,
+        )
+        from aml_entity_resolution_assignment_ray.util import (
+            round_half_away,
+        )
+
+        _tune_context()
+        ev = _read(sf_dir, "events").select_columns(
+            ["event_id", "user_id", "ts", "value"])
+        led = grouped_lag(ev, key="user_id", order_cols=["ts", "event_id"],
+                          cols=["ts"], offset=-1, prefix="next_")
+
+        def finalize(d: pd.DataFrame) -> pd.DataFrame:
+            nxt = d["next_ts"]
+            return pd.DataFrame({
+                "event_id": d["event_id"].astype(np.int64),
+                "user_id": d["user_id"].astype(np.int64),
+                "value_cents": round_half_away(
+                    d["value"].to_numpy() * 100).astype(np.int64),
+                "ts_start": d["ts"].dt.strftime("%Y-%m-%d %H:%M:%S.%f"),
+                "ts_end": nxt.dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+                    .where(nxt.notna(), None),
+            })
+
+        return led.map_batches(finalize, batch_format="pandas")
+
     def cust_with_orders(sf_dir):
         """SEMI join (EXISTS): customers with at least one order above
         $400k, emitted once each no matter how many such orders exist
@@ -2785,6 +2864,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "context": d["context"]}),
             batch_format="pandas")
 
+    def er_turn_collapse(sf_dir):
+        """Transcript stutter removal: drop every turn whose text
+        exactly repeats the previous turn of the SAME conversation
+        (consecutive-duplicate collapse — the transcript-cleaning pass
+        that precedes context assembly).  ops/relational.grouped_lag
+        on (conv_id, turn_idx), then a vectorized prev != cur filter;
+        each conversation's first turn always survives, matching the
+        SQL LAG window's NULL rows."""
+        from aml_entity_resolution_assignment_ray.ops.relational import (
+            grouped_lag,
+        )
+
+        _tune_context()
+        n = _corpus_entities(sf_dir)
+        _write_oracle_corpus(n)
+        transcripts, _ = _corpus(n)
+        lagged = grouped_lag(
+            transcripts.select_columns(["conv_id", "turn_idx", "text"]),
+            key="conv_id", order_cols=["turn_idx"], cols=["text"])
+
+        def keep(d: pd.DataFrame) -> pd.DataFrame:
+            prev = d["prev_text"]
+            m = prev.isna() | (d["text"] != prev)
+            k = d[m]
+            return pd.DataFrame({
+                "conv_id": k["conv_id"],
+                "turn_idx": k["turn_idx"].astype(np.int64),
+                "text": k["text"]})
+
+        return lagged.map_batches(keep, batch_format="pandas")
+
     def er_pairs(sf_dir):
         n = _corpus_entities(sf_dir)
         _write_oracle_corpus(n)  # the full-pair DuckDB oracle reads it
@@ -3252,6 +3362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_profiles": er_profiles,
         "er_pairs": er_pairs,
+        "er_turn_collapse": er_turn_collapse,
         "er_turn_context": er_turn_context,
         "er_pairs_exact_keys": er_pairs_exact_keys,
         "er_classified": er_classified,
@@ -3295,6 +3406,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cust_order_totals": cust_order_totals,
         "cust_no_orders": cust_no_orders,
         "cust_with_orders": cust_with_orders,
+        "fk_orphans": fk_orphans,
+        "user_value_intervals": user_value_intervals,
         "cust_running_revenue": cust_running_revenue,
         "nation_revenue_q5": nation_revenue_q5,
         "high_value_click_events": high_value_click_events,
@@ -4961,6 +5074,17 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_id": _lang_id_sql(),
         "er_profiles": _er_profiles_sql(),
         "er_pairs_exact_keys": _er_pairs_exact_sql(),
+        "er_turn_collapse": f"""
+            WITH t AS (
+                SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                       text,
+                       lag(text) OVER (PARTITION BY conv_id
+                                       ORDER BY turn_idx) AS prev
+                FROM read_parquet('{_oracle_corpus_path(_oracle_n())}')
+            )
+            SELECT conv_id, turn_idx, text
+            FROM t WHERE prev IS NULL OR text <> prev
+        """,
         "er_turn_context": f"""
             SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
                    string_agg(text, chr(10))
@@ -5783,6 +5907,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(start_off // 2048 AS BIGINT) AS seq_id,
                    CAST(start_off % 2048 AS BIGINT) AS seq_offset
             FROM c
+        """,
+        "fk_orphans": """
+            SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+                   count(*) AS n_orphans
+            FROM lineitem WHERE NOT EXISTS (
+                SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+            UNION ALL
+            SELECT 'orders.o_custkey->customer', count(*)
+            FROM orders WHERE NOT EXISTS (
+                SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+            UNION ALL
+            SELECT 'customer.c_nationkey->nation', count(*)
+            FROM customer WHERE NOT EXISTS (
+                SELECT 1 FROM nation WHERE n_nationkey = c_nationkey)
+            UNION ALL
+            SELECT 'events.user_id->customer', count(*)
+            FROM events WHERE NOT EXISTS (
+                SELECT 1 FROM customer WHERE c_custkey = user_id)
+        """,
+        "user_value_intervals": """
+            SELECT event_id, user_id,
+                   CAST(round(value * 100) AS BIGINT) AS value_cents,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_start,
+                   strftime(lead(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id),
+                            '%Y-%m-%d %H:%M:%S.%f') AS ts_end
+            FROM events
         """,
         "session_type_lift": """
             WITH o AS (

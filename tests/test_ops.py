@@ -3057,3 +3057,32 @@ def test_session_association(ray_session):
             exp = float(want[(r["type_a"], r["type_b"])] * ns) / float(
                 sup1[r["type_a"]] * sup1[r["type_b"]])
             assert r["lift"] == exp
+
+
+def test_consecutive_duplicate_collapse(ray_session):
+    """The er_turn_collapse shape: grouped_lag + prev!=cur filter
+    drops planted stutters, keeps first turns and non-consecutive
+    repeats."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.relational import (
+        grouped_lag,
+    )
+
+    df = pd.DataFrame({
+        "conv_id": ["c1"] * 5 + ["c2"] * 3,
+        "turn_idx": [0, 1, 2, 3, 4, 0, 1, 2],
+        "text": ["hi", "hi", "yes", "hi", "hi", "a", "b", "b"],
+    })
+    lagged = grouped_lag(rd.from_pandas(df).repartition(3),
+                         key="conv_id", order_cols=["turn_idx"],
+                         cols=["text"], cfg=CFG)
+    got = lagged.map_batches(
+        lambda d: d[d["prev_text"].isna() | (d["text"] != d["prev_text"])]
+        [["conv_id", "turn_idx", "text"]],
+        batch_format="pandas").to_pandas() \
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    # c1: keeps 0 (hi), 2 (yes), 3 (hi, non-consecutive repeat ok);
+    # drops 1 and 4; c2: keeps 0, 1, drops 2
+    assert list(zip(got["conv_id"], got["turn_idx"])) == [
+        ("c1", 0), ("c1", 2), ("c1", 3), ("c2", 0), ("c2", 1)]
