@@ -326,6 +326,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .rename_columns({"o_custkey": "c_custkey"})
         return anti_join(cust, ok, on=["c_custkey"], cfg=cfg)
 
+    def incremental_event_counts(sf_dir):
+        """Persisted streaming aggregate (ops/relational.
+        incremental_keyed_sum): the events table ingested as three
+        deterministic batches (event_id % 3) into an on-disk keyed-sum
+        state — batch 0 deliberately REPLAYED (idempotent no-op) and
+        the state COMPACTED mid-stream (manifest-excluded shards, fold
+        value invariant) — then read back as per-type counts/totals.
+        Each ingest persists only combiner partials (#keys rows); the
+        oracle is the one-shot GROUP BY over the same events."""
+        import shutil
+
+        from aml_entity_resolution_assignment_ray.ops.relational import (
+            compact_keyed_sum_state, incremental_keyed_sum,
+            read_keyed_sum_state,
+        )
+        from aml_entity_resolution_assignment_ray.util import (
+            round_half_away,
+        )
+
+        _tune_context()
+        cfg = EngineConfig()
+        sp = os.path.join("/tmp/graft_state",
+                          f"inc_counts_{abs(hash(sf_dir)) % 10 ** 8}")
+        shutil.rmtree(sp, ignore_errors=True)
+        ev = _read(sf_dir, "events").select_columns(
+            ["event_id", "event_type", "value"]).map_batches(
+            lambda d: pd.DataFrame({
+                "mod3": (d["event_id"].astype(np.int64) % 3),
+                "event_type": d["event_type"].astype(str),
+                "n_events": np.ones(len(d), dtype=np.int64),
+                "total_cents": round_half_away(
+                    d["value"].to_numpy() * 100).astype(np.int64)}),
+            batch_format="pandas").materialize()
+        for i in range(3):
+            batch = ev.filter(expr=f"mod3 == {i}")
+            incremental_keyed_sum(batch, sp, keys=["event_type"],
+                                  val_cols=["n_events", "total_cents"],
+                                  batch_id=f"b{i}", cfg=cfg)
+            if i == 1:
+                # replay (idempotent no-op) + compact mid-stream
+                incremental_keyed_sum(
+                    batch, sp, keys=["event_type"],
+                    val_cols=["n_events", "total_cents"],
+                    batch_id="b0", cfg=cfg)
+                compact_keyed_sum_state(
+                    sp, keys=["event_type"],
+                    val_cols=["n_events", "total_cents"], cfg=cfg)
+        return read_keyed_sum_state(sp, keys=["event_type"],
+                                    val_cols=["n_events", "total_cents"],
+                                    cfg=cfg)
+
     def fk_orphans(sf_dir):
         """Referential-integrity audit across the warehouse: for each
         declared FK edge, the exact count of orphan rows (child keys
@@ -3407,6 +3458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cust_no_orders": cust_no_orders,
         "cust_with_orders": cust_with_orders,
         "fk_orphans": fk_orphans,
+        "incremental_event_counts": incremental_event_counts,
         "user_value_intervals": user_value_intervals,
         "cust_running_revenue": cust_running_revenue,
         "nation_revenue_q5": nation_revenue_q5,
@@ -5907,6 +5959,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(start_off // 2048 AS BIGINT) AS seq_id,
                    CAST(start_off % 2048 AS BIGINT) AS seq_offset
             FROM c
+        """,
+        "incremental_event_counts": """
+            SELECT event_type, count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS total_cents
+            FROM events GROUP BY event_type
         """,
         "fk_orphans": """
             SELECT 'lineitem.l_orderkey->orders' AS fk_edge,

@@ -1406,3 +1406,133 @@ def grouped_ohlc(ds, *, keys: list[str], order_cols: list[str],
         candidates, batch_format="pandas")
     return _keyed(parts, keys, cfg, _meta_rows(ds)).map_batches(
         final, batch_format="pandas", batch_size=None)
+
+
+# --------------------------------------------------------------------------
+# incremental aggregate maintenance (persisted keyed-sum state)
+# --------------------------------------------------------------------------
+
+
+def incremental_keyed_sum(new_ds, state_path: str, *, keys: list[str],
+                          val_cols: list[str], batch_id: str,
+                          cfg: EngineConfig = DEFAULT_CONFIG,
+                          n_rows: int | None = None) -> bool:
+    """Fold one ingest batch into a PERSISTED keyed-sum state — the
+    continuously-maintained aggregate of a streaming pipeline (running
+    per-key counts/totals over an unbounded event feed), the aggregate
+    sibling of ops/dedup.incremental_exact_dedup.
+
+    State layout: ``state_path/inc_<batch_id>/`` — one parquet
+    directory per ingest holding that batch's per-key PARTIAL sums
+    (combiner output: #keys rows, never events).  Append-only and
+    IDEMPOTENT per ``batch_id``: the partial is written to a temp dir
+    and renamed into place (atomic on one filesystem), so a crashed
+    ingest leaves no visible shard and is simply rerun, and a
+    re-applied batch_id is a no-op (returns False).  Reading the
+    state folds all shards with one tiny keyed_sum; ingests for
+    DIFFERENT batch_ids may run concurrently (no shard ever depends
+    on another — partials commute).
+
+    Compaction (``compact_keyed_sum_state``) bounds the shard count
+    without changing the fold's value."""
+    import os
+    import uuid
+
+    final = os.path.join(state_path, f"inc_{batch_id}")
+    if os.path.exists(final):
+        return False
+    partial = keyed_sum(new_ds.select_columns([*keys, *val_cols]),
+                        keys, val_cols, cfg, n_rows).materialize()
+    os.makedirs(state_path, exist_ok=True)
+    tmp = os.path.join(state_path, f"_tmp_{batch_id}_{uuid.uuid4().hex}")
+    partial.write_parquet(tmp)
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        # lost the race to a concurrent identical batch — drop ours
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        return False
+    return True
+
+
+def _live_state_shards(state_path: str) -> list[str]:
+    """Shard dirs that count toward the fold: all ``inc_*`` dirs minus
+    the union of every present compact shard's exclusion manifest.
+    Manifests carry the TRANSITIVE exclusion set, so the fold stays
+    correct even if an earlier compact shard (and its manifest) was
+    already deleted while some of its excluded shards linger."""
+    import glob as _glob
+    import json
+    import os
+
+    shards = sorted(_glob.glob(os.path.join(state_path, "inc_*")))
+    excluded: set[str] = set()
+    for s in shards:
+        man = os.path.join(s, "_folded.json")
+        if os.path.exists(man):
+            with open(man) as f:
+                excluded.update(json.load(f)["folded"])
+    return [s for s in shards if os.path.basename(s) not in excluded]
+
+
+def read_keyed_sum_state(state_path: str, *, keys: list[str],
+                         val_cols: list[str],
+                         cfg: EngineConfig = DEFAULT_CONFIG):
+    """The maintained aggregate: ONE keyed_sum over every live shard's
+    partial rows (shuffle bounded by #keys x #shards)."""
+    import glob as _glob
+    import os
+
+    import ray.data as rd
+
+    files = sorted(
+        f for s in _live_state_shards(state_path)
+        for f in _glob.glob(os.path.join(s, "*.parquet")))
+    if not files:
+        raise FileNotFoundError(
+            f"no aggregate state shards under {state_path!r} — run "
+            "incremental_keyed_sum first")
+    return keyed_sum(rd.read_parquet(files), keys, val_cols, cfg)
+
+
+def compact_keyed_sum_state(state_path: str, *, keys: list[str],
+                            val_cols: list[str],
+                            cfg: EngineConfig = DEFAULT_CONFIG) -> int:
+    """Fold every live shard into one consolidated shard, bounding the
+    shard count without changing the fold's value.  Crash-safe at
+    every step: the consolidated shard is written to a temp dir WITH
+    a ``_folded.json`` manifest naming the transitive exclusion set
+    (the shards it replaces plus everything those shards had already
+    excluded), then renamed into place atomically — so a reader at
+    any instant sees either the old shards, or the compact shard
+    whose manifest hides them; never both, never neither.  Excluded
+    shards are physically deleted only after the rename; a crash
+    mid-delete just leaves lingering dirs every future fold ignores.
+    Returns the number of shards folded (0 = nothing to do)."""
+    import glob as _glob
+    import json
+    import os
+    import shutil
+    import uuid
+
+    live = _live_state_shards(state_path)
+    if len(live) <= 1:
+        return 0
+    all_shards = sorted(_glob.glob(os.path.join(state_path, "inc_*")))
+    prior_excluded = {os.path.basename(s) for s in all_shards} \
+        - {os.path.basename(s) for s in live}
+    folded = read_keyed_sum_state(state_path, keys=keys,
+                                  val_cols=val_cols, cfg=cfg).materialize()
+    gen = uuid.uuid4().hex[:8]
+    tmp = os.path.join(state_path, f"_tmp_compact_{gen}")
+    folded.write_parquet(tmp)
+    manifest = sorted({os.path.basename(s) for s in live}
+                      | prior_excluded)
+    with open(os.path.join(tmp, "_folded.json"), "w") as f:
+        json.dump({"folded": manifest}, f)
+    os.rename(tmp, os.path.join(state_path, f"inc_zcompact_{gen}"))
+    for s in all_shards:  # live + lingering: all now covered
+        shutil.rmtree(s, ignore_errors=True)
+    return len(live)

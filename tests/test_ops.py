@@ -3086,3 +3086,60 @@ def test_consecutive_duplicate_collapse(ray_session):
     # drops 1 and 4; c2: keeps 0, 1, drops 2
     assert list(zip(got["conv_id"], got["turn_idx"])) == [
         ("c1", 0), ("c1", 2), ("c1", 3), ("c2", 0), ("c2", 1)]
+
+
+def test_incremental_keyed_sum_state(ray_session, tmp_path):
+    """Persisted aggregate maintenance: 3 ingests == one-shot
+    keyed_sum; batch_id replay is a no-op BEFORE AND AFTER compaction
+    (the manifest keeps deleted batch ids excluded); compaction
+    folds shards without changing the value."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.relational import (
+        compact_keyed_sum_state, incremental_keyed_sum,
+        read_keyed_sum_state,
+    )
+
+    rng = np.random.RandomState(8)
+    df = pd.DataFrame({"k": rng.choice(["a", "b", "c"], 600),
+                       "v": rng.randint(0, 100, 600).astype(np.int64)})
+    want = df.groupby("k")["v"].sum().to_dict()
+    sp = str(tmp_path / "agg_state")
+
+    def state():
+        return read_keyed_sum_state(sp, keys=["k"], val_cols=["v"],
+                                    cfg=CFG).to_pandas() \
+            .set_index("k")["v"].to_dict()
+
+    parts = [df.iloc[i::3] for i in range(3)]
+    for i, p in enumerate(parts):
+        assert incremental_keyed_sum(
+            rd.from_pandas(p).repartition(2), sp, keys=["k"],
+            val_cols=["v"], batch_id=f"b{i}", cfg=CFG) is True
+    assert state() == want
+    # replay -> no-op
+    assert incremental_keyed_sum(
+        rd.from_pandas(parts[0]), sp, keys=["k"], val_cols=["v"],
+        batch_id="b0", cfg=CFG) is False
+    assert state() == want
+    # compact, value unchanged, then replay of a compacted-away batch
+    # id is STILL excluded by the manifest
+    assert compact_keyed_sum_state(sp, keys=["k"], val_cols=["v"],
+                                   cfg=CFG) == 3
+    assert state() == want
+    incremental_keyed_sum(rd.from_pandas(parts[1]), sp, keys=["k"],
+                          val_cols=["v"], batch_id="b1", cfg=CFG)
+    assert state() == want
+    # a genuinely new batch still lands after compaction
+    extra = pd.DataFrame({"k": ["a", "z"], "v": np.int64([5, 7])})
+    assert incremental_keyed_sum(
+        rd.from_pandas(extra), sp, keys=["k"], val_cols=["v"],
+        batch_id="b3", cfg=CFG) is True
+    want2 = dict(want)
+    want2["a"] += 5
+    want2["z"] = 7
+    assert state() == want2
+    # second compaction folds compact shard + b1-replay + b3
+    assert compact_keyed_sum_state(sp, keys=["k"], val_cols=["v"],
+                                   cfg=CFG) >= 2
+    assert state() == want2
