@@ -1754,6 +1754,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return sessionize(_read(sf_dir, "events"), gap_s=1800)
 
+    def user_busy_intervals(sf_dir):
+        """Gaps-and-islands interval coalescing (ops/events.
+        merge_intervals): each event opens a 10-minute activity
+        window [ts, ts+600s]; overlapping-or-abutting windows per user
+        merge into busy periods.  ONE user-keyed shuffle + per-block
+        grouped running-max island detection; exact int64 epoch-us
+        bounds make the islands layout-invariant and the SQL window
+        replay hash-exact."""
+        from aml_entity_resolution_assignment_ray.ops.events import (
+            merge_intervals,
+        )
+
+        _tune_context()
+        ev = _read(sf_dir, "events").select_columns(
+            ["user_id", "ts"]).map_batches(
+            lambda d: pd.DataFrame({
+                "user_id": d["user_id"].astype(np.int64),
+                "st": d["ts"].to_numpy(dtype="datetime64[us]")
+                    .astype(np.int64),
+                "en": d["ts"].to_numpy(dtype="datetime64[us]")
+                    .astype(np.int64) + 600_000_000}),
+            batch_format="pandas")
+        return merge_intervals(ev, key="user_id", start_col="st",
+                               end_col="en")
+
     def session_type_lift(sf_dir):
         """Market-basket association over sessions (ops/events.
         session_association): sessions as baskets of distinct event
@@ -3519,6 +3544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_grams": doc_dup_grams,
         "event_sessions": event_sessions,
         "session_type_lift": session_type_lift,
+        "user_busy_intervals": user_busy_intervals,
         "sliding_event_counts": sliding_event_counts,
         "orders_asof": orders_asof,
         "lineitem_ship_window": lineitem_ship_window,
@@ -5992,6 +6018,31 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY ts, event_id),
                             '%Y-%m-%d %H:%M:%S.%f') AS ts_end
             FROM events
+        """,
+        "user_busy_intervals": """
+            WITH iv AS (
+                SELECT user_id, epoch_us(ts) AS st,
+                       epoch_us(ts) + 600000000 AS en
+                FROM events
+            ), o AS (
+                SELECT user_id, st, en,
+                       CASE WHEN st <= max(en) OVER (
+                                PARTITION BY user_id ORDER BY st, en
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING)
+                            THEN 0 ELSE 1 END AS brk
+                FROM iv
+            ), isl AS (
+                SELECT user_id, st, en,
+                       SUM(brk) OVER (PARTITION BY user_id
+                                      ORDER BY st, en
+                                      ROWS UNBOUNDED PRECEDING)
+                           AS island
+                FROM o
+            )
+            SELECT user_id, min(st) AS island_start,
+                   max(en) AS island_end, count(*) AS n_merged
+            FROM isl GROUP BY user_id, island
         """,
         "session_type_lift": """
             WITH o AS (

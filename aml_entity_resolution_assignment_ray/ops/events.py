@@ -414,3 +414,55 @@ def session_association(events, gap_s: float = 1800.0,
         lambda d: d.assign(_g=np.int64(0)), batch_format="pandas")
     return _keyed(one, ["_g"], cfg, None).map_batches(
         finalize, batch_format="pandas", batch_size=None)
+
+
+def merge_intervals(ds, *, key: str, start_col: str, end_col: str,
+                    cfg: EngineConfig = DEFAULT_CONFIG):
+    """Coalesce overlapping-or-touching intervals per key (the SQL
+    gaps-and-islands pattern): rows whose [start, end] ranges overlap
+    or abut (next.start <= running max end) merge into one island ->
+    Dataset of (key, island_start, island_end, n_merged).  The
+    busy-period / duplicated-span / downtime-window primitive.
+
+    Both columns must share one orderable integer-like dtype (int64,
+    epoch-us timestamps).  ONE hash shuffle on the key co-locates each
+    key's intervals, then a per-block sort + vectorized running-max
+    island detection — no per-row loop, cost O(rows log rows) in the
+    block sort."""
+    from .relational import _keyed, _meta_rows
+
+    def islands(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            key: pd.Series(dtype=df[key].dtype if len(df.columns) else object),
+            "island_start": pd.Series(dtype=np.int64),
+            "island_end": pd.Series(dtype=np.int64),
+            "n_merged": pd.Series(dtype=np.int64)})
+        if not len(df):
+            return empty
+        s = df.sort_values([key, start_col, end_col],
+                           kind="stable").reset_index(drop=True)
+        k = s[key].to_numpy()
+        st = s[start_col].to_numpy(dtype=np.int64)
+        en = s[end_col].to_numpy(dtype=np.int64)
+        if (en < st).any():
+            raise ValueError(f"{end_col} < {start_col} on some rows")
+        new_key = np.ones(len(s), dtype=bool)
+        new_key[1:] = k[1:] != k[:-1]
+        # running max end within key (cython grouped cummax — no
+        # arithmetic lifting, so wide timestamp domains can't overflow)
+        run = s.groupby(key, sort=False)[end_col].cummax() \
+            .to_numpy(dtype=np.int64)
+        brk = np.ones(len(s), dtype=bool)
+        brk[1:] = new_key[1:] | (st[1:] > run[:-1])
+        isl = np.cumsum(brk) - 1
+        out = pd.DataFrame({key: k, "_isl": isl, "_st": st, "_en": en})
+        g = out.groupby("_isl", sort=False)
+        return pd.DataFrame({
+            key: g[key].first().to_numpy(),
+            "island_start": g["_st"].min().to_numpy(np.int64),
+            "island_end": g["_en"].max().to_numpy(np.int64),
+            "n_merged": g.size().to_numpy(np.int64)})
+
+    sel = ds.select_columns([key, start_col, end_col])
+    return _keyed(sel, [key], cfg, _meta_rows(ds)).map_batches(
+        islands, batch_format="pandas", batch_size=None)

@@ -3143,3 +3143,54 @@ def test_incremental_keyed_sum_state(ray_session, tmp_path):
     assert compact_keyed_sum_state(sp, keys=["k"], val_cols=["v"],
                                    cfg=CFG) >= 2
     assert state() == want2
+
+
+def test_merge_intervals(ray_session):
+    """Gaps-and-islands == a sequential sweep; abutting intervals
+    merge, gaps split; layout-invariant."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.events import (
+        merge_intervals,
+    )
+
+    rng = np.random.RandomState(12)
+    n = 300
+    st = rng.randint(0, 1000, n).astype(np.int64)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], n),
+        "st": st,
+        "en": st + rng.randint(0, 40, n).astype(np.int64)})
+    want = {}
+    for k, g in df.groupby("k"):
+        s = g.sort_values(["st", "en"])
+        islands = []
+        for _, r in s.iterrows():
+            if islands and r["st"] <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], r["en"])
+                islands[-1][2] += 1
+            else:
+                islands.append([r["st"], r["en"], 1])
+            islands[-1][1] = islands[-1][1]
+        want[k] = [tuple(i) for i in islands]
+    for nparts in (2, 8):
+        got = merge_intervals(rd.from_pandas(df).repartition(nparts),
+                              key="k", start_col="st", end_col="en",
+                              cfg=CFG).to_pandas() \
+            .sort_values(["k", "island_start"])
+        res = {k: [tuple(r) for r in g[
+            ["island_start", "island_end", "n_merged"]].to_numpy()]
+            for k, g in got.groupby("k")}
+        assert res == want
+    # exact abutment merges (start == running end)
+    ab = pd.DataFrame({"k": ["x", "x"], "st": np.int64([0, 10]),
+                       "en": np.int64([10, 20])})
+    g1 = merge_intervals(rd.from_pandas(ab), key="k", start_col="st",
+                         end_col="en", cfg=CFG).to_pandas()
+    assert len(g1) == 1 and g1["n_merged"].iloc[0] == 2
+    # invalid interval raises
+    bad = pd.DataFrame({"k": ["x"], "st": np.int64([5]),
+                        "en": np.int64([1])})
+    with pytest.raises(Exception):
+        merge_intervals(rd.from_pandas(bad), key="k", start_col="st",
+                        end_col="en", cfg=CFG).materialize()
