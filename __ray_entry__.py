@@ -1754,6 +1754,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return sessionize(_read(sf_dir, "events"), gap_s=1800)
 
+    def event_type_drift(sf_dir):
+        """Population Stability Index terms between two event
+        snapshots (even vs odd event_id — the deterministic stand-in
+        for yesterday-vs-today): ops/profile.population_stability.
+        Exact counts via one keyed_sum per side; the ln-based term is
+        rounded to 6 on both engine and oracle (the grouped_entropy
+        contract)."""
+        from aml_entity_resolution_assignment_ray.ops.profile import (
+            population_stability,
+        )
+
+        _tune_context()
+        ev = _read(sf_dir, "events").select_columns(
+            ["event_id", "event_type"]).materialize()
+        a = ev.map_batches(lambda d: d[d["event_id"] % 2 == 0],
+                           batch_format="pandas")
+        b = ev.map_batches(lambda d: d[d["event_id"] % 2 == 1],
+                           batch_format="pandas")
+        return population_stability(a, b, col="event_type")
+
     def user_busy_intervals(sf_dir):
         """Gaps-and-islands interval coalescing (ops/events.
         merge_intervals): each event opens a 10-minute activity
@@ -3545,6 +3565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_sessions": event_sessions,
         "session_type_lift": session_type_lift,
         "user_busy_intervals": user_busy_intervals,
+        "event_type_drift": event_type_drift,
         "sliding_event_counts": sliding_event_counts,
         "orders_asof": orders_asof,
         "lineitem_ship_window": lineitem_ship_window,
@@ -6018,6 +6039,22 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY ts, event_id),
                             '%Y-%m-%d %H:%M:%S.%f') AS ts_end
             FROM events
+        """,
+        "event_type_drift": """
+            WITH a AS (SELECT event_type, count(*) AS n_a
+                       FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+                 b AS (SELECT event_type, count(*) AS n_b
+                       FROM events WHERE event_id % 2 = 1 GROUP BY 1),
+                 t AS (SELECT a.event_type, n_a, n_b
+                       FROM a JOIN b USING (event_type)),
+                 tot AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM t)
+            SELECT event_type, n_a, n_b,
+                   round((n_a / CAST(ta AS DOUBLE)
+                          - n_b / CAST(tb AS DOUBLE))
+                         * ln((n_a / CAST(ta AS DOUBLE))
+                              / (n_b / CAST(tb AS DOUBLE))), 6)
+                       AS psi_term
+            FROM t, tot
         """,
         "user_busy_intervals": """
             WITH iv AS (

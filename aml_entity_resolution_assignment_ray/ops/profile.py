@@ -564,3 +564,65 @@ def grouped_corr(ds, *, key: str, x_col: str, y_col: str,
 
     return stats.map_batches(finalize, batch_format="pandas",
                              batch_size=None)
+
+
+def population_stability(ds_a, ds_b, *, col: str, round_to: int = 6,
+                         cfg: EngineConfig = DEFAULT_CONFIG):
+    """Population Stability Index terms between two snapshots of a
+    categorical column — the distribution-drift gate a production
+    pipeline runs before trusting new data:
+
+        psi_term(c) = (p_a(c) - p_b(c)) * ln(p_a(c) / p_b(c))
+
+    (sum the terms for the headline PSI; > 0.2 conventionally means
+    population shift).  Counts are exact integers via one keyed_sum
+    per side; the category table is vocabulary-sized, so the p/ln
+    finalize runs in ONE block; terms are rounded to ``round_to`` on
+    both engine and oracle (the grouped_entropy contract for ln-based
+    scores).  Categories present in only ONE snapshot raise — PSI is
+    undefined there (infinite term); callers smooth or filter first.
+    """
+    from ..util import round_half_away
+    from .relational import _keyed, keyed_sum
+
+    def count_side(ds, name):
+        parts = ds.select_columns([col]).map_batches(
+            lambda d: pd.DataFrame({col: d[col].astype(str),
+                                    name: np.ones(len(d), np.int64)}),
+            batch_format="pandas")
+        return keyed_sum(parts, [col], [name], cfg)
+
+    a = count_side(ds_a, "n_a")
+    b = count_side(ds_b, "n_b")
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({col: pd.Series(dtype=object),
+                              "n_a": pd.Series(dtype=np.int64),
+                              "n_b": pd.Series(dtype=np.int64),
+                              "psi_term": pd.Series(dtype=np.float64)})
+        if not len(df):
+            return empty
+        g = df.groupby(col, sort=False)[["n_a", "n_b"]].sum().reset_index()
+        na = g["n_a"].to_numpy(np.int64)
+        nb = g["n_b"].to_numpy(np.int64)
+        if (na == 0).any() or (nb == 0).any():
+            missing = g[col][(na == 0) | (nb == 0)].tolist()
+            raise ValueError(
+                f"PSI undefined: categories {missing[:5]} present in "
+                "only one snapshot — smooth or filter first")
+        ta, tb = int(na.sum()), int(nb.sum())
+        pa = na / np.float64(ta)
+        pb = nb / np.float64(tb)
+        term = round_half_away((pa - pb) * np.log(pa / pb), round_to)
+        return pd.DataFrame({col: g[col], "n_a": na, "n_b": nb,
+                             "psi_term": term})
+
+    # vocabulary-sized: union both sides' counts and fold in one block
+    u = a.map_batches(lambda d: d.assign(n_b=np.int64(0)),
+                      batch_format="pandas").union(
+        b.map_batches(lambda d: d.assign(n_a=np.int64(0))
+                      [[col, "n_a", "n_b"]], batch_format="pandas"))
+    one = u.map_batches(lambda d: d.assign(_g=np.int64(0)),
+                        batch_format="pandas")
+    return _keyed(one, ["_g"], cfg, None).map_batches(
+        lambda d: finalize(d), batch_format="pandas", batch_size=None)

@@ -3194,3 +3194,36 @@ def test_merge_intervals(ray_session):
     with pytest.raises(Exception):
         merge_intervals(rd.from_pandas(bad), key="k", start_col="st",
                         end_col="en", cfg=CFG).materialize()
+
+
+def test_population_stability(ray_session):
+    """PSI terms == a sequential replay; one-sided category raises."""
+    import math
+
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.profile import (
+        population_stability,
+    )
+    from aml_entity_resolution_assignment_ray.util import round_half_away
+
+    rng = np.random.RandomState(15)
+    a = pd.DataFrame({"c": rng.choice(["x", "y", "z"], 500,
+                                      p=[0.5, 0.3, 0.2])})
+    b = pd.DataFrame({"c": rng.choice(["x", "y", "z"], 400,
+                                      p=[0.2, 0.5, 0.3])})
+    got = population_stability(
+        rd.from_pandas(a).repartition(3), rd.from_pandas(b).repartition(2),
+        col="c", cfg=CFG).to_pandas().set_index("c")
+    na = a["c"].value_counts()
+    nb = b["c"].value_counts()
+    for c in ("x", "y", "z"):
+        pa, pb = na[c] / len(a), nb[c] / len(b)
+        want = float(round_half_away((pa - pb) * math.log(pa / pb), 6))
+        assert got.loc[c, "psi_term"] == want
+        assert got.loc[c, "n_a"] == na[c] and got.loc[c, "n_b"] == nb[c]
+    # one-sided category -> ValueError
+    b2 = pd.DataFrame({"c": ["x", "y", "w"]})
+    with pytest.raises(Exception):
+        population_stability(rd.from_pandas(a), rd.from_pandas(b2),
+                             col="c", cfg=CFG).materialize()
