@@ -3016,6 +3016,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _flagship(n)["classified"] \
             .select_columns(["id_a", "id_b", "match_type", "is_match"])
 
+    def er_score_calibration(sf_dir):
+        """Model-score calibration table over the flagship scorer:
+        candidate pairs bucketed by floor(ml_prob * 10) (clamped to
+        bucket 9), each bucket's pair count, true-match count (truth
+        join via stages/evaluate.label_pairs' broadcast-or-join gate)
+        and empirical match rate — the reliability-diagram input that
+        tells an ER operator whether 0.8 means 80%.  Counts are exact;
+        match_rate's only float step is the final cast-divide; bucket
+        edges are deterministic because the oracle's compiled-GBDT ml
+        replays the engine's ml_prob bit-for-bit."""
+        from aml_entity_resolution_assignment_ray.ops.relational import (
+            keyed_sum,
+        )
+        from aml_entity_resolution_assignment_ray.stages.evaluate import (
+            label_pairs,
+        )
+
+        _tune_context()
+        n = _corpus_entities(sf_dir)
+        _write_oracle_corpus(n)
+        _, truth = _corpus(n)
+        cls = _flagship(n)["classified"] \
+            .select_columns(["id_a", "id_b", "ml_prob"])
+        cfg = EngineConfig()
+        labeled = label_pairs(cls, truth, cfg)
+
+        def bucketize(d: pd.DataFrame) -> pd.DataFrame:
+            ml = d["ml_prob"].to_numpy(np.float64)
+            return pd.DataFrame({
+                "bucket": np.minimum(np.floor(ml * 10.0), 9.0)
+                    .astype(np.int64),
+                "n_pairs": np.ones(len(d), dtype=np.int64),
+                "n_true": d["label"].to_numpy(np.int64)})
+
+        agg = keyed_sum(labeled.map_batches(bucketize,
+                                            batch_format="pandas"),
+                        ["bucket"], ["n_pairs", "n_true"], cfg)
+        return agg.map_batches(
+            lambda d: d.assign(match_rate=np.array(
+                [float(int(t)) / float(int(p)) for t, p in
+                 zip(d["n_true"], d["n_pairs"])], dtype=np.float64)),
+            batch_format="pandas")
+
     def er_name_cosine(sf_dir):
         """Embedding-cosine similarity per candidate pair (the scorer's
         name_cosine feature — feature-hashed shingle embeddings)."""
@@ -3462,6 +3505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_turn_context": er_turn_context,
         "er_pairs_exact_keys": er_pairs_exact_keys,
         "er_classified": er_classified,
+        "er_score_calibration": er_score_calibration,
         "er_name_cosine": er_name_cosine,
         "er_clusters": er_clusters,
         "er_eval_metrics": er_eval_metrics,
@@ -4178,6 +4222,31 @@ def _er_name_cosine_sql(dim: int = 64) -> str:
         LEFT JOIN dots d ON d.id_a = c.id_a AND d.id_b = c.id_b
         LEFT JOIN vq qa ON qa.id = c.id_a
         LEFT JOIN vq qb ON qb.id = c.id_b
+    """
+
+
+def _er_calibration_sql() -> str:
+    """er_score_calibration: compiled-GBDT ml replayed bit-for-bit,
+    bucketed by floor(ml*10) (clamped to 9), truth-labeled, counted."""
+    return f"""
+        WITH {_er_profiles_cte()},
+        {_er_pairs_chain_cte()},
+        {_er_scored_chain_cte()},
+        truth AS (SELECT conv_id, entity_id
+                  FROM read_parquet('{_oracle_truth_path(_oracle_n())}')),
+        lab AS (
+          SELECT least(CAST(floor(c.ml * 10) AS BIGINT), 9) AS bucket,
+                 CASE WHEN ta.entity_id = tb.entity_id
+                      THEN 1 ELSE 0 END AS l
+          FROM ruled c
+          JOIN truth ta ON ta.conv_id = c.id_a
+          JOIN truth tb ON tb.conv_id = c.id_b
+        )
+        SELECT bucket, count(*) AS n_pairs,
+               CAST(sum(l) AS BIGINT) AS n_true,
+               CAST(sum(l) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                   AS match_rate
+        FROM lab GROUP BY bucket
     """
 
 
@@ -5194,6 +5263,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "er_pairs": _er_pairs_sql(),
         "er_classified": _er_classified_sql(),
+        "er_score_calibration": _er_calibration_sql(),
         "er_name_cosine": _er_name_cosine_sql(),
         "er_clusters": _er_clusters_sql(),
         "er_eval_metrics": _er_eval_sql(),
