@@ -1718,6 +1718,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(finalize, batch_format="pandas")
 
+    def doc_substring_dedup(sf_dir):
+        """ExactSubstr span REMOVAL (ops/dedup.py::substring_dedup,
+        Lee et al. 2022): token 8-grams occurring >= 2 times
+        corpus-wide mark their positions; covered tokens drop and each
+        doc is reassembled from the survivors."""
+        _tune_context()
+        from aml_entity_resolution_assignment_ray.ops.dedup import substring_dedup
+
+        out = substring_dedup(
+            _read(sf_dir, "documents").select_columns(["doc_id", "text"]),
+            n=8)
+
+        def finalize(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_tokens": df["n_tokens"].astype("int64"),
+                "n_removed": df["n_removed"].astype("int64"),
+                "cleaned_text": df["cleaned_text"].astype(str),
+            })
+
+        return out.map_batches(finalize, batch_format="pandas")
+
     def corpus_prep_q(sf_dir):
         """The composite LLM training-data prep pipeline
         (pipelines/corpus_prep.py): exact dedup -> quality + language
@@ -3606,6 +3628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_contamination_bloom": doc_contamination_bloom,
         "corpus_prep": corpus_prep_q,
         "doc_dup_grams": doc_dup_grams,
+        "doc_substring_dedup": doc_substring_dedup,
         "event_sessions": event_sessions,
         "session_type_lift": session_type_lift,
         "user_busy_intervals": user_busy_intervals,
@@ -5014,6 +5037,57 @@ def oracle_sql() -> dict[str, str]:
             FROM reach GROUP BY node
         """,
         "corpus_prep": _corpus_prep_sql(),
+        # ExactSubstr span removal: every token 8-gram OCCURRENCE (not
+        # the per-doc distinct set) with count >= 2 covers its 8
+        # positions; docs reassemble from the surviving tokens in the
+        # normalized (lower + ws-collapsed) token space
+        "doc_substring_dedup": f"""
+            WITH norm AS (
+              SELECT doc_id,
+                     lower(trim(regexp_replace({ws_normalize_sql("text")},
+                                               '\\s+', ' ', 'g'))) AS t
+              FROM documents
+            ),
+            toks AS (SELECT doc_id, string_split(t, ' ') AS toks
+                     FROM norm WHERE t <> ''),
+            occ AS (
+              SELECT doc_id, i,
+                     array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+              FROM (SELECT doc_id, toks,
+                           unnest(generate_series(1, len(toks) - 7)) AS i
+                    FROM toks WHERE len(toks) >= 8)
+            ),
+            dup AS (SELECT gram FROM occ GROUP BY gram HAVING count(*) >= 2),
+            cover AS (
+              SELECT DISTINCT o.doc_id, o.i + r.range AS p
+              FROM occ o JOIN dup USING (gram) CROSS JOIN range(8) r
+            ),
+            tk AS (
+              SELECT doc_id, unnest(toks) AS tok,
+                     unnest(generate_series(1, len(toks))) AS p
+              FROM toks
+            ),
+            kept AS (
+              SELECT tk.doc_id, tk.p, tk.tok
+              FROM tk LEFT JOIN cover c
+                ON c.doc_id = tk.doc_id AND c.p = tk.p
+              WHERE c.p IS NULL
+            ),
+            agg AS (
+              SELECT doc_id, count(*) AS n_kept,
+                     string_agg(tok, ' ' ORDER BY p) AS cleaned
+              FROM kept GROUP BY doc_id
+            ),
+            tot AS (SELECT doc_id, len(toks) AS n_tokens FROM toks)
+            SELECT d.doc_id,
+                   CAST(coalesce(t.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(t.n_tokens, 0) - coalesce(a.n_kept, 0)
+                        AS BIGINT) AS n_removed,
+                   coalesce(a.cleaned, '') AS cleaned_text
+            FROM (SELECT doc_id FROM documents) d
+            LEFT JOIN tot t USING (doc_id)
+            LEFT JOIN agg a USING (doc_id)
+        """,
         # duplicate-span signal: distinct token 8-grams (same tokenize
         # contract as doc_contamination), gram doc-frequency >= 2
         "doc_dup_grams": f"""

@@ -1176,6 +1176,130 @@ def dup_gram_stats(ds, n: int = 8, col: str = "text", id_col: str = "doc_id",
     return out.map_batches(finalize, batch_format="pandas")
 
 
+def _gram_occurrence_batch(df: pd.DataFrame, col: str, id_col: str,
+                           n: int) -> pd.DataFrame:
+    """(id, pos, gram_h) for EVERY token n-gram position — the
+    non-distinct sibling of contamination's ``_corpus_grams_batch``
+    (span removal needs each occurrence, not the per-doc gram set).
+    Gram generation is per-row (ragged token lists); hashing is one
+    vectorized ``pd.util.hash_array`` over the exploded gram column."""
+    from .contamination import _norm_tokens
+
+    ids, counts, grams = [], [], []
+    for doc, toks in zip(df[id_col], _norm_tokens(df[col])):
+        m = len(toks) - n + 1
+        if m > 0:
+            ids.append(doc)
+            counts.append(m)
+            grams.extend(" ".join(toks[i:i + n]) for i in range(m))
+    if not grams:
+        return pd.DataFrame({
+            id_col: np.array([], dtype=df[id_col].to_numpy().dtype),
+            "pos": np.array([], dtype=np.int64),
+            "gram_h": np.array([], dtype=np.uint64),
+        })
+    counts = np.asarray(counts, dtype=np.int64)
+    return pd.DataFrame({
+        id_col: np.repeat(np.asarray(ids), counts),
+        "pos": np.concatenate([np.arange(c, dtype=np.int64) for c in counts]),
+        "gram_h": pd.util.hash_array(np.asarray(grams, dtype=object)),
+    })
+
+
+def substring_dedup(ds, n: int = 8, col: str = "text",
+                    id_col: str = "doc_id",
+                    cfg: EngineConfig = DEFAULT_CONFIG):
+    """ExactSubstr span REMOVAL (the Lee et al. 2022 "Deduplicating
+    Training Data" operator, token-gram granularity): any token
+    ``n``-gram occurring >= 2 times corpus-wide — across documents OR
+    repeated inside one — marks its ``n`` token positions; covered
+    positions are dropped and each document is reassembled from the
+    surviving tokens.
+
+    Returns (id_col, n_tokens:int64, n_removed:int64,
+    cleaned_text:str), one row per input doc.  ``cleaned_text`` is in
+    the normalized token space (lowercased, whitespace-collapsed) —
+    the same contract ``dup_gram_stats`` and the decontamination
+    oracles tokenize under, so DuckDB replays it exactly.
+
+    Scale shape: gram identity travels as a uint64 digest; duplicate
+    digests come from ONE combiner-reduced keyed shuffle of (digest,
+    partial-count) rows; flagged occurrences semi-join back, expand to
+    covered positions (<= n_tokens rows per doc), and collapse to one
+    packed int32 byte-blob per doc before the single left join onto
+    the documents — text bytes move exactly once, in that join."""
+    kw = {"col": col, "id_col": id_col, "n": n}
+    grams = ds.map_batches(_gram_occurrence_batch, fn_kwargs=kw,
+                           batch_format="pandas").materialize()
+    nparts = cfg.resolve_join_partitions()
+
+    def _partial(d: pd.DataFrame) -> pd.DataFrame:
+        return (d.groupby("gram_h", sort=False).size()
+                .reset_index(name="c"))
+
+    dup = (
+        grams.map_batches(_partial, batch_format="pandas")
+        .repartition(nparts, keys=["gram_h"])
+        .map_batches(
+            lambda d: d.groupby("gram_h", sort=False)["c"].sum()
+            .reset_index().loc[lambda x: x["c"] >= 2, ["gram_h"]],
+            batch_format="pandas", batch_size=None))
+    hits = safe_join(grams, dup, "inner", nparts, ("gram_h",))
+
+    def _expand(d: pd.DataFrame) -> pd.DataFrame:
+        if len(d) == 0:
+            return pd.DataFrame({
+                id_col: np.array([], dtype=np.int64),
+                "p": np.array([], dtype=np.int64)})
+        return pd.DataFrame({
+            id_col: np.repeat(d[id_col].to_numpy(), n),
+            "p": (d["pos"].to_numpy()[:, None]
+                  + np.arange(n, dtype=np.int64)[None, :]).ravel(),
+        }).drop_duplicates()
+
+    def _pack(d: pd.DataFrame) -> pd.DataFrame:
+        d = d.drop_duplicates()
+        out_ids, blobs = [], []
+        for doc, g in d.groupby(id_col, sort=False):
+            out_ids.append(doc)
+            blobs.append(np.unique(g["p"].to_numpy())
+                         .astype(np.int32).tobytes())
+        return pd.DataFrame({id_col: np.asarray(out_ids),
+                             "covered": blobs})
+
+    covered = (hits.map_batches(_expand, batch_format="pandas")
+               .repartition(nparts, keys=[id_col])
+               .map_batches(_pack, batch_format="pandas", batch_size=None))
+    out = safe_join(ds, covered, "left_outer", nparts, (id_col,))
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        from .contamination import _norm_tokens
+
+        cov = (df["covered"] if "covered" in df.columns
+               else pd.Series([None] * len(df)))
+        n_tok = np.empty(len(df), dtype=np.int64)
+        n_rem = np.zeros(len(df), dtype=np.int64)
+        cleaned = []
+        for j, (toks, cv) in enumerate(zip(_norm_tokens(df[col]), cov)):
+            n_tok[j] = len(toks)
+            if cv is None or (isinstance(cv, float)) or len(cv) == 0:
+                cleaned.append(" ".join(toks))
+                continue
+            pos = np.frombuffer(bytes(cv), dtype=np.int32)
+            keep = np.ones(len(toks), dtype=bool)
+            keep[pos] = False
+            n_rem[j] = len(pos)
+            cleaned.append(" ".join(t for t, k in zip(toks, keep) if k))
+        return pd.DataFrame({
+            id_col: df[id_col],
+            "n_tokens": n_tok,
+            "n_removed": n_rem,
+            "cleaned_text": cleaned,
+        })
+
+    return out.map_batches(finalize, batch_format="pandas")
+
+
 # --------------------------------------------------------------------------
 # incremental exact dedup (continuous ingestion against persisted state)
 # --------------------------------------------------------------------------

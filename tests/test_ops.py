@@ -3227,3 +3227,52 @@ def test_population_stability(ray_session):
     with pytest.raises(Exception):
         population_stability(rd.from_pandas(a), rd.from_pandas(b2),
                              col="c", cfg=CFG).materialize()
+
+
+def test_substring_dedup(ray_session):
+    """ExactSubstr span removal: a token 8-gram occurring >= 2 times
+    corpus-wide (across docs OR repeated within one) covers its 8
+    positions; covered tokens drop, the doc reassembles from the rest.
+    Expected values come from an in-test brute-force replay."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.dedup import substring_dedup
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    docs = {
+        # cross-doc duplicate span embedded in distinct contexts
+        1: f"one two {shared} three four five six seven eight nine ten",
+        2: f"prefix text here {shared} and a different unique tail word",
+        # internal repetition: the same 8-gram twice in ONE doc
+        3: f"{shared} middle filler words go here now {shared}",
+        # wholly unique doc — nothing removed, cleaned == normalized
+        4: "Unique Words Only  In THIS document nothing repeats at all "
+           "under any eight gram window ever",
+        # shorter than the gram width — untouched
+        5: "tiny doc under eight",
+        6: "",
+    }
+    df = pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    got = (substring_dedup(rd.from_pandas(df).repartition(3), n=8, cfg=CFG)
+           .to_pandas().set_index("doc_id").sort_index())
+
+    # brute-force expected
+    toks = {d: t.lower().split() for d, t in docs.items()}
+    from collections import Counter
+    cnt = Counter(" ".join(ts[i:i + 8])
+                  for ts in toks.values() for i in range(len(ts) - 7))
+    exp = {}
+    for d, ts in toks.items():
+        cov = set()
+        for i in range(len(ts) - 7):
+            if cnt[" ".join(ts[i:i + 8])] >= 2:
+                cov.update(range(i, i + 8))
+        kept = [t for j, t in enumerate(ts) if j not in cov]
+        exp[d] = (len(ts), len(cov), " ".join(kept))
+    for d in docs:
+        assert got.loc[d, "n_tokens"] == exp[d][0], d
+        assert got.loc[d, "n_removed"] == exp[d][1], d
+        assert got.loc[d, "cleaned_text"] == exp[d][2], d
+    # the planted spans actually fired
+    assert exp[1][1] == 8 and exp[2][1] == 8 and exp[3][1] == 16
+    assert exp[4][1] == 0 and exp[5][1] == 0
