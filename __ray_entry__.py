@@ -1287,6 +1287,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
             docs, docs.map_batches(version_b, batch_format="pandas"),
             id_col="doc_id", col="text")
 
+    def customer_cdc_merged(sf_dir):
+        """CDC MERGE INTO (ops/relational.cdc_merge): the orders table
+        acts as the change stream against the customer snapshot —
+        key o_custkey, LSN o_orderkey, op = delete when
+        o_orderkey % 10 == 0 else upsert (payload: totalprice-derived
+        acctbal cents, segment 'UPDATED').  Highest-LSN change per key
+        wins; surviving snapshot comes back with last_seq."""
+        from aml_entity_resolution_assignment_ray.ops.relational import cdc_merge
+
+        _tune_context()
+        base_src = _read(sf_dir, "customer").select_columns(
+            ["c_custkey", "c_acctbal", "c_mktsegment"])
+
+        def to_base(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "c_custkey": df["c_custkey"].astype("int64"),
+                "acctbal_cents": _round_half_away(
+                    df["c_acctbal"].to_numpy() * 100).astype("int64"),
+                "c_mktsegment": df["c_mktsegment"],
+            })
+
+        ch_src = _read(sf_dir, "orders").select_columns(
+            ["o_orderkey", "o_custkey", "o_totalprice"])
+
+        def to_changes(df: pd.DataFrame) -> pd.DataFrame:
+            seq = df["o_orderkey"].astype("int64")
+            return pd.DataFrame({
+                "c_custkey": df["o_custkey"].astype("int64"),
+                "seq": seq,
+                "op": np.where(seq % 10 == 0, "delete", "upsert"),
+                "acctbal_cents": _round_half_away(
+                    df["o_totalprice"].to_numpy() * 100).astype("int64"),
+                "c_mktsegment": np.full(len(df), "UPDATED"),
+            })
+
+        out = cdc_merge(
+            base_src.map_batches(to_base, batch_format="pandas"),
+            ch_src.map_batches(to_changes, batch_format="pandas"),
+            key_col="c_custkey", seq_col="seq", op_col="op",
+            val_cols=("acctbal_cents", "c_mktsegment"))
+
+        def finalize(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "c_custkey": df["c_custkey"].astype("int64"),
+                "acctbal_cents": df["acctbal_cents"].astype("int64"),
+                "c_mktsegment": df["c_mktsegment"].astype(str),
+                "last_seq": df["last_seq"].astype("int64"),
+            })
+
+        return out.map_batches(finalize, batch_format="pandas")
+
     def exact_dedup_docs(sf_dir):
         _tune_context()
         return dedup.exact_dedup(_read(sf_dir, "documents"))
@@ -3601,6 +3652,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_docs": exact_dedup_docs,
         "doc_dedup_keep_best": doc_dedup_keep_best,
         "corpus_diff": corpus_diff,
+        "customer_cdc_merged": customer_cdc_merged,
         "exact_dedup_incremental": exact_dedup_incremental,
         "doc_token_counts": doc_token_counts,
         "doc_repetition": doc_repetition,
@@ -5776,6 +5828,43 @@ def oracle_sql() -> dict[str, str]:
                         WHEN a.h <> b.h THEN 'changed'
                         ELSE 'same' END AS status
             FROM a FULL JOIN b ON a.doc_id = b.doc_id
+        """,
+        # CDC MERGE INTO: the highest-LSN (o_orderkey) change per
+        # customer wins; winning delete removes the row, winning upsert
+        # replaces the payload; untouched customers keep last_seq 0
+        "customer_cdc_merged": """
+            WITH ch AS (
+              SELECT o_custkey AS c_custkey,
+                     CAST(o_orderkey AS BIGINT) AS seq,
+                     CASE WHEN o_orderkey % 10 = 0 THEN 'delete'
+                          ELSE 'upsert' END AS op,
+                     CAST(round(o_totalprice * 100) AS BIGINT)
+                       AS acctbal_cents,
+                     'UPDATED' AS c_mktsegment
+              FROM orders
+            ),
+            latest AS (
+              SELECT * FROM (
+                SELECT ch.*, row_number() OVER (
+                  PARTITION BY c_custkey ORDER BY seq DESC) AS rn
+                FROM ch)
+              WHERE rn = 1
+            ),
+            base AS (
+              SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+                     CAST(round(c_acctbal * 100) AS BIGINT)
+                       AS acctbal_cents,
+                     c_mktsegment
+              FROM customer
+            )
+            SELECT coalesce(b.c_custkey, l.c_custkey) AS c_custkey,
+                   CASE WHEN l.op IS NOT NULL THEN l.acctbal_cents
+                        ELSE b.acctbal_cents END AS acctbal_cents,
+                   CASE WHEN l.op IS NOT NULL THEN l.c_mktsegment
+                        ELSE b.c_mktsegment END AS c_mktsegment,
+                   CAST(coalesce(l.seq, 0) AS BIGINT) AS last_seq
+            FROM base b FULL JOIN latest l USING (c_custkey)
+            WHERE l.op IS NULL OR l.op <> 'delete'
         """,
         # id-ordered increments make streaming first-seen == global min
         "exact_dedup_incremental": """

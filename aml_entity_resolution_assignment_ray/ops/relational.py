@@ -215,6 +215,78 @@ def dataset_diff(ds_a, ds_b, *, id_col: str, col: str,
     return j.map_batches(status, batch_format="pandas")
 
 
+def cdc_merge(base, changes, *, key_col: str, seq_col: str, op_col: str,
+              val_cols: tuple, cfg: EngineConfig = DEFAULT_CONFIG):
+    """Apply a CDC change stream to a base snapshot — SQL ``MERGE
+    INTO`` semantics: per key, the change with the HIGHEST ``seq_col``
+    wins; a winning ``'delete'`` removes the key, a winning
+    ``'upsert'`` inserts-or-replaces the payload (``val_cols``),
+    untouched base rows pass through.
+
+    Contract: ``(key, seq)`` pairs are unique (CDC logs carry unique
+    monotone LSNs) and seqs are > 0 — ``last_seq`` is 0 for rows no
+    change touched.  Returns one row per surviving key:
+    (key_col, *val_cols, last_seq:int64).
+
+    Shape: the change stream collapses to one winner per key via a
+    per-block argmax-seq combiner then ONE keyed shuffle (change
+    volume never re-ships); the base joins the winner table in one
+    full-outer hash join — base payload bytes move exactly once.
+    Empty sides short-circuit BEFORE the join (Ray 2.49's hash join
+    crashes on a 0-row input): no changes -> the base snapshot with
+    last_seq 0; empty base -> the surviving upsert winners."""
+    from ..util import safe_join, scrub_empty_blocks
+
+    ren = {v: f"_c_{v}" for v in val_cols}
+    ren[op_col] = "_c_op"
+    ren[seq_col] = "_c_seq"
+
+    def _argmax(d: pd.DataFrame) -> pd.DataFrame:
+        d = (d.sort_values(seq_col, kind="stable")
+             .groupby(key_col, sort=False).tail(1))
+        return d[[key_col, seq_col, op_col, *val_cols]]
+
+    latest = scrub_empty_blocks(
+        changes.map_batches(_argmax, batch_format="pandas")
+        .repartition(cfg.resolve_join_partitions(), keys=[key_col])
+        .map_batches(lambda d: _argmax(d).rename(columns=ren),
+                     batch_format="pandas", batch_size=None))
+
+    def _passthrough(d: pd.DataFrame) -> pd.DataFrame:
+        out = d[[key_col, *val_cols]].copy()
+        out["last_seq"] = np.zeros(len(d), dtype=np.int64)
+        return out
+
+    if latest.count() == 0:  # metadata-only (materialized by the scrub)
+        return base.map_batches(_passthrough, batch_format="pandas")
+    bmat = scrub_empty_blocks(base)
+    if bmat.count() == 0:  # pure-insert stream: winners, deletes out
+        def _inserts(d: pd.DataFrame) -> pd.DataFrame:
+            d = d[d["_c_op"] != "delete"]
+            out = {key_col: d[key_col]}
+            for v in val_cols:
+                out[v] = d[f"_c_{v}"]
+            out["last_seq"] = d["_c_seq"].to_numpy().astype(np.int64)
+            return pd.DataFrame(out)
+
+        return latest.map_batches(_inserts, batch_format="pandas")
+    j = safe_join(bmat, latest, "full_outer",
+                  cfg.resolve_join_partitions(), (key_col,))
+
+    def _apply(d: pd.DataFrame) -> pd.DataFrame:
+        has_ch = d["_c_op"].notna()
+        d = d[~(has_ch & (d["_c_op"] == "delete"))]
+        has_ch = d["_c_op"].notna()
+        out = {key_col: d[key_col]}
+        for v in val_cols:
+            out[v] = d[f"_c_{v}"].where(has_ch, d[v])
+        out["last_seq"] = (d["_c_seq"].fillna(0).to_numpy()
+                           .astype(np.int64))
+        return pd.DataFrame(out)
+
+    return j.map_batches(_apply, batch_format="pandas")
+
+
 def _keyed(ds, keys: list[str], cfg: EngineConfig, n_rows: int | None):
     """Hash-repartition ``ds`` so each key group is block-complete, or
     gather to one block when the input is gate-small."""

@@ -3276,3 +3276,47 @@ def test_substring_dedup(ray_session):
     # the planted spans actually fired
     assert exp[1][1] == 8 and exp[2][1] == 8 and exp[3][1] == 16
     assert exp[4][1] == 0 and exp[5][1] == 0
+
+
+def test_cdc_merge(ray_session):
+    """MERGE INTO semantics: highest-seq change per key wins; winning
+    delete removes, winning upsert replaces, change-only keys insert,
+    untouched base rows pass through with last_seq 0; an empty change
+    stream short-circuits to the base snapshot."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.relational import cdc_merge
+
+    base = pd.DataFrame({
+        "k": np.array([1, 2, 3, 4], dtype=np.int64),
+        "v": np.array([10, 20, 30, 40], dtype=np.int64),
+        "s": ["a", "b", "c", "d"],
+    })
+    changes = pd.DataFrame({
+        "k":   np.array([1, 1, 2, 5, 5, 3], dtype=np.int64),
+        "seq": np.array([7, 9, 3, 4, 2, 6], dtype=np.int64),
+        "op":  ["upsert", "delete", "upsert", "upsert", "delete", "upsert"],
+        "v":   np.array([11, 12, 21, 51, 52, 31], dtype=np.int64),
+        "s":   ["x1", "x2", "y", "new5", "dead5", "z"],
+    })
+    got = cdc_merge(rd.from_pandas(base).repartition(2),
+                    rd.from_pandas(changes).repartition(3),
+                    key_col="k", seq_col="seq", op_col="op",
+                    val_cols=("v", "s"), cfg=CFG) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    # k=1: latest seq 9 is delete -> gone. k=2: upsert@3 -> 21/y.
+    # k=3: upsert@6 -> 31/z. k=4: untouched. k=5: insert (upsert@4
+    # beats delete@2) -> 51/new5.
+    assert got["k"].tolist() == [2, 3, 4, 5]
+    assert got["v"].astype(int).tolist() == [21, 31, 40, 51]
+    assert got["s"].tolist() == ["y", "z", "d", "new5"]
+    assert got["last_seq"].tolist() == [3, 6, 0, 4]
+
+    empty = cdc_merge(rd.from_pandas(base),
+                      rd.from_pandas(changes.head(0)),
+                      key_col="k", seq_col="seq", op_col="op",
+                      val_cols=("v", "s"), cfg=CFG) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    assert empty["k"].tolist() == [1, 2, 3, 4]
+    assert (empty["last_seq"] == 0).all()
+    assert empty["v"].astype(int).tolist() == [10, 20, 30, 40]
