@@ -3230,6 +3230,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                     "pr": d["rank"].astype(np.int64)}),
             batch_format="pandas")
 
+    def cust_supp_communities(sf_dir):
+        """Synchronous label-propagation communities over the same
+        customer-supplier purchase graph (ops/graph.
+        label_propagation): 3 fixed rounds of modal-neighbor-label
+        adoption with smallest-label tie-break — deterministic,
+        layout-invariant, and replayed by a generated per-round SQL
+        CTE chain."""
+        from aml_entity_resolution_assignment_ray.ops.graph import label_propagation
+
+        _tune_context()
+        cfg = EngineConfig()
+        nparts = cfg.resolve_join_partitions()
+
+        orders = _read(sf_dir, "orders").select_columns(
+            ["o_orderkey", "o_custkey"]).map_batches(
+            lambda d: pd.DataFrame({
+                "orderkey": d["o_orderkey"].astype(np.int64),
+                "custkey": d["o_custkey"].astype(np.int64)}),
+            batch_format="pandas")
+        li = _read(sf_dir, "lineitem").select_columns(
+            ["l_orderkey", "l_suppkey"]).map_batches(
+            lambda d: pd.DataFrame({
+                "orderkey": d["l_orderkey"].astype(np.int64),
+                "suppkey": d["l_suppkey"].astype(np.int64)}),
+            batch_format="pandas")
+        ol = safe_join(li, orders, join_type="inner",
+                       num_partitions=nparts, on=("orderkey",))
+        edges = ol.map_batches(
+            lambda d: pd.DataFrame({
+                "src": "c" + d["custkey"].astype(np.int64).astype(str),
+                "dst": "s" + d["suppkey"].astype(np.int64).astype(str)}),
+            batch_format="pandas")
+        labels = label_propagation(edges, iterations=3)
+        return labels.map_batches(
+            lambda d: pd.DataFrame({"node": d["node"].astype(str),
+                                    "label": d["label"].astype(str)}),
+            batch_format="pandas")
+
     def cust_supp_kcore(sf_dir):
         """10-core of the customer-supplier purchase graph — the
         maximal subgraph where every node keeps >= 10 within-core
@@ -3707,6 +3745,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gram_overlap_est": gram_overlap_est,
         "event_hour_value_ols": event_hour_value_ols,
         "supplier_pagerank": supplier_pagerank,
+        "cust_supp_communities": cust_supp_communities,
         "supplier_bfs_hops": supplier_bfs_hops,
         "supplier_adamic_adar": supplier_adamic_adar,
         "cust_supp_kcore": cust_supp_kcore,
@@ -4917,6 +4956,45 @@ def _aa_weight_values() -> str:
     )
 
     return adamic_adar_weight_values(scale=10 ** 9, max_degree=64)
+
+
+def _lpa_sql(iterations: int = 3) -> str:
+    """Synchronous label-propagation replay, one generated CTE stage
+    per round (mirrors ops/graph.label_propagation exactly): every
+    node adopts its neighbors' modal label, ties to the smallest
+    label; fixed round count keeps the replay deterministic."""
+    parts = ["""
+    e AS MATERIALIZED (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+             's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    adj AS MATERIALIZED (
+      SELECT DISTINCT node, nbr FROM (
+        SELECT src AS node, dst AS nbr FROM e
+        UNION ALL SELECT dst, src FROM e)
+      WHERE node <> nbr
+    ),
+    l0 AS MATERIALIZED (
+      SELECT DISTINCT node, node AS label FROM adj
+    )"""]
+    for k in range(1, iterations + 1):
+        parts.append(f"""
+    c{k} AS MATERIALIZED (
+      SELECT a.node, l.label, count(*) AS c
+      FROM adj a JOIN l{k - 1} l ON l.node = a.nbr
+      GROUP BY a.node, l.label
+    ),
+    l{k} AS MATERIALIZED (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label ASC) AS rn
+        FROM c{k})
+      WHERE rn = 1
+    )""")
+    return ("WITH " + ",".join(parts)
+            + f"\nSELECT node, label FROM l{iterations}")
 
 
 def _pagerank_sql(iterations: int = 3, scale: int = 10 ** 12) -> str:
@@ -7127,6 +7205,7 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "supplier_pagerank": _pagerank_sql(3),
+        "cust_supp_communities": _lpa_sql(3),
         "user_event_transitions": """
             WITH lagged AS (
                 SELECT event_type AS cur_type,

@@ -547,3 +547,74 @@ def adamic_adar_weight_values(scale: int = 10 ** 9,
         f"({d}, {int(math.floor(scale / math.log(d)))})"
         for d in range(2, max_degree + 1))
     return rows
+
+
+def label_propagation(edges, *, src: str = "src", dst: str = "dst",
+                      iterations: int = 3,
+                      cfg: EngineConfig = DEFAULT_CONFIG):
+    """Synchronous label-propagation communities over an undirected
+    graph -> Dataset of (node, label), one row per node with >= 1
+    neighbor (self-loops dropped; isolated nodes never appear in an
+    edge list).
+
+    Every node starts labeled with its own id; each round, every node
+    simultaneously adopts the most frequent label among its neighbors,
+    ties broken to the SMALLEST label.  A fixed iteration count makes
+    synchronous LPA fully deterministic and layout-invariant (no
+    convergence test, no random visit order — the classic async
+    variant is irreproducible by design), so a generated SQL CTE chain
+    replays it bit-for-bit.
+
+    Scale shape per round: one hash join of the adjacency onto the
+    (node, label) table + one combiner-reduced keyed count + one keyed
+    argmax — 3 keyed shuffles x ``iterations``, never more; labels
+    table stays one row per node."""
+    from ..util import safe_join
+    from .relational import _keyed, keyed_sum
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[src].astype(str)
+        b = df[dst].astype(str)
+        return pd.DataFrame({
+            "node": pd.concat([a, b], ignore_index=True),
+            "nbr": pd.concat([b, a], ignore_index=True),
+        }).loc[lambda d: d["node"] != d["nbr"]]
+
+    adj = _distinct(edges.map_batches(fold, batch_format="pandas"),
+                    ["node", "nbr"], cfg).materialize()
+    labels = _distinct(
+        adj.map_batches(
+            lambda d: pd.DataFrame({"node": d["node"],
+                                    "label": d["node"]}),
+            batch_format="pandas"),
+        ["node", "label"], cfg)
+
+    nparts = cfg.resolve_join_partitions()
+    for _ in range(iterations):
+        nl = safe_join(
+            adj, labels.map_batches(
+                lambda d: d.rename(columns={"node": "nbr"}),
+                batch_format="pandas"),
+            "inner", nparts, ("nbr",)).map_batches(
+            lambda d: pd.DataFrame({
+                "node": d["node"], "label": d["label"],
+                "c": np.ones(len(d), dtype=np.int64)}),
+            batch_format="pandas")
+        counts = keyed_sum(nl, ["node", "label"], ["c"], cfg)
+
+        def argmax(d: pd.DataFrame) -> pd.DataFrame:
+            # keeps c: block-local winners still compete in the final
+            # pass (a node's fully-summed (node, label) rows are spread
+            # across (node, label)-hashed blocks)
+            if not len(d):
+                return d[["node", "label", "c"]]
+            s = d.sort_values(["c", "label"], ascending=[False, True],
+                              kind="stable")
+            return (s.groupby("node", sort=False).head(1)
+                    [["node", "label", "c"]])
+
+        labels = _keyed(counts.map_batches(argmax, batch_format="pandas"),
+                        ["node"], cfg, None).map_batches(
+            lambda d: argmax(d)[["node", "label"]],
+            batch_format="pandas", batch_size=None).materialize()
+    return labels

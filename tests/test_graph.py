@@ -393,3 +393,56 @@ def test_adamic_adar_matches_bruteforce():
         got = {(u, v): s for u, v, s in
                zip(res["u"], res["v"], res["aa_score"])}
         assert got == want
+
+
+def test_label_propagation_matches_reference():
+    """Synchronous LPA vs a sequential replay of the same recurrence:
+    two cliques joined by one bridge edge, plus a pendant chain; 3
+    rounds, modal neighbor label, ties to the smallest label."""
+    import random
+
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.graph import label_propagation
+    from aml_entity_resolution_assignment_ray.util import tune_context
+
+    tune_context(nparts=4)
+    rng = random.Random(7)
+    clique_a = [f"a{i}" for i in range(5)]
+    clique_b = [f"b{i}" for i in range(4)]
+    edges = [(u, v) for i, u in enumerate(clique_a)
+             for v in clique_a[i + 1:]]
+    edges += [(u, v) for i, u in enumerate(clique_b)
+              for v in clique_b[i + 1:]]
+    edges += [("a0", "b0"), ("b3", "p0"), ("p0", "p1"), ("p1", "p2")]
+    rng.shuffle(edges)
+    # duplicates and reversed duplicates must fold away
+    edges += [("a1", "a0"), ("b0", "b1")]
+
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+    got = label_propagation(
+        rd.from_pandas(df).repartition(3), iterations=3,
+        cfg=EngineConfig(model_path="", join_num_partitions=4)) \
+        .to_pandas().set_index("node")["label"].to_dict()
+
+    # sequential reference
+    adj = {}
+    for u, v in edges:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    label = {v: v for v in adj}
+    for _ in range(3):
+        nxt = {}
+        for v, nbrs in adj.items():
+            cnt = {}
+            for w in nbrs:
+                cnt[label[w]] = cnt.get(label[w], 0) + 1
+            best = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            nxt[v] = best
+        label = nxt
+    assert got == label
+    # the two cliques actually converged to distinct community labels
+    assert len({label[v] for v in clique_a}) == 1
+    assert len({label[v] for v in clique_b[:3]}) == 1
