@@ -2500,6 +2500,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
         idx = ann.build_ivf(emb, ncells=8, index_path=ipath)
         return idx.search(np.asarray(q), k=10, nprobe=4)[["vec_id"]]
 
+    def ann_rrf_top10(sf_dir):
+        """Hybrid-retrieval reciprocal-rank fusion (ops/ann.rrf_fuse):
+        two integer-exact rankings over the int8-quantized embeddings
+        — dot-product (desc) and squared-L2 (asc), each truncated to
+        a top-20 list per query (queries: vec_id % 131 == 0) — fused
+        with exact-integer RRF 10**9 // (60 + rank); top-10 fused
+        rows per query with the fused rank."""
+        import ray as _ray
+
+        from aml_entity_resolution_assignment_ray.ops.relational import group_topk
+
+        _tune_context()
+        emb = _read(sf_dir, "embeddings")
+        codes = ann.quantize_embeddings(emb).materialize()
+        qdf = codes.map_batches(
+            lambda d: d[d["vec_id"] % 131 == 0],
+            batch_format="pandas").to_pandas()  # driver-small query set
+        qdf = qdf.sort_values("vec_id")
+        qids = qdf["vec_id"].to_numpy().astype(np.int64)
+        Q = np.stack(qdf["qvec"].to_numpy()).astype(np.int64)
+        qref = _ray.put((qids, Q))
+
+        def cand(d: pd.DataFrame) -> pd.DataFrame:
+            qi, Qm = _ray.get(qref)
+            V = np.stack(d["qvec"].to_numpy()).astype(np.int64)
+            dot = Qm @ V.T                       # (nq, b) exact ints
+            l2 = ((Qm * Qm).sum(1)[:, None] + (V * V).sum(1)[None, :]
+                  - 2 * dot)
+            return pd.DataFrame({
+                "query_id": np.repeat(qi, len(d)),
+                "vec_id": np.tile(d["vec_id"].to_numpy().astype(np.int64),
+                                  len(qi)),
+                "dot": dot.ravel(),
+                "l2": l2.ravel(),
+            })
+
+        cands = codes.map_batches(cand, batch_format="pandas")
+        ra = group_topk(cands, key="query_id", order_col="dot", k=20,
+                        tie_col="vec_id", descending=True, with_rank=True)
+        rb = group_topk(cands, key="query_id", order_col="l2", k=20,
+                        tie_col="vec_id", descending=False, with_rank=True)
+        fused = ann.rrf_fuse([ra, rb], query_col="query_id",
+                             item_col="vec_id", rank_col="rank", topk=10)
+
+        def finalize(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "query_id": df["query_id"].astype("int64"),
+                "vec_id": df["vec_id"].astype("int64"),
+                "rrf": df["rrf"].astype("int64"),
+                "rank": df["rank"].astype("int64"),
+            })
+
+        return fused.map_batches(finalize, batch_format="pandas")
+
     def ann_ivf_appended(sf_dir):
         """Incremental IVF ingest (ops/ann.append_ivf): the index is
         built on 80% of the vectors, the held-out 20% (including the
@@ -3630,6 +3684,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_top10": ann_top10,
         "ann_ivf_top10": ann_ivf_top10,
         "ann_ivf_appended": ann_ivf_appended,
+        "ann_rrf_top10": ann_rrf_top10,
         "embedding_dup_pairs": embedding_dup_pairs_q,
         "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh,
         "semdedup_pairs": semdedup_pairs_q,
@@ -6866,6 +6921,58 @@ def oracle_sql() -> dict[str, str]:
                 list_transform(v.embedding, x -> CAST(x AS DOUBLE)), q.e)
                 DESC, v.vec_id
             LIMIT 10
+        """,
+        # RRF hybrid fusion: int8-quantization CTE (same contract as
+        # embedding_quantized), integer dot + squared-L2 rankings
+        # truncated at 20, exact-integer 10**9 // (60 + rank) fusion
+        "ann_rrf_top10": """
+            WITH s AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+                       list_max(list_transform(
+                           embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+                FROM embeddings
+            ),
+            codes AS (
+                SELECT vec_id, dim,
+                       CAST(CASE WHEN scale > 0
+                                 THEN round(x * 127 / scale)
+                                 ELSE 0 END AS BIGINT) AS qval
+                FROM (SELECT vec_id, scale, unnest(e) AS x,
+                             generate_subscripts(e, 1) AS dim
+                      FROM s)
+            ),
+            q AS (SELECT * FROM codes WHERE vec_id % 131 = 0),
+            dots AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                       sum(q.qval * c.qval) AS dot,
+                       sum((q.qval - c.qval) * (q.qval - c.qval)) AS l2
+                FROM q JOIN codes c ON q.dim = c.dim
+                GROUP BY 1, 2
+            ),
+            ra AS (SELECT query_id, vec_id, row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY dot DESC, vec_id ASC) AS r FROM dots),
+            rb AS (SELECT query_id, vec_id, row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY l2 ASC, vec_id ASC) AS r FROM dots),
+            lists AS (
+                SELECT query_id, vec_id, 1000000000 // (60 + r) AS rrf
+                FROM ra WHERE r <= 20
+                UNION ALL
+                SELECT query_id, vec_id, 1000000000 // (60 + r)
+                FROM rb WHERE r <= 20
+            ),
+            fused AS (
+                SELECT query_id, vec_id, CAST(sum(rrf) AS BIGINT) AS rrf
+                FROM lists GROUP BY 1, 2
+            )
+            SELECT query_id, vec_id, rrf, CAST(rank AS BIGINT) AS rank
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY query_id
+                      ORDER BY rrf DESC, vec_id ASC) AS rank
+                  FROM fused)
+            WHERE rank <= 10
         """,
         "ann_ivf_appended": f"""
             WITH q AS (

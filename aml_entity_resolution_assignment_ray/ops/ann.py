@@ -700,3 +700,43 @@ def kmeans_assign(ds, centroids: np.ndarray, *,
     cref = ray.put(np.asarray(centroids, dtype=np.float64))
     return stateful_map(ds, _KMeansAssign, (cref, vec_col, id_col, "assign"),
                         batch_format="pandas")
+
+
+def rrf_fuse(rankings, *, query_col: str = "query_id",
+             item_col: str = "vec_id", rank_col: str = "rank",
+             k0: int = 60, topk: int = 10, scale: int = 10 ** 9,
+             cfg=None):
+    """Reciprocal-rank fusion of N ranked candidate lists (the hybrid-
+    retrieval combiner): fused score per (query, item) =
+    sum over lists of ``scale // (k0 + rank)`` — the classic RRF
+    1/(k0+r) in EXACT integer form, so ordering is bit-reproducible
+    and SQL-replayable — then top ``topk`` per query by (score desc,
+    item asc), with the 1-based fused rank appended.
+
+    ``rankings``: Datasets of (query_col, item_col, rank_col), rank
+    1-based; items missing from a list contribute 0 (standard RRF over
+    truncated lists).  Ids must be integer-typed.
+
+    Shape: per-list stateless rrf map -> union -> ONE combiner-reduced
+    keyed sum on (query, item) -> group_topk (per-block partial top-k
+    combiner, one keyed shuffle)."""
+    from ..config import DEFAULT_CONFIG
+    from .relational import group_topk, keyed_sum
+
+    cfg = cfg or DEFAULT_CONFIG
+
+    def to_rrf(d: pd.DataFrame, _rc=rank_col) -> pd.DataFrame:
+        return pd.DataFrame({
+            query_col: d[query_col].to_numpy().astype(np.int64),
+            item_col: d[item_col].to_numpy().astype(np.int64),
+            "rrf": (scale // (k0 + d[_rc].to_numpy().astype(np.int64)))
+            .astype(np.int64),
+        })
+
+    parts = [r.map_batches(to_rrf, batch_format="pandas")
+             for r in rankings]
+    allp = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+    scored = keyed_sum(allp, [query_col, item_col], ["rrf"], cfg)
+    return group_topk(scored, key=query_col, order_col="rrf", k=topk,
+                      tie_col=item_col, descending=True, with_rank=True,
+                      cfg=cfg)

@@ -3320,3 +3320,40 @@ def test_cdc_merge(ray_session):
     assert empty["k"].tolist() == [1, 2, 3, 4]
     assert (empty["last_seq"] == 0).all()
     assert empty["v"].astype(int).tolist() == [10, 20, 30, 40]
+
+
+def test_rrf_fuse(ray_session):
+    """Exact-integer reciprocal-rank fusion of two truncated lists:
+    per (query,item) score = sum of 10**9 // (60 + rank); items on one
+    list only still score; top-k by (score desc, item asc) with fused
+    rank."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.ann import rrf_fuse
+
+    ra = pd.DataFrame({"query_id": [1, 1, 1, 2, 2],
+                       "vec_id":   [10, 11, 12, 20, 21],
+                       "rank":     [1, 2, 3, 1, 2]})
+    rb = pd.DataFrame({"query_id": [1, 1, 2, 2],
+                       "vec_id":   [11, 13, 21, 20],
+                       "rank":     [1, 2, 1, 2]})
+    got = rrf_fuse([rd.from_pandas(ra).repartition(2),
+                    rd.from_pandas(rb).repartition(2)],
+                   query_col="query_id", item_col="vec_id",
+                   rank_col="rank", topk=3, cfg=CFG) \
+        .to_pandas().sort_values(["query_id", "rank"]) \
+        .reset_index(drop=True)
+    S = 10 ** 9
+    exp1 = sorted([(10, S // 61), (11, S // 62 + S // 61),
+                   (12, S // 63), (13, S // 62)],
+                  key=lambda t: (-t[1], t[0]))[:3]
+    exp2 = sorted([(20, S // 61 + S // 62), (21, S // 62 + S // 61)],
+                  key=lambda t: (-t[1], t[0]))
+    q1 = got[got["query_id"] == 1]
+    assert q1["vec_id"].tolist() == [t[0] for t in exp1]
+    assert q1["rrf"].tolist() == [t[1] for t in exp1]
+    assert q1["rank"].tolist() == [1, 2, 3]
+    q2 = got[got["query_id"] == 2]
+    # identical fused scores -> tie to smaller vec_id
+    assert q2["vec_id"].tolist() == [20, 21]
+    assert q2["rrf"].tolist() == [t[1] for t in exp2]

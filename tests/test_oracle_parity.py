@@ -31,6 +31,7 @@ SUBSET = [
     "doc_dedup_keep_best",
     "exact_dedup_incremental",
     "minhash_dedup_incremental",
+    "ann_rrf_top10",
     "customer_cdc_merged",
     "doc_substring_dedup",
     "doc_token_counts",
