@@ -1438,6 +1438,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "documents").select_columns(["doc_id", "text"])
         ).select_columns(["doc_id", "lang_pred"])
 
+    def doc_clean(sf_dir):
+        """Canonical cleanup transform (ops/text.clean_text): NFC +
+        control-char strip + whitespace collapse + 200-codepoint
+        truncation, value-oracled byte for byte."""
+        _tune_context()
+        out = text.clean_text(
+            _read(sf_dir, "documents").select_columns(["doc_id", "text"]),
+            max_chars=200)
+
+        def finalize(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "doc_id": df["doc_id"].astype("int64"),
+                "clean_text": df["clean_text"].astype(str),
+                "n_chars": df["n_chars"].astype("int64"),
+            })
+
+        return out.map_batches(finalize, batch_format="pandas")
+
     def doc_fingerprints(sf_dir):
         _tune_context()
         return text.fingerprints(
@@ -3751,6 +3769,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": doc_repetition,
         "doc_line_dedup": doc_line_dedup,
         "doc_quality": doc_quality,
+        "doc_clean": doc_clean,
         "doc_lang_id": doc_lang_id,
         "doc_fingerprints": doc_fingerprints,
         "doc_pii_scrub": doc_pii_scrub,
@@ -5101,7 +5120,11 @@ def _pagerank_sql(iterations: int = 3, scale: int = 10 ** 12) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    from aml_entity_resolution_assignment_ray.ops.text import ws_normalize_sql
+    from aml_entity_resolution_assignment_ray.ops.text import (
+        CTRL_SQL_CLASS,
+        WS_DISAGREE_SQL_CLASS,
+        ws_normalize_sql,
+    )
 
     _WS_NORM_TEXT = ws_normalize_sql("text")
     return {
@@ -6164,6 +6187,28 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN lc USING (doc_id)
             LEFT JOIN tc USING (doc_id)
         """,
+        # NFC + control strip + ws-disagree fold + \s+ collapse + trim
+        # + 200-codepoint substr, trailing cut-space rtrimmed — the
+        # exact step order of ops/text.clean_text
+        "doc_clean": rf"""
+            WITH c AS (
+              SELECT doc_id,
+                     rtrim(substr(
+                       trim(regexp_replace(
+                         regexp_replace(
+                           regexp_replace(
+                             nfc_normalize(coalesce(text, '')),
+                             '{{CTRL}}', ' ', 'g'),
+                           '{{WSD}}', ' ', 'g'),
+                         '\s+', ' ', 'g')),
+                       1, 200), ' ') AS clean_text
+              FROM documents
+            )
+            SELECT doc_id, clean_text,
+                   CAST(length(clean_text) AS BIGINT) AS n_chars
+            FROM c
+        """.replace("{{CTRL}}", CTRL_SQL_CLASS)
+           .replace("{{WSD}}", WS_DISAGREE_SQL_CLASS),
         "doc_quality": r"""
             SELECT doc_id,
                    length(text) AS n_chars_text,

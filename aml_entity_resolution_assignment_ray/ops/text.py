@@ -925,3 +925,40 @@ def bpe_token_histogram(ds, col: str = "text", merges=None, cfg=None):
     parts = ds.select_columns([col]).map_batches(
         partial, batch_format="pandas")
     return keyed_sum(parts, ["token"], ["n"], cfg)
+
+
+# non-whitespace C0/C1 control chars (TAB/LF/FF/CR stay: they are
+# whitespace on both regex engines and fold in the \s+ collapse)
+_CTRL_RE = re.compile(r"[\x00-\x08\x0e-\x1f\x7f]")
+CTRL_SQL_CLASS = r"[\x{00}-\x{08}\x{0E}-\x{1F}\x{7F}]"
+
+
+def clean_text(ds, *, col: str = "text", id_col: str = "doc_id",
+               max_chars: int = 500):
+    """Canonical text cleanup for corpus prep -> (id, clean_text,
+    n_chars): Unicode NFC normalization, non-whitespace control chars
+    to spaces, the Python-vs-RE2 whitespace disagreement set to
+    spaces, ``\\s+`` collapse + trim, then a ``max_chars`` codepoint
+    truncation (trailing space from a mid-text cut stripped).
+
+    Every step is replayable in DuckDB (nfc_normalize /
+    regexp_replace / substr are codepoint-based like Python), so the
+    cleaned strings are value-oracled byte for byte.  Stateless
+    vectorized map — pandas ``.str`` kernels, no shuffle."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        t = (df[col].fillna("").astype(str)
+             .str.normalize("NFC")
+             .str.replace(_CTRL_RE, " ", regex=True)
+             .str.replace(_WS_DISAGREE_RE, " ", regex=True)
+             .str.replace(_WS_RE, " ", regex=True)
+             .str.strip()
+             .str.slice(0, max_chars)
+             .str.rstrip(" "))
+        return pd.DataFrame({
+            id_col: df[id_col],
+            "clean_text": t,
+            "n_chars": t.str.len().astype("int64"),
+        })
+
+    return ds.map_batches(f, batch_format="pandas")

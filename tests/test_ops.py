@@ -3357,3 +3357,52 @@ def test_rrf_fuse(ray_session):
     # identical fused scores -> tie to smaller vec_id
     assert q2["vec_id"].tolist() == [20, 21]
     assert q2["rrf"].tolist() == [t[1] for t in exp2]
+
+
+def test_clean_text(ray_session):
+    """NFC + control strip + unicode-space fold + collapse + trim +
+    codepoint truncation, checked against DuckDB running the exact
+    oracle expression on the same rows."""
+    import duckdb
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.text import (
+        CTRL_SQL_CLASS,
+        WS_DISAGREE_SQL_CLASS,
+        clean_text,
+    )
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": [
+            "éclair  and   café",      # NFC folds to é
+            "ctrl\x01chars\x02here\x7fend",
+            "unicode space and　more",
+            "  lots   of \t\n whitespace  ",
+            "x" * 30 + " " + "y" * 30,               # truncation at 40
+            None,
+        ],
+    })
+    got = clean_text(rd.from_pandas(docs).repartition(2), max_chars=40) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.register("docs", docs)
+    exp = con.execute(rf"""
+        SELECT doc_id,
+               rtrim(substr(
+                 trim(regexp_replace(
+                   regexp_replace(
+                     regexp_replace(nfc_normalize(coalesce(text, '')),
+                                    '{CTRL_SQL_CLASS}', ' ', 'g'),
+                     '{WS_DISAGREE_SQL_CLASS}', ' ', 'g'),
+                   '\s+', ' ', 'g')),
+                 1, 40), ' ') AS clean_text
+        FROM docs ORDER BY doc_id
+    """).fetchdf()
+    assert got["clean_text"].tolist() == exp["clean_text"].tolist()
+    assert (got["n_chars"] == exp["clean_text"].str.len()).all()
+    # the NFC fold actually happened (composed é, single codepoint)
+    assert "éclair and café" == got.loc[0, "clean_text"]
+    assert got.loc[1, "clean_text"] == "ctrl chars here end"
+    assert got.loc[4, "n_chars"] == 40

@@ -38,6 +38,7 @@ SUBSET = [
     "doc_repetition",
     "doc_line_dedup",
     "doc_quality",
+    "doc_clean",
     "doc_fingerprints",
     "doc_pii_scrub",
     "doc_top_terms",
