@@ -924,6 +924,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds.map_batches(cents, batch_format="pandas"),
             col="cents", bin_width=1000)
 
+    def event_value_equidepth(sf_dir):
+        """Equi-depth histogram of event value cents
+        (ops/profile.equidepth_histogram): 8 quantile-disc buckets,
+        bucket = smallest boundary covering the value, exact integer
+        counts."""
+        from aml_entity_resolution_assignment_ray.ops.profile import (
+            equidepth_histogram,
+        )
+
+        _tune_context()
+        ds = _read(sf_dir, "events").select_columns(["value"])
+
+        def cents(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "cents": _round_half_away(
+                    df["value"].to_numpy(dtype=np.float64) * 100)
+                .astype(np.int64),
+            })
+
+        out = equidepth_histogram(
+            ds.map_batches(cents, batch_format="pandas"),
+            col="cents", nbins=8)
+
+        def finalize(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "bucket": df["bucket"].astype("int64"),
+                "hi": df["hi"].astype("int64"),
+                "n": df["n"].astype("int64"),
+            })
+
+        return out.map_batches(finalize, batch_format="pandas")
+
     def global_revenue_running(sf_dir):
         """GLOBAL running revenue over all events ordered by
         (ts, event_id) — sum() OVER (ORDER BY ...) without a
@@ -3748,6 +3780,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_profile_numeric": events_profile_numeric,
         "events_profile_strings": events_profile_strings,
         "event_value_histogram": event_value_histogram,
+        "event_value_equidepth": event_value_equidepth,
         "global_revenue_running": global_revenue_running,
         "user_funnel": user_funnel,
         "new_users_per_hour": new_users_per_hour,
@@ -5746,6 +5779,33 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'props', count(*), count(*) - count(props),
                    min(props), max(props) FROM events
+        """,
+        # equi-depth: quantile_disc boundaries at dyadic i/8, bucket =
+        # min boundary covering the value, duplicate boundaries leave
+        # later buckets absent — the exact equidepth_histogram contract
+        "event_value_equidepth": """
+            WITH vals AS (
+              SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events
+            ),
+            ql AS (
+              SELECT quantile_disc(v, [0.125, 0.25, 0.375, 0.5,
+                                       0.625, 0.75, 0.875, 1.0]) AS l
+              FROM vals
+            ),
+            qs AS (
+              SELECT CAST(generate_subscripts(l, 1) AS BIGINT) AS bucket,
+                     unnest(l) AS hi
+              FROM ql
+            ),
+            vc AS (SELECT v, count(*) AS c FROM vals GROUP BY v),
+            vb AS (
+              SELECT vc.v, vc.c, min(q.bucket) AS bucket
+              FROM vc JOIN qs q ON vc.v <= q.hi
+              GROUP BY vc.v, vc.c
+            ),
+            hist AS (SELECT bucket, sum(c) AS n FROM vb GROUP BY bucket)
+            SELECT h.bucket, q.hi, CAST(h.n AS BIGINT) AS n
+            FROM hist h JOIN qs q USING (bucket)
         """,
         "event_value_histogram": """
             WITH c AS (

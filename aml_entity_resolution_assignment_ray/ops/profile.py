@@ -626,3 +626,58 @@ def population_stability(ds_a, ds_b, *, col: str, round_to: int = 6,
                         batch_format="pandas")
     return _keyed(one, ["_g"], cfg, None).map_batches(
         lambda d: finalize(d), batch_format="pandas", batch_size=None)
+
+
+def equidepth_histogram(ds, *, col: str, nbins: int = 8,
+                        cfg: EngineConfig = DEFAULT_CONFIG):
+    """Equi-depth (quantile-bucketed) histogram over an INTEGER
+    column: boundaries are the EXACT discrete quantiles at i/nbins
+    (DuckDB ``quantile_disc`` semantics, the grouped_quantiles
+    contract), bucket i = values v with v <= b_i and v > b_{i-1} —
+    i.e. the SMALLEST i whose boundary covers v, so duplicate
+    boundaries on skewed data leave later buckets empty (absent:
+    sparse output, like binned_histogram).  Output (bucket:int64,
+    hi, n:int64).
+
+    Prefer dyadic ``nbins`` (8, 16...): i/nbins is then exact in
+    binary and the ceil(q*n) index arithmetic cannot straddle a float
+    ulp between engines.
+
+    Shape: boundary pass = grouped_quantiles' distinct-value combiner
+    (driver sees nbins rows); assignment pass = broadcast searchsorted
+    + per-block bincount partials -> ONE keyed_sum on the bucket id."""
+    import ray as _ray
+
+    from .relational import grouped_quantiles, keyed_sum
+
+    qs = [i / nbins for i in range(1, nbins + 1)]
+
+    bounds = grouped_quantiles(
+        ds.map_batches(
+            lambda d: pd.DataFrame({
+                "_g": np.zeros(len(d), dtype=np.int64),
+                col: d[col].to_numpy(dtype=np.int64)}),
+            batch_format="pandas"),
+        key="_g", col=col, qs=qs, cfg=cfg).to_pandas()  # nbins rows
+    bounds = bounds.sort_values("q").reset_index(drop=True)
+    his = bounds["value"].to_numpy(dtype=np.int64)
+    bref = _ray.put(his)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        hi = _ray.get(bref)
+        v = df[col].to_numpy(dtype=np.int64)
+        idx = np.searchsorted(hi, v, side="left")  # first hi >= v
+        bins, counts = np.unique(idx, return_counts=True)
+        return pd.DataFrame({"bucket": bins.astype(np.int64) + 1,
+                             "n": counts.astype(np.int64)})
+
+    hist = keyed_sum(ds.map_batches(partial, batch_format="pandas"),
+                     ["bucket"], ["n"], cfg=cfg)
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        hi = _ray.get(bref)
+        b = df["bucket"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"bucket": b, "hi": hi[b - 1],
+                             "n": df["n"].to_numpy(dtype=np.int64)})
+
+    return hist.map_batches(attach, batch_format="pandas")

@@ -3406,3 +3406,35 @@ def test_clean_text(ray_session):
     assert "éclair and café" == got.loc[0, "clean_text"]
     assert got.loc[1, "clean_text"] == "ctrl chars here end"
     assert got.loc[4, "n_chars"] == 40
+
+
+def test_equidepth_histogram(ray_session):
+    """Quantile-disc boundaries at i/nbins, bucket = smallest covering
+    boundary; duplicate boundaries on skew leave later buckets absent;
+    counts partition the input exactly."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.profile import (
+        equidepth_histogram,
+    )
+
+    rng = np.random.RandomState(3)
+    v = np.concatenate([rng.randint(0, 1000, 900),
+                        np.full(300, 7)])        # heavy spike at 7
+    df = pd.DataFrame({"x": v.astype(np.int64)})
+    got = equidepth_histogram(rd.from_pandas(df).repartition(5),
+                              col="x", nbins=8, cfg=CFG) \
+        .to_pandas().sort_values("bucket").reset_index(drop=True)
+
+    # brute-force reference of the same contract
+    s = np.sort(v)
+    n = len(s)
+    his = np.array([s[max(int(np.ceil((i / 8) * n)), 1) - 1]
+                    for i in range(1, 9)], dtype=np.int64)
+    idx = np.searchsorted(his, v, side="left") + 1
+    exp = pd.Series(idx).value_counts().sort_index()
+    assert got["bucket"].tolist() == exp.index.tolist()
+    assert got["n"].tolist() == exp.values.tolist()
+    assert (got["hi"].to_numpy() ==
+            his[got["bucket"].to_numpy() - 1]).all()
+    assert got["n"].sum() == n

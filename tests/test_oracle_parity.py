@@ -79,6 +79,7 @@ SUBSET = [
     "events_profile_numeric",
     "events_profile_strings",
     "event_value_histogram",
+    "event_value_equidepth",
     "global_revenue_running",
     "user_funnel",
     "new_users_per_hour",
