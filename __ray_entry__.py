@@ -956,6 +956,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(finalize, batch_format="pandas")
 
+    def late_events(sf_dir):
+        """Event-time watermark check (ops/events.
+        watermark_late_events): arrival order = event_id, watermark =
+        strict-prefix max event time minus 1h; flags arrivals whose
+        event time is already behind the watermark and by how much.
+        Two-level distributed prefix max — no global sort."""
+        from aml_entity_resolution_assignment_ray.ops.events import (
+            watermark_late_events,
+        )
+
+        _tune_context()
+        ev = _read(sf_dir, "events").select_columns(["event_id", "ts"])
+
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            eid = df["event_id"].to_numpy(dtype=np.int64)
+            return pd.DataFrame({
+                "event_id": eid,
+                "bucket": eid // 1000,
+                "tsec": (df["ts"].astype("datetime64[ns]").astype("int64")
+                         // 10 ** 9).astype(np.int64),
+            })
+
+        out = watermark_late_events(
+            ev.map_batches(prep, batch_format="pandas"),
+            bucket_col="bucket", seq_col="event_id", ts_col="tsec",
+            lateness=3600)
+
+        def finalize(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "event_id": df["event_id"].astype("int64"),
+                "late_by": df["late_by"].astype("int64"),
+                "is_late": df["is_late"].astype(bool),
+            })
+
+        return out.map_batches(finalize, batch_format="pandas")
+
     def global_revenue_running(sf_dir):
         """GLOBAL running revenue over all events ordered by
         (ts, event_id) — sum() OVER (ORDER BY ...) without a
@@ -3781,6 +3817,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_profile_strings": events_profile_strings,
         "event_value_histogram": event_value_histogram,
         "event_value_equidepth": event_value_equidepth,
+        "late_events": late_events,
         "global_revenue_running": global_revenue_running,
         "user_funnel": user_funnel,
         "new_users_per_hour": new_users_per_hour,
@@ -5779,6 +5816,27 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'props', count(*), count(*) - count(props),
                    min(props), max(props) FROM events
+        """,
+        # watermark: strict-prefix (1 PRECEDING) running max of event
+        # time over arrival order, 1h allowed lateness
+        "late_events": """
+            WITH e AS (
+              SELECT CAST(event_id AS BIGINT) AS event_id,
+                     CAST(epoch(ts) AS BIGINT) AS tsec
+              FROM events
+            ),
+            w AS (
+              SELECT event_id, tsec,
+                     max(tsec) OVER (ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS pmax
+              FROM e
+            )
+            SELECT event_id,
+                   CAST(greatest(coalesce(pmax - 3600 - tsec, 0), 0)
+                        AS BIGINT) AS late_by,
+                   coalesce(pmax - 3600 - tsec, 0) > 0 AS is_late
+            FROM w
         """,
         # equi-depth: quantile_disc boundaries at dyadic i/8, bucket =
         # min boundary covering the value, duplicate boundaries leave

@@ -466,3 +466,85 @@ def merge_intervals(ds, *, key: str, start_col: str, end_col: str,
     sel = ds.select_columns([key, start_col, end_col])
     return _keyed(sel, [key], cfg, _meta_rows(ds)).map_batches(
         islands, batch_format="pandas", batch_size=None)
+
+
+def watermark_late_events(ds, *, bucket_col: str, seq_col: str,
+                          ts_col: str, lateness: int, cfg=None):
+    """Event-time watermark / late-arrival detection — the streaming
+    semantic, computed exactly over a replayed arrival order: the
+    watermark after arrival i is ``max(ts over arrivals < i) -
+    lateness`` (strict prefix, the arrival itself excluded); an event
+    is LATE when its own event-time falls below that watermark, and
+    ``late_by = max(0, prefix_max - lateness - ts)`` quantifies by how
+    much.  The first arrival is never late.
+
+    Contract mirrors ``global_running_sum``: ``bucket_col`` must be
+    order-consistent with ``seq_col`` (a unique total arrival order),
+    ``ts_col`` integer event-time.  Two-level distributed prefix MAX:
+    per-block per-bucket max partials (<= #buckets rows) give the
+    driver exclusive bucket offsets, then ONE hash repartition on the
+    bucket and a per-block exclusive running max + offset.  Adds
+    ``late_by`` (int64) and ``is_late`` (bool) to the input columns."""
+    import ray
+
+    from .relational import _keyed
+
+    cfg = cfg or DEFAULT_CONFIG
+    SENTINEL = -(2 ** 62)  # "< every prefix"; clamps to late_by 0
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(bucket_col, sort=False)[ts_col].max().reset_index()
+        g[ts_col] = g[ts_col].astype(np.int64)
+        return g
+
+    totals = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    totals = totals.groupby(bucket_col, sort=True)[ts_col].max()
+    offsets = totals.cummax().shift(1, fill_value=SENTINEL) \
+        .astype(np.int64)
+    oref = ray.put(offsets.to_dict())
+
+    class MarkLate:
+        def __init__(self, ref):
+            self.offsets = ray.get(ref) if isinstance(
+                ref, ray.ObjectRef) else ref
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                out = df.copy()
+                out["late_by"] = pd.Series([], dtype=np.int64)
+                out["is_late"] = pd.Series([], dtype=bool)
+                return out
+            d = df.sort_values([bucket_col, seq_col],
+                               kind="stable").reset_index(drop=True)
+            ts = d[ts_col].to_numpy(np.int64)
+            base = d[bucket_col].map(self.offsets).to_numpy(np.int64)
+            # exclusive within-bucket running max: shift the inclusive
+            # cummax right by one inside each bucket run
+            grp = d[bucket_col].to_numpy()
+            incl = np.maximum.accumulate(ts)
+            excl = np.empty(len(d), dtype=np.int64)
+            excl[0] = SENTINEL
+            excl[1:] = incl[:-1]
+            starts = np.ones(len(d), dtype=bool)
+            starts[1:] = grp[1:] != grp[:-1]
+            # reset the accumulate at bucket starts: recompute per run
+            for s in np.where(starts)[0]:
+                e = len(d)
+                nxt = np.where(starts[s + 1:])[0]
+                if len(nxt):
+                    e = s + 1 + nxt[0]
+                seg = ts[s:e]
+                excl[s] = SENTINEL
+                if e - s > 1:
+                    excl[s + 1:e] = np.maximum.accumulate(seg[:-1])
+            prefix = np.maximum(base, excl)
+            late_by = np.maximum(prefix - lateness - ts, 0)
+            d["late_by"] = late_by.astype(np.int64)
+            d["is_late"] = late_by > 0
+            return d
+
+    from ..util import stateful_map
+
+    keyed = _keyed(ds, [bucket_col], cfg, None)
+    return stateful_map(keyed, MarkLate, (oref,), batch_format="pandas",
+                        batch_size=None)

@@ -3438,3 +3438,34 @@ def test_equidepth_histogram(ray_session):
     assert (got["hi"].to_numpy() ==
             his[got["bucket"].to_numpy() - 1]).all()
     assert got["n"].sum() == n
+
+
+def test_watermark_late_events(ray_session):
+    """Strict-prefix watermark vs a sequential replay: shuffled event
+    times over a unique arrival order, 10s lateness; first arrival
+    never late; result invariant to block layout."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.events import (
+        watermark_late_events,
+    )
+
+    rng = np.random.RandomState(9)
+    n = 400
+    seq = np.arange(n, dtype=np.int64)
+    ts = rng.randint(0, 500, n).astype(np.int64)
+    df = pd.DataFrame({"seq": seq, "bucket": seq // 37, "t": ts})
+    for parts in (1, 7):
+        got = watermark_late_events(
+            rd.from_pandas(df).repartition(parts),
+            bucket_col="bucket", seq_col="seq", ts_col="t",
+            lateness=10, cfg=CFG) \
+            .to_pandas().sort_values("seq").reset_index(drop=True)
+        pmax = np.empty(n, dtype=np.int64)
+        pmax[0] = np.iinfo(np.int64).min // 4
+        pmax[1:] = np.maximum.accumulate(ts[:-1])
+        late = np.maximum(pmax - 10 - ts, 0)
+        late[0] = 0
+        assert (got["late_by"].to_numpy() == late).all()
+        assert (got["is_late"].to_numpy() == (late > 0)).all()
+    assert (late > 0).any()   # the scenario actually exercises lateness

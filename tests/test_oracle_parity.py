@@ -80,6 +80,7 @@ SUBSET = [
     "events_profile_strings",
     "event_value_histogram",
     "event_value_equidepth",
+    "late_events",
     "global_revenue_running",
     "user_funnel",
     "new_users_per_hour",
