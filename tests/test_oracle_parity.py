@@ -32,6 +32,7 @@ SUBSET = [
     "exact_dedup_incremental",
     "minhash_dedup_incremental",
     "ann_rrf_top10",
+    "cust_supp_communities",
     "customer_cdc_merged",
     "doc_substring_dedup",
     "doc_token_counts",
