@@ -105,6 +105,12 @@ def _csv_customer_path(n_rows: int) -> str:
     return f"/tmp/er_csv_customer_n{n_rows}"
 
 
+def _jsonl_parsed_path(n_rows: int) -> str:
+    """Separate landing zone for the raw-text-parse query so it never
+    races events_jsonl_stats over the same files."""
+    return f"/tmp/er_jsonl_parsed_n{n_rows}"
+
+
 def _partitioned_events_path(n_rows: int) -> str:
     return f"/tmp/er_part_events_n{n_rows}"
 
@@ -682,6 +688,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         fsrc.export_jsonl(
             src.map_batches(to_cents, batch_format="pandas"), path)
         g = fsrc.read_jsonl(path).groupby("event_type") \
+            .aggregate(Sum("value_cents"), Count())
+
+        def finalize(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "event_type": df["event_type"],
+                "total_cents": df["sum(value_cents)"].astype("int64"),
+                "n_events": df["count()"].astype("int64"),
+            })
+
+        return g.map_batches(finalize, batch_format="pandas")
+
+    def events_jsonl_parsed(sf_dir):
+        """Schema-on-read ingest (sources/files.read_jsonl_lines): the
+        SAME JSONL landing-zone layout as events_jsonl_stats, but read
+        back as RAW TEXT LINES and parsed with the stdlib JSON parser
+        (the quarantine path that drops bad lines instead of rejecting
+        files); per-type aggregate over the parsed Dataset.  Oracle
+        reads the same files with read_json_auto."""
+        from aml_entity_resolution_assignment_ray.sources import files as fsrc
+
+        _tune_context()
+        path = _jsonl_parsed_path(_table_rows(sf_dir, "events"))
+        src = _read(sf_dir, "events").select_columns(
+            ["event_id", "event_type", "value"])
+
+        def to_cents(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "event_id": df["event_id"].astype("int64"),
+                "event_type": df["event_type"],
+                "value_cents": np.rint(
+                    df["value"].to_numpy() * 100).astype("int64"),
+            })
+
+        fsrc.export_jsonl(
+            src.map_batches(to_cents, batch_format="pandas"), path)
+        parsed = fsrc.read_jsonl_lines(
+            path, {"event_type": "str", "value_cents": "int64"})
+        g = parsed.groupby("event_type") \
             .aggregate(Sum("value_cents"), Count())
 
         def finalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -3806,6 +3850,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "high_value_click_events": high_value_click_events,
         "event_type_stats": event_type_stats,
         "events_jsonl_stats": events_jsonl_stats,
+        "events_jsonl_parsed": events_jsonl_parsed,
         "events_partitioned_stats": events_partitioned_stats,
         "event_zscores": event_zscores,
         "customer_csv_stats": customer_csv_stats,
@@ -5730,6 +5775,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM read_json_auto(
                 '{_jsonl_events_path(_table_rows(_oracle_sf_dir(),
+                                                 "events"))}/*.json')
+            GROUP BY event_type
+        """,
+        "events_jsonl_parsed": f"""
+            SELECT event_type, CAST(sum(value_cents) AS BIGINT) AS total_cents,
+                   count(*) AS n_events
+            FROM read_json_auto(
+                '{_jsonl_parsed_path(_table_rows(_oracle_sf_dir(),
                                                  "events"))}/*.json')
             GROUP BY event_type
         """,

@@ -74,3 +74,44 @@ def read_jsonl(path: str):
 def read_csv(path: str):
     """Stream a CSV directory/file as a Dataset."""
     return rd.read_csv(path, file_extensions=["csv"])
+
+
+def read_jsonl_lines(path: str, fields: dict):
+    """Schema-on-read JSONL ingest: stream the files as TEXT LINES
+    (``rd.read_text``) and parse each line with the stdlib JSON
+    parser, projecting ``fields`` (name -> pandas dtype string).
+
+    This is the quarantine path for 100-TB landing zones where a
+    native reader would reject a whole file over one bad record:
+    lines that fail to parse, or parse to a non-object, or lack any
+    requested field, are DROPPED (the native ``read_jsonl`` reader
+    stays the fast path for clean zones — both are value-checked
+    against the same files in tests/queries).
+
+    Parsing is per-line by necessity (ragged text); the projection
+    and dtype coercion are vectorized per batch."""
+    import json
+
+    import pandas as pd
+
+    names = list(fields)
+
+    def parse(df: pd.DataFrame) -> pd.DataFrame:
+        recs = []
+        for line in df["text"]:
+            try:
+                o = json.loads(line)
+            except (ValueError, TypeError):
+                continue
+            if isinstance(o, dict) and all(k in o for k in names):
+                recs.append(o)
+        out = {}
+        for k in names:
+            t = fields[k]
+            dt = object if t in ("str", str) else t
+            out[k] = pd.Series([r[k] for r in recs], dtype=dt) if recs \
+                else pd.Series([], dtype=dt)
+        return pd.DataFrame(out)
+
+    return rd.read_text(path, file_extensions=["json", "jsonl"]) \
+        .map_batches(parse, batch_format="pandas")

@@ -65,3 +65,27 @@ def test_partitioned_parquet_pruned_read(ray_session, tmp_path):
     a = f.read_partition(d, "k", "a").to_pandas()
     assert set(a["k"]) == {"a"} and len(a) == 10
     assert sorted(a["v"].tolist()) == list(range(0, 20, 2))
+
+
+def test_read_jsonl_lines_quarantine(ray_session, tmp_path):
+    """Raw-text JSONL parse drops unparseable / non-object /
+    missing-field lines and keeps the rest — the behavior a native
+    reader cannot give (it rejects the whole file)."""
+    from aml_entity_resolution_assignment_ray.sources import files as f
+
+    p = tmp_path / "zone"
+    p.mkdir()
+    (p / "a.jsonl").write_text("\n".join([
+        '{"k": "x", "v": 1}',
+        'this is not json at all',
+        '{"k": "y", "v": 2}',
+        '[1, 2, 3]',
+        '{"k": "z"}',
+        '{"v": 9, "k": "w", "extra": true}',
+        '{"truncated": ',
+    ]) + "\n")
+    got = f.read_jsonl_lines(str(p), {"k": "str", "v": "int64"}) \
+        .to_pandas().sort_values("v").reset_index(drop=True)
+    assert got["k"].tolist() == ["x", "y", "w"]
+    assert got["v"].tolist() == [1, 2, 9]
+    assert got["v"].dtype == np.int64

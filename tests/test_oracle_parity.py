@@ -46,6 +46,7 @@ SUBSET = [
     "event_sessions",
     "event_zscores",
     "events_jsonl_stats",
+    "events_jsonl_parsed",
     "events_partitioned_stats",
     "customer_csv_stats",
     "doc_hash_split",
