@@ -2172,6 +2172,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["event_id", "event_type", "value"])
         return grouped_percent_rank(ev, key="event_type", col="value")
 
+    def event_value_dense_rank(sf_dir):
+        """Gapless per-group value rank (ops/relational.
+        grouped_dense_rank — one keyed shuffle, per-block grouped
+        dense rank; exact integers)."""
+        from aml_entity_resolution_assignment_ray.ops.relational import (
+            grouped_dense_rank,
+        )
+
+        _tune_context()
+        ev = _read(sf_dir, "events").select_columns(
+            ["event_id", "event_type", "value"])
+        out = grouped_dense_rank(ev, key="event_type", col="value")
+
+        def finalize(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "event_id": df["event_id"].astype("int64"),
+                "event_type": df["event_type"],
+                "value": df["value"].astype("float64"),
+                "dense_rank": df["dense_rank"].astype("int64"),
+            })
+
+        return out.map_batches(finalize, batch_format="pandas")
+
     def event_gaps(sf_dir):
         """LAG window (ops/relational.grouped_lag): every event joined
         to its user's PREVIOUS event — seconds since the last event
@@ -3928,6 +3951,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_approx_users": hourly_approx_users,
         "event_value_quantiles_sketch": event_value_quantiles_sketch,
         "event_value_pct_rank": event_value_pct_rank,
+        "event_value_dense_rank": event_value_dense_rank,
         "event_gaps": event_gaps,
         "user_event_transitions": user_event_transitions,
         "event_value_ntile": event_value_ntile,
@@ -6843,6 +6867,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, 0.99,
                    quantile_disc(l_extendedprice, 0.99)
             FROM lineitem GROUP BY 1
+        """,
+        "event_value_dense_rank": """
+            SELECT event_id, event_type, value,
+                   CAST(dense_rank() OVER (
+                     PARTITION BY event_type ORDER BY value)
+                     AS BIGINT) AS dense_rank
+            FROM events
         """,
         "event_value_pct_rank": """
             SELECT event_id, event_type, value,

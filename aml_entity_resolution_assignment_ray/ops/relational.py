@@ -860,6 +860,35 @@ def grouped_percent_rank(ds, *, key: str, col: str,
         pr, batch_format="pandas", batch_size=None)
 
 
+def grouped_dense_rank(ds, *, key: str, col: str,
+                       out_col: str = "dense_rank",
+                       cfg: EngineConfig = DEFAULT_CONFIG):
+    """dense_rank() OVER (PARTITION BY key ORDER BY col): 1-based
+    gapless rank of each row's value within its group — ties share a
+    rank and the next distinct value takes rank+1.  NULLs rank LAST as
+    one peer group (NULLS LAST, like grouped_percent_rank).  Integer
+    output, exact on both sides by construction.
+
+    ONE hash shuffle on the key, then a per-block grouped dense rank
+    (groups arrive complete); all input columns pass through."""
+    cols = list(ds.schema().names)
+
+    def dr(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            out = df[cols].copy()
+            out[out_col] = pd.Series([], dtype="int64")
+            return out
+        s = df.sort_values([key, col], kind="stable")
+        r = s.groupby(key, sort=False)[col] \
+            .rank(method="dense", na_option="bottom")
+        out = s[cols].copy()
+        out[out_col] = r.to_numpy(dtype=np.int64)
+        return out
+
+    return _keyed(ds, [key], cfg, _meta_rows(ds)).map_batches(
+        dr, batch_format="pandas", batch_size=None)
+
+
 # --------------------------------------------------------------------------
 # anti join (left rows with NO key match in right)
 # --------------------------------------------------------------------------

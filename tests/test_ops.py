@@ -3469,3 +3469,26 @@ def test_watermark_late_events(ray_session):
         assert (got["late_by"].to_numpy() == late).all()
         assert (got["is_late"].to_numpy() == (late > 0)).all()
     assert (late > 0).any()   # the scenario actually exercises lateness
+
+
+def test_grouped_dense_rank(ray_session):
+    """Gapless tied ranks per group, NULLs last as one peer group,
+    layout-invariant."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.relational import (
+        grouped_dense_rank,
+    )
+
+    df = pd.DataFrame({
+        "k": ["a"] * 6 + ["b"] * 3,
+        "v": [3.0, 1.0, 3.0, np.nan, 2.0, 1.0, 5.0, np.nan, 5.0],
+        "id": np.arange(9, dtype=np.int64),
+    })
+    for parts in (1, 4):
+        got = grouped_dense_rank(rd.from_pandas(df).repartition(parts),
+                                 key="k", col="v", cfg=CFG) \
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        assert got[got["k"] == "a"]["dense_rank"].tolist() == \
+            [3, 1, 3, 4, 2, 1]
+        assert got[got["k"] == "b"]["dense_rank"].tolist() == [1, 2, 1]

@@ -75,6 +75,7 @@ SUBSET = [
     "embedding_quantized",
     "bpe_learned_merges",
     "event_value_pct_rank",
+    "event_value_dense_rank",
     "event_gaps",
     "event_value_ntile",
     "event_rollup",
