@@ -128,6 +128,12 @@ def _kmeans_path(n_entities: int) -> str:
     return f"/tmp/er_kmeans_n{n_entities}"
 
 
+def _pca_path(n_entities: int) -> str:
+    """Component dir the embedding_pca2 query writes and its oracle
+    replays the projection from (model-as-input convention)."""
+    return f"/tmp/er_pca_n{n_entities}"
+
+
 def _semdedup_index_path(n_entities: int) -> str:
     """k-means index dir the semdedup_* queries write and their oracles
     read (separate from _ivf_index_path: same layout, different build
@@ -2837,15 +2843,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """PCA to 2 components (ops/ann.pca_project): one distributed
         pass of per-block (n, sum, X^T X) moment partials, a driver-
         trivial d x d eigh with a fixed sign convention, then a
-        stateless broadcast projection map.  The eigen step is not
-        SQL-expressible, so this query is rows-only at the driver
-        gate; tests/test_ops.py pins it against a numpy oracle."""
+        stateless broadcast projection map.  The eigen FIT is not
+        SQL-expressible (pinned by the numpy oracle in
+        tests/test_ops.py); the fitted (mean, W) persist to parquet
+        and the SQL oracle replays the PROJECTION from them — the
+        model-as-input convention, cf. embedding_kmeans_cells."""
         from aml_entity_resolution_assignment_ray.ops.ann import pca_project
 
         _tune_context()
         return pca_project(
             _read(sf_dir, "embeddings").select_columns(
-                ["vec_id", "embedding"]), k=2)
+                ["vec_id", "embedding"]), k=2,
+            components_path=_pca_path(_corpus_entities(sf_dir)))
 
     def embedding_kmeans_cells(sf_dir):
         """Distributed Lloyd's k-means over every embedding (ops/ann.
@@ -7429,6 +7438,27 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY dist, cell) AS rn
                 FROM d) WHERE rn = 1
         """.replace("{KMEANS_PATH}", _kmeans_path(_oracle_n())),
+        # PCA projection replay from the persisted (mean, W): the
+        # eigen FIT is numpy-oracled in tests; the projection
+        # (x - mu) @ W is replayed per component from components.parquet
+        "embedding_pca2": f"""
+            WITH comp AS (
+                SELECT CAST(comp AS BIGINT) AS comp,
+                       CAST(dim AS BIGINT) AS dim, w, mu
+                FROM read_parquet('{{PCA_PATH}}/components.parquet')
+            ),
+            x AS (
+                SELECT vec_id,
+                       unnest(list_transform(embedding,
+                                             v -> CAST(v AS DOUBLE))) AS xv,
+                       generate_subscripts(embedding, 1) AS dim
+                FROM embeddings
+            )
+            SELECT x.vec_id, c.comp,
+                   round(sum((x.xv - c.mu) * c.w), 6) AS value
+            FROM x JOIN comp c ON c.dim = x.dim - 1
+            GROUP BY x.vec_id, c.comp
+        """.replace("{PCA_PATH}", _pca_path(_oracle_n())),
         "embedding_norms": """
             SELECT vec_id,
                    round(sqrt(list_dot_product(

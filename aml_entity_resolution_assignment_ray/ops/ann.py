@@ -544,7 +544,8 @@ def projection_sign_matrix(d: int, k: int = 8, seed: int = 7) -> np.ndarray:
 
 
 def pca_project(ds, *, k: int = 2, vec_col: str = "embedding",
-                id_col: str = "vec_id", round_to: int = 6):
+                id_col: str = "vec_id", round_to: int = 6,
+                components_path: str | None = None):
     """PCA projection to k components, distributed end to end except
     the d x d eigendecomposition (which is driver-trivial at any
     corpus size — d is the embedding width, not the row count):
@@ -558,9 +559,11 @@ def pca_project(ds, *, k: int = 2, vec_col: str = "embedding",
     3. a stateless broadcast map projects every row: (x - mean) @ W,
        long form (id, comp, value) rounded to ``round_to``.
 
-    Genuinely non-SQL-expressible (the eigen step), so its query is
-    registered rows-only; correctness is pinned by the numpy-oracle
-    unit test instead."""
+    The eigen step is genuinely non-SQL-expressible, but with
+    ``components_path`` set the fitted (mean, W) persist to parquet
+    BEFORE projection and a SQL oracle can replay step 3 from them —
+    the model-as-input convention (cf. kmeans_fit's centroids); only
+    the fit itself stays pinned by the numpy-oracle unit test."""
 
     def moments(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
@@ -588,6 +591,23 @@ def pca_project(ds, *, k: int = 2, vec_col: str = "embedding",
     # sign convention: largest-|component| entry positive per vector
     flips = np.sign(W[np.abs(W).argmax(axis=0), np.arange(W.shape[1])])
     W = W * np.where(flips == 0, 1.0, flips)[None, :]
+
+    if components_path is not None:
+        import os as _os
+
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        _os.makedirs(components_path, exist_ok=True)
+        kk = W.shape[1]
+        _pq.write_table(
+            _pa.table({
+                "comp": _pa.array(np.repeat(np.arange(kk), d), _pa.int64()),
+                "dim": _pa.array(np.tile(np.arange(d), kk), _pa.int64()),
+                "w": _pa.array(W.T.ravel(), _pa.float64()),
+                "mu": _pa.array(np.tile(mean, kk), _pa.float64()),
+            }),
+            _os.path.join(components_path, "components.parquet"))
 
     wref = ray.put((mean, W))
 

@@ -73,6 +73,7 @@ SUBSET = [
     "doc_contamination_bloom",
     "doc_chunks",
     "embedding_quantized",
+    "embedding_pca2",
     "bpe_learned_merges",
     "event_value_pct_rank",
     "event_value_dense_rank",
