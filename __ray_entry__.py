@@ -1008,35 +1008,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def late_events(sf_dir):
         """Event-time watermark check (ops/events.
-        watermark_late_events): arrival order = event_id, watermark =
-        strict-prefix max event time minus 1h; flags arrivals whose
-        event time is already behind the watermark and by how much.
-        Two-level distributed prefix max — no global sort."""
+        watermark_late_events): arrival order = a user-partition-
+        merged replay (user_id, then event_id) — the realistic shape
+        where per-partition streams are time-sorted but the merged
+        stream is not, so event time genuinely jumps backwards at
+        partition boundaries.  Watermark = strict-prefix max event
+        time minus 7 days, exact integer MICROSECONDS on both sides
+        (DuckDB epoch() is fractional and CAST rounds — epoch_us is
+        the exact contract); flags arrivals behind the watermark and
+        by how much.  Two-level distributed prefix max — no global
+        sort.  At sf0.001: 745 late / 255 on-time, so both branches
+        are exercised."""
         from aml_entity_resolution_assignment_ray.ops.events import (
             watermark_late_events,
         )
 
         _tune_context()
-        ev = _read(sf_dir, "events").select_columns(["event_id", "ts"])
+        ev = _read(sf_dir, "events").select_columns(
+            ["event_id", "user_id", "ts"])
 
         def prep(df: pd.DataFrame) -> pd.DataFrame:
             eid = df["event_id"].to_numpy(dtype=np.int64)
+            uid = df["user_id"].to_numpy(dtype=np.int64)
             return pd.DataFrame({
                 "event_id": eid,
-                "bucket": eid // 1000,
-                "tsec": (df["ts"].astype("datetime64[ns]").astype("int64")
-                         // 10 ** 9).astype(np.int64),
+                "seq": uid * 10 ** 9 + eid,
+                "bucket": uid,
+                "tus": (df["ts"].astype("datetime64[ns]").astype("int64")
+                        // 1000).astype(np.int64),
             })
 
         out = watermark_late_events(
             ev.map_batches(prep, batch_format="pandas"),
-            bucket_col="bucket", seq_col="event_id", ts_col="tsec",
-            lateness=3600)
+            bucket_col="bucket", seq_col="seq", ts_col="tus",
+            lateness=7 * 86400 * 10 ** 6)
 
         def finalize(df: pd.DataFrame) -> pd.DataFrame:
             return pd.DataFrame({
                 "event_id": df["event_id"].astype("int64"),
-                "late_by": df["late_by"].astype("int64"),
+                "late_by_us": df["late_by"].astype("int64"),
                 "is_late": df["is_late"].astype(bool),
             })
 
@@ -2197,6 +2207,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "event_type": df["event_type"],
                 "value": df["value"].astype("float64"),
                 "dense_rank": df["dense_rank"].astype("int64"),
+            })
+
+        return out.map_batches(finalize, batch_format="pandas")
+
+    def user_first_last_event(sf_dir):
+        """first_value/last_value per user over (ts, event_id) total
+        order (ops/relational.grouped_first_last: per-block extreme-row
+        combiner — at most 2 rows per block-key move — then one keyed
+        shuffle).  First-touch / last-touch attribution shape."""
+        from aml_entity_resolution_assignment_ray.ops.relational import (
+            grouped_first_last,
+        )
+
+        _tune_context()
+        ev = _read(sf_dir, "events").select_columns(
+            ["event_id", "user_id", "ts", "value"])
+
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "user_id": df["user_id"].astype("int64"),
+                "event_id": df["event_id"].astype("int64"),
+                "tus": (df["ts"].astype("datetime64[ns]").astype("int64")
+                        // 1000).astype(np.int64),
+                "value": df["value"].astype("float64"),
+            })
+
+        out = grouped_first_last(
+            ev.map_batches(prep, batch_format="pandas"),
+            key="user_id", order_cols=["tus", "event_id"],
+            cols=["tus", "value"])
+
+        def finalize(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "user_id": df["user_id"].astype("int64"),
+                "first_tus": df["first_tus"].astype("int64"),
+                "first_value": df["first_value"].astype("float64"),
+                "last_tus": df["last_tus"].astype("int64"),
+                "last_value": df["last_value"].astype("float64"),
             })
 
         return out.map_batches(finalize, batch_format="pandas")
@@ -3961,6 +4009,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_quantiles_sketch": event_value_quantiles_sketch,
         "event_value_pct_rank": event_value_pct_rank,
         "event_value_dense_rank": event_value_dense_rank,
+        "user_first_last_event": user_first_last_event,
         "event_gaps": event_gaps,
         "user_event_transitions": user_event_transitions,
         "event_value_ntile": event_value_ntile,
@@ -5904,24 +5953,28 @@ def oracle_sql() -> dict[str, str]:
                    min(props), max(props) FROM events
         """,
         # watermark: strict-prefix (1 PRECEDING) running max of event
-        # time over arrival order, 1h allowed lateness
+        # time over the user-merged arrival order, 7-day lateness,
+        # exact integer microseconds (epoch_us, never CAST(epoch()))
         "late_events": """
             WITH e AS (
               SELECT CAST(event_id AS BIGINT) AS event_id,
-                     CAST(epoch(ts) AS BIGINT) AS tsec
+                     CAST(user_id AS BIGINT) AS u,
+                     epoch_us(ts) AS tus
               FROM events
             ),
             w AS (
-              SELECT event_id, tsec,
-                     max(tsec) OVER (ORDER BY event_id
+              SELECT event_id, tus,
+                     max(tus) OVER (ORDER BY u, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING
                        AND 1 PRECEDING) AS pmax
               FROM e
             )
             SELECT event_id,
-                   CAST(greatest(coalesce(pmax - 3600 - tsec, 0), 0)
-                        AS BIGINT) AS late_by,
-                   coalesce(pmax - 3600 - tsec, 0) > 0 AS is_late
+                   CAST(greatest(coalesce(
+                       pmax - CAST(604800000000 AS BIGINT) - tus, 0), 0)
+                        AS BIGINT) AS late_by_us,
+                   coalesce(pmax - CAST(604800000000 AS BIGINT) - tus,
+                            0) > 0 AS is_late
             FROM w
         """,
         # equi-depth: quantile_disc boundaries at dyadic i/8, bucket =
@@ -6876,6 +6929,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, 0.99,
                    quantile_disc(l_extendedprice, 0.99)
             FROM lineitem GROUP BY 1
+        """,
+        "user_first_last_event": """
+            WITH e AS (
+              SELECT CAST(user_id AS BIGINT) AS user_id,
+                     CAST(event_id AS BIGINT) AS eid,
+                     epoch_us(ts) AS tus, value
+              FROM events
+            ),
+            r AS (
+              SELECT *,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY tus, eid) AS rn,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY tus DESC, eid DESC) AS rd
+              FROM e
+            )
+            SELECT a.user_id,
+                   a.tus AS first_tus, a.value AS first_value,
+                   b.tus AS last_tus, b.value AS last_value
+            FROM (SELECT * FROM r WHERE rn = 1) a
+            JOIN (SELECT * FROM r WHERE rd = 1) b USING (user_id)
         """,
         "event_value_dense_rank": """
             SELECT event_id, event_type, value,

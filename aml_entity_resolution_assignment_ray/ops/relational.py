@@ -889,6 +889,41 @@ def grouped_dense_rank(ds, *, key: str, col: str,
         dr, batch_format="pandas", batch_size=None)
 
 
+def grouped_first_last(ds, *, key: str, order_cols: list[str],
+                       cols: list[str],
+                       cfg: EngineConfig = DEFAULT_CONFIG):
+    """first_value / last_value per group under a TOTAL order
+    (``order_cols`` must include a unique tiebreak): one output row
+    per key with ``first_<c>`` and ``last_<c>`` for every ``c`` in
+    ``cols`` — the first-touch / last-touch attribution shape.
+
+    The per-block head(1)+tail(1) per key BEFORE the shuffle is a
+    correct combiner (only a block's extreme rows can be group-global
+    extremes), so at most 2 rows per (block, key) move; then ONE hash
+    shuffle and a per-block final pick."""
+    need = [key, *order_cols, *dict.fromkeys(
+        c for c in cols if c not in order_cols)]
+
+    def extremes(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[need].sort_values([key, *order_cols], kind="stable")
+        g = s.groupby(key, sort=False)
+        return pd.concat([g.head(1), g.tail(1)]).drop_duplicates()
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        s = extremes(df).sort_values([key, *order_cols], kind="stable")
+        g = s.groupby(key, sort=False)
+        first, last = g.head(1), g.tail(1)
+        out = {key: first[key].to_numpy()}
+        for c in cols:
+            out[f"first_{c}"] = first[c].to_numpy()
+            out[f"last_{c}"] = last[c].to_numpy()
+        return pd.DataFrame(out)
+
+    partial = ds.map_batches(extremes, batch_format="pandas")
+    return _keyed(partial, [key], cfg, _meta_rows(ds)).map_batches(
+        finalize, batch_format="pandas", batch_size=None)
+
+
 # --------------------------------------------------------------------------
 # anti join (left rows with NO key match in right)
 # --------------------------------------------------------------------------

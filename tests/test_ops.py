@@ -3492,3 +3492,34 @@ def test_grouped_dense_rank(ray_session):
         assert got[got["k"] == "a"]["dense_rank"].tolist() == \
             [3, 1, 3, 4, 2, 1]
         assert got[got["k"] == "b"]["dense_rank"].tolist() == [1, 2, 1]
+
+
+def test_grouped_first_last(ray_session):
+    """Per-key first/last under a total order, combiner-correct across
+    block layouts."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.relational import (
+        grouped_first_last,
+    )
+
+    rng = np.random.RandomState(21)
+    n = 300
+    df = pd.DataFrame({
+        "k": rng.randint(0, 9, n).astype(np.int64),
+        "t": rng.randint(0, 50, n).astype(np.int64),   # many order ties
+        "id": np.arange(n, dtype=np.int64),
+        "v": rng.randn(n),
+    })
+    exp = df.sort_values(["k", "t", "id"], kind="stable")
+    first = exp.groupby("k").head(1).set_index("k")
+    last = exp.groupby("k").tail(1).set_index("k")
+    for parts in (1, 6):
+        got = grouped_first_last(rd.from_pandas(df).repartition(parts),
+                                 key="k", order_cols=["t", "id"],
+                                 cols=["t", "v"], cfg=CFG) \
+            .to_pandas().sort_values("k").set_index("k")
+        assert (got["first_t"] == first["t"]).all()
+        assert (got["last_t"] == last["t"]).all()
+        assert (got["first_v"] == first["v"]).all()
+        assert (got["last_v"] == last["v"]).all()

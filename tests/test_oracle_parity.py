@@ -85,6 +85,7 @@ SUBSET = [
     "event_value_histogram",
     "event_value_equidepth",
     "late_events",
+    "user_first_last_event",
     "global_revenue_running",
     "user_funnel",
     "new_users_per_hour",
