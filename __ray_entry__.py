@@ -134,6 +134,12 @@ def _pca_path(n_entities: int) -> str:
     return f"/tmp/er_pca_n{n_entities}"
 
 
+def _bpe_vocab_path(n_entities: int) -> str:
+    """Vocab dir the doc_token_ids query writes and its oracle joins
+    against (model-as-input convention)."""
+    return f"/tmp/er_bpe_vocab_n{n_entities}"
+
+
 def _semdedup_index_path(n_entities: int) -> str:
     """k-means index dir the semdedup_* queries write and their oracles
     read (separate from _ivf_index_path: same layout, different build
@@ -1771,6 +1777,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _tune_context()
         return text.bpe_token_histogram(
             _read(sf_dir, "documents").select_columns(["text"]))
+
+    def doc_token_ids(sf_dir):
+        """Corpus ENCODE to token ids (ops/text.bpe_encode): merge
+        table applied, vocabulary = sorted distinct subwords persisted
+        to parquet (model-as-input), long-form (doc_id, pos, token_id)
+        sequences; the oracle replays the replace() chain and joins
+        the persisted vocab.  A doc_id % 7 == 0 slice keeps the
+        hashed result driver-gate-sized while exercising every path."""
+        _tune_context()
+        docs = _read(sf_dir, "documents").select_columns(
+            ["doc_id", "text"]).map_batches(
+            lambda d: d[d["doc_id"] % 7 == 0], batch_format="pandas")
+        out = text.bpe_encode(
+            docs, vocab_path=_bpe_vocab_path(_corpus_entities(sf_dir)))
+
+        def finalize(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "doc_id": df["doc_id"].astype("int64"),
+                "pos": df["pos"].astype("int64"),
+                "token_id": df["token_id"].astype("int64"),
+            })
+
+        return out.map_batches(finalize, batch_format="pandas")
 
     def source_mixture(sf_dir):
         """Data-mixing weight table: per-source token shares and the
@@ -3980,6 +4009,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": doc_chunks,
         "bpe_learned_merges": bpe_learned_merges,
         "bpe_token_histogram": bpe_token_histogram,
+        "doc_token_ids": doc_token_ids,
         "doc_stratified_sample": doc_stratified_sample,
         "doc_pack": doc_pack,
         "doc_pack_texts": doc_pack_texts,
@@ -5084,6 +5114,34 @@ def _bpe_histogram_sql() -> str:
             FROM documents
         )
         SELECT token, count(*) AS n FROM tok GROUP BY token
+    """
+
+
+def _bpe_encode_sql() -> str:
+    """Encode-to-ids oracle: the SAME spaced layout + replace() merge
+    chain as _bpe_histogram_sql, but per doc with ORDINAL positions,
+    joined to the vocabulary the engine persisted
+    (ops/text.bpe_encode's model-as-input parquet)."""
+    from aml_entity_resolution_assignment_ray.ops.text import _BPE_MERGES
+
+    expr = _bpe_spaced_sql_expr("text")
+    for a, b in _BPE_MERGES:
+        pat, rep = f" {a} {b} ", f" {a}{b} "
+        expr = f"replace(replace({expr}, '{pat}', '{rep}'), '{pat}', '{rep}')"
+    return f"""
+        WITH m AS (
+            SELECT doc_id, regexp_extract_all({expr}, '[^ ]+') AS toks
+            FROM documents WHERE doc_id % 7 = 0
+        ),
+        t AS (
+            SELECT doc_id, unnest(toks) AS tok,
+                   generate_subscripts(toks, 1) AS pos
+            FROM m
+        ),
+        v AS (SELECT token, token_id FROM read_parquet(
+                  '{_bpe_vocab_path(_oracle_n())}/vocab.parquet'))
+        SELECT t.doc_id, CAST(t.pos - 1 AS BIGINT) AS pos, v.token_id
+        FROM t JOIN v ON v.token = t.tok
     """
 
 
@@ -6289,6 +6347,7 @@ def oracle_sql() -> dict[str, str]:
         # and Python re
         "bpe_learned_merges": _bpe_train_sql(8),
         "bpe_token_histogram": _bpe_histogram_sql(),
+        "doc_token_ids": _bpe_encode_sql(),
         # token-window chunking: same whitespace tokenize as
         # doc_token_counts; chunk text re-joined with single spaces
         # (list_slice bounds are INCLUSIVE; starts step by the stride)

@@ -962,3 +962,72 @@ def clean_text(ds, *, col: str = "text", id_col: str = "doc_id",
         })
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+def bpe_encode(ds, *, col: str = "text", id_col: str = "doc_id",
+               merges=None, vocab_path: str | None = None, cfg=None):
+    """Corpus tokenization to TOKEN IDS — the encode step a training
+    pipeline runs after learning merges: apply the merge table (the
+    bpe_merge_token_count buffer contract), assign each distinct
+    subword its rank in the SORTED corpus vocabulary, and emit the
+    long-form sequence (id_col, pos:int64, token_id:int64) — the
+    SQL-checkable layout; consumers pack it with pack_sequences.
+
+    Pass 1 derives the vocabulary via ``bpe_token_histogram`` (the
+    distinct-subword combiner — driver state is the vocabulary, KB-MB
+    by construction, never the corpus) and persists (token, token_id)
+    to ``vocab_path`` for the oracle / decode side.  Pass 2 re-applies
+    the merge chain per block and looks every token up with ONE
+    vectorized searchsorted against the broadcast sorted vocab."""
+    import ray
+
+    from ..config import DEFAULT_CONFIG
+
+    cfg = cfg or DEFAULT_CONFIG
+    merges = list(_BPE_MERGES if merges is None else merges)
+    sep = "\x1e"
+
+    vocab = np.sort(bpe_token_histogram(ds, col=col, merges=merges,
+                                        cfg=cfg)
+                    .to_pandas()["token"].to_numpy(dtype=object))
+    if vocab_path is not None:
+        import os as _os
+
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        _os.makedirs(vocab_path, exist_ok=True)
+        _pq.write_table(
+            _pa.table({"token": _pa.array(list(vocab), _pa.string()),
+                       "token_id": _pa.array(range(len(vocab)),
+                                             _pa.int64())}),
+            _os.path.join(vocab_path, "vocab.parquet"))
+    vref = ray.put(vocab)
+
+    def encode(df: pd.DataFrame) -> pd.DataFrame:
+        v = ray.get(vref)
+        low = df[col].fillna("").astype(str).str.lower()
+        big = sep.join(
+            " " + "  ".join(" ".join(p) for p in _BPE_RE.findall(t)) + " "
+            for t in low)
+        for a, b in merges:
+            pat, rep = f" {a} {b} ", f" {a}{b} "
+            big = big.replace(pat, rep)
+            big = big.replace(pat, rep)
+        per_doc = [seg.split() for seg in big.split(sep)]
+        counts = np.fromiter((len(t) for t in per_doc), dtype=np.int64,
+                             count=len(per_doc))
+        flat = np.asarray([t for ts in per_doc for t in ts], dtype=object)
+        if not len(flat):
+            return pd.DataFrame({
+                id_col: np.array([], dtype=np.int64),
+                "pos": np.array([], dtype=np.int64),
+                "token_id": np.array([], dtype=np.int64)})
+        return pd.DataFrame({
+            id_col: np.repeat(df[id_col].to_numpy(), counts),
+            "pos": np.concatenate(
+                [np.arange(c, dtype=np.int64) for c in counts]),
+            "token_id": np.searchsorted(v, flat).astype(np.int64),
+        })
+
+    return ds.map_batches(encode, batch_format="pandas")

@@ -3523,3 +3523,40 @@ def test_grouped_first_last(ray_session):
         assert (got["last_t"] == last["t"]).all()
         assert (got["first_v"] == first["v"]).all()
         assert (got["last_v"] == last["v"]).all()
+
+
+def test_bpe_encode_roundtrip(ray_session, tmp_path):
+    """Encode emits one id per merged subword in order; ids decode
+    back through the persisted vocab to exactly the merged token
+    stream; layout-invariant."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.text import (
+        bpe_encode,
+        bpe_merge_token_count,
+    )
+
+    docs = pd.DataFrame({
+        "doc_id": np.array([1, 2, 3], dtype=np.int64),
+        "text": ["the thing that sings", "and another thing", ""],
+    })
+    vp = str(tmp_path / "vocab")
+    got = bpe_encode(rd.from_pandas(docs).repartition(2), vocab_path=vp,
+                     cfg=CFG).to_pandas() \
+        .sort_values(["doc_id", "pos"]).reset_index(drop=True)
+    vocab = pq.read_table(vp + "/vocab.parquet").to_pandas() \
+        .set_index("token_id")["token"]
+    # per-doc token counts match the merge-count kernel
+    counts = bpe_merge_token_count(docs["text"])
+    got_counts = got.groupby("doc_id").size()
+    assert got_counts.get(1, 0) == counts[0]
+    assert got_counts.get(2, 0) == counts[1]
+    assert 3 not in got_counts.index  # empty doc -> zero rows
+    # decode doc 1: positions contiguous from 0, tokens join sensibly
+    d1 = got[got["doc_id"] == 1]
+    assert d1["pos"].tolist() == list(range(len(d1)))
+    toks = [vocab[t] for t in d1["token_id"]]
+    assert "".join(toks).startswith("the")  # 'the' is a learned merge
+    # ids are the ranks of the sorted vocabulary
+    assert vocab.sort_index().is_monotonic_increasing

@@ -75,6 +75,7 @@ SUBSET = [
     "embedding_quantized",
     "embedding_pca2",
     "bpe_learned_merges",
+    "doc_token_ids",
     "event_value_pct_rank",
     "event_value_dense_rank",
     "event_gaps",
