@@ -206,6 +206,8 @@ def main():
             read(), size=32, stride=24).count())
         timed("exact_dedup", lambda: dedup.exact_dedup(
             read(), cfg=cfg, n_rows=N_DOCS).count())
+        timed("substring_dedup", lambda: dedup.substring_dedup(
+            read(), n=8, cfg=cfg).count())
         timed("minhash_dup_pairs", lambda: dedup.minhash_lsh_dup_pairs(
             read(), threshold=0.8, cfg=cfg).count())
         timed("lm_score", lambda: text.bigram_lm_score(
