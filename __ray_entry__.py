@@ -2240,6 +2240,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(finalize, batch_format="pandas")
 
+    def purchase_click_window(sf_dir):
+        """Stream-stream windowed join: every (purchase, click) pair
+        by the SAME user within +-6h of each other — ops/relational.
+        range_join with a symmetric window (lo=-delta, hi=+delta) and
+        the user equality key: ONE hash shuffle co-locates each
+        user's rows from both streams, pairs form key-locally."""
+        from aml_entity_resolution_assignment_ray.ops.relational import range_join
+
+        _tune_context()
+        ev = _read(sf_dir, "events").select_columns(
+            ["event_id", "user_id", "event_type", "ts"])
+
+        def side(etype, eid_name):
+            def f(df: pd.DataFrame) -> pd.DataFrame:
+                d = df[df["event_type"] == etype]
+                return pd.DataFrame({
+                    "user_id": d["user_id"].astype("int64"),
+                    eid_name: d["event_id"].astype("int64"),
+                    f"{eid_name[0]}_tus": (
+                        d["ts"].astype("datetime64[ns]").astype("int64")
+                        // 1000).astype(np.int64),
+                    "ts": d["ts"],
+                })
+            return f
+
+        purchases = ev.map_batches(side("purchase", "p_eid"),
+                                   batch_format="pandas")
+        clicks = ev.map_batches(side("click", "c_eid"),
+                                batch_format="pandas")
+        j = range_join(purchases, clicks, left_ts="ts", right_ts="ts",
+                       lo_s=-21600, hi_s=21600, key="user_id",
+                       right_cols=["c_eid", "c_tus"])
+
+        def finalize(df: pd.DataFrame) -> pd.DataFrame:
+            gap = np.abs(df["p_tus"].to_numpy(np.int64)
+                         - df["c_tus"].to_numpy(np.int64))
+            return pd.DataFrame({
+                "p_eid": df["p_eid"].astype("int64"),
+                "c_eid": df["c_eid"].astype("int64"),
+                "gap_us": gap,
+            })
+
+        return j.map_batches(finalize, batch_format="pandas")
+
     def user_first_last_event(sf_dir):
         """first_value/last_value per user over (ts, event_id) total
         order (ops/relational.grouped_first_last: per-block extreme-row
@@ -4040,6 +4084,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_pct_rank": event_value_pct_rank,
         "event_value_dense_rank": event_value_dense_rank,
         "user_first_last_event": user_first_last_event,
+        "purchase_click_window": purchase_click_window,
         "event_gaps": event_gaps,
         "user_event_transitions": user_event_transitions,
         "event_value_ntile": event_value_ntile,
@@ -6988,6 +7033,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, 0.99,
                    quantile_disc(l_extendedprice, 0.99)
             FROM lineitem GROUP BY 1
+        """,
+        "purchase_click_window": """
+            SELECT CAST(p.event_id AS BIGINT) AS p_eid,
+                   CAST(c.event_id AS BIGINT) AS c_eid,
+                   CAST(abs(epoch_us(p.ts) - epoch_us(c.ts)) AS BIGINT)
+                     AS gap_us
+            FROM events p JOIN events c ON p.user_id = c.user_id
+            WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+              AND abs(epoch_us(p.ts) - epoch_us(c.ts))
+                  <= CAST(21600000000 AS BIGINT)
         """,
         "user_first_last_event": """
             WITH e AS (

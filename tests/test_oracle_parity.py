@@ -87,6 +87,7 @@ SUBSET = [
     "event_value_equidepth",
     "late_events",
     "user_first_last_event",
+    "purchase_click_window",
     "global_revenue_running",
     "user_funnel",
     "new_users_per_hour",
