@@ -2240,6 +2240,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(finalize, batch_format="pandas")
 
+    def event_value_imputed(sf_dir):
+        """Group-mean null imputation (ops/relational.impute_by_group):
+        error events' values become NULL (the deterministic missing
+        mask), then fill with the user's rounded non-null mean cents,
+        global mean for all-null users; exact-integer replay."""
+        from aml_entity_resolution_assignment_ray.ops.relational import (
+            impute_by_group,
+        )
+
+        _tune_context()
+        ev = _read(sf_dir, "events").select_columns(
+            ["event_id", "user_id", "event_type", "value"])
+
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            cents = _round_half_away(
+                df["value"].to_numpy(dtype=np.float64) * 100)
+            return pd.DataFrame({
+                "event_id": df["event_id"].astype("int64"),
+                "user_id": df["user_id"].astype("int64"),
+                "cents": np.where(df["event_type"] == "error",
+                                  np.nan, cents),
+            })
+
+        out = impute_by_group(
+            ev.map_batches(prep, batch_format="pandas"),
+            key="user_id", col="cents")
+
+        def finalize(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "event_id": df["event_id"].astype("int64"),
+                "value_cents": df["cents"].astype("int64"),
+                "was_imputed": df["was_imputed"].astype(bool),
+            })
+
+        return out.map_batches(finalize, batch_format="pandas")
+
     def purchase_click_window(sf_dir):
         """Stream-stream windowed join: every (purchase, click) pair
         by the SAME user within +-6h of each other — ops/relational.
@@ -4085,6 +4121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_dense_rank": event_value_dense_rank,
         "user_first_last_event": user_first_last_event,
         "purchase_click_window": purchase_click_window,
+        "event_value_imputed": event_value_imputed,
         "event_gaps": event_gaps,
         "user_event_transitions": user_event_transitions,
         "event_value_ntile": event_value_ntile,
@@ -7033,6 +7070,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, 0.99,
                    quantile_disc(l_extendedprice, 0.99)
             FROM lineitem GROUP BY 1
+        """,
+        # group-mean imputation: NULL mask = error events; per-user
+        # rounded mean of non-null cents, global mean fallback; the
+        # HUGEINT sum casts to DOUBLE before the divide so both sides
+        # compute the identical IEEE quotient
+        "event_value_imputed": """
+            WITH e AS (
+              SELECT CAST(event_id AS BIGINT) AS event_id,
+                     CAST(user_id AS BIGINT) AS u,
+                     CASE WHEN event_type = 'error' THEN NULL
+                          ELSE CAST(round(value * 100) AS BIGINT)
+                     END AS cents
+              FROM events
+            ),
+            um AS (
+              SELECT u, CAST(round(CAST(sum(cents) AS DOUBLE)
+                                   / count(cents)) AS BIGINT) AS m
+              FROM e WHERE cents IS NOT NULL GROUP BY u
+            ),
+            g AS (
+              SELECT CAST(round(CAST(sum(cents) AS DOUBLE)
+                                / count(cents)) AS BIGINT) AS m
+              FROM e WHERE cents IS NOT NULL
+            )
+            SELECT e.event_id,
+                   coalesce(e.cents, um.m, (SELECT m FROM g))
+                     AS value_cents,
+                   e.cents IS NULL AS was_imputed
+            FROM e LEFT JOIN um USING (u)
         """,
         "purchase_click_window": """
             SELECT CAST(p.event_id AS BIGINT) AS p_eid,

@@ -889,6 +889,78 @@ def grouped_dense_rank(ds, *, key: str, col: str,
         dr, batch_format="pandas", batch_size=None)
 
 
+def impute_by_group(ds, *, key: str, col: str,
+                    cfg: EngineConfig = DEFAULT_CONFIG):
+    """Missing-value imputation by group mean with global-mean
+    fallback — the data-prep staple: NULL ``col`` values fill with
+    ``round(group_sum / group_count)`` over the group's non-null rows
+    (half away from zero, the SQL round), and rows whose whole group
+    is null fall back to the corpus mean.  ``col`` must be integer-
+    or-NaN: integer sums are exact and layout-invariant, the
+    sum/count quotient is the same IEEE double on both sides, so the
+    imputed integers replay bit-for-bit in SQL.
+
+    Output: input columns with ``col`` filled (int64) +
+    ``was_imputed`` (bool).
+
+    Shape: per-block (key, sum, count) combiner -> ONE keyed_sum;
+    the global fallback folds the same partials driver-side (two
+    ints); means attach back by one left join — the observed rows
+    never re-ship their payload anywhere else."""
+    import ray
+
+    from ..util import round_half_away, safe_join
+
+    def partials(d: pd.DataFrame) -> pd.DataFrame:
+        v = d[col]
+        ok = v.notna()
+        g = (pd.DataFrame({key: d[key][ok],
+                           "_s": v[ok].astype(np.int64)})
+             .groupby(key, sort=False)["_s"]
+             .agg(["sum", "count"]).reset_index())
+        return pd.DataFrame({key: g[key],
+                             "_s": g["sum"].astype(np.int64),
+                             "_c": g["count"].astype(np.int64)})
+
+    sums = keyed_sum(ds.map_batches(partials, batch_format="pandas"),
+                     [key], ["_s", "_c"], cfg).materialize()
+    tot = sums.map_batches(
+        lambda d: pd.DataFrame({"_s": [d["_s"].sum()],
+                                "_c": [d["_c"].sum()]}),
+        batch_format="pandas").to_pandas()
+    gs, gc = int(tot["_s"].sum()), int(tot["_c"].sum())
+    if gc == 0:
+        raise ValueError(f"impute_by_group: no non-null {col!r} rows")
+    gmean = int(round_half_away(gs / gc))
+    gref = ray.put(gmean)
+
+    means = sums.map_batches(
+        lambda d: pd.DataFrame({
+            key: d[key],
+            "_m": round_half_away(
+                d["_s"].to_numpy(np.float64)
+                / d["_c"].to_numpy(np.float64)).astype(np.int64)}),
+        batch_format="pandas")
+    j = safe_join(ds, means, "left_outer",
+                  cfg.resolve_join_partitions(), (key,))
+
+    def fill(d: pd.DataFrame) -> pd.DataFrame:
+        g = ray.get(gref)
+        v = d[col]
+        miss = v.isna().to_numpy()
+        m = (d["_m"] if "_m" in d.columns
+             else pd.Series(np.nan, index=d.index))
+        filled = np.where(miss,
+                          m.fillna(g).to_numpy(np.float64),
+                          v.fillna(0).to_numpy(np.float64))
+        out = d[[c for c in d.columns if c != "_m"]].copy()
+        out[col] = filled.astype(np.int64)
+        out["was_imputed"] = miss
+        return out
+
+    return j.map_batches(fill, batch_format="pandas")
+
+
 def grouped_first_last(ds, *, key: str, order_cols: list[str],
                        cols: list[str],
                        cfg: EngineConfig = DEFAULT_CONFIG):

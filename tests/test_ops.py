@@ -3560,3 +3560,33 @@ def test_bpe_encode_roundtrip(ray_session, tmp_path):
     assert "".join(toks).startswith("the")  # 'the' is a learned merge
     # ids are the ranks of the sorted vocabulary
     assert vocab.sort_index().is_monotonic_increasing
+
+
+def test_impute_by_group(ray_session):
+    """Group-mean fill with global fallback: NULLs take the rounded
+    group mean of non-null rows; a wholly-null group takes the global
+    mean; observed values pass through untouched."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.relational import (
+        impute_by_group,
+    )
+    from aml_entity_resolution_assignment_ray.util import round_half_away
+
+    df = pd.DataFrame({
+        "k": ["a", "a", "a", "b", "b", "c", "c"],
+        "v": [10.0, np.nan, 15.0, 7.0, np.nan, np.nan, np.nan],
+        "id": np.arange(7, dtype=np.int64),
+    })
+    got = impute_by_group(rd.from_pandas(df).repartition(3),
+                          key="k", col="v", cfg=CFG) \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    a_mean = int(round_half_away((10 + 15) / 2))     # 13 (12.5 -> 13)
+    g_mean = int(round_half_away((10 + 15 + 7) / 3))  # 11
+    assert got["v"].tolist() == [10, a_mean, 15, 7, 7, g_mean, g_mean]
+    assert got["was_imputed"].tolist() == [False, True, False, False,
+                                           True, True, True]
+    with pytest.raises(Exception):
+        impute_by_group(
+            rd.from_pandas(pd.DataFrame({"k": ["x"], "v": [np.nan]})),
+            key="k", col="v", cfg=CFG)

@@ -88,6 +88,7 @@ SUBSET = [
     "late_events",
     "user_first_last_event",
     "purchase_click_window",
+    "event_value_imputed",
     "global_revenue_running",
     "user_funnel",
     "new_users_per_hour",
