@@ -2240,6 +2240,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(finalize, batch_format="pandas")
 
+    def event_feature_hash(sf_dir):
+        """Hashing-trick featurization (ops/sample.feature_hash):
+        event_type and user_id become '<col>:<value>' tokens hashed by
+        the polynomial string hash mod 64; collisions fold by count —
+        sparse long-form (event_id, feature_idx, n)."""
+        from aml_entity_resolution_assignment_ray.ops.sample import feature_hash
+
+        _tune_context()
+        ev = _read(sf_dir, "events").select_columns(
+            ["event_id", "event_type", "user_id"]).map_batches(
+            lambda d: pd.DataFrame({
+                "event_id": d["event_id"].astype("int64"),
+                "event_type": d["event_type"].astype(str),
+                "user_id": d["user_id"].astype("int64"),
+            }), batch_format="pandas")
+        out = feature_hash(ev, id_col="event_id",
+                           cat_cols=["event_type", "user_id"],
+                           n_features=64)
+
+        def finalize(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "event_id": df["event_id"].astype("int64"),
+                "feature_idx": df["feature_idx"].astype("int64"),
+                "n": df["n"].astype("int64"),
+            })
+
+        return out.map_batches(finalize, batch_format="pandas")
+
     def event_value_imputed(sf_dir):
         """Group-mean null imputation (ops/relational.impute_by_group):
         error events' values become NULL (the deterministic missing
@@ -4122,6 +4150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_first_last_event": user_first_last_event,
         "purchase_click_window": purchase_click_window,
         "event_value_imputed": event_value_imputed,
+        "event_feature_hash": event_feature_hash,
         "event_gaps": event_gaps,
         "user_event_transitions": user_event_transitions,
         "event_value_ntile": event_value_ntile,
@@ -7070,6 +7099,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, 0.99,
                    quantile_disc(l_extendedprice, 0.99)
             FROM lineitem GROUP BY 1
+        """,
+        # hashing trick: '<col>:<value>' tokens through the polynomial
+        # string hash (the hash_bucket contract) mod 64, collision fold
+        "event_feature_hash": f"""
+            WITH f AS (
+              SELECT CAST(event_id AS BIGINT) AS event_id,
+                     unnest(['event_type:' || event_type,
+                             'user_id:' || CAST(user_id AS VARCHAR)])
+                       AS tok
+              FROM events
+            )
+            SELECT event_id,
+                   CAST({_poly_hash_sql("tok")} % 64 AS BIGINT)
+                     AS feature_idx,
+                   count(*) AS n
+            FROM f GROUP BY 1, 2
         """,
         # group-mean imputation: NULL mask = error events; per-user
         # rounded mean of non-null cents, global mean fallback; the

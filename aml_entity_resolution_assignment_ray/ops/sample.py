@@ -594,3 +594,42 @@ def greedy_cover_select(ds, *, id_col: str, item_col: str, k: int,
     res["gain"] = res["gain"].astype(np.int64)
     res["covered_total"] = res["covered_total"].astype(np.int64)
     return rd.from_pandas(res)
+
+
+def feature_hash(ds, *, id_col: str, cat_cols: list[str],
+                 n_features: int = 64, cfg=None):
+    """Hashing-trick featurization (Weinberger et al. 2009): each
+    categorical value becomes the token ``"<col>:<value>"``, hashed by
+    the whole-string polynomial (``_hash_strs`` — the hash_bucket /
+    KMV contract, SQL-replayable) modulo ``n_features``; collisions
+    FOLD by summing counts — that is the point of the trick (fixed
+    feature width regardless of vocabulary).  Output long-form sparse
+    rows (id_col, feature_idx:int64, n:int64).
+
+    Stateless vectorized token hash per block, then ONE combiner-
+    reduced keyed_sum on (id, feature_idx)."""
+    from ..config import DEFAULT_CONFIG
+    from .relational import keyed_sum
+
+    cfg = cfg or DEFAULT_CONFIG
+
+    def explode(d: pd.DataFrame) -> pd.DataFrame:
+        ids, toks = [], []
+        for c in cat_cols:
+            vals = d[c].to_numpy()
+            toks.append(np.asarray(
+                [f"{c}:{v}" for v in vals], dtype=object))
+            ids.append(d[id_col].to_numpy())
+        allids = np.concatenate(ids) if ids else np.array([], np.int64)
+        alltok = (np.concatenate(toks) if toks
+                  else np.array([], dtype=object))
+        idx = (_hash_strs(alltok)
+               % np.uint64(n_features)).astype(np.int64)
+        return pd.DataFrame({
+            id_col: allids,
+            "feature_idx": idx,
+            "n": np.ones(len(allids), dtype=np.int64),
+        })
+
+    return keyed_sum(ds.map_batches(explode, batch_format="pandas"),
+                     [id_col, "feature_idx"], ["n"], cfg)

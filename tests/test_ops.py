@@ -3590,3 +3590,35 @@ def test_impute_by_group(ray_session):
         impute_by_group(
             rd.from_pandas(pd.DataFrame({"k": ["x"], "v": [np.nan]})),
             key="k", col="v", cfg=CFG)
+
+
+def test_feature_hash(ray_session):
+    """Hashing-trick featurization: '<col>:<value>' tokens hash to a
+    fixed width, within-row collisions fold by count, layout-invariant."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.sample import (
+        _hash_strs,
+        feature_hash,
+    )
+
+    df = pd.DataFrame({
+        "id": np.array([1, 2, 3], dtype=np.int64),
+        "a": ["x", "y", "x"],
+        "b": ["u", "u", "v"],
+    })
+    D = 8
+    got = feature_hash(rd.from_pandas(df).repartition(2), id_col="id",
+                       cat_cols=["a", "b"], n_features=D, cfg=CFG) \
+        .to_pandas().sort_values(["id", "feature_idx"]) \
+        .reset_index(drop=True)
+    exp = {}
+    for _, r in df.iterrows():
+        for c in ("a", "b"):
+            fx = int(_hash_strs(np.asarray([f"{c}:{r[c]}"],
+                                           dtype=object))[0] % D)
+            exp[(r["id"], fx)] = exp.get((r["id"], fx), 0) + 1
+    assert {(r.id, r.feature_idx): r.n
+            for r in got.itertuples()} == exp
+    assert int(got["n"].sum()) == 6      # every token accounted for
+    assert got["feature_idx"].between(0, D - 1).all()

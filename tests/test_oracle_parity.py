@@ -89,6 +89,7 @@ SUBSET = [
     "user_first_last_event",
     "purchase_click_window",
     "event_value_imputed",
+    "event_feature_hash",
     "global_revenue_running",
     "user_funnel",
     "new_users_per_hour",
