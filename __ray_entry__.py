@@ -3465,6 +3465,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return lagged.map_batches(keep, batch_format="pandas")
 
+    def er_dialogue_stats(sf_dir):
+        """Per-conversation dialogue-shape statistics over the
+        transcript corpus: turn count, role switches (turns whose role
+        differs from the previous turn's), tool-call turns, total
+        text chars — the conversational-data profiling pass.  ONE
+        hash shuffle on conv_id (conversations arrive block-complete,
+        the er_profiles partitioning contract), then a vectorized
+        per-block grouped pass; all exact integers."""
+        from aml_entity_resolution_assignment_ray.config import EngineConfig
+        from aml_entity_resolution_assignment_ray.ops.relational import _keyed
+
+        _tune_context()
+        n = _corpus_entities(sf_dir)
+        _write_oracle_corpus(n)
+        transcripts, _ = _corpus(n)
+
+        def stats(d: pd.DataFrame) -> pd.DataFrame:
+            if not len(d):
+                return pd.DataFrame({
+                    "conv_id": pd.Series([], dtype=str),
+                    "n_turns": pd.Series([], dtype=np.int64),
+                    "n_role_switches": pd.Series([], dtype=np.int64),
+                    "n_tool_turns": pd.Series([], dtype=np.int64),
+                    "n_chars": pd.Series([], dtype=np.int64)})
+            s = d.sort_values(["conv_id", "turn_idx"], kind="stable")
+            g = s.groupby("conv_id", sort=False)
+            prev = g["role"].shift(1)
+            s = s.assign(
+                _switch=(prev.notna()
+                         & (s["role"] != prev)).astype(np.int64),
+                _tool=s["tool"].notna().astype(np.int64),
+                _chars=s["text"].fillna("").str.len().astype(np.int64),
+            )
+            a = s.groupby("conv_id", sort=False).agg(
+                n_turns=("turn_idx", "size"),
+                n_role_switches=("_switch", "sum"),
+                n_tool_turns=("_tool", "sum"),
+                n_chars=("_chars", "sum")).reset_index()
+            for c in ["n_turns", "n_role_switches", "n_tool_turns",
+                      "n_chars"]:
+                a[c] = a[c].astype(np.int64)
+            return a
+
+        keyed = _keyed(
+            transcripts.select_columns(
+                ["conv_id", "turn_idx", "role", "tool", "text"]),
+            ["conv_id"], EngineConfig(), None)
+        return keyed.map_batches(stats, batch_format="pandas",
+                                 batch_size=None)
+
     def er_pairs(sf_dir):
         n = _corpus_entities(sf_dir)
         _write_oracle_corpus(n)  # the full-pair DuckDB oracle reads it
@@ -4014,6 +4064,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_profiles": er_profiles,
         "er_pairs": er_pairs,
         "er_turn_collapse": er_turn_collapse,
+        "er_dialogue_stats": er_dialogue_stats,
         "er_turn_context": er_turn_context,
         "er_pairs_exact_keys": er_pairs_exact_keys,
         "er_classified": er_classified,
@@ -5900,6 +5951,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT conv_id, turn_idx, text
             FROM t WHERE prev IS NULL OR text <> prev
+        """,
+        "er_dialogue_stats": f"""
+            WITH t AS (
+                SELECT conv_id, turn_idx, role, tool,
+                       coalesce(text, '') AS text,
+                       lag(role) OVER (PARTITION BY conv_id
+                                       ORDER BY turn_idx) AS prev_role
+                FROM read_parquet('{_oracle_corpus_path(_oracle_n())}')
+            )
+            SELECT conv_id,
+                   count(*) AS n_turns,
+                   CAST(sum(CASE WHEN prev_role IS NOT NULL
+                                  AND role <> prev_role
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_role_switches,
+                   CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_tool_turns,
+                   CAST(sum(length(text)) AS BIGINT) AS n_chars
+            FROM t GROUP BY conv_id
         """,
         "er_turn_context": f"""
             SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,

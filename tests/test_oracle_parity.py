@@ -90,6 +90,7 @@ SUBSET = [
     "purchase_click_window",
     "event_value_imputed",
     "event_feature_hash",
+    "er_dialogue_stats",
     "global_revenue_running",
     "user_funnel",
     "new_users_per_hour",
