@@ -3515,6 +3515,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return keyed.map_batches(stats, batch_format="pandas",
                                  batch_size=None)
 
+    def er_sft_pairs(sf_dir):
+        """SFT training-pair extraction from transcripts: for every
+        assistant turn, prompt = the previous <=3 turns formatted as
+        'role: text' lines (the turn's OWN text excluded —
+        ops/text.rolling_context with include_current=False), response
+        = the turn text.  A leading assistant turn with no prior
+        context gets a SQL-NULL prompt, matching the window's empty
+        frame."""
+        _tune_context()
+        n = _corpus_entities(sf_dir)
+        _write_oracle_corpus(n)
+        transcripts, _ = _corpus(n)
+
+        def lines(d: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "conv_id": d["conv_id"],
+                "turn_idx": d["turn_idx"].astype(np.int64),
+                "role": d["role"],
+                "text": d["text"].fillna(""),
+                "line": d["role"].astype(str) + ": "
+                        + d["text"].fillna("").astype(str),
+            })
+
+        ctx = text.rolling_context(
+            transcripts.select_columns(
+                ["conv_id", "turn_idx", "role", "text"]).map_batches(
+                lines, batch_format="pandas"),
+            key="conv_id", order_cols=["turn_idx"], text_col="line",
+            k=3, include_current=False, out_col="prompt")
+
+        def finalize(d: pd.DataFrame) -> pd.DataFrame:
+            a = d[d["role"] == "assistant"]
+            return pd.DataFrame({
+                "conv_id": a["conv_id"],
+                "turn_idx": a["turn_idx"].astype(np.int64),
+                "prompt": a["prompt"],
+                "response": a["text"].astype(str),
+            })
+
+        return ctx.map_batches(finalize, batch_format="pandas")
+
     def er_pairs(sf_dir):
         n = _corpus_entities(sf_dir)
         _write_oracle_corpus(n)  # the full-pair DuckDB oracle reads it
@@ -4065,6 +4106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_pairs": er_pairs,
         "er_turn_collapse": er_turn_collapse,
         "er_dialogue_stats": er_dialogue_stats,
+        "er_sft_pairs": er_sft_pairs,
         "er_turn_context": er_turn_context,
         "er_pairs_exact_keys": er_pairs_exact_keys,
         "er_classified": er_classified,
@@ -5970,6 +6012,24 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_tool_turns,
                    CAST(sum(length(text)) AS BIGINT) AS n_chars
             FROM t GROUP BY conv_id
+        """,
+        "er_sft_pairs": f"""
+            WITH t AS (
+                SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                       role, coalesce(text, '') AS text,
+                       role || ': ' || coalesce(text, '') AS line
+                FROM read_parquet('{_oracle_corpus_path(_oracle_n())}')
+            ),
+            w AS (
+                SELECT conv_id, turn_idx, role, text,
+                       string_agg(line, chr(10)) OVER (
+                           PARTITION BY conv_id ORDER BY turn_idx
+                           ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+                         AS prompt
+                FROM t
+            )
+            SELECT conv_id, turn_idx, prompt, text AS response
+            FROM w WHERE role = 'assistant'
         """,
         "er_turn_context": f"""
             SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,

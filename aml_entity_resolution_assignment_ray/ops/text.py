@@ -834,7 +834,8 @@ def train_bpe_merges(ds, n_merges: int = 8, col: str = "text",
 
 def rolling_context(ds, *, key: str, order_cols: list[str],
                     text_col: str, k: int, sep: str = "\n",
-                    out_col: str = "context", cfg=None):
+                    out_col: str = "context", include_current: bool = True,
+                    cfg=None):
     """Training-example construction for transcript corpora: for every
     row, the concatenation of its previous ``k`` same-``key`` texts
     plus itself, in ``order_cols`` order, joined by ``sep`` — the
@@ -847,7 +848,11 @@ def rolling_context(ds, *, key: str, order_cols: list[str],
     string concatenation, no per-row loop; cost is O(rows * k) with k
     a small constant.  Matches
     ``string_agg(text, sep) OVER (PARTITION BY key ORDER BY ...
-    ROWS BETWEEN k PRECEDING AND CURRENT ROW)`` exactly."""
+    ROWS BETWEEN k PRECEDING AND CURRENT ROW)`` exactly; with
+    ``include_current=False`` the frame ends at ``1 PRECEDING`` — the
+    PROMPT side of SFT pair extraction (each row's own text stays out
+    of its context), where a leading row with an empty frame aggs to
+    SQL NULL."""
     from ..config import DEFAULT_CONFIG
     from .relational import _keyed, _meta_rows
 
@@ -867,7 +872,7 @@ def rolling_context(ds, *, key: str, order_cols: list[str],
         ctx = pd.Series(np.full(len(s), "", dtype=object),
                         index=s.index)
         started = np.zeros(len(s), dtype=bool)
-        for i in range(k, -1, -1):
+        for i in range(k, -1 if include_current else 0, -1):
             t = g.shift(i) if i else s[text_col]
             have = t.notna().to_numpy()
             tv = t.fillna("").astype(str)

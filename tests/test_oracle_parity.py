@@ -91,6 +91,7 @@ SUBSET = [
     "event_value_imputed",
     "event_feature_hash",
     "er_dialogue_stats",
+    "er_sft_pairs",
     "global_revenue_running",
     "user_funnel",
     "new_users_per_hour",
