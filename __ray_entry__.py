@@ -3556,6 +3556,70 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return ctx.map_batches(finalize, batch_format="pandas")
 
+    def er_conv_dedup(sf_dir):
+        """Conversation-level exact dedup: each conversation assembles
+        to one ordered 'role: text' document (ONE conv_id-keyed
+        shuffle, the er_profiles partitioning), then the standard
+        digest dedup keeps the smallest conv_id per identical
+        dialogue — replayed-conversation removal for transcript
+        corpora.  String conv ids dedup on the text digest exactly
+        like doc ids (ops/dedup.exact_dedup's shape, id min by
+        lexicographic order)."""
+        from aml_entity_resolution_assignment_ray.config import EngineConfig
+        from aml_entity_resolution_assignment_ray.ops.relational import _keyed
+
+        _tune_context()
+        n = _corpus_entities(sf_dir)
+        _write_oracle_corpus(n)
+        transcripts, _ = _corpus(n)
+
+        def assemble(d: pd.DataFrame) -> pd.DataFrame:
+            if not len(d):
+                return pd.DataFrame({
+                    "conv_id": pd.Series([], dtype=str),
+                    "dialogue": pd.Series([], dtype=str)})
+            s = d.sort_values(["conv_id", "turn_idx"], kind="stable")
+            line = (s["role"].astype(str) + ": "
+                    + s["text"].fillna("").astype(str))
+            g = pd.DataFrame({"conv_id": s["conv_id"], "line": line}) \
+                .groupby("conv_id", sort=False)["line"] \
+                .agg(lambda x: "\n".join(x)).reset_index()
+            return g.rename(columns={"line": "dialogue"})
+
+        convs = _keyed(
+            transcripts.select_columns(["conv_id", "turn_idx", "role",
+                                        "text"]),
+            ["conv_id"], EngineConfig(), None).map_batches(
+            assemble, batch_format="pandas", batch_size=None)
+
+        def to_digest(d: pd.DataFrame) -> pd.DataFrame:
+            import hashlib
+
+            return pd.DataFrame({
+                "dig": [hashlib.md5(t.encode("utf-8")).hexdigest()
+                        for t in d["dialogue"]],
+                "conv_id": d["conv_id"],
+                "n_dialogue_chars": d["dialogue"].str.len()
+                .astype(np.int64),
+            })
+
+        def digest_min(d: pd.DataFrame) -> pd.DataFrame:
+            return (d.sort_values(["dig", "conv_id"], kind="stable")
+                    .groupby("dig", sort=False).head(1))
+
+        canon_ds = (convs.map_batches(to_digest, batch_format="pandas")
+                    .map_batches(digest_min, batch_format="pandas")
+                    .repartition(EngineConfig().resolve_join_partitions(),
+                                 keys=["dig"])
+                    .map_batches(digest_min, batch_format="pandas",
+                                 batch_size=None))
+        return canon_ds.map_batches(
+            lambda d: pd.DataFrame({
+                "conv_id": d["conv_id"],
+                "n_dialogue_chars": d["n_dialogue_chars"]
+                .astype(np.int64)}),
+            batch_format="pandas")
+
     def er_pairs(sf_dir):
         n = _corpus_entities(sf_dir)
         _write_oracle_corpus(n)  # the full-pair DuckDB oracle reads it
@@ -4107,6 +4171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_turn_collapse": er_turn_collapse,
         "er_dialogue_stats": er_dialogue_stats,
         "er_sft_pairs": er_sft_pairs,
+        "er_conv_dedup": er_conv_dedup,
         "er_turn_context": er_turn_context,
         "er_pairs_exact_keys": er_pairs_exact_keys,
         "er_classified": er_classified,
@@ -6012,6 +6077,18 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_tool_turns,
                    CAST(sum(length(text)) AS BIGINT) AS n_chars
             FROM t GROUP BY conv_id
+        """,
+        "er_conv_dedup": f"""
+            WITH t AS (
+                SELECT conv_id,
+                       string_agg(role || ': ' || coalesce(text, ''),
+                                  chr(10) ORDER BY turn_idx) AS dialogue
+                FROM read_parquet('{_oracle_corpus_path(_oracle_n())}')
+                GROUP BY conv_id
+            )
+            SELECT min(conv_id) AS conv_id,
+                   CAST(length(dialogue) AS BIGINT) AS n_dialogue_chars
+            FROM t GROUP BY dialogue
         """,
         "er_sft_pairs": f"""
             WITH t AS (

@@ -92,6 +92,7 @@ SUBSET = [
     "event_feature_hash",
     "er_dialogue_stats",
     "er_sft_pairs",
+    "er_conv_dedup",
     "global_revenue_running",
     "user_funnel",
     "new_users_per_hour",
