@@ -2084,6 +2084,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return res.map_batches(finalize, batch_format="pandas")
 
+    def event_type_share(sf_dir):
+        """Percent-of-total contribution analysis: each event type's
+        exact share of global value cents — keyed_sum partials for the
+        per-type sums, the SAME partials folded once more for the
+        global (two ints on the driver), share = the identical IEEE
+        quotient both sides, rounded half-away at 6."""
+        from aml_entity_resolution_assignment_ray.ops.relational import keyed_sum
+
+        _tune_context()
+        ev = _read(sf_dir, "events").select_columns(
+            ["event_type", "value"]).map_batches(
+            lambda d: pd.DataFrame({
+                "event_type": d["event_type"],
+                "cents": _round_half_away(
+                    d["value"].to_numpy(np.float64) * 100)
+                .astype(np.int64)}),
+            batch_format="pandas")
+        sums = keyed_sum(ev, ["event_type"], ["cents"]).materialize()
+        total = int(sums.map_batches(
+            lambda d: pd.DataFrame({"s": [d["cents"].sum()]}),
+            batch_format="pandas").to_pandas()["s"].sum())
+
+        def finalize(df: pd.DataFrame) -> pd.DataFrame:
+            c = df["cents"].to_numpy(np.int64)
+            return pd.DataFrame({
+                "event_type": df["event_type"],
+                "total_cents": c,
+                "share": _round_half_away(
+                    c.astype(np.float64) / float(total), 6),
+            })
+
+        return sums.map_batches(finalize, batch_format="pandas")
+
+    def sliding_user_counts(sf_dir):
+        """EXACT distinct users per sliding window (1h / 15min slide)
+        — ops/events.sliding_distinct_users, the exact sibling of the
+        hourly_approx_users KMV sketch: distinct (window, user)
+        combiner, one hash shuffle."""
+        _tune_context()
+        from aml_entity_resolution_assignment_ray.ops.events import (
+            sliding_distinct_users,
+        )
+
+        res = sliding_distinct_users(_read(sf_dir, "events"),
+                                     window_s=3600, slide_s=900)
+
+        def finalize(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "window_start": df["window_start"].dt.strftime(
+                    "%Y-%m-%d %H:%M:%S"),
+                "n_users": df["n_users"].astype("int64"),
+            })
+
+        return res.map_batches(finalize, batch_format="pandas")
+
     def orders_asof(sf_dir):
         """As-of join: each event picks up its user's most recent prior
         order (ties on o_orderdate break by greatest o_orderkey) — one
@@ -4289,6 +4344,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_busy_intervals": user_busy_intervals,
         "event_type_drift": event_type_drift,
         "sliding_event_counts": sliding_event_counts,
+        "sliding_user_counts": sliding_user_counts,
+        "event_type_share": event_type_share,
         "orders_asof": orders_asof,
         "lineitem_ship_window": lineitem_ship_window,
         "cust_top_orders": cust_top_orders,
@@ -7176,6 +7233,28 @@ def oracle_sql() -> dict[str, str]:
                         PARTITION BY user_id ORDER BY ts, event_id
                         ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS session_id
             FROM o
+        """,
+        "event_type_share": """
+            WITH s AS (
+              SELECT event_type,
+                     CAST(sum(CAST(round(value * 100) AS BIGINT))
+                          AS BIGINT) AS total_cents
+              FROM events GROUP BY event_type
+            ),
+            g AS (SELECT CAST(sum(total_cents) AS BIGINT) AS t FROM s)
+            SELECT event_type, total_cents,
+                   round(CAST(total_cents AS DOUBLE)
+                         / (SELECT CAST(t AS DOUBLE) FROM g), 6) AS share
+            FROM s
+        """,
+        "sliding_user_counts": """
+            SELECT strftime(make_timestamp((b - off) * 900000000),
+                            '%Y-%m-%d %H:%M:%S') AS window_start,
+                   count(DISTINCT user_id) AS n_users
+            FROM (SELECT epoch_us(ts) // 900000000 AS b, user_id
+                  FROM events),
+                 (SELECT unnest([0, 1, 2, 3]) AS off)
+            GROUP BY 1
         """,
         "sliding_event_counts": """
             SELECT strftime(make_timestamp((b - off) * 900000000),

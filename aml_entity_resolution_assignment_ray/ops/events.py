@@ -548,3 +548,48 @@ def watermark_late_events(ds, *, bucket_col: str, seq_col: str,
     keyed = _keyed(ds, [bucket_col], cfg, None)
     return stateful_map(keyed, MarkLate, (oref,), batch_format="pandas",
                         batch_size=None)
+
+
+def sliding_distinct_users(events, window_s: int = 3600,
+                           slide_s: int = 900, ts_col: str = "ts",
+                           user_col: str = "user_id",
+                           cfg: EngineConfig = DEFAULT_CONFIG):
+    """EXACT distinct users per sliding window — the exact sibling of
+    the KMV ``hourly_approx_users`` sketch (use the sketch when the
+    per-window distinct set itself is too large to shuffle; this one
+    when exactness matters): (window_start, n_users) for every
+    ``window_s`` window advancing by ``slide_s``.
+
+    Distinct is not summable, so the combiner carries DISTINCT
+    (window, user) pairs: per-batch dedup -> ONE hash shuffle on
+    window_start -> per-block global dedup + count.  Shuffle volume is
+    bounded by the distinct (window, user) pair count — the price of
+    exactness, and the reason the KMV sketch exists alongside."""
+    if window_s % slide_s:
+        raise ValueError("window_s must be a multiple of slide_s")
+    nrep = window_s // slide_s
+    slide_us = slide_s * 1_000_000
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        bucket = ts // slide_us
+        ws = ((np.repeat(bucket, nrep)
+               - np.tile(np.arange(nrep, dtype=np.int64), len(df)))
+              * slide_us)
+        u = np.repeat(df[user_col].to_numpy(), nrep)
+        return (pd.DataFrame({"window_start": ws, "u": u})
+                .drop_duplicates())
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.drop_duplicates()
+             .groupby("window_start", sort=False)["u"].size())
+        return pd.DataFrame({
+            "window_start": g.index.to_numpy().astype("datetime64[us]"),
+            "n_users": g.to_numpy(dtype=np.int64),
+        })
+
+    parts = events.select_columns([ts_col, user_col]).map_batches(
+        partial, batch_format="pandas")
+    return parts.repartition(cfg.resolve_join_partitions(),
+                             keys=["window_start"]) \
+        .map_batches(final, batch_format="pandas", batch_size=None)

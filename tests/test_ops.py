@@ -3622,3 +3622,49 @@ def test_feature_hash(ray_session):
             for r in got.itertuples()} == exp
     assert int(got["n"].sum()) == 6      # every token accounted for
     assert got["feature_idx"].between(0, D - 1).all()
+
+
+def test_substring_dedup_properties(ray_session):
+    """Property sweep on random corpora with planted duplication:
+    token accounting is conserved (n_tokens - n_removed == len(cleaned
+    tokens)), cleaned tokens are a subsequence of the original, and a
+    corpus of all-unique docs is untouched."""
+    import random
+
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.dedup import substring_dedup
+
+    rng = random.Random(123)
+    words = [f"w{i}" for i in range(40)]
+    span = " ".join(rng.choices(words, k=9))
+    docs = []
+    for i in range(30):
+        body = " ".join(rng.choices(words, k=rng.randint(0, 25)))
+        if i % 3 == 0:
+            body = f"{body} {span}"
+        docs.append(body)
+    df = pd.DataFrame({"doc_id": np.arange(30, dtype=np.int64),
+                       "text": docs})
+    got = substring_dedup(rd.from_pandas(df).repartition(4), n=8,
+                          cfg=CFG).to_pandas().set_index("doc_id")
+    for i, t in enumerate(docs):
+        toks = t.lower().split()
+        row = got.loc[i]
+        kept = row["cleaned_text"].split()
+        assert row["n_tokens"] == len(toks)
+        assert row["n_tokens"] - row["n_removed"] == len(kept)
+        it = iter(toks)
+        assert all(any(k == x for x in it) for k in kept), i
+    # the planted 9-token span fired in every carrier doc
+    carriers = [i for i in range(30) if i % 3 == 0]
+    assert all(got.loc[i, "n_removed"] >= 9 for i in carriers)
+
+    uniq = pd.DataFrame({
+        "doc_id": np.arange(5, dtype=np.int64),
+        "text": [" ".join(f"u{i}_{j}" for j in range(12))
+                 for i in range(5)],
+    })
+    clean = substring_dedup(rd.from_pandas(uniq), n=8, cfg=CFG) \
+        .to_pandas()
+    assert (clean["n_removed"] == 0).all()

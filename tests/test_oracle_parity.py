@@ -90,6 +90,8 @@ SUBSET = [
     "purchase_click_window",
     "event_value_imputed",
     "event_feature_hash",
+    "event_type_share",
+    "sliding_user_counts",
     "er_dialogue_stats",
     "er_sft_pairs",
     "er_conv_dedup",
