@@ -2084,6 +2084,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return res.map_batches(finalize, batch_format="pandas")
 
+    def event_value_ks(sf_dir):
+        """Exact two-sample KS drift statistic between the click and
+        purchase value distributions (ops/profile.ks_statistic):
+        distinct-value combiners, one keyed merge, single-block CDF
+        scan; sup-norm and its smallest attaining value."""
+        from aml_entity_resolution_assignment_ray.ops.profile import ks_statistic
+
+        _tune_context()
+
+        def side(etype):
+            return _read(sf_dir, "events").select_columns(
+                ["event_type", "value"]).map_batches(
+                lambda d, _e=etype: pd.DataFrame({
+                    "cents": _round_half_away(
+                        d.loc[d["event_type"] == _e, "value"]
+                        .to_numpy(np.float64) * 100).astype(np.int64)}),
+                batch_format="pandas")
+
+        out = ks_statistic(side("click"), side("purchase"), col="cents")
+
+        def finalize(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "ks": df["ks"].astype("float64"),
+                "at_value": df["at_value"].astype("int64"),
+                "n_a": df["n_a"].astype("int64"),
+                "n_b": df["n_b"].astype("int64"),
+            })
+
+        return out.map_batches(finalize, batch_format="pandas")
+
     def event_type_share(sf_dir):
         """Percent-of-total contribution analysis: each event type's
         exact share of global value cents — keyed_sum partials for the
@@ -4346,6 +4376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_event_counts": sliding_event_counts,
         "sliding_user_counts": sliding_user_counts,
         "event_type_share": event_type_share,
+        "event_value_ks": event_value_ks,
         "orders_asof": orders_asof,
         "lineitem_ship_window": lineitem_ship_window,
         "cust_top_orders": cust_top_orders,
@@ -7233,6 +7264,41 @@ def oracle_sql() -> dict[str, str]:
                         PARTITION BY user_id ORDER BY ts, event_id
                         ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS session_id
             FROM o
+        """,
+        # exact two-sample KS: merged distinct-value CDFs, sup-norm
+        # with the smallest attaining value (ties in the double diff
+        # resolve identically — both sides divide the same exact ints)
+        "event_value_ks": """
+            WITH a AS (SELECT CAST(round(value * 100) AS BIGINT) AS v
+                       FROM events WHERE event_type = 'click'),
+            b AS (SELECT CAST(round(value * 100) AS BIGINT) AS v
+                  FROM events WHERE event_type = 'purchase'),
+            ca AS (SELECT v, count(*) AS c FROM a GROUP BY v),
+            cb AS (SELECT v, count(*) AS c FROM b GROUP BY v),
+            vals AS (SELECT v FROM ca UNION SELECT v FROM cb),
+            cdf AS (
+              SELECT vals.v,
+                     CAST(sum(coalesce(ca.c, 0))
+                          OVER (ORDER BY vals.v) AS BIGINT) AS cum_a,
+                     CAST(sum(coalesce(cb.c, 0))
+                          OVER (ORDER BY vals.v) AS BIGINT) AS cum_b
+              FROM vals LEFT JOIN ca ON ca.v = vals.v
+                        LEFT JOIN cb ON cb.v = vals.v
+            ),
+            tot AS (SELECT (SELECT count(*) FROM a) AS na,
+                           (SELECT count(*) FROM b) AS nb),
+            d AS (
+              SELECT v,
+                     abs(CAST(cum_a AS DOUBLE) / (SELECT na FROM tot)
+                         - CAST(cum_b AS DOUBLE) / (SELECT nb FROM tot))
+                       AS diff
+              FROM cdf
+            )
+            SELECT round((SELECT max(diff) FROM d), 6) AS ks,
+                   (SELECT min(v) FROM d
+                    WHERE diff = (SELECT max(diff) FROM d)) AS at_value,
+                   (SELECT na FROM tot) AS n_a,
+                   (SELECT nb FROM tot) AS n_b
         """,
         "event_type_share": """
             WITH s AS (

@@ -681,3 +681,58 @@ def equidepth_histogram(ds, *, col: str, nbins: int = 8,
                              "n": df["n"].to_numpy(dtype=np.int64)})
 
     return hist.map_batches(attach, batch_format="pandas")
+
+
+def ks_statistic(ds_a, ds_b, *, col: str,
+                 cfg: EngineConfig = DEFAULT_CONFIG):
+    """EXACT two-sample Kolmogorov-Smirnov drift statistic over an
+    INTEGER column — the distribution-shift check PSI buckets can't
+    give you when you need the sup-norm itself: ks = max over values
+    of |CDF_a - CDF_b|, reported with the SMALLEST value attaining it.
+
+    Both sides reduce to per-block (value, count) partials (the
+    grouped_quantiles combiner: bounded by the distinct-value domain,
+    never rows), ONE keyed shuffle merges them, and the CDF scan runs
+    in a single final block — the same bounded-domain trade
+    grouped_quantiles documents; for continuous unbounded columns,
+    quantize upstream.  CDF quotients divide identical exact ints on
+    both sides, so the argmax is IEEE-reproducible.  Output one row:
+    (ks:float64 rounded 6, at_value:int64, n_a:int64, n_b:int64)."""
+    from .relational import keyed_sum
+
+    def counts(side):
+        def f(d: pd.DataFrame) -> pd.DataFrame:
+            g = (d.groupby(col, sort=False).size()
+                 .reset_index(name=side))
+            g[col] = g[col].astype(np.int64)
+            other = "_cb" if side == "_ca" else "_ca"
+            g[other] = np.zeros(len(g), dtype=np.int64)
+            return g[[col, "_ca", "_cb"]]
+        return f
+
+    parts = (ds_a.select_columns([col])
+             .map_batches(counts("_ca"), batch_format="pandas")
+             .union(ds_b.select_columns([col])
+                    .map_batches(counts("_cb"), batch_format="pandas")))
+    merged = keyed_sum(parts, [col], ["_ca", "_cb"], cfg)
+
+    def scan(d: pd.DataFrame) -> pd.DataFrame:
+        from ..util import round_half_away
+
+        s = d.sort_values(col, kind="stable")
+        ca = s["_ca"].to_numpy(np.int64).cumsum()
+        cb = s["_cb"].to_numpy(np.int64).cumsum()
+        na, nb = int(ca[-1]), int(cb[-1])
+        if na == 0 or nb == 0:
+            raise ValueError("ks_statistic: one side is empty")
+        diff = np.abs(ca / na - cb / nb)
+        i = int(np.argmax(diff))  # first (= smallest value) argmax
+        return pd.DataFrame({
+            "ks": [float(round_half_away(diff[i], 6))],
+            "at_value": np.array([s[col].to_numpy()[i]], np.int64),
+            "n_a": np.array([na], np.int64),
+            "n_b": np.array([nb], np.int64),
+        })
+
+    return merged.repartition(1).map_batches(
+        scan, batch_format="pandas", batch_size=None)

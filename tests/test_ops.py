@@ -3668,3 +3668,34 @@ def test_substring_dedup_properties(ray_session):
     clean = substring_dedup(rd.from_pandas(uniq), n=8, cfg=CFG) \
         .to_pandas()
     assert (clean["n_removed"] == 0).all()
+
+
+def test_ks_statistic(ray_session):
+    """Exact two-sample KS vs a brute-force CDF scan, including the
+    smallest-argmax tie rule and the empty-side guard."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.profile import ks_statistic
+    from aml_entity_resolution_assignment_ray.util import round_half_away
+
+    rng = np.random.RandomState(5)
+    a = rng.randint(0, 40, 500).astype(np.int64)
+    b = (rng.randint(0, 40, 300) + 5).astype(np.int64)
+    got = ks_statistic(
+        rd.from_pandas(pd.DataFrame({"x": a})).repartition(3),
+        rd.from_pandas(pd.DataFrame({"x": b})).repartition(2),
+        col="x", cfg=CFG).to_pandas().iloc[0]
+
+    vals = np.unique(np.concatenate([a, b]))
+    cdfa = np.searchsorted(np.sort(a), vals, side="right") / len(a)
+    cdfb = np.searchsorted(np.sort(b), vals, side="right") / len(b)
+    diff = np.abs(cdfa - cdfb)
+    i = int(np.argmax(diff))
+    assert got["ks"] == float(round_half_away(diff[i], 6))
+    assert got["at_value"] == vals[i]
+    assert got["n_a"] == 500 and got["n_b"] == 300
+    with pytest.raises(Exception):
+        ks_statistic(rd.from_pandas(pd.DataFrame({"x": a})),
+                     rd.from_pandas(pd.DataFrame({"x": a})).filter(
+                         expr="x > 100"),
+                     col="x", cfg=CFG).materialize()

@@ -91,6 +91,7 @@ SUBSET = [
     "event_value_imputed",
     "event_feature_hash",
     "event_type_share",
+    "event_value_ks",
     "sliding_user_counts",
     "er_dialogue_stats",
     "er_sft_pairs",
