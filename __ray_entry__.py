@@ -2084,6 +2084,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return res.map_batches(finalize, batch_format="pandas")
 
+    def event_type_gini(sf_dir):
+        """Per-type Gini concentration of event value cents
+        (ops/profile.grouped_gini): sorted-scan rank-weighted sums,
+        exact-integer numerator/denominator, one keyed shuffle."""
+        from aml_entity_resolution_assignment_ray.ops.profile import grouped_gini
+
+        _tune_context()
+        ev = _read(sf_dir, "events").select_columns(
+            ["event_type", "value"]).map_batches(
+            lambda d: pd.DataFrame({
+                "event_type": d["event_type"],
+                "cents": _round_half_away(
+                    d["value"].to_numpy(np.float64) * 100)
+                .astype(np.int64)}),
+            batch_format="pandas")
+        out = grouped_gini(ev, key="event_type", col="cents")
+
+        def finalize(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "event_type": df["event_type"],
+                "n": df["n"].astype("int64"),
+                "gini": df["gini"].astype("float64"),
+            })
+
+        return out.map_batches(finalize, batch_format="pandas")
+
     def event_value_ks(sf_dir):
         """Exact two-sample KS drift statistic between the click and
         purchase value distributions (ops/profile.ks_statistic):
@@ -4377,6 +4403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_user_counts": sliding_user_counts,
         "event_type_share": event_type_share,
         "event_value_ks": event_value_ks,
+        "event_type_gini": event_type_gini,
         "orders_asof": orders_asof,
         "lineitem_ship_window": lineitem_ship_window,
         "cust_top_orders": cust_top_orders,
@@ -7264,6 +7291,33 @@ def oracle_sql() -> dict[str, str]:
                         PARTITION BY user_id ORDER BY ts, event_id
                         ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS session_id
             FROM o
+        """,
+        # Gini by the sorted-scan identity; integer rank-weighted sums
+        # (tie order cancels), one exact double division
+        "event_type_gini": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(round(value * 100) AS BIGINT) AS v
+              FROM events
+            ),
+            r AS (
+              SELECT event_type, v,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY v) AS i
+              FROM e
+            ),
+            a AS (
+              SELECT event_type, count(*) AS n,
+                     CAST(sum(v) AS BIGINT) AS sx,
+                     CAST(sum(i * v) AS BIGINT) AS six
+              FROM r GROUP BY event_type
+            )
+            SELECT event_type, n,
+                   CASE WHEN sx = 0 THEN 0.0
+                        ELSE round(CAST(2 * six - (n + 1) * sx AS DOUBLE)
+                                   / CAST(n * sx AS DOUBLE), 6)
+                   END AS gini
+            FROM a
         """,
         # exact two-sample KS: merged distinct-value CDFs, sup-norm
         # with the smallest attaining value (ties in the double diff

@@ -736,3 +736,46 @@ def ks_statistic(ds_a, ds_b, *, col: str,
 
     return merged.repartition(1).map_batches(
         scan, batch_format="pandas", batch_size=None)
+
+
+def grouped_gini(ds, *, key: str, col: str,
+                 cfg: EngineConfig = DEFAULT_CONFIG):
+    """Per-group Gini concentration index over an INTEGER column via
+    the sorted-scan identity G = (2*sum(i*x_i) - (n+1)*sum(x)) /
+    (n*sum(x)) with x ascending and i 1-based — the revenue/value
+    inequality profile.  Equal values make the rank sum invariant to
+    tie order, so the statistic is layout-independent; numerator and
+    denominator are exact int64 and the single double division is
+    IEEE-identical in SQL.  All-zero groups define G = 0.
+
+    ONE hash shuffle on the key (groups arrive block-complete), then a
+    vectorized grouped rank-weighted scan.  Output (key, n:int64,
+    gini:float64 rounded 6)."""
+    from ..util import round_half_away
+    from .relational import _keyed, _meta_rows
+
+    def gini(d: pd.DataFrame) -> pd.DataFrame:
+        if not len(d):
+            return pd.DataFrame({
+                key: d[key], "n": pd.Series([], dtype=np.int64),
+                "gini": pd.Series([], dtype=np.float64)})
+        s = d.sort_values([key, col], kind="stable")
+        x = s[col].to_numpy(np.int64)
+        i = (s.groupby(key, sort=False).cumcount().to_numpy() + 1) \
+            .astype(np.int64)
+        t = pd.DataFrame({key: s[key], "x": x, "ix": i * x})
+        a = t.groupby(key, sort=False).agg(
+            n=("x", "size"), sx=("x", "sum"), six=("ix", "sum"))
+        n = a["n"].to_numpy(np.int64)
+        sx = a["sx"].to_numpy(np.int64)
+        six = a["six"].to_numpy(np.int64)
+        num = (2 * six - (n + 1) * sx).astype(np.float64)
+        den = (n * sx).astype(np.float64)
+        g = np.where(sx == 0, 0.0,
+                     num / np.where(den == 0, 1.0, den))
+        return pd.DataFrame({key: a.index.to_numpy(), "n": n,
+                             "gini": round_half_away(g, 6)})
+
+    return _keyed(ds.select_columns([key, col]), [key], cfg,
+                  _meta_rows(ds)).map_batches(
+        gini, batch_format="pandas", batch_size=None)

@@ -3699,3 +3699,36 @@ def test_ks_statistic(ray_session):
                      rd.from_pandas(pd.DataFrame({"x": a})).filter(
                          expr="x > 100"),
                      col="x", cfg=CFG).materialize()
+
+
+def test_grouped_gini(ray_session):
+    """Gini vs brute-force mean absolute difference definition
+    G = sum_ij |xi - xj| / (2 n^2 mu); all-equal -> 0, all-zero -> 0,
+    layout-invariant."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.profile import grouped_gini
+    from aml_entity_resolution_assignment_ray.util import round_half_away
+
+    rng = np.random.RandomState(8)
+    df = pd.DataFrame({
+        "k": ["a"] * 200 + ["eq"] * 50 + ["z"] * 10,
+        "v": np.concatenate([
+            rng.randint(0, 1000, 200),
+            np.full(50, 7),
+            np.zeros(10, dtype=int)]).astype(np.int64),
+    })
+    for parts in (1, 5):
+        got = grouped_gini(rd.from_pandas(df).repartition(parts),
+                           key="k", col="v", cfg=CFG) \
+            .to_pandas().set_index("k")
+        for k, sub in df.groupby("k"):
+            x = sub["v"].to_numpy(np.float64)
+            n, mu = len(x), x.mean()
+            exp = 0.0 if mu == 0 else \
+                float(np.abs(x[:, None] - x[None, :]).sum()
+                      / (2 * n * n * mu))
+            assert got.loc[k, "gini"] == float(round_half_away(exp, 6)), k
+            assert got.loc[k, "n"] == n
+        assert got.loc["eq", "gini"] == 0.0
+        assert got.loc["z", "gini"] == 0.0

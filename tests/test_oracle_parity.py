@@ -92,6 +92,7 @@ SUBSET = [
     "event_feature_hash",
     "event_type_share",
     "event_value_ks",
+    "event_type_gini",
     "sliding_user_counts",
     "er_dialogue_stats",
     "er_sft_pairs",
