@@ -156,6 +156,32 @@ def cmd_prep(args):
     ray.shutdown()
 
 
+def cmd_encode(args):
+    """Checkpointed corpus encode: clean -> dedup -> tokenize to ids
+    against a corpus-learned vocabulary -> pack into fixed-length
+    sequences; each stage a resumable Parquet checkpoint."""
+    _init_ray(args.num_cpus)
+    import ray
+
+    from .config import EngineConfig
+    from .pipelines.encode import run_encode_checkpointed
+
+    res = run_encode_checkpointed(
+        args.docs, args.checkpoints, max_chars=args.max_chars,
+        seq_len=args.seq_len, n_shards=args.shards, cfg=EngineConfig())
+    out = {
+        "stages": res["manager"].events,
+        "n_docs_packed": int(res["packed"].count()),
+        "n_tokens": int(res["encoded"].count()),
+        "vocab_dir": res["vocab_dir"],
+    }
+    if args.out:
+        res["packed"].write_parquet(args.out, partition_cols=["shard"])
+        out["out"] = args.out
+    print(json.dumps(out))
+    ray.shutdown()
+
+
 def cmd_evaluate(args):
     _init_ray(args.num_cpus)
     import ray
@@ -226,6 +252,19 @@ def main(argv=None):
     pp.add_argument("--out", default=None,
                     help="also export survivors as partitioned parquet")
     pp.set_defaults(fn=cmd_prep)
+
+    en = sub.add_parser("encode", help="checkpointed corpus encode "
+                                       "(clean/dedup/tokenize/pack)")
+    en.add_argument("--docs", required=True,
+                    help="documents parquet file or directory")
+    en.add_argument("--checkpoints", required=True)
+    en.add_argument("--max-chars", type=int, default=2000)
+    en.add_argument("--seq-len", type=int, default=256)
+    en.add_argument("--shards", type=int, default=8)
+    en.add_argument("--out", default=None,
+                    help="also export pack assignments as "
+                         "shard-partitioned parquet")
+    en.set_defaults(fn=cmd_encode)
 
     sv = sub.add_parser("serve", help="HTTP /resolve service over a "
                                       "checkpointed run")

@@ -3732,3 +3732,45 @@ def test_grouped_gini(ray_session):
             assert got.loc[k, "n"] == n
         assert got.loc["eq", "gini"] == 0.0
         assert got.loc["z", "gini"] == 0.0
+
+
+def test_encode_pipeline_checkpointed(ray_session, tmp_path):
+    """Encode pipeline: clean -> dedup -> tokenize -> pack; a rerun
+    reuses every stage; pack offsets are consistent with the per-doc
+    token counts and the vocabulary decodes every id."""
+    import pyarrow.parquet as pq
+
+    from aml_entity_resolution_assignment_ray.pipelines.encode import (
+        run_encode_checkpointed,
+    )
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(40, dtype=np.int64),
+        "text": [f"some text body number {i % 13} with shared phrasing"
+                 for i in range(40)],
+    })
+    dp = str(tmp_path / "docs.parquet")
+    pq.write_table(__import__("pyarrow").Table.from_pandas(
+        docs, preserve_index=False), dp)
+    ck = str(tmp_path / "ck")
+
+    res = run_encode_checkpointed(dp, ck, seq_len=32, n_shards=4,
+                                  cfg=CFG)
+    assert [e["action"] for e in res["manager"].events] == ["built"] * 4
+    packed = res["packed"].to_pandas()
+    encoded = res["encoded"].to_pandas()
+    # dedup kept one doc per distinct text (13 distinct bodies)
+    assert len(packed) == 13
+    counts = encoded.groupby("doc_id").size()
+    m = packed.set_index("doc_id")
+    assert (m["n_tokens"].sort_index() == counts.sort_index()).all()
+    # offsets within windows; shard assignment within range
+    assert m["seq_offset"].between(0, 31).all()
+    assert m["shard"].between(0, 3).all()
+    vocab = pq.read_table(res["vocab_dir"] + "/vocab.parquet") \
+        .to_pandas()
+    assert encoded["token_id"].isin(vocab["token_id"]).all()
+
+    res2 = run_encode_checkpointed(dp, ck, seq_len=32, n_shards=4,
+                                   cfg=CFG)
+    assert [e["action"] for e in res2["manager"].events] == ["reused"] * 4
