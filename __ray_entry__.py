@@ -1814,6 +1814,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return source_mixture_weights(
             _read(sf_dir, "documents").select_columns(["source", "text"]))
 
+    def mixture_resampled(sf_dir):
+        """End-to-end mixture reshaping: the source_mixture_weights
+        table (uniform token target) feeds weighted_sample as an
+        integer acceptance probability per source — docs survive with
+        probability min(1, weight), decided by the deterministic id
+        hash.  The composition that actually APPLIES a mixture, not
+        just computes it; the weight table is source-cardinality-small
+        and broadcast."""
+        import ray as _ray
+
+        from aml_entity_resolution_assignment_ray.ops.sample import (
+            source_mixture_weights,
+            weighted_sample,
+        )
+
+        _tune_context()
+        docs = _read(sf_dir, "documents").select_columns(
+            ["doc_id", "source", "text"])
+        wdf = source_mixture_weights(docs).to_pandas()
+        wmap = dict(zip(
+            wdf["source"],
+            _round_half_away(wdf["weight"].to_numpy(np.float64)
+                             * 10 ** 6).astype(np.int64)))
+        wref = _ray.put(wmap)
+
+        def attach(d: pd.DataFrame) -> pd.DataFrame:
+            m = _ray.get(wref)
+            return pd.DataFrame({
+                "doc_id": d["doc_id"].astype("int64"),
+                "source": d["source"],
+                "w_int": d["source"].map(m).astype("int64"),
+            })
+
+        kept = weighted_sample(
+            docs.map_batches(attach, batch_format="pandas"),
+            id_col="doc_id", weight_col="w_int", weight_scale=10 ** 6)
+
+        def finalize(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "doc_id": df["doc_id"].astype("int64"),
+                "source": df["source"].astype(str),
+            })
+
+        return kept.map_batches(finalize, batch_format="pandas")
+
     def doc_shuffle_index(sf_dir):
         """Deterministic global training shuffle: (shard, pos) address
         per doc — shard by id hash, pos = rank within shard in
@@ -4387,6 +4432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_learned_merges": bpe_learned_merges,
         "bpe_token_histogram": bpe_token_histogram,
         "doc_token_ids": doc_token_ids,
+        "mixture_resampled": mixture_resampled,
         "doc_stratified_sample": doc_stratified_sample,
         "doc_pack": doc_pack,
         "doc_pack_texts": doc_pack_texts,
@@ -7131,6 +7177,42 @@ def oracle_sql() -> dict[str, str]:
                        AS seq_text
             FROM s, unnest(range(CAST(ceil(length(stream) / 512.0)
                                       AS BIGINT))) AS t(i)
+        """,
+        # mixture APPLICATION: the source_mixture weight table as an
+        # integer acceptance prob (scale == resolution == 1e6, so the
+        # weighted_sample rule reduces to hash % 1e6 < w_int)
+        "mixture_resampled": rf"""
+            WITH t AS (
+                SELECT doc_id, source,
+                       trim({_WS_NORM_TEXT},
+                            ' ' || chr(9) || chr(10) || chr(12) || chr(13)
+                       ) AS txt
+                FROM documents
+            ),
+            s AS (
+                SELECT source,
+                       sum(CASE WHEN length(txt) = 0 THEN 0
+                                ELSE array_length(
+                                    regexp_split_to_array(txt, '\s+'))
+                           END) AS n_tokens
+                FROM t GROUP BY source
+            ),
+            tot AS (
+                SELECT CAST(sum(n_tokens) AS DOUBLE) AS T,
+                       count(*) AS ns
+                FROM s
+            ),
+            w AS (
+                SELECT source,
+                       CAST(round(round((1.0 / ns)
+                                / (CAST(n_tokens AS DOUBLE) / T), 6)
+                             * 1000000) AS BIGINT) AS w_int
+                FROM s, tot
+            )
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source
+            FROM documents d JOIN w USING (source)
+            WHERE ((d.doc_id * 2654435761) % 4294967296) % 1000000
+                  < w.w_int
         """,
         "doc_weighted_sample": """
             SELECT CAST(doc_id AS BIGINT) AS doc_id,

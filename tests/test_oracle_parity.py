@@ -63,6 +63,7 @@ SUBSET = [
     "semdedup_pairs",
     "semdedup_keep",
     "source_mixture",
+    "mixture_resampled",
     "events_above_median",
     "event_type_approx_users",
     "event_type_hll_users",
