@@ -2373,6 +2373,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["event_id", "event_type", "value"])
         return grouped_percent_rank(ev, key="event_type", col="value")
 
+    def event_global_rank(sf_dir):
+        """GLOBAL ORDER BY rank without a global sort
+        (ops/relational.global_rank): distinct-value exclusive offsets
+        from one cumsum + one value-keyed shuffle with a within-value
+        tiebreak rank — row_number() OVER (ORDER BY cents, event_id)
+        exactly."""
+        from aml_entity_resolution_assignment_ray.ops.relational import (
+            global_rank,
+        )
+
+        _tune_context()
+        ev = _read(sf_dir, "events").select_columns(
+            ["event_id", "value"]).map_batches(
+            lambda d: pd.DataFrame({
+                "event_id": d["event_id"].astype("int64"),
+                "cents": _round_half_away(
+                    d["value"].to_numpy(np.float64) * 100)
+                .astype(np.int64)}),
+            batch_format="pandas")
+        out = global_rank(ev, val_col="cents", tie_col="event_id")
+
+        def finalize(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "event_id": df["event_id"].astype("int64"),
+                "cents": df["cents"].astype("int64"),
+                "global_rank": df["global_rank"].astype("int64"),
+            })
+
+        return out.map_batches(finalize, batch_format="pandas")
+
     def event_value_dense_rank(sf_dir):
         """Gapless per-group value rank (ops/relational.
         grouped_dense_rank — one keyed shuffle, per-block grouped
@@ -4466,6 +4496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_quantiles_sketch": event_value_quantiles_sketch,
         "event_value_pct_rank": event_value_pct_rank,
         "event_value_dense_rank": event_value_dense_rank,
+        "event_global_rank": event_global_rank,
         "user_first_last_event": user_first_last_event,
         "purchase_click_window": purchase_click_window,
         "event_value_imputed": event_value_imputed,
@@ -7663,6 +7694,14 @@ def oracle_sql() -> dict[str, str]:
                    b.tus AS last_tus, b.value AS last_value
             FROM (SELECT * FROM r WHERE rn = 1) a
             JOIN (SELECT * FROM r WHERE rd = 1) b USING (user_id)
+        """,
+        "event_global_rank": """
+            SELECT CAST(event_id AS BIGINT) AS event_id,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   CAST(row_number() OVER (
+                     ORDER BY CAST(round(value * 100) AS BIGINT),
+                              event_id) AS BIGINT) AS global_rank
+            FROM events
         """,
         "event_value_dense_rank": """
             SELECT event_id, event_type, value,

@@ -1744,3 +1744,57 @@ def compact_keyed_sum_state(state_path: str, *, keys: list[str],
     for s in all_shards:  # live + lingering: all now covered
         shutil.rmtree(s, ignore_errors=True)
     return len(live)
+
+
+def global_rank(ds, *, val_col: str, tie_col: str,
+                out_col: str = "global_rank",
+                cfg: EngineConfig = DEFAULT_CONFIG):
+    """GLOBAL dense ordering rank — row_number() OVER (ORDER BY
+    val_col, tie_col) — WITHOUT a single-node sort, for an INTEGER
+    value column and a unique integer tiebreak:
+
+    1. per-block per-value count partials (bounded by the distinct-
+       value domain, the grouped_quantiles trade) collapse in one
+       single-block cumsum to the EXCLUSIVE global offset of every
+       distinct value — broadcast as one small array;
+    2. ONE hash shuffle on the value, then each block ranks ONLY its
+       own values' rows by the tiebreak and adds the offset.
+
+    All input columns pass through with ``out_col`` (1-based int64)
+    appended.  A hot value lands on one block — acceptable exactly
+    when the value domain is bounded; for continuous columns quantize
+    upstream (same contract as grouped_quantiles / ks_statistic)."""
+    import ray
+
+    cols = list(ds.schema().names)
+
+    def partial(d: pd.DataFrame) -> pd.DataFrame:
+        g = (d.groupby(val_col, sort=False).size()
+             .reset_index(name="_c"))
+        g[val_col] = g[val_col].astype(np.int64)
+        return g
+
+    counts = (ds.select_columns([val_col])
+              .map_batches(partial, batch_format="pandas").to_pandas()
+              .groupby(val_col, sort=True)["_c"].sum())
+    offs = counts.cumsum().shift(1, fill_value=0).astype(np.int64)
+    vref = ray.put((offs.index.to_numpy(np.int64),
+                    offs.to_numpy(np.int64)))
+
+    def rank(d: pd.DataFrame) -> pd.DataFrame:
+        if not len(d):
+            out = d[cols].copy()
+            out[out_col] = pd.Series([], dtype=np.int64)
+            return out
+        vals, offarr = ray.get(vref)
+        s = d.sort_values([val_col, tie_col], kind="stable")
+        base = offarr[np.searchsorted(
+            vals, s[val_col].to_numpy(np.int64))]
+        within = s.groupby(val_col, sort=False).cumcount() \
+            .to_numpy(np.int64)
+        out = s[cols].copy()
+        out[out_col] = (base + within + 1).astype(np.int64)
+        return out
+
+    return _keyed(ds, [val_col], cfg, _meta_rows(ds)).map_batches(
+        rank, batch_format="pandas", batch_size=None)

@@ -3774,3 +3774,30 @@ def test_encode_pipeline_checkpointed(ray_session, tmp_path):
     res2 = run_encode_checkpointed(dp, ck, seq_len=32, n_shards=4,
                                    cfg=CFG)
     assert [e["action"] for e in res2["manager"].events] == ["reused"] * 4
+
+
+def test_global_rank(ray_session):
+    """row_number() OVER (ORDER BY v, id) via distinct-value offsets +
+    keyed within-value ranks: a permutation of 1..n, layout-invariant,
+    matching the brute-force lexsort."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.relational import global_rank
+
+    rng = np.random.RandomState(17)
+    n = 800
+    df = pd.DataFrame({
+        "v": rng.randint(0, 50, n).astype(np.int64),   # heavy ties
+        "id": rng.permutation(n).astype(np.int64),
+    })
+    order = np.lexsort((df["id"].to_numpy(), df["v"].to_numpy()))
+    exp = np.empty(n, dtype=np.int64)
+    exp[order] = np.arange(1, n + 1)
+    for parts in (1, 6):
+        got = global_rank(rd.from_pandas(df).repartition(parts),
+                          val_col="v", tie_col="id", cfg=CFG) \
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        want = pd.DataFrame({"id": df["id"], "r": exp}) \
+            .sort_values("id").reset_index(drop=True)
+        assert (got["global_rank"].to_numpy() == want["r"].to_numpy()).all()
+        assert sorted(got["global_rank"]) == list(range(1, n + 1))

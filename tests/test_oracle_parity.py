@@ -79,6 +79,7 @@ SUBSET = [
     "doc_token_ids",
     "event_value_pct_rank",
     "event_value_dense_rank",
+    "event_global_rank",
     "event_gaps",
     "event_value_ntile",
     "event_rollup",
