@@ -111,6 +111,11 @@ def _jsonl_parsed_path(n_rows: int) -> str:
     return f"/tmp/er_jsonl_parsed_n{n_rows}"
 
 
+def _range_parts_path(n_rows: int) -> str:
+    """Range-partitioned landing zone (events_range_partition_stats)."""
+    return f"/tmp/er_rangeparts_n{n_rows}"
+
+
 def _partitioned_events_path(n_rows: int) -> str:
     return f"/tmp/er_part_events_n{n_rows}"
 
@@ -786,6 +791,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
             })
 
         return g.map_batches(finalize, batch_format="pandas")
+
+    def events_range_partition_stats(sf_dir):
+        """Numeric RANGE-partitioned sink + pruned read
+        (sources/files.range_bucket + export_partitioned_parquet):
+        events write one directory per value-cents range bucket
+        (boundaries 2500/5000/7500), then ONLY the (2500, 5000]
+        bucket's directory is read back and aggregated — directory-
+        level pruning on a numeric range, the sibling of the
+        categorical hive path.  Oracle reads the same partition's
+        files."""
+        from aml_entity_resolution_assignment_ray.sources import files as fsrc
+
+        _tune_context()
+        path = _range_parts_path(_table_rows(sf_dir, "events"))
+        src = _read(sf_dir, "events").select_columns(
+            ["event_id", "value"]).map_batches(
+            lambda d: pd.DataFrame({
+                "event_id": d["event_id"].astype("int64"),
+                "cents": _round_half_away(
+                    d["value"].to_numpy(np.float64) * 100)
+                .astype(np.int64)}),
+            batch_format="pandas")
+        tagged = fsrc.range_bucket(src, col="cents",
+                                   boundaries=[2500, 5000, 7500])
+        fsrc.export_partitioned_parquet(tagged, path,
+                                        partition_cols=["bucket"])
+        part = fsrc.read_partition(path, "bucket", 1)
+
+        def agg(df: pd.DataFrame) -> pd.DataFrame:
+            c = df["cents"].to_numpy(np.int64)
+            return pd.DataFrame({
+                "n": [np.int64(len(c))],
+                "total_cents": [np.int64(c.sum())],
+                "min_cents": [np.int64(c.min())],
+                "max_cents": [np.int64(c.max())],
+            })
+
+        g = part.map_batches(agg, batch_format="pandas").repartition(1)
+
+        def final(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "n": [np.int64(df["n"].sum())],
+                "total_cents": [np.int64(df["total_cents"].sum())],
+                "min_cents": [np.int64(df["min_cents"].min())],
+                "max_cents": [np.int64(df["max_cents"].max())],
+            })
+
+        return g.map_batches(final, batch_format="pandas",
+                             batch_size=None)
 
     def customer_csv_stats(sf_dir):
         """Text-format ingest: customer round-trips through headered
@@ -4413,6 +4467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_jsonl_stats": events_jsonl_stats,
         "events_jsonl_parsed": events_jsonl_parsed,
         "events_partitioned_stats": events_partitioned_stats,
+        "events_range_partition_stats": events_range_partition_stats,
         "event_zscores": event_zscores,
         "customer_csv_stats": customer_csv_stats,
         "hourly_user_events": hourly_user_events,
@@ -6435,6 +6490,16 @@ def oracle_sql() -> dict[str, str]:
                 '{_jsonl_parsed_path(_table_rows(_oracle_sf_dir(),
                                                  "events"))}/*.json')
             GROUP BY event_type
+        """,
+        "events_range_partition_stats": f"""
+            SELECT count(*) AS n,
+                   CAST(sum(cents) AS BIGINT) AS total_cents,
+                   CAST(min(cents) AS BIGINT) AS min_cents,
+                   CAST(max(cents) AS BIGINT) AS max_cents
+            FROM read_parquet(
+                '{_range_parts_path(_table_rows(_oracle_sf_dir(),
+                                                "events"))}'
+                '/bucket=1/*.parquet')
         """,
         "events_partitioned_stats": f"""
             SELECT 'click' AS event_type,

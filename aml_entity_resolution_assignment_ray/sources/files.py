@@ -115,3 +115,25 @@ def read_jsonl_lines(path: str, fields: dict):
 
     return rd.read_text(path, file_extensions=["json", "jsonl"]) \
         .map_batches(parse, batch_format="pandas")
+
+
+def range_bucket(ds, *, col: str, boundaries, out_col: str = "bucket"):
+    """Append a range-partition bucket for a NUMERIC column: bucket i
+    holds rows with ``boundaries[i-1] < v <= boundaries[i]`` (bucket 0
+    below the first boundary, bucket len(boundaries) above the last) —
+    the numeric sibling of hive partitioning: feed the bucket to
+    ``export_partitioned_parquet(partition_cols=[out_col])`` and a
+    consumer prunes by VALUE RANGE at the directory level, no row
+    filtering.  Stateless vectorized searchsorted, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    b = np.asarray(sorted(boundaries), dtype=np.int64)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out[out_col] = np.searchsorted(
+            b, df[col].to_numpy(np.int64), side="left").astype(np.int64)
+        return out
+
+    return ds.map_batches(tag, batch_format="pandas")

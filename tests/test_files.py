@@ -89,3 +89,27 @@ def test_read_jsonl_lines_quarantine(ray_session, tmp_path):
     assert got["k"].tolist() == ["x", "y", "w"]
     assert got["v"].tolist() == [1, 2, 9]
     assert got["v"].dtype == np.int64
+
+
+def test_range_bucket_partitioned_roundtrip(ray_session, tmp_path):
+    """Range buckets: (b_{i-1}, b_i] inclusive-right semantics,
+    boundary values land in their own bucket; a pruned single-bucket
+    read sees exactly that range."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.sources import files as f
+
+    df = pd.DataFrame({
+        "id": np.arange(9, dtype=np.int64),
+        "v": np.array([0, 10, 11, 20, 25, 30, 31, 99, 10],
+                      dtype=np.int64),
+    })
+    tagged = f.range_bucket(rd.from_pandas(df).repartition(3),
+                            col="v", boundaries=[10, 30])
+    out = tagged.to_pandas().sort_values("id")
+    #  v<=10 -> 0, 10<v<=30 -> 1, v>30 -> 2
+    assert out["bucket"].tolist() == [0, 0, 1, 1, 1, 1, 2, 2, 0]
+    d = str(tmp_path / "rp")
+    f.export_partitioned_parquet(tagged, d, partition_cols=["bucket"])
+    mid = f.read_partition(d, "bucket", 1).to_pandas()
+    assert sorted(mid["v"].tolist()) == [11, 20, 25, 30]
