@@ -2183,6 +2183,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return res.map_batches(finalize, batch_format="pandas")
 
+    def purchase_value_ecdf(sf_dir):
+        """Cross-population ECDF transform (ops/profile.ecdf_lookup):
+        every purchase event scored as P(click value <= its value) on
+        the click distribution — broadcast cumulative reference,
+        searchsorted scoring, the scored stream never shuffles."""
+        from aml_entity_resolution_assignment_ray.ops.profile import ecdf_lookup
+
+        _tune_context()
+
+        def side(etype):
+            return _read(sf_dir, "events").select_columns(
+                ["event_id", "event_type", "value"]).map_batches(
+                lambda d, _e=etype: pd.DataFrame({
+                    "event_id": d.loc[d["event_type"] == _e, "event_id"]
+                    .astype("int64"),
+                    "cents": _round_half_away(
+                        d.loc[d["event_type"] == _e, "value"]
+                        .to_numpy(np.float64) * 100).astype(np.int64)}),
+                batch_format="pandas")
+
+        out = ecdf_lookup(side("purchase"), side("click"), col="cents")
+
+        def finalize(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "event_id": df["event_id"].astype("int64"),
+                "cents": df["cents"].astype("int64"),
+                "ecdf": df["ecdf"].astype("float64"),
+            })
+
+        return out.map_batches(finalize, batch_format="pandas")
+
     def event_type_gini(sf_dir):
         """Per-type Gini concentration of event value cents
         (ops/profile.grouped_gini): sorted-scan rank-weighted sums,
@@ -4535,6 +4566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_share": event_type_share,
         "event_value_ks": event_value_ks,
         "event_type_gini": event_type_gini,
+        "purchase_value_ecdf": purchase_value_ecdf,
         "orders_asof": orders_asof,
         "lineitem_ship_window": lineitem_ship_window,
         "cust_top_orders": cust_top_orders,
@@ -7469,6 +7501,23 @@ def oracle_sql() -> dict[str, str]:
                         PARTITION BY user_id ORDER BY ts, event_id
                         ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS session_id
             FROM o
+        """,
+        # ECDF against the click reference: count of clicks <= value
+        # over the click total, exact ints in the quotient
+        "purchase_value_ecdf": """
+            WITH p AS (
+              SELECT CAST(event_id AS BIGINT) AS event_id,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events WHERE event_type = 'purchase'
+            ),
+            c AS (SELECT CAST(round(value * 100) AS BIGINT) AS v
+                  FROM events WHERE event_type = 'click'),
+            nb AS (SELECT count(*) AS n FROM c)
+            SELECT p.event_id, p.cents,
+                   round(CAST((SELECT count(*) FROM c
+                               WHERE c.v <= p.cents) AS DOUBLE)
+                         / (SELECT n FROM nb), 6) AS ecdf
+            FROM p
         """,
         # Gini by the sorted-scan identity; integer rank-weighted sums
         # (tie order cancels), one exact double division

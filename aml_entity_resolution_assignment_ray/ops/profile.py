@@ -779,3 +779,52 @@ def grouped_gini(ds, *, key: str, col: str,
     return _keyed(ds.select_columns([key, col]), [key], cfg,
                   _meta_rows(ds)).map_batches(
         gini, batch_format="pandas", batch_size=None)
+
+
+def ecdf_lookup(ds_a, ds_b, *, col: str, out_col: str = "ecdf",
+                cfg: EngineConfig = DEFAULT_CONFIG):
+    """Empirical-CDF transform against a REFERENCE distribution: each
+    row of ``ds_a`` gets ``P(B <= v)`` where B is ``ds_b``'s integer
+    ``col`` — the cross-population normalization (score purchases on
+    the click distribution, score a new crawl on last month's).
+
+    The reference reduces to per-block (value, count) partials ->
+    ONE keyed_sum -> a single-block sorted cumulative table (bounded
+    by the distinct-value domain, the ks_statistic trade) broadcast to
+    every scoring task; scoring is one vectorized searchsorted per
+    batch — ``ds_a`` itself never shuffles.  The quotient divides the
+    same exact ints on both sides; output rounded half-away at 6."""
+    import ray
+
+    from ..util import round_half_away
+    from .relational import keyed_sum
+
+    def counts(d: pd.DataFrame) -> pd.DataFrame:
+        g = (d.groupby(col, sort=False).size().reset_index(name="_c"))
+        g[col] = g[col].astype(np.int64)
+        return g
+
+    merged = keyed_sum(
+        ds_b.select_columns([col]).map_batches(counts,
+                                               batch_format="pandas"),
+        [col], ["_c"], cfg).to_pandas()  # distinct-value-domain-sized
+    if not len(merged):
+        raise ValueError("ecdf_lookup: empty reference side")
+    merged = merged.sort_values(col)
+    vals = merged[col].to_numpy(np.int64)
+    cum = merged["_c"].to_numpy(np.int64).cumsum()
+    nb = int(cum[-1])
+    ref = ray.put((vals, cum))
+
+    cols = list(ds_a.schema().names)
+
+    def score(d: pd.DataFrame) -> pd.DataFrame:
+        v, c = ray.get(ref)
+        idx = np.searchsorted(v, d[col].to_numpy(np.int64),
+                              side="right")
+        below = np.where(idx > 0, c[np.maximum(idx - 1, 0)], 0)
+        out = d[cols].copy()
+        out[out_col] = round_half_away(below.astype(np.float64) / nb, 6)
+        return out
+
+    return ds_a.map_batches(score, batch_format="pandas")

@@ -3801,3 +3801,30 @@ def test_global_rank(ray_session):
             .sort_values("id").reset_index(drop=True)
         assert (got["global_rank"].to_numpy() == want["r"].to_numpy()).all()
         assert sorted(got["global_rank"]) == list(range(1, n + 1))
+
+
+def test_ecdf_lookup(ray_session):
+    """Cross-population ECDF vs brute force: P(B <= v) for every A row,
+    values below / inside / above B's support; empty reference raises."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.profile import ecdf_lookup
+    from aml_entity_resolution_assignment_ray.util import round_half_away
+
+    b = np.array([10, 10, 20, 30, 30, 30, 50], dtype=np.int64)
+    a = pd.DataFrame({"id": np.arange(6, dtype=np.int64),
+                      "x": np.array([5, 10, 25, 30, 50, 99],
+                                    dtype=np.int64)})
+    got = ecdf_lookup(rd.from_pandas(a).repartition(2),
+                      rd.from_pandas(pd.DataFrame({"x": b}))
+                      .repartition(3), col="x", cfg=CFG) \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    exp = [float(round_half_away((b <= v).sum() / len(b), 6))
+           for v in a["x"]]
+    assert got["ecdf"].tolist() == exp
+    assert got["ecdf"].iloc[0] == 0.0 and got["ecdf"].iloc[5] == 1.0
+    with pytest.raises(Exception):
+        ecdf_lookup(rd.from_pandas(a),
+                    rd.from_pandas(pd.DataFrame({"x": b})).filter(
+                        expr="x > 1000"),
+                    col="x", cfg=CFG)

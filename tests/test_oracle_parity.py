@@ -96,6 +96,7 @@ SUBSET = [
     "event_type_share",
     "event_value_ks",
     "event_type_gini",
+    "purchase_value_ecdf",
     "sliding_user_counts",
     "er_dialogue_stats",
     "er_sft_pairs",
