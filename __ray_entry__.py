@@ -3827,6 +3827,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return ctx.map_batches(finalize, batch_format="pandas")
 
+    def er_response_latency(sf_dir):
+        """Assistant response-latency stats per conversation: for
+        every user->assistant adjacent turn pair, the event-time gap
+        in exact integer microseconds; per conv the exchange count,
+        total and max latency (convs with no such pair are absent,
+        the SQL-join-natural shape).  ONE conv-keyed shuffle + a
+        vectorized grouped shift."""
+        from aml_entity_resolution_assignment_ray.config import EngineConfig
+        from aml_entity_resolution_assignment_ray.ops.relational import _keyed
+
+        _tune_context()
+        n = _corpus_entities(sf_dir)
+        _write_oracle_corpus(n)
+        transcripts, _ = _corpus(n)
+
+        def stats(d: pd.DataFrame) -> pd.DataFrame:
+            if not len(d):
+                return pd.DataFrame({
+                    "conv_id": pd.Series([], dtype=str),
+                    "n_exchanges": pd.Series([], dtype=np.int64),
+                    "total_latency_us": pd.Series([], dtype=np.int64),
+                    "max_latency_us": pd.Series([], dtype=np.int64)})
+            s = d.sort_values(["conv_id", "turn_idx"], kind="stable")
+            g = s.groupby("conv_id", sort=False)
+            tus = (s["ts"].astype("datetime64[ns]").astype("int64")
+                   // 1000)
+            prev_role = g["role"].shift(1)
+            prev_tus = tus.groupby(s["conv_id"], sort=False).shift(1)
+            m = ((s["role"] == "assistant")
+                 & (prev_role == "user")).to_numpy()
+            lat = (tus - prev_tus).to_numpy()[m].astype(np.int64)
+            conv = s["conv_id"].to_numpy()[m]
+            a = (pd.DataFrame({"conv_id": conv, "lat": lat})
+                 .groupby("conv_id", sort=False)["lat"]
+                 .agg(["size", "sum", "max"]).reset_index())
+            return pd.DataFrame({
+                "conv_id": a["conv_id"],
+                "n_exchanges": a["size"].astype(np.int64),
+                "total_latency_us": a["sum"].astype(np.int64),
+                "max_latency_us": a["max"].astype(np.int64),
+            })
+
+        keyed = _keyed(
+            transcripts.select_columns(
+                ["conv_id", "turn_idx", "role", "ts"]),
+            ["conv_id"], EngineConfig(), None)
+        return keyed.map_batches(stats, batch_format="pandas",
+                                 batch_size=None)
+
     def er_conv_dedup(sf_dir):
         """Conversation-level exact dedup: each conversation assembles
         to one ordered 'role: text' document (ONE conv_id-keyed
@@ -4443,6 +4492,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_dialogue_stats": er_dialogue_stats,
         "er_sft_pairs": er_sft_pairs,
         "er_conv_dedup": er_conv_dedup,
+        "er_response_latency": er_response_latency,
         "er_turn_context": er_turn_context,
         "er_pairs_exact_keys": er_pairs_exact_keys,
         "er_classified": er_classified,
@@ -6356,6 +6406,23 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_tool_turns,
                    CAST(sum(length(text)) AS BIGINT) AS n_chars
             FROM t GROUP BY conv_id
+        """,
+        "er_response_latency": f"""
+            WITH t AS (
+                SELECT conv_id, turn_idx, role, epoch_us(ts) AS tus,
+                       lag(role) OVER w AS prev_role,
+                       lag(epoch_us(ts)) OVER w AS prev_tus
+                FROM read_parquet('{_oracle_corpus_path(_oracle_n())}')
+                WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            )
+            SELECT conv_id, count(*) AS n_exchanges,
+                   CAST(sum(tus - prev_tus) AS BIGINT)
+                     AS total_latency_us,
+                   CAST(max(tus - prev_tus) AS BIGINT)
+                     AS max_latency_us
+            FROM t
+            WHERE role = 'assistant' AND prev_role = 'user'
+            GROUP BY conv_id
         """,
         "er_conv_dedup": f"""
             WITH t AS (

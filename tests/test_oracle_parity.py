@@ -101,6 +101,7 @@ SUBSET = [
     "er_dialogue_stats",
     "er_sft_pairs",
     "er_conv_dedup",
+    "er_response_latency",
     "global_revenue_running",
     "user_funnel",
     "new_users_per_hour",
