@@ -3680,6 +3680,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              "norm_last_name", "norm_email", "norm_phone",
                              "norm_nid", "norm_dob"])
 
+    def er_email_consistency(sf_dir):
+        """Cross-field consistency audit over the extracted profiles:
+        does the email LOCAL PART contain the alnum-stripped first or
+        last name (>= 3 chars)?  The data-quality signal that catches
+        noise-corrupted / swapped emails; per-profile boolean over the
+        flagship profiles Dataset, replayed by the same strpos logic
+        on the oracled profiles CTE."""
+        import re as _re
+
+        _tune_context()
+        n = _corpus_entities(sf_dir)
+        _write_oracle_corpus(n)
+        profiles = _flagship(n)["profiles"].select_columns(
+            ["conv_id", "norm_first_name", "norm_last_name",
+             "norm_email"])
+        strip = _re.compile(r"[^a-z0-9]")
+
+        def audit(d: pd.DataFrame) -> pd.DataFrame:
+            local = (d["norm_email"].fillna("").astype(str)
+                     .str.split("@").str[0])
+            fn = (d["norm_first_name"].fillna("").astype(str)
+                  .str.replace(strip, "", regex=True))
+            ln = (d["norm_last_name"].fillna("").astype(str)
+                  .str.replace(strip, "", regex=True))
+            ok = [((len(f) >= 3 and f in lo) or (len(l) >= 3 and l in lo))
+                  for f, l, lo in zip(fn, ln, local)]
+            return pd.DataFrame({
+                "conv_id": d["conv_id"],
+                "email_name_consistent": np.asarray(ok, dtype=bool)})
+
+        return profiles.map_batches(audit, batch_format="pandas")
+
     def er_turn_context(sf_dir):
         """Rolling context-window assembly over the transcript corpus
         (ops/text.rolling_context): every turn paired with its previous
@@ -4493,6 +4525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_sft_pairs": er_sft_pairs,
         "er_conv_dedup": er_conv_dedup,
         "er_response_latency": er_response_latency,
+        "er_email_consistency": er_email_consistency,
         "er_turn_context": er_turn_context,
         "er_pairs_exact_keys": er_pairs_exact_keys,
         "er_classified": er_classified,
@@ -6407,6 +6440,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(length(text)) AS BIGINT) AS n_chars
             FROM t GROUP BY conv_id
         """,
+        "er_email_consistency": f"""
+            WITH profiles AS ({{PROF}}),
+            x AS (
+                SELECT conv_id,
+                       split_part(coalesce(norm_email, ''), '@', 1)
+                         AS local,
+                       regexp_replace(coalesce(norm_first_name, ''),
+                                      '[^a-z0-9]', '', 'g') AS fn,
+                       regexp_replace(coalesce(norm_last_name, ''),
+                                      '[^a-z0-9]', '', 'g') AS ln
+                FROM profiles
+            )
+            SELECT conv_id,
+                   (length(fn) >= 3 AND strpos(local, fn) > 0)
+                   OR (length(ln) >= 3 AND strpos(local, ln) > 0)
+                     AS email_name_consistent
+            FROM x
+        """.replace("{PROF}", _er_profiles_sql()),
         "er_response_latency": f"""
             WITH t AS (
                 SELECT conv_id, turn_idx, role, epoch_us(ts) AS tus,

@@ -102,6 +102,7 @@ SUBSET = [
     "er_sft_pairs",
     "er_conv_dedup",
     "er_response_latency",
+    "er_email_consistency",
     "global_revenue_running",
     "user_funnel",
     "new_users_per_hour",
