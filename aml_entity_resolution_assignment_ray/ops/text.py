@@ -948,7 +948,12 @@ def clean_text(ds, *, col: str = "text", id_col: str = "doc_id",
 
     Every step is replayable in DuckDB (nfc_normalize /
     regexp_replace / substr are codepoint-based like Python), so the
-    cleaned strings are value-oracled byte for byte.  Stateless
+    cleaned strings are value-oracled byte for byte — fuzz-pinned over
+    controls / unicode spaces / combining marks / CJK in
+    tests/test_ops.py::test_clean_text_unicode_fuzz.  One limit: the
+    SQL side cannot represent ``\\x00`` (DuckDB VARCHAR truncates at
+    NUL), so parity is defined for NUL-free inputs; the engine itself
+    strips NUL to a space like any other control.  Stateless
     vectorized map — pandas ``.str`` kernels, no shuffle."""
 
     def f(df: pd.DataFrame) -> pd.DataFrame:

@@ -3828,3 +3828,69 @@ def test_ecdf_lookup(ray_session):
                     rd.from_pandas(pd.DataFrame({"x": b})).filter(
                         expr="x > 1000"),
                     col="x", cfg=CFG)
+
+
+def test_clean_text_unicode_fuzz(ray_session):
+    """Fuzz clean_text vs the DuckDB oracle expression over 300
+    adversarial strings mixing control chars, the unicode space block,
+    combining diacritics (NFC composition), CJK and multi-byte
+    letters — byte-for-byte string equality in one batched compare."""
+    import random
+
+    import duckdb
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.text import (
+        CTRL_SQL_CLASS,
+        WS_DISAGREE_SQL_CLASS,
+        clean_text,
+    )
+
+    rng = random.Random(99)
+    # NO \x00: DuckDB VARCHAR truncates at NUL, so the oracle can never
+    # see past one -- an oracle-side representational limit (the engine
+    # strips NUL to space like any other control; pinned below), not a
+    # parity surface
+    pools = [
+        "abcXYZ 123",                      # plain
+        "\x01\x07\x0e\x1f\x7f",            # stripped controls
+        "\t\n\x0b\x0c\r \x85\xa0",         # whitespace family
+        "    　",  # unicode spaces
+        "éàñç",    # combining (NFC folds)
+        "éàñç日本語ßøЖ",                    # precomposed + CJK + cyrillic
+    ]
+    alphabet = "".join(pools)
+    docs = ["".join(rng.choice(alphabet)
+                    for _ in range(rng.randint(0, 60)))
+            for _ in range(300)]
+    df = pd.DataFrame({"doc_id": np.arange(300, dtype=np.int64),
+                       "text": docs})
+    got = clean_text(rd.from_pandas(df).repartition(4), max_chars=25) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.register("docs", df)
+    exp = con.execute(rf"""
+        SELECT doc_id,
+               rtrim(substr(
+                 trim(regexp_replace(
+                   regexp_replace(
+                     regexp_replace(nfc_normalize(coalesce(text, '')),
+                                    '{CTRL_SQL_CLASS}', ' ', 'g'),
+                     '{WS_DISAGREE_SQL_CLASS}', ' ', 'g'),
+                   '\s+', ' ', 'g')),
+                 1, 25), ' ') AS clean_text
+        FROM docs ORDER BY doc_id
+    """).fetchdf()
+    mism = got["clean_text"].to_numpy() != exp["clean_text"].to_numpy()
+    assert not mism.any(), (
+        f"{mism.sum()} mismatches; first: "
+        f"{docs[int(np.where(mism)[0][0])]!r} -> "
+        f"{got['clean_text'][int(np.where(mism)[0][0])]!r} vs "
+        f"{exp['clean_text'][int(np.where(mism)[0][0])]!r}")
+
+    # NUL pin (engine side only): \x00 is a control char -> space
+    nul = clean_text(rd.from_pandas(pd.DataFrame({
+        "doc_id": np.array([0], dtype=np.int64),
+        "text": ["a\x00b"]})), max_chars=10).to_pandas()
+    assert nul.loc[0, "clean_text"] == "a b"
