@@ -3894,3 +3894,46 @@ def test_clean_text_unicode_fuzz(ray_session):
         "doc_id": np.array([0], dtype=np.int64),
         "text": ["a\x00b"]})), max_chars=10).to_pandas()
     assert nul.loc[0, "clean_text"] == "a b"
+
+
+def test_substring_dedup_oracle_fuzz(ray_session):
+    """substring_dedup vs the REGISTERED DuckDB oracle on an
+    adversarial corpus: tiny vocabulary (dense duplicate 8-grams),
+    overlapping repeated runs, punctuation-glued tokens, unicode
+    spaces, empty and whitespace-only docs."""
+    import random
+
+    import duckdb
+    import ray.data as rd
+
+    import __ray_entry__ as entry_mod
+    from aml_entity_resolution_assignment_ray.ops.dedup import substring_dedup
+
+    rng = random.Random(77)
+    vocab = ["aa", "bb", "cc,", "d.d", "日本", "x"]
+    docs = []
+    for i in range(80):
+        k = rng.randint(0, 30)
+        body = " ".join(rng.choice(vocab) for _ in range(k))
+        if i % 7 == 0:
+            body += " " + " ".join(["aa"] * 12)   # long identical run
+        if i % 11 == 0:
+            body = body.replace(" ", " ", 1) if " " in body else body
+        docs.append(body)
+    docs += ["", "   ", "\t\n"]
+    df = pd.DataFrame({"doc_id": np.arange(len(docs), dtype=np.int64),
+                       "text": docs})
+
+    got = substring_dedup(rd.from_pandas(df).repartition(5), n=8,
+                          cfg=CFG).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.register("documents", df)
+    sql = entry_mod.oracle_sql()["doc_substring_dedup"]
+    exp = con.execute(sql).fetchdf() \
+        .sort_values("doc_id").reset_index(drop=True)
+    for c in ["n_tokens", "n_removed", "cleaned_text"]:
+        same = got[c].to_numpy() == exp[c].to_numpy()
+        assert same.all(), (c, np.where(~same)[0][:3])
+    assert (got["n_removed"] > 0).sum() >= 10   # the corpus is dense
