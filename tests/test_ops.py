@@ -3937,3 +3937,45 @@ def test_substring_dedup_oracle_fuzz(ray_session):
         same = got[c].to_numpy() == exp[c].to_numpy()
         assert same.all(), (c, np.where(~same)[0][:3])
     assert (got["n_removed"] > 0).sum() >= 10   # the corpus is dense
+
+
+def test_cdc_merge_random_sweep(ray_session):
+    """Randomized MERGE semantics sweep vs a pandas reference: random
+    keys (including pure inserts), unique seqs, random upsert/delete
+    mix, several block layouts."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.relational import cdc_merge
+
+    rng = np.random.RandomState(31)
+    base = pd.DataFrame({
+        "k": np.arange(50, dtype=np.int64),
+        "v": rng.randint(0, 1000, 50).astype(np.int64),
+    })
+    nch = 300
+    changes = pd.DataFrame({
+        "k": rng.randint(0, 80, nch).astype(np.int64),   # 50-79 = inserts
+        "seq": rng.permutation(np.arange(1, nch + 1)).astype(np.int64),
+        "op": np.where(rng.rand(nch) < 0.3, "delete", "upsert"),
+        "v": rng.randint(0, 1000, nch).astype(np.int64),
+    })
+    # pandas reference
+    latest = (changes.sort_values("seq").groupby("k").tail(1)
+              .set_index("k"))
+    exp = {}
+    for k in range(80):
+        if k in latest.index:
+            row = latest.loc[k]
+            if row["op"] == "delete":
+                continue
+            exp[k] = (int(row["v"]), int(row["seq"]))
+        elif k < 50:
+            exp[k] = (int(base.set_index("k").loc[k, "v"]), 0)
+    for parts in (1, 7):
+        got = cdc_merge(rd.from_pandas(base).repartition(parts),
+                        rd.from_pandas(changes).repartition(parts + 2),
+                        key_col="k", seq_col="seq", op_col="op",
+                        val_cols=("v",), cfg=CFG) \
+            .to_pandas().sort_values("k")
+        assert {int(r.k): (int(r.v), int(r.last_seq))
+                for r in got.itertuples()} == exp
