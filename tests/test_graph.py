@@ -446,3 +446,44 @@ def test_label_propagation_matches_reference():
     # the two cliques actually converged to distinct community labels
     assert len({label[v] for v in clique_a}) == 1
     assert len({label[v] for v in clique_b[:3]}) == 1
+
+
+def test_label_propagation_random_graphs():
+    """Random-graph sweep: synchronous LPA equals the sequential
+    reference for several densities, iteration counts and layouts."""
+    import random
+
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.graph import label_propagation
+    from aml_entity_resolution_assignment_ray.util import tune_context
+
+    tune_context(nparts=4)
+    for seed, n, p, iters in [(1, 20, 0.15, 2), (2, 30, 0.08, 3),
+                              (3, 15, 0.3, 4)]:
+        rng = random.Random(seed)
+        nodes = [f"n{i:02d}" for i in range(n)]
+        edges = [(a, b) for i, a in enumerate(nodes)
+                 for b in nodes[i + 1:] if rng.random() < p]
+        if not edges:
+            continue
+        df = pd.DataFrame(edges, columns=["src", "dst"])
+        got = label_propagation(
+            rd.from_pandas(df).repartition(3), iterations=iters,
+            cfg=EngineConfig(model_path="", join_num_partitions=4)) \
+            .to_pandas().set_index("node")["label"].to_dict()
+        adj = {}
+        for u, v in edges:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        label = {v: v for v in adj}
+        for _ in range(iters):
+            nxt = {}
+            for v, nbrs in adj.items():
+                cnt = {}
+                for w in nbrs:
+                    cnt[label[w]] = cnt.get(label[w], 0) + 1
+                nxt[v] = sorted(cnt.items(),
+                                key=lambda kv: (-kv[1], kv[0]))[0][0]
+            label = nxt
+        assert got == label, seed
