@@ -116,6 +116,11 @@ def _range_parts_path(n_rows: int) -> str:
     return f"/tmp/er_rangeparts_n{n_rows}"
 
 
+def _schema_evo_path(n_rows: int) -> str:
+    """Two-generation landing zone (events_schema_evolution)."""
+    return f"/tmp/er_schemaevo_n{n_rows}"
+
+
 def _partitioned_events_path(n_rows: int) -> str:
     return f"/tmp/er_part_events_n{n_rows}"
 
@@ -840,6 +845,72 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return g.map_batches(final, batch_format="pandas",
                              batch_size=None)
+
+    def events_schema_evolution(sf_dir):
+        """Schema-evolution ingest (sources/files.union_by_name): two
+        parquet generations — the old writer's (event_id, event_type)
+        and the new writer's with an added value_cents column — union
+        by NAME with NULL fill, then a per-type aggregate counting how
+        many rows actually carry the new column.  Oracle: DuckDB's
+        own read_parquet(union_by_name=true) over the same files."""
+        from aml_entity_resolution_assignment_ray.sources import files as fsrc
+
+        _tune_context()
+        path = _schema_evo_path(_table_rows(sf_dir, "events"))
+        src = _read(sf_dir, "events").select_columns(
+            ["event_id", "event_type", "value"])
+
+        def gen1(d: pd.DataFrame) -> pd.DataFrame:
+            h = d[d["event_id"] % 2 == 0]
+            return pd.DataFrame({
+                "event_id": h["event_id"].astype("int64"),
+                "event_type": h["event_type"]})
+
+        def gen2(d: pd.DataFrame) -> pd.DataFrame:
+            h = d[d["event_id"] % 2 == 1]
+            return pd.DataFrame({
+                "event_id": h["event_id"].astype("int64"),
+                "event_type": h["event_type"],
+                "value_cents": np.rint(
+                    h["value"].to_numpy() * 100).astype("int64")})
+
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        src.map_batches(gen1, batch_format="pandas") \
+            .write_parquet(os.path.join(path, "gen1"))
+        src.map_batches(gen2, batch_format="pandas") \
+            .write_parquet(os.path.join(path, "gen2"))
+        import ray.data as rd
+
+        u = fsrc.union_by_name([
+            rd.read_parquet(os.path.join(path, "gen1")),
+            rd.read_parquet(os.path.join(path, "gen2"))])
+
+        def partial(d: pd.DataFrame) -> pd.DataFrame:
+            v = d["value_cents"]
+            return pd.DataFrame({
+                "event_type": d["event_type"],
+                "n_events": np.ones(len(d), dtype=np.int64),
+                "n_with_value": v.notna().to_numpy().astype(np.int64),
+                "total_cents": v.fillna(0).to_numpy(dtype=np.int64),
+            })
+
+        from aml_entity_resolution_assignment_ray.ops.relational import keyed_sum
+
+        out = keyed_sum(u.map_batches(partial, batch_format="pandas"),
+                        ["event_type"],
+                        ["n_events", "n_with_value", "total_cents"])
+
+        def finalize(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "event_type": df["event_type"],
+                "n_events": df["n_events"].astype("int64"),
+                "n_with_value": df["n_with_value"].astype("int64"),
+                "total_cents": df["total_cents"].astype("int64"),
+            })
+
+        return out.map_batches(finalize, batch_format="pandas")
 
     def customer_csv_stats(sf_dir):
         """Text-format ingest: customer round-trips through headered
@@ -4582,6 +4653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_jsonl_parsed": events_jsonl_parsed,
         "events_partitioned_stats": events_partitioned_stats,
         "events_range_partition_stats": events_range_partition_stats,
+        "events_schema_evolution": events_schema_evolution,
         "event_zscores": event_zscores,
         "customer_csv_stats": customer_csv_stats,
         "hourly_user_events": hourly_user_events,
@@ -6639,6 +6711,20 @@ def oracle_sql() -> dict[str, str]:
             FROM read_json_auto(
                 '{_jsonl_parsed_path(_table_rows(_oracle_sf_dir(),
                                                  "events"))}/*.json')
+            GROUP BY event_type
+        """,
+        "events_schema_evolution": f"""
+            SELECT event_type,
+                   count(*) AS n_events,
+                   CAST(count(value_cents) AS BIGINT) AS n_with_value,
+                   CAST(coalesce(sum(value_cents), 0) AS BIGINT)
+                     AS total_cents
+            FROM read_parquet(
+                ['{_schema_evo_path(_table_rows(_oracle_sf_dir(),
+                                               "events"))}/gen1/*.parquet',
+                 '{_schema_evo_path(_table_rows(_oracle_sf_dir(),
+                                               "events"))}/gen2/*.parquet'],
+                union_by_name = true)
             GROUP BY event_type
         """,
         "events_range_partition_stats": f"""

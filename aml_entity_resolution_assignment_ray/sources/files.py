@@ -137,3 +137,53 @@ def range_bucket(ds, *, col: str, boundaries, out_col: str = "bucket"):
         return out
 
     return ds.map_batches(tag, batch_format="pandas")
+
+
+def union_by_name(datasets):
+    """Schema-evolution union: align Datasets whose schemas share a
+    core but differ by added/removed columns — the heterogeneous-
+    generation landing zone (a year-old shard lacks the column last
+    month's writer added).  Missing columns fill with NULLs of the
+    other side's dtype; the output schema is the UNION of all input
+    schemas, columns ordered by first appearance.  Mirrors DuckDB's
+    ``read_parquet(..., union_by_name=true)``.
+
+    Stateless per-block projection on each input, then a plain
+    (zero-shuffle) Dataset union."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    schemas = []
+    for ds in datasets:
+        s = ds.schema()
+        base = getattr(s, "base_schema", None)
+        schemas.append(base if isinstance(base, pa.Schema) else None)
+    all_cols: list = []
+    types: dict = {}
+    for ds, s in zip(datasets, schemas):
+        names = s.names if s is not None else ds.schema().names
+        for i, c in enumerate(names):
+            if c not in types:
+                all_cols.append(c)
+                types[c] = s.field(c).type if s is not None else None
+
+    def align(d: pd.DataFrame) -> pd.DataFrame:
+        out = {}
+        for c in all_cols:
+            if c in d.columns:
+                out[c] = d[c]
+            else:
+                t = types[c]
+                if t is not None and pa.types.is_integer(t):
+                    out[c] = pd.array([None] * len(d), dtype="Int64")
+                elif t is not None and pa.types.is_floating(t):
+                    out[c] = np.full(len(d), np.nan)
+                else:
+                    out[c] = pd.Series([None] * len(d), dtype=object)
+        return pd.DataFrame(out)
+
+    aligned = [ds.map_batches(align, batch_format="pandas")
+               for ds in datasets]
+    return aligned[0] if len(aligned) == 1 \
+        else aligned[0].union(*aligned[1:])

@@ -113,3 +113,30 @@ def test_range_bucket_partitioned_roundtrip(ray_session, tmp_path):
     f.export_partitioned_parquet(tagged, d, partition_cols=["bucket"])
     mid = f.read_partition(d, "bucket", 1).to_pandas()
     assert sorted(mid["v"].tolist()) == [11, 20, 25, 30]
+
+
+def test_union_by_name(ray_session):
+    """Schema-evolution union: missing columns null-fill with the
+    right dtype, output schema is the first-appearance union, row
+    content survives from every generation."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.sources import files as f
+
+    a = pd.DataFrame({"id": np.array([1, 2], dtype=np.int64),
+                      "x": ["a", "b"]})
+    b = pd.DataFrame({"id": np.array([3], dtype=np.int64),
+                      "x": ["c"],
+                      "v": np.array([70], dtype=np.int64)})
+    c = pd.DataFrame({"id": np.array([4], dtype=np.int64),
+                      "v": np.array([80], dtype=np.int64),
+                      "w": np.array([0.5])})
+    u = f.union_by_name([rd.from_pandas(a), rd.from_pandas(b),
+                         rd.from_pandas(c)]).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    assert list(u.columns) == ["id", "x", "v", "w"]
+    assert u["id"].tolist() == [1, 2, 3, 4]
+    assert u["x"].tolist()[:3] == ["a", "b", "c"] and u["x"].isna()[3]
+    assert u["v"].isna().tolist() == [True, True, False, False]
+    assert int(u["v"].dropna().sum()) == 150
+    assert np.isnan(u["w"][0]) and u["w"][3] == 0.5

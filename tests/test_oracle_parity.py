@@ -49,6 +49,7 @@ SUBSET = [
     "events_jsonl_parsed",
     "events_partitioned_stats",
     "events_range_partition_stats",
+    "events_schema_evolution",
     "customer_csv_stats",
     "doc_hash_split",
     "source_char_budget_sample",
