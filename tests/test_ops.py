@@ -3979,3 +3979,47 @@ def test_cdc_merge_random_sweep(ray_session):
             .to_pandas().sort_values("k")
         assert {int(r.k): (int(r.v), int(r.last_seq))
                 for r in got.itertuples()} == exp
+
+
+def test_compact_dedup_index(ray_session, tmp_path):
+    """Compaction folds the shard chain to one shard with the
+    IDENTICAL survivor set; subsequent ingests keep first-seen-wins
+    semantics against the compacted index."""
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.dedup import (
+        compact_dedup_index,
+        incremental_exact_dedup,
+        read_dedup_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    for k in range(3):
+        inc = pd.DataFrame({
+            "doc_id": np.arange(k * 10, k * 10 + 10, dtype=np.int64),
+            "text": [f"t{(k * 10 + i) % 23}" for i in range(10)],
+        })
+        incremental_exact_dedup(rd.from_pandas(inc), idx, cfg=CFG)
+    before = read_dedup_index(idx).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    import glob
+    assert len(glob.glob(idx + "/inc_*")) == 3
+    folded = compact_dedup_index(idx)
+    assert folded == 3
+    assert len(glob.glob(idx + "/inc_*")) == 1
+    after = read_dedup_index(idx).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert before.equals(after)
+    # a fourth ingest still dedups against the compacted index
+    inc4 = pd.DataFrame({
+        "doc_id": np.array([100, 101], dtype=np.int64),
+        "text": ["t0", "brand new text"],
+    })
+    got = incremental_exact_dedup(rd.from_pandas(inc4), idx, cfg=CFG) \
+        .to_pandas()
+    assert got["doc_id"].tolist() == [101]
+    # compacting the now-2-shard chain again folds it back to one
+    assert compact_dedup_index(idx) == 2
+    assert len(read_dedup_index(idx).to_pandas()) == len(after) + 1
+    # single-shard compaction is a no-op
+    assert compact_dedup_index(idx) == 1
