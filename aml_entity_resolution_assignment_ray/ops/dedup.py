@@ -1375,28 +1375,27 @@ def read_dedup_index(index_path: str):
     return rd.read_parquet(files)
 
 
-def compact_dedup_index(index_path: str,
-                        cfg: EngineConfig = DEFAULT_CONFIG):
-    """Fold the append-only ``inc_*`` shard chain into ONE shard —
+def _compact_inc_shards(index_path: str, reader) -> int:
+    """Fold an append-only ``inc_*`` shard chain into ONE shard —
     the maintenance pass a long-lived streaming index needs (every
-    ingest's anti-join otherwise reads an ever-growing file list).
+    ingest otherwise reads an ever-growing file list).
 
-    Crash-safe without a manifest: the merged survivors write to a
-    ``compact_*`` staging directory FIRST (a crash before the swap
-    leaves the live chain untouched and only orphans the staging
-    dir); the swap then renames old shards out of the live namespace
-    before renaming the staging dir to ``inc_00000``.  Increments are
-    single-writer (the incremental_exact_dedup contract), so the swap
-    races no ingest.  Contents are row-identical to the pre-compaction
-    index (survivor sets never overlap across shards, so the fold is
-    a pure concatenation).  Returns the number of shards folded."""
+    Crash-safe without a manifest: the merged rows write to a staging
+    directory FIRST (a crash before the swap leaves the live chain
+    untouched and only orphans the staging dir); the swap then renames
+    old shards out of the live namespace before renaming the staging
+    dir to ``inc_00000``.  Increments are single-writer (the
+    incremental-ingest contract), so the swap races no ingest.
+    Contents are row-identical to the pre-compaction index (survivor
+    sets never overlap across shards, so the fold is a pure
+    concatenation).  Returns the number of shards folded."""
     import glob as _glob
     import shutil as _shutil
 
     shards = sorted(_glob.glob(os.path.join(index_path, "inc_*")))
     if len(shards) <= 1:
         return len(shards)
-    index = read_dedup_index(index_path).materialize()
+    index = reader(index_path).materialize()
     stage = os.path.join(index_path, "compact_stage")
     _shutil.rmtree(stage, ignore_errors=True)
     os.makedirs(stage)
@@ -1408,6 +1407,12 @@ def compact_dedup_index(index_path: str,
         _shutil.rmtree(os.path.join(index_path, f"old_{i:05d}"),
                        ignore_errors=True)
     return len(shards)
+
+
+def compact_dedup_index(index_path: str,
+                        cfg: EngineConfig = DEFAULT_CONFIG):
+    """See ``_compact_inc_shards`` — the exact-dedup survivor index."""
+    return _compact_inc_shards(index_path, read_dedup_index)
 
 
 # --------------------------------------------------------------------------
@@ -1536,6 +1541,12 @@ def read_minhash_index(index_path: str):
             f"no minhash index shards under {index_path!r} — run "
             "incremental_minhash_dedup first")
     return rd.read_parquet(files)
+
+
+def compact_minhash_index(index_path: str,
+                          cfg: EngineConfig = DEFAULT_CONFIG):
+    """See ``_compact_inc_shards`` — the (doc, sig) MinHash index."""
+    return _compact_inc_shards(index_path, read_minhash_index)
 
 
 # --------------------------------------------------------------------------

@@ -1035,7 +1035,19 @@ def _exists_filter(left, right, *, on: list[str], cfg: EngineConfig,
                    right_rows: int | None, keep_matched: bool):
     import ray
 
-    from ..util import safe_join, stateful_map
+    from ..util import safe_join, scrub_empty_blocks, stateful_map
+
+    if right_rows == 0:
+        # empty right: EXISTS matches nothing, NOT EXISTS keeps all —
+        # short-circuit BEFORE touching right (a 0-row dataset's
+        # to_pandas() may carry no columns at all, and the join path
+        # crashes on 0-row inputs)
+        if keep_matched:
+            mat = scrub_empty_blocks(left)
+            from ..util import _empty_like
+
+            return _empty_like(mat)
+        return left
 
     if right_rows is not None and right_rows <= cfg.broadcast_max_rows:
         # SQL NOT EXISTS semantics: null-keyed right rows match nothing

@@ -4023,3 +4023,49 @@ def test_compact_dedup_index(ray_session, tmp_path):
     assert len(read_dedup_index(idx).to_pandas()) == len(after) + 1
     # single-shard compaction is a no-op
     assert compact_dedup_index(idx) == 1
+
+
+def test_compact_minhash_index(ray_session, tmp_path):
+    """MinHash index compaction: identical signature rows, and a
+    post-compaction ingest still near-dedups against the folded
+    index."""
+    import glob
+
+    import ray.data as rd
+
+    from aml_entity_resolution_assignment_ray.ops.dedup import (
+        compact_minhash_index,
+        incremental_minhash_dedup,
+        read_minhash_index,
+    )
+
+    idx = str(tmp_path / "midx")
+    def body(d):
+        return " ".join(f"token{d}x{j} filler{(d * 7 + j) % 91}"
+                        for j in range(18))
+
+    for k in range(2):
+        inc = pd.DataFrame({
+            "doc_id": np.arange(k * 5, k * 5 + 5, dtype=np.int64),
+            "text": [body(k * 5 + i) for i in range(5)],
+        })
+        incremental_minhash_dedup(rd.from_pandas(inc), idx, cfg=CFG)
+    before = read_minhash_index(idx).to_pandas() \
+        .sort_values("doc").reset_index(drop=True)
+    assert len(glob.glob(idx + "/inc_*")) >= 2
+    folded = compact_minhash_index(idx)
+    assert folded >= 2
+    assert len(glob.glob(idx + "/inc_*")) == 1
+    after = read_minhash_index(idx).to_pandas() \
+        .sort_values("doc").reset_index(drop=True)
+    assert before.equals(after)
+    # a near-duplicate of an indexed doc drops; a novel doc survives
+    inc3 = pd.DataFrame({
+        "doc_id": np.array([100, 101], dtype=np.int64),
+        "text": [body(0),
+                 "a completely different unrelated new document body "
+                 "about something else entirely with other words"],
+    })
+    got = incremental_minhash_dedup(rd.from_pandas(inc3), idx, cfg=CFG) \
+        .to_pandas()
+    assert got["doc"].astype(str).tolist() == ["101"]
